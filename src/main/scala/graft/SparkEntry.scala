@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query names carry SURVEY.md §2 operator ids (s*, p*, j*, a*, w*, o*, u*,
+  * f*, m*, st*, x*) plus the LLM-pipeline extensions (dd*, ann*, tx*, mm*)
+  * and the analytics view DAG (v_*).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[QueryModule] = Seq(
+    ScanProjQueries, AggQueries, WindowQueries, JoinQueries,
+    SetOrderQueries, DmlQueries, ViewQueries, LlmQueries)
+
+  /** Flagship: the V5-analog individual budget-vs-actual view on sf0.001
+    * (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ViewQueries.defs("v5_individual_budget")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.defs).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.oracles).toMap
 }

@@ -1,0 +1,96 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two paths, per the standard ANN recipe:
+  *  - brute-force cosine top-k — the exact baseline; a crossJoin that is the
+  *    right answer only when the query side is small (broadcast the queries,
+  *    never the corpus).
+  *  - random-hyperplane LSH buckets — the scale path: 16-bit signature from
+  *    deterministic hash-derived hyperplanes, candidates only within a
+  *    bucket (multi-probe by hamming-adjacent buckets would widen recall;
+  *    at 100 TB the bucket join shuffles (bucket, id) pairs, never vectors
+  *    against vectors all-pairs).
+  *
+  * Dot products fold left-to-right via `aggregate` in double precision —
+  * deterministic on any engine. No UDFs.
+  */
+object Ann {
+
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(x: Column): Column =
+    sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(x: Column, y: Column): Column = dot(x, y) / (l2norm(x) * l2norm(y))
+
+  /** Exact top-k neighbors for each query vector (brute force; queries are
+    * expected to be a small broadcastable set).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * ±1 from xxhash64 — reproducible across runs and engines with xxhash64.
+    */
+  private def planeSign(plane: Int, dimIdx: Column): Column =
+    when((shiftrightunsigned(
+      xxhash64(concat(lit(s"plane$plane"), lit("_"), dimIdx.cast("string"))), 0)
+      .bitwiseAND(lit(1L))) === 1L, lit(1.0)).otherwise(lit(-1.0))
+
+  /** 16-bit LSH bucket id from random-hyperplane signs. */
+  def lshBucket(emb: Column, planes: Int = 16): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(63)), (v, i) => v.cast("double") * planeSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
+  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+    val withBucket = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val a = withBucket.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val b = withBucket.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization using an existing block column (e.g. a
+    * cluster label): exact search within the probe block only.
+    */
+  def ivfTopK(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col(blockCol).as("block"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      col(blockCol).as("block"))
+    val scored = a.join(b, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed around
+  * its 100 TB shuffle story:
+  *
+  *  - exact:    hash-groupBy on a fingerprint — shuffles (16-byte key, id).
+  *  - MinHash:  shingle → signature → LSH band buckets → bucket join. Never
+  *    all-pairs: candidate generation shuffles (band_hash, id) only, and the
+  *    verify step touches only bucket-colliding pairs.
+  *  - SimHash:  64-bit signature → 16-bit band buckets → hamming verify.
+  *  - n-gram Jaccard: exact verification on candidate pairs.
+  *
+  * Everything is built from codegen'd higher-order array functions
+  * (transform/aggregate/zip_with) + xxhash64 — no UDFs, no driver loops.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per normalized-text fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.Core.dedupByKey(
+      df.withColumn("fingerprint", TextOps.fingerprint(col(textCol))),
+      Seq("fingerprint"), Seq(col(idCol)))
+
+  /** Word k-shingles of the lowercased text column (pure Column expression). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(lower(text))
+    transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+  }
+
+  /** MinHash signatures via explode + partial aggregation: one row per
+    * (doc, shingle), `numHashes` seeded xxhash64 columns, then per-doc MIN of
+    * each. Map-side combine collapses the explosion before the shuffle, so
+    * at 100 TB the shuffle carries one 64-long vector per document — this is
+    * the formulation that scales (the nested-lambda one recomputes the
+    * shingle array per seed).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, k: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+    val mins = (1 to numHashes).map(s =>
+      min(xxhash64(concat(col("shingle"), lit(s"#$s")))).as(s"h$s"))
+    exploded.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs over `df(idCol, textCol)`.
+    * bands × rowsPerBand = numHashes; two docs collide when any band of
+    * their signatures matches exactly. Returns (id_a, id_b, est_jaccard)
+    * with id_a < id_b and estimated Jaccard ≥ `threshold`.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, "text", numHashes)
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
+    val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, lit(1))),
+          v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash signatures: explode tokens, per-bit ±1 vote sums with
+    * map-side combine, pack the sign bits into a bigint. Same scale shape as
+    * [[minhashSignatures]]: the shuffle carries 64 ints per doc.
+    */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("doc"), explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val packed = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    exploded.groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"), packed.as("sig"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band bucketing, verify by hamming
+    * distance ≤ maxHamming (bit_count of xor).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, "text")
+    val banded = sigs.select(col("doc"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
+    val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs (verification
+    * stage; candidates come from LSH buckets or a blocking key).
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc"),
+      array_distinct(shingles(col(textCol), k)).as("grams"))
+    pairs
+      .join(grams.select(col("doc").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(grams.select(col("doc").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double")).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs by exact cosine within a blocking key (the
+    * IVF-style coarse partition; brute force within the block only).
+    */
+  def embeddingNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val norm = (x: Column) =>
+      sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+    val withNorm = emb.select(col("vec_id"), col(blockCol).as("block"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("block"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("block"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("block"),
+        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

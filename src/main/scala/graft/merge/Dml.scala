@@ -1,0 +1,76 @@
+package graft.merge
+
+import graft.ops.Core
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DML-shaped operators beyond MERGE (SURVEY.md §2.9 M3–M8). All are
+  * expressed as dataframe rewrites (the delete/update is the complement of
+  * the predicate), to be persisted via [[AtomicWriter]].
+  */
+object Dml {
+
+  /** M3: TRUNCATE + INSERT SELECT — full dimension replacement (ref:
+    * `client_dimension_sync_daily/main.py:183-195`). In Spark this is just an
+    * overwrite; exposed for symmetry.
+    */
+  def overwriteWith(replacement: DataFrame): DataFrame = replacement
+
+  /** M4: DELETE duplicate rows keeping the latest per key (ref:
+    * `snowflake_bq_sync Time details/daily_sync.py:92-107` — ROW_NUMBER
+    * partition dedup inside a DELETE). Equivalent to keeping rn=1.
+    */
+  def deleteDupsKeepLatest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    Core.dedupByKey(df, keys, order)
+
+  /** M5: "smart delete" — remove today's rows whose key no longer exists in
+    * the source extract, guarded so an empty/failed extract never wipes the
+    * table (ref: `work_item_budget_vs_actual_…_daily/main.py:368-408`;
+    * guard rationale `CRITICAL_DELETE_LOGIC_FIX_SUMMARY.md:42,77`).
+    *
+    * The reference truncates the key list at 1000 tuples (driver-side `NOT
+    * IN`); we anti-join against the full distributed key set instead.
+    */
+  def smartDelete(
+      target: DataFrame,
+      liveKeys: DataFrame,
+      keys: Seq[String],
+      dateCol: String,
+      date: Column): DataFrame = {
+    if (liveKeys.isEmpty) target // liveness guard: empty source ⇒ no delete
+    else {
+      val inWindow = target.filter(col(dateCol) === date)
+      val outOfWindow = target.filter(!(col(dateCol) === date) || col(dateCol).isNull)
+      outOfWindow.unionByName(
+        inWindow.join(liveKeys.select(keys.map(col): _*).distinct(), keys, "left_semi"))
+    }
+  }
+
+  /** M6: orphan cleanup — delete ids present in the target but absent from
+    * the source system (ref: `snowflake_bq_deduplication_sync.py:114-160`,
+    * dry-run `:330`). Returns (survivors, deletedCount-when-dry-run-frame).
+    */
+  def orphanCleanup(target: DataFrame, sourceIds: DataFrame, key: String): DataFrame =
+    target.join(sourceIds.select(col(key)).distinct(), Seq(key), "left_semi")
+
+  def orphanCleanupDryRun(target: DataFrame, sourceIds: DataFrame, key: String, tableName: String): DataFrame = {
+    val orphans = target.join(sourceIds.select(col(key)).distinct(), Seq(key), "left_anti")
+    orphans.agg(count(lit(1)).as("would_delete")).withColumn("table_name", lit(tableName))
+  }
+
+  /** M7: DELETE by date range — progressive stale cleanup (ref:
+    * `…_daily/main_progressive.py:126-133`). With a date-partitioned target
+    * this is a partition overwrite, not a full rewrite.
+    */
+  def deleteDateRange(df: DataFrame, dateCol: String, start: Column, end: Column): DataFrame =
+    df.filter(col(dateCol) < start || col(dateCol) > end || col(dateCol).isNull)
+
+  /** M8: UPDATE a single control row by key (sync-state transitions, ref:
+    * `…/main_paginated.py:177-184`). Control tables are tiny; a projection
+    * rewrite is the whole operator.
+    */
+  def updateByKey(df: DataFrame, keyCol: String, keyVal: Column, assignments: Map[String, Column]): DataFrame =
+    assignments.foldLeft(df) { case (d, (c, v)) =>
+      d.withColumn(c, when(col(keyCol) === keyVal, v).otherwise(col(c)))
+    }
+}

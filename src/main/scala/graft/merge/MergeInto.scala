@@ -1,0 +1,113 @@
+package graft.merge
+
+import graft.ops.Core
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE / upsert semantics without a table format (SURVEY.md §2.9 M1/M2).
+  *
+  * The reference's signature operation is a staged BigQuery MERGE:
+  * `MERGE target USING staging ON <composite key> WHEN MATCHED UPDATE all
+  * WHEN NOT MATCHED INSERT all` (ref: `snowflake_bq_sync_daily Time
+  * Details/main.py:197-206`; audit-column variant
+  * `snowflake_bq_sync Time details/daily_sync.py:252-269`).
+  *
+  * Spark has no MERGE on plain parquet, so the operator is the relational
+  * rewrite: dedup the source latest-wins per key, then
+  * `target ANTI-JOIN source  UNION ALL  source`. One shuffle on the merge
+  * keys; no driver-side key lists (the reference's 1000-key `NOT IN`
+  * truncation at `work_item_budget_vs_actual_…_daily/main.py:374-378` is a
+  * scalability bug we deliberately do not reproduce).
+  *
+  * Scale note: at 100 TB the target should be partitioned by the snapshot
+  * date column (see [[AtomicWriter]] and Dml.overwritePartitions) so a daily
+  * merge rewrites only touched partitions, and the anti-join shuffles only
+  * the merge keys after Catalyst column pruning.
+  */
+object MergeInto {
+
+  /** Audit-column policy (M2). `fixedTimestamp`/deterministic uuid make the
+    * operator reproducible under test; production uses `uuid()` +
+    * `current_timestamp()` like the reference.
+    */
+  final case class Audit(
+      uuidCol: String = "row_uuid",
+      tsCol: String = "bq_ingestion_timestamp",
+      deterministic: Boolean = false,
+      fixedTimestamp: Option[String] = None)
+
+  /** M1: pure upsert. `source` rows win over `target` rows with the same key;
+    * within `source`, the greatest `orderCol` wins (latest-wins, matching the
+    * staging table's most-recent-extract semantics).
+    */
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      orderCol: Option[String] = None,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val deduped = orderCol match {
+      case Some(c) => Core.dedupByKey(source, keys, col(c).desc +: tieBreak)
+      case None => source.dropDuplicates(keys)
+    }
+    val kept = target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(deduped.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** M2: upsert with audit columns. Matched rows keep their existing
+    * `row_uuid` but refresh the ingestion timestamp; new rows get a fresh
+    * uuid + timestamp (ref: `daily_sync.py:252-269`).
+    */
+  def mergeWithAudit(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      audit: Audit,
+      orderCol: Option[String] = None): DataFrame = {
+    val ts: Column = audit.fixedTimestamp
+      .map(s => lit(s).cast("timestamp_ntz"))
+      .getOrElse(current_timestamp())
+    val freshUuid: Column =
+      if (audit.deterministic) md5(concat_ws("|", keys.map(c => col(c).cast("string")): _*))
+      else expr("uuid()")
+
+    val deduped = orderCol match {
+      case Some(c) => Core.dedupByKey(source, keys, Seq(col(c).desc))
+      case None => source.dropDuplicates(keys)
+    }
+    // Carry existing uuids across the merge: left join source→target on keys.
+    val existing = target.select((keys.map(col) :+ col(audit.uuidCol).as("__existing_uuid")): _*)
+    val srcWithAudit = deduped
+      .join(existing, keys, "left")
+      .withColumn(audit.uuidCol, coalesce(col("__existing_uuid"), freshUuid))
+      .drop("__existing_uuid")
+      .withColumn(audit.tsCol, ts)
+    val kept = target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(srcWithAudit.select(target.columns.map(col).toIndexedSeq: _*))
+  }
+}
+
+/** Atomic write-and-swap for plain-parquet targets (the staging-table +
+  * MERGE lifecycle of ref `snowflake_bq_sync_daily Time Details/main.py:120-123,217-219`
+  * collapsed into write-temp-then-rename). Readers see either the old or the
+  * new table, never a partial write.
+  */
+object AtomicWriter {
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp__")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".__old__")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp.toString)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.ops.{Core, Exact}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 aggregations (A1–A15). All money/qty sums go through exact
+  * decimal casts (see [[graft.ops.Exact]]) so results are order-independent
+  * and reproducible on any engine — the property the oracle harness checks.
+  */
+object AggQueries extends QueryModule {
+
+  // DuckDB spelling of Exact.sum2, reused across oracles.
+  private def S(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Map[String, Q] = Map(
+    // A1: hash aggregation with SUM/COUNT/MIN/MAX (`…v5.sql:11-37`).
+    "a1_groupby_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.sum2(col("l_quantity")).as("sum_qty"),
+          Exact.sum2(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("cnt"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate").cast("date")).as("first_ship"),
+          max(col("l_shipdate").cast("date")).as("last_ship"))),
+
+    // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
+    "a2_conditional_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("user_id"))
+        .agg(
+          (sum(when(col("l_returnflag") === "N", Exact.d2(col("l_quantity")))
+            .otherwise(Exact.d2(lit(0)))).cast("double") / 60.0).as("billable_hours"),
+          (Exact.sum2(col("l_quantity")) / 60.0).as("total_hours"))),
+
+    // A3: static monthly pivot — 12 SUM(CASE WHEN year/month) columns
+    // (`…v5.sql:23-34`, transposed to shipdate year 1996).
+    "a3_monthly_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("user_id"))
+        .agg(
+          Core.monthlyPivotCols(col("l_shipdate"), col("l_quantity"), 1996, "qty").head,
+          Core.monthlyPivotCols(col("l_shipdate"), col("l_quantity"), 1996, "qty").tail: _*)),
+
+    // A4: COUNT(DISTINCT x) (`…v4.sql:14` unique_contributors).
+    "a4_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_suppliers"))),
+
+    // A5: multi-column distinct via CONCAT (`verify_view_deduplication.sql:24,34`).
+    "a5_multicol_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(
+          concat_ws("-", col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+            col("l_suppkey").cast("string"))).as("distinct_triples"))),
+
+    // A6: ANY_VALUE over a per-group-constant column (`…v5.sql:96-101`).
+    "a6_any_value" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"))
+        .agg(any_value(col("c_name")).as("client_name"),
+          count(lit(1)).as("order_cnt"))
+    }),
+
+    // A7: COUNTIF (`data_quality_agent.py:129-131`).
+    "a7_countif" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count_if(col("l_discount") > 0.05).as("high_discount_cnt"),
+          count_if(col("l_quantity") >= 40).as("bulk_cnt"))),
+
+    // A8: STRING_AGG(DISTINCT x ORDER BY x) (`verify_view_deduplication.sql:70`).
+    "a8_string_agg_distinct" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(Core.stringAggDistinct(col("n_name"), ", ").as("nation_list"))),
+
+    // A9: AVG/STDDEV population stats (`anomaly_detection_agent.py:53-54`) —
+    // computed from exact sums so any engine reproduces them bit-for-bit.
+    "a9_avg_stddev" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Exact.avg2(col("l_quantity")).as("avg_qty"),
+          Exact.stddevExact(col("l_quantity")).as("std_qty"),
+          Exact.varPopExact(col("l_quantity")).as("varpop_qty"))),
+
+    // A10: SAFE_DIVIDE in aggregated metrics (`…v4.sql:71-74`).
+    "a10_safe_divide" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_suppkey").as("user_id"))
+        .agg(
+          Exact.sum2(col("l_extendedprice")).as("sum_price"),
+          sum(when(col("l_returnflag") === "R", Exact.d2(col("l_quantity")))
+            .otherwise(Exact.d2(lit(0)))).cast("double").as("returned_qty"))
+        .select(col("user_id"), col("sum_price"), col("returned_qty"),
+          Core.safeDivide(col("sum_price"), col("returned_qty")).as("price_per_returned_unit"))),
+
+    // A12: GROUP BY date daily metric series (`anomaly_detection_agent.py:45-83`).
+    "a12_daily_series" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("event_date"))
+        .agg(
+          count(lit(1)).as("event_cnt"),
+          Exact.sum2(col("value")).as("total_value"),
+          countDistinct(col("user_id")).as("active_users"))),
+
+    // A13: HAVING post-aggregation filter (`verify_view_deduplication.sql:73`).
+    "a13_having" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("line_cnt"), Exact.sum2(col("l_quantity")).as("sum_qty"))
+        .filter(col("line_cnt") > 5)),
+
+    // A14: global no-group aggregate (`verify_view_deduplication.sql:218-227`).
+    "a14_global_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          count(lit(1)).as("row_cnt"),
+          countDistinct(col("l_orderkey")).as("order_cnt"),
+          Exact.sum2(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate").cast("date")).as("min_ship"),
+          max(col("l_shipdate").cast("date")).as("max_ship")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_groupby_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, ${S("l_quantity")} AS sum_qty,
+         |${S("l_extendedprice")} AS sum_price, COUNT(*) AS cnt,
+         |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |MIN(CAST(l_shipdate AS DATE)) AS first_ship, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_conditional_agg" ->
+      """SELECT l_suppkey AS user_id,
+        |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2))
+        |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / 60.0 AS billable_hours,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 60.0 AS total_hours
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "a3_monthly_pivot" -> {
+      val cols = (1 to 12).map { m =>
+        f"""CAST(SUM(CASE WHEN EXTRACT(YEAR FROM l_shipdate) = 1996 AND EXTRACT(MONTH FROM l_shipdate) = $m
+           |THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_$m%02d""".stripMargin
+      }.mkString(",\n")
+      s"SELECT l_suppkey AS user_id,\n$cols\nFROM lineitem GROUP BY l_suppkey"
+    },
+    "a4_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts,
+        |COUNT(DISTINCT l_suppkey) AS distinct_suppliers FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a5_multicol_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)) AS distinct_triples
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a6_any_value" ->
+      """SELECT o_custkey, ANY_VALUE(c_name) AS client_name, COUNT(*) AS order_cnt
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY o_custkey""".stripMargin,
+    "a7_countif" ->
+      """SELECT l_returnflag, COUNT(*) FILTER (WHERE l_discount > 0.05) AS high_discount_cnt,
+        |COUNT(*) FILTER (WHERE l_quantity >= 40) AS bulk_cnt FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a8_string_agg_distinct" ->
+      """SELECT n_regionkey, array_to_string(list_sort(list_distinct(list(n_name))), ', ') AS nation_list
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "a9_avg_stddev" ->
+      s"""SELECT l_returnflag,
+         |(${S("l_quantity")} / COUNT(l_quantity)) AS avg_qty,
+         |CASE WHEN COUNT(l_quantity) > 1 THEN
+         |  sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    - ${S("l_quantity")} * ${S("l_quantity")} / CAST(COUNT(l_quantity) AS DOUBLE))
+         |   / (CAST(COUNT(l_quantity) AS DOUBLE) - 1))
+         |ELSE NULL END AS std_qty,
+         |CASE WHEN COUNT(l_quantity) > 0 THEN
+         |  (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    - ${S("l_quantity")} * ${S("l_quantity")} / CAST(COUNT(l_quantity) AS DOUBLE))
+         |   / CAST(COUNT(l_quantity) AS DOUBLE)
+         |ELSE NULL END AS varpop_qty
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a10_safe_divide" ->
+      s"""SELECT l_suppkey AS user_id, ${S("l_extendedprice")} AS sum_price,
+         |CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+         |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS returned_qty,
+         |CASE WHEN CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+         |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) = 0 THEN NULL
+         |ELSE ${S("l_extendedprice")} / CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2))
+         |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) END AS price_per_returned_unit
+         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "a12_daily_series" ->
+      s"""SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS event_cnt,
+         |${S("value")} AS total_value, COUNT(DISTINCT user_id) AS active_users
+         |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin,
+    "a13_having" ->
+      s"""SELECT l_orderkey, COUNT(*) AS line_cnt, ${S("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 5""".stripMargin,
+    "a14_global_agg" ->
+      s"""SELECT COUNT(*) AS row_cnt, COUNT(DISTINCT l_orderkey) AS order_cnt,
+         |${S("l_quantity")} AS sum_qty, MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+         |MAX(CAST(l_shipdate AS DATE)) AS max_ship FROM lineitem""".stripMargin
+  )
+}

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (beyond the reference, per the
+  * BASELINE north star): dedup (dd*), similarity search (ann*), text
+  * analysis (tx*), multimodal plumbing (mm*). Hash-based ops (xxhash64) have
+  * no cross-engine oracle — they get rows-only checks + ScalaTest invariants;
+  * md5/string ops get full DuckDB oracles.
+  */
+object LlmQueries extends QueryModule {
+
+  val defs: Map[String, Q] = Map(
+    // dd1: exact dedup via normalized-text fingerprint (hash-groupBy).
+    "dd1_exact_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // Introduce real duplicates (re-ingested docs with new ids).
+      val dups = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      Dedup.exact(docs.unionByName(dups), "doc_id", "text")
+    }),
+
+    // dd2: MinHash + LSH banded near-dup pairs (never all-pairs).
+    "dd2_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing mutation token")).as("text"))
+      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", numHashes = 64, bands = 16,
+        threshold = 0.5)
+    }),
+
+    // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify).
+    "dd3_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", maxHamming = 3)
+    }),
+
+    // dd4: exact n-gram Jaccard verification on blocked candidate pairs.
+    "dd4_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
+      val pairs = keyed.select(col("doc_id").as("id_a"), col("lang"), col("source"))
+        .join(keyed.select(col("doc_id").as("id_b"), col("lang"), col("source")),
+          Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
+    }),
+
+    // dd5: embedding near-dups — exact cosine within a coarse block.
+    "dd5_embedding_dups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val dups = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Dedup.embeddingNearDups(emb.unionByName(dups).select(col("vec_id"), col("embedding"),
+        col("label")), "label", threshold = 0.98)
+    }),
+
+    // ann1: brute-force cosine top-k (exact baseline; broadcast queries).
+    "ann1_bruteforce_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }),
+
+    // ann2: random-hyperplane LSH bucketed approximate top-k (scale path).
+    "ann2_lsh_topk" -> ((s, dir) =>
+      Ann.lshTopK(Tables.embeddings(s, dir), k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))),
+
+    // ann3: IVF-style exact search within the label block.
+    "ann3_ivf_topk" -> ((s, dir) =>
+      Ann.ivfTopK(Tables.embeddings(s, dir), "label", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("cosine"), col("rank"))),
+
+    // tx1: n-gram-heuristic language id (stopword-ratio argmax).
+    "tx1_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        TextOps.langId(col("text")).as("detected_lang"))),
+
+    // tx2: quality scoring (length/diversity/stopword heuristics).
+    "tx2_quality_score" -> ((s, dir) =>
+      TextOps.qualityMetrics(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_measured"),
+          col("avg_token_len"), col("distinct_token_ratio"), col("stopword_ratio"),
+          col("quality_score"))),
+
+    // tx3: token counting — whitespace + BPE-ish subword estimate.
+    "tx3_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        TextOps.approxBpeCount(col("text")).as("n_bpe_tokens"))),
+
+    // tx4: document fingerprinting + duplicate-group sizing.
+    "tx4_fingerprint" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      val groups = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("dup_group_size"))
+      fp.join(groups, Seq("fingerprint")).select(col("doc_id"), col("fingerprint"),
+        col("dup_group_size"))
+    }),
+
+    // mm1: multimodal decode pipeline — binary payload → mapPartitions batch
+    // "decode" (stubbed codec) → typed features. Rows-only + ScalaTest.
+    "mm1_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+        .toDF().drop("feat")),
+
+    // mm2: per-media-type curation stats over extracted features.
+    "mm2_media_stats" -> ((s, dir) =>
+      Multimodal.featureStats(
+        Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir))))),
+
+    // dq1: data-quality agent checks — freshness/row-floor/null%/dup% flags
+    // (`data_quality_agent.py:29-211`).
+    "dq1_quality_checks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.agg(
+        count(lit(1)).as("row_cnt"),
+        count_if(col("text").isNull).as("null_text_cnt"),
+        countDistinct(col("text")).as("distinct_text_cnt"))
+        .select(
+          lit("documents").as("table_name"), col("row_cnt"), col("null_text_cnt"),
+          (col("row_cnt") - col("distinct_text_cnt")).as("dup_cnt"),
+          (col("row_cnt") >= 100).as("row_floor_ok"),
+          (col("null_text_cnt").cast("double") / col("row_cnt") <= 0.10).as("null_rate_ok"),
+          ((col("row_cnt") - col("distinct_text_cnt")).cast("double") / col("row_cnt") <= 0.05)
+            .as("dup_rate_ok"))
+    })
+  )
+
+  private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      s"""WITH all_docs AS (
+         |SELECT * FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0),
+         |fp AS (SELECT *, md5(array_to_string($TOKS, ' ')) AS fingerprint FROM all_docs)
+         |SELECT doc_id, text, lang, source, n_chars, fingerprint FROM
+         |(SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM fp)
+         |WHERE rn = 1""".stripMargin,
+    "tx2_quality_score" ->
+      s"""SELECT doc_id,
+         |CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |CAST(length(text) AS BIGINT) AS n_chars_measured,
+         |CAST(length(text) AS DOUBLE) / CAST(greatest(len($TOKS), 1) AS DOUBLE) AS avg_token_len,
+         |CAST(len(list_distinct($TOKS)) AS DOUBLE) / CAST(greatest(len($TOKS), 1) AS DOUBLE) AS distinct_token_ratio,
+         |CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+         | / CAST(greatest(len($TOKS), 1) AS DOUBLE) AS stopword_ratio,
+         |ROUND(
+         |  (CASE WHEN len($TOKS) >= 10 AND len($TOKS) <= 1000 THEN 0.4 ELSE 0.0 END)
+         |  + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / CAST(greatest(len($TOKS), 1) AS DOUBLE)) * 0.4
+         |  + (CASE WHEN CAST(len(list_filter($TOKS, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+         |     / CAST(greatest(len($TOKS), 1) AS DOUBLE) > 0.0 THEN 0.2 ELSE 0.0 END), 4) AS quality_score
+         |FROM documents""".stripMargin,
+    "tx3_token_count" ->
+      s"""SELECT doc_id, CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens,
+         |CAST(len($TOKS_RAW) + CAST(CEIL(length(text) / 4.0) AS INT) AS BIGINT) AS n_bpe_tokens
+         |FROM documents""".stripMargin,
+    "tx4_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint FROM documents)
+         |SELECT doc_id, fingerprint,
+         |COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size FROM fp""".stripMargin
+  )
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.sources.Tables
+import graft.views.ViewDag
+import org.apache.spark.sql.functions.col
+
+/** The analytics view DAG (`latest → corrected → V4 → V5 + fallback`) as
+  * verifiable queries — the reference's product surface (SURVEY.md §3.2).
+  * The oracle SQL mirrors the Spark plans CTE-for-CTE.
+  */
+object ViewQueries extends QueryModule {
+
+  val defs: Map[String, Q] = Map(
+    "v_latest_snapshot" -> ((s, dir) =>
+      ViewDag.latestView(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "v_corrected" -> ((s, dir) =>
+      ViewDag.correctedView(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "v4_work_item_tracking" -> ((s, dir) =>
+      ViewDag.v4View(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "v5_individual_budget" -> ((s, dir) =>
+      ViewDag.v5View(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir), Tables.supplier(s, dir))),
+    "v5_fallback_budget" -> ((s, dir) =>
+      ViewDag.v5Fallback(Tables.lineitem(s, dir), Tables.orders(s, dir)))
+  )
+
+  // Shared CTE texts (DuckDB), mirroring ViewDag's base facts.
+  private val TE =
+    """te AS (SELECT l_orderkey AS work_item_id, l_suppkey AS user_id, l_linenumber AS entry_seq,
+      |l_quantity AS hours, l_returnflag = 'N' AS is_billable, CAST(l_shipdate AS DATE) AS entry_date
+      |FROM lineitem)""".stripMargin
+  private val SNAPS =
+    """snaps AS (SELECT l_orderkey AS work_item_id, CAST(l_shipdate AS DATE) AS reporting_date,
+      |COUNT(*) AS lines_on_date, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS hours_on_date
+      |FROM lineitem GROUP BY 1, 2)""".stripMargin
+  private val BR =
+    """br AS (SELECT l_orderkey AS work_item_id, l_suppkey AS user_id, l_returnflag AS task_type,
+      |l_linestatus AS "role", CAST(DATE_TRUNC('month', l_shipdate) AS DATE) AS sync_month,
+      |CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS budgeted_hours
+      |FROM lineitem GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+  private val LATEST =
+    """latest AS (SELECT s.* FROM snaps s WHERE s.reporting_date =
+      |(SELECT MAX(s2.reporting_date) FROM snaps s2 WHERE s2.work_item_id = s.work_item_id))""".stripMargin
+  private val IBS =
+    """ibs_d AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY work_item_id, user_id,
+      |task_type, "role" ORDER BY sync_month DESC) AS rn FROM br) WHERE rn = 1),
+      |ibs AS (SELECT work_item_id, user_id,
+      |CAST(SUM(CAST(budgeted_hours AS DECIMAL(18,4))) AS DOUBLE) AS budgeted_hours
+      |FROM ibs_d GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v_latest_snapshot" ->
+      s"""WITH $SNAPS, $LATEST
+         |SELECT work_item_id, reporting_date, lines_on_date, hours_on_date,
+         |o_orderstatus AS work_item_status, o_totalprice AS work_item_budget,
+         |o_custkey AS client_id, CAST(o_orderdate AS DATE) AS created_date
+         |FROM latest LEFT JOIN orders ON work_item_id = o_orderkey""".stripMargin,
+
+    "v_corrected" ->
+      s"""WITH $TE, $SNAPS, $BR, $LATEST,
+         |br_dist AS (SELECT DISTINCT * FROM br),
+         |deduped AS (SELECT work_item_id, user_id, task_type, "role", sync_month, budgeted_hours
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY work_item_id, user_id, task_type, "role"
+         |ORDER BY sync_month DESC) AS rn FROM br_dist) WHERE rn = 1),
+         |actuals AS (SELECT work_item_id, user_id,
+         |CAST(SUM(CAST(hours AS DECIMAL(18,2))) AS DOUBLE) AS hours_logged FROM te GROUP BY 1, 2),
+         |lat AS (SELECT l.work_item_id, l.reporting_date, o.o_orderstatus AS work_item_status,
+         |o.o_custkey AS client_id FROM latest l LEFT JOIN orders o ON l.work_item_id = o.o_orderkey)
+         |SELECT d.work_item_id, d.user_id, d.task_type, d."role", d.sync_month, d.budgeted_hours,
+         |COALESCE(a.hours_logged, 0.0) AS hours_logged,
+         |lat.reporting_date, lat.work_item_status, lat.client_id,
+         |CAST(EXTRACT(YEAR FROM d.sync_month) AS INT) AS budget_year,
+         |CAST(EXTRACT(MONTH FROM d.sync_month) AS INT) AS budget_month,
+         |CAST(EXTRACT(QUARTER FROM d.sync_month) AS INT) AS budget_quarter,
+         |CAST(CAST(d.budgeted_hours AS DECIMAL(18,4)) - CAST(COALESCE(a.hours_logged, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS budget_variance,
+         |CASE WHEN d.budgeted_hours IS NULL OR d.budgeted_hours = 0 THEN NULL
+         |ELSE (COALESCE(a.hours_logged, 0.0) * 100.0) / d.budgeted_hours END AS utilization_pct,
+         |CASE WHEN d.budgeted_hours IS NULL OR d.budgeted_hours = 0 THEN 'NO_BUDGET'
+         |WHEN COALESCE(a.hours_logged, 0.0) > d.budgeted_hours THEN 'OVER_BUDGET'
+         |WHEN COALESCE(a.hours_logged, 0.0) >= d.budgeted_hours * 0.8 THEN 'NEAR_BUDGET'
+         |ELSE 'UNDER_BUDGET' END AS budget_status
+         |FROM deduped d
+         |LEFT JOIN actuals a ON d.work_item_id = a.work_item_id AND d.user_id = a.user_id
+         |LEFT JOIN lat ON d.work_item_id = lat.work_item_id""".stripMargin,
+
+    "v4_work_item_tracking" ->
+      s"""WITH $TE, $SNAPS,
+         |per_item AS (SELECT work_item_id,
+         |CAST(SUM(CAST(hours AS DECIMAL(18,2))) AS DOUBLE) AS total_hours,
+         |CAST(SUM(CASE WHEN is_billable THEN CAST(hours AS DECIMAL(18,2))
+         |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS billable_hours,
+         |COUNT(DISTINCT user_id) AS unique_contributors,
+         |MIN(entry_date) AS first_entry_date, MAX(entry_date) AS last_entry_date
+         |FROM te GROUP BY 1),
+         |trend AS (SELECT work_item_id, reporting_date, hours_on_date,
+         |CASE WHEN (CASE WHEN CAST(COUNT(hours_on_date) OVER g AS DOUBLE) > 1 THEN
+         |sqrt((CAST(SUM(CAST(hours_on_date AS DECIMAL(18,2)) * CAST(hours_on_date AS DECIMAL(18,2))) OVER g AS DOUBLE)
+         | - CAST(SUM(CAST(hours_on_date AS DECIMAL(18,2))) OVER g AS DOUBLE)
+         |   * CAST(SUM(CAST(hours_on_date AS DECIMAL(18,2))) OVER g AS DOUBLE)
+         |   / CAST(COUNT(hours_on_date) OVER g AS DOUBLE))
+         | / (CAST(COUNT(hours_on_date) OVER g AS DOUBLE) - 1.0)) ELSE NULL END) > 0.01
+         |THEN CAST(SUM(CAST(hours_on_date AS DECIMAL(18,2))) OVER t AS DOUBLE)
+         |     / NULLIF(COUNT(hours_on_date) OVER t, 0)
+         |ELSE hours_on_date END AS hours_trend
+         |FROM snaps
+         |WINDOW g AS (PARTITION BY work_item_id ORDER BY reporting_date ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         |t AS (PARTITION BY work_item_id ORDER BY reporting_date ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+         |latest_trend AS (SELECT work_item_id, hours_trend FROM
+         |(SELECT *, ROW_NUMBER() OVER (PARTITION BY work_item_id ORDER BY reporting_date DESC) AS rn
+         |FROM trend) WHERE rn = 1)
+         |SELECT o_orderkey AS work_item_id, o_orderstatus AS work_item_status,
+         |o_totalprice AS work_item_budget, CAST(o_orderdate AS DATE) AS created_date,
+         |c_custkey AS client_id, c_name AS client_name, n_name AS client_team, r_name AS client_tenant,
+         |COALESCE(p.total_hours, 0.0) AS total_hours,
+         |COALESCE(p.billable_hours, 0.0) AS billable_hours,
+         |CAST(CAST(COALESCE(p.total_hours, 0.0) AS DECIMAL(18,2)) -
+         |CAST(COALESCE(p.billable_hours, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS nonbillable_hours,
+         |COALESCE(p.unique_contributors, 0) AS unique_contributors,
+         |p.first_entry_date, p.last_entry_date, lt.hours_trend,
+         |CASE WHEN COALESCE(p.total_hours, 0.0) IS NULL OR COALESCE(p.total_hours, 0.0) = 0 THEN NULL
+         |ELSE (COALESCE(p.billable_hours, 0.0) * 100.0) / COALESCE(p.total_hours, 0.0) END AS billable_pct,
+         |p.last_entry_date + 3 AS followup_due,
+         |CASE WHEN p.last_entry_date IS NULL THEN 'NO_ACTIVITY'
+         |WHEN p.last_entry_date < DATE '1998-01-01' THEN 'STALE' ELSE 'ACTIVE' END AS schedule_status
+         |FROM orders
+         |LEFT JOIN per_item p ON o_orderkey = p.work_item_id
+         |LEFT JOIN customer ON o_custkey = c_custkey
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |LEFT JOIN latest_trend lt ON o_orderkey = lt.work_item_id""".stripMargin,
+
+    "v5_individual_budget" -> {
+      val pivotSelect = (1 to 12).map { m =>
+        f"""CAST(SUM(CASE WHEN EXTRACT(YEAR FROM entry_date) = ${ViewDag.PivotYear} AND EXTRACT(MONTH FROM entry_date) = $m
+           |THEN CAST(hours AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS hours_m_$m%02d""".stripMargin
+      }.mkString(", ")
+      val pivotFinal = (1 to 12).map(m => f"COALESCE(its.hours_m_$m%02d, 0.0) AS hours_m_$m%02d").mkString(", ")
+      s"""WITH $TE, $SNAPS, $BR, $IBS,
+         |its AS (SELECT work_item_id, user_id,
+         |CAST(SUM(CAST(hours AS DECIMAL(18,2))) AS DOUBLE) AS hours_logged,
+         |CAST(SUM(CASE WHEN is_billable THEN CAST(hours AS DECIMAL(18,2))
+         |ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS billable_hours,
+         |MIN(entry_date) AS first_entry_date, MAX(entry_date) AS last_entry_date,
+         |COUNT(DISTINCT DATE_TRUNC('month', entry_date)) AS months_active,
+         |$pivotSelect
+         |FROM te GROUP BY 1, 2),
+         |wts AS (SELECT work_item_id,
+         |CAST(SUM(CAST(hours AS DECIMAL(18,2))) AS DOUBLE) AS work_item_total_hours FROM te GROUP BY 1),
+         |universe AS (SELECT DISTINCT work_item_id, user_id FROM
+         |(SELECT work_item_id, user_id FROM ibs UNION ALL SELECT work_item_id, user_id FROM te)),
+         |lat AS (SELECT s.work_item_id, s.reporting_date, o.o_orderstatus, o.o_totalprice, o.o_custkey
+         |FROM (SELECT s1.* FROM snaps s1 WHERE s1.reporting_date =
+         |(SELECT MAX(s2.reporting_date) FROM snaps s2 WHERE s2.work_item_id = s1.work_item_id)) s
+         |LEFT JOIN orders o ON s.work_item_id = o.o_orderkey)
+         |SELECT lat.work_item_id, u.user_id, lat.reporting_date,
+         |lat.o_orderstatus AS work_item_status, lat.o_totalprice AS work_item_budget,
+         |c_custkey AS client_id, c_name AS client_name, cn.n_name AS client_team, r_name AS client_tenant,
+         |s_name AS user_name, un.n_name AS user_team,
+         |COALESCE(its.hours_logged, 0.0) AS hours_logged,
+         |COALESCE(its.billable_hours, 0.0) AS billable_hours,
+         |CAST(CAST(COALESCE(its.hours_logged, 0.0) AS DECIMAL(18,2)) -
+         |CAST(COALESCE(its.billable_hours, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS nonbillable_hours,
+         |COALESCE(wts.work_item_total_hours, 0.0) AS work_item_total_hours,
+         |ibs.budgeted_hours,
+         |CAST(CAST(COALESCE(ibs.budgeted_hours, 0.0) AS DECIMAL(18,4)) -
+         |CAST(COALESCE(its.hours_logged, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS budget_remaining,
+         |CASE WHEN ibs.budgeted_hours IS NULL OR ibs.budgeted_hours = 0 THEN NULL
+         |ELSE (COALESCE(its.hours_logged, 0.0) * 100.0) / ibs.budgeted_hours END AS utilization_pct,
+         |CASE WHEN wts.work_item_total_hours IS NULL OR wts.work_item_total_hours = 0 THEN NULL
+         |ELSE (COALESCE(its.hours_logged, 0.0) * 100.0) / wts.work_item_total_hours END AS user_share_pct,
+         |CASE WHEN ibs.budgeted_hours IS NULL THEN 'NO_INDIVIDUAL_BUDGET'
+         |WHEN COALESCE(its.hours_logged, 0.0) > ibs.budgeted_hours THEN 'OVER_BUDGET'
+         |WHEN COALESCE(its.hours_logged, 0.0) >= ibs.budgeted_hours * 0.8 THEN 'NEAR_BUDGET'
+         |ELSE 'UNDER_BUDGET' END AS budget_status,
+         |its.first_entry_date, its.last_entry_date,
+         |COALESCE(its.months_active, 0) AS months_active,
+         |$pivotFinal
+         |FROM lat
+         |JOIN universe u ON lat.work_item_id = u.work_item_id
+         |LEFT JOIN its ON lat.work_item_id = its.work_item_id AND u.user_id = its.user_id
+         |LEFT JOIN wts ON lat.work_item_id = wts.work_item_id
+         |LEFT JOIN ibs ON lat.work_item_id = ibs.work_item_id AND u.user_id = ibs.user_id
+         |LEFT JOIN customer ON lat.o_custkey = c_custkey
+         |LEFT JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |LEFT JOIN region ON cn.n_regionkey = r_regionkey
+         |LEFT JOIN supplier ON u.user_id = s_suppkey
+         |LEFT JOIN nation un ON s_nationkey = un.n_nationkey""".stripMargin
+    },
+
+    "v5_fallback_budget" ->
+      s"""WITH $TE, $BR, $IBS,
+         |its AS (SELECT work_item_id, user_id,
+         |CAST(SUM(CAST(hours AS DECIMAL(18,2))) AS DOUBLE) AS hours_logged FROM te GROUP BY 1, 2),
+         |wts AS (SELECT work_item_id,
+         |CAST(SUM(CAST(hours_logged AS DECIMAL(18,2))) AS DOUBLE) AS work_item_total_hours
+         |FROM its GROUP BY 1),
+         |budgeted_items AS (SELECT DISTINCT work_item_id FROM ibs)
+         |SELECT work_item_id, user_id, budgeted_hours,
+         |'ACTUAL_INDIVIDUAL_BUDGET' AS budget_source FROM ibs
+         |UNION ALL
+         |SELECT i.work_item_id, i.user_id,
+         |(o.o_totalprice / 100.0) * (i.hours_logged / w.work_item_total_hours) AS budgeted_hours,
+         |'ESTIMATED_FROM_TIME_LOGGED' AS budget_source
+         |FROM its i
+         |JOIN wts w ON i.work_item_id = w.work_item_id
+         |JOIN orders o ON i.work_item_id = o.o_orderkey
+         |WHERE NOT EXISTS (SELECT 1 FROM budgeted_items b WHERE b.work_item_id = i.work_item_id)""".stripMargin
+  )
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.ops.{Core, Exact}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 window functions (W1–W6) + the J6 latest-snapshot filter.
+  *
+  * Every window ordering includes a unique tie-break (the reference orders
+  * only by the snapshot date, which is nondeterministic under ties — we keep
+  * the semantics but make the choice stable).
+  *
+  * Scale note: each query shuffles once on its partition key; the partition
+  * keys (orderkey / partkey+suppkey / suppkey) are high-cardinality, so the
+  * sort-within-partition scales linearly and needs no salting.
+  */
+object WindowQueries extends QueryModule {
+
+  val defs: Map[String, Q] = Map(
+    // W1: 7-col-key window dedup keep rn=1 (`…v5.sql:78-103`).
+    "w1_window_dedup" -> ((s, dir) =>
+      Core.dedupByKey(
+        Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_suppkey"),
+        Seq(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber")))),
+
+    // W2: latest-record-per-key via row_number (`work_item_x_user_time_view.sql:33-35`).
+    "w2_latest_row_number" -> ((s, dir) =>
+      Core.latestSnapshot(Tables.lineitem(s, dir), Seq("l_orderkey"), "l_shipdate",
+        keepTies = false,
+        tieBreak = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))),
+
+    // J6: correlated max-per-key latest snapshot, tie-keeping form
+    // (`work_item_details_latest_view.sql:58-62`).
+    "j6_latest_keep_ties" -> ((s, dir) =>
+      Core.latestSnapshot(Tables.lineitem(s, dir), Seq("l_orderkey"), "l_shipdate", keepTies = true)),
+
+    // W3/M4: window dedup expressed as a DELETE of rn>1 (`daily_sync.py:92-107`)
+    // over a deliberately duplicated frame (union of two "extract days").
+    "w3_dedup_delete" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val day1 = li.withColumn("extract_tag", lit(1))
+      val day2 = li.filter(col("l_quantity") > 25).withColumn("extract_tag", lit(2))
+      Core.dedupByKey(day1.unionByName(day2),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        Seq(col("extract_tag").desc))
+    }),
+
+    // W4: trailing frame ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+    // (`…v4.sql:200-217` budget-variance trend, excluding current row).
+    // l_quantity is whole-valued so the frame average is exact.
+    "w4_rolling_trail_avg" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .rowsBetween(-3, -1)
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"),
+        avg(col("l_quantity")).over(w).as("trailing_avg"))
+    }),
+
+    // W5: same trailing frame at the client grain over an exact derived
+    // order-revenue fact (`…v4.sql:222-232`).
+    "w5_rolling_client" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Exact.discounted(col("l_extendedprice"), col("l_discount"))).cast("double").as("order_rev"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate").cast("date").as("order_date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_date"), col("o_orderkey"))
+      val frame = w.rowsBetween(-3, -1)
+      o.join(rev, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_custkey"), col("o_orderkey"), col("order_date"),
+          coalesce(col("order_rev"), lit(0.0)).as("order_rev"))
+        .select(col("o_custkey"), col("o_orderkey"), col("order_date"), col("order_rev"),
+          (sum(Exact.d4(col("order_rev"))).over(frame).cast("double") /
+            Exact.nullIfZero(count(col("order_rev")).over(frame))).as("trailing_client_avg"))
+    }),
+
+    // W6: guard window — rolling value only when recent stddev says the
+    // series is noisy, else the point value (`…v4.sql:195-217`). The stddev
+    // is computed from exact windowed sums so the guard decision is
+    // reproducible bit-for-bit.
+    "w6_guard_window" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      val guard = ord.rowsBetween(-3, 0)
+      val trail = ord.rowsBetween(-3, -1)
+      val n = count(col("l_quantity")).over(guard).cast("double")
+      val sm = sum(Exact.d2(col("l_quantity"))).over(guard).cast("double")
+      val sq = sum(Exact.d2(col("l_quantity")) * Exact.d2(col("l_quantity"))).over(guard).cast("double")
+      val stddevGuard = when(n > 1, sqrt((sq - sm * sm / n) / (n - lit(1.0)))).otherwise(lit(null))
+      Tables.lineitem(s, dir).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        when(stddevGuard > 0.01,
+          sum(Exact.d2(col("l_quantity"))).over(trail).cast("double") /
+            Exact.nullIfZero(count(col("l_quantity")).over(trail)))
+          .otherwise(col("l_quantity")).as("trend_value"))
+    })
+  )
+
+  private val liCols = "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
+
+  val oracles: Map[String, String] = Map(
+    "w1_window_dedup" ->
+      s"""SELECT $liCols FROM (
+         |SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+         |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn = 1""".stripMargin,
+    "w2_latest_row_number" ->
+      s"""SELECT $liCols FROM (
+         |SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+         |ORDER BY l_shipdate DESC, l_linenumber, l_partkey, l_suppkey) AS rn FROM lineitem) WHERE rn = 1""".stripMargin,
+    "j6_latest_keep_ties" ->
+      """SELECT * FROM lineitem l WHERE l_shipdate =
+        |(SELECT MAX(l2.l_shipdate) FROM lineitem l2 WHERE l2.l_orderkey = l.l_orderkey)""".stripMargin,
+    "w3_dedup_delete" ->
+      s"""WITH unioned AS (
+         |SELECT *, 1 AS extract_tag FROM lineitem
+         |UNION ALL
+         |SELECT *, 2 AS extract_tag FROM lineitem WHERE l_quantity > 25)
+         |SELECT $liCols, extract_tag FROM (
+         |SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey, l_suppkey, l_linenumber
+         |ORDER BY extract_tag DESC) AS rn FROM unioned) WHERE rn = 1""".stripMargin,
+    "w4_rolling_trail_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |AVG(l_quantity) OVER (PARTITION BY l_suppkey
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_avg FROM lineitem""".stripMargin,
+    "w5_rolling_client" ->
+      """WITH rev AS (
+        |SELECT l_orderkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS order_rev
+        |FROM lineitem GROUP BY l_orderkey),
+        |base AS (
+        |SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |COALESCE(rev.order_rev, 0.0) AS order_rev
+        |FROM orders LEFT JOIN rev ON o_orderkey = rev.l_orderkey)
+        |SELECT o_custkey, o_orderkey, order_date, order_rev,
+        |CAST(SUM(CAST(order_rev AS DECIMAL(18,4))) OVER w AS DOUBLE) /
+        |NULLIF(COUNT(order_rev) OVER w, 0) AS trailing_client_avg
+        |FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey
+        |ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin,
+    "w6_guard_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |CASE WHEN (CASE WHEN CAST(COUNT(l_quantity) OVER g AS DOUBLE) > 1 THEN
+        |sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) OVER g AS DOUBLE)
+        | - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER g AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER g AS DOUBLE)
+        |   / CAST(COUNT(l_quantity) OVER g AS DOUBLE))
+        | / (CAST(COUNT(l_quantity) OVER g AS DOUBLE) - 1.0))
+        |ELSE NULL END) > 0.01 THEN
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER t AS DOUBLE) / NULLIF(COUNT(l_quantity) OVER t, 0)
+        |ELSE l_quantity END AS trend_value
+        |FROM lineitem
+        |WINDOW g AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+        |t AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language id, fingerprinting. All built on
+  * codegen'd built-ins (split/transform/aggregate/filter) — no UDFs — so the
+  * whole stage stays inside whole-stage codegen and scales linearly with a
+  * plain scan at 100 TB (no shuffle at all: every metric is per-row).
+  */
+object TextOps {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** A BPE-ish subword count: word-piece heuristic counting ~4 chars per
+    * token plus word boundaries (a cheap, deterministic stand-in for a real
+    * tokenizer at scan speed).
+    */
+  def approxBpeCount(text: Column): Column =
+    (size(tokens(text)) + ceil(length(text).cast("double") / 4.0).cast("int")).cast("long")
+
+  /** Per-language stopword heads (tiny, embedded; a real pipeline would
+    * broadcast a lexicon table instead — same plan shape).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "en", "es", "que", "los", "las", "un"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ist", "zu", "den", "von", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "en", "est", "que", "les", "un", "une"))
+
+  /** Fraction of tokens found in `words` (language-id scoring primitive). */
+  def tokenRatio(toks: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(wordArr, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** N-gram heuristic language id: argmax of stopword ratios, UNKNOWN when
+    * no evidence. Deterministic tie-break by language code.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(tokenRatio(toks, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Quality score in [0,1]: length band + lexical diversity + stopword
+    * presence (ref-style heuristics: length/punct/stopword ratios).
+    */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(lower(t))
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_chars_measured", length(t).cast("long"))
+      .withColumn("avg_token_len",
+        (length(t).cast("double") / greatest(size(toks), lit(1)).cast("double")))
+      .withColumn("distinct_token_ratio",
+        size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)).cast("double"))
+      .withColumn("stopword_ratio", tokenRatio(toks, stopwords("en")))
+      .withColumn("quality_score",
+        round(
+          when(col("n_tokens") >= 10 && col("n_tokens") <= 1000, lit(0.4)).otherwise(lit(0.0)) +
+            col("distinct_token_ratio") * 0.4 +
+            when(col("stopword_ratio") > 0.0, lit(0.2)).otherwise(lit(0.0)),
+          4))
+  }
+
+  /** Document fingerprint: md5 of the normalized token stream — the exact
+    * dedup key (hash-groupBy dedup shuffles only (fingerprint, doc_id)).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(lower(text)), " "))
+}
