@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.merge.{AtomicWriter, MergeInto}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming face of the incremental sync semantics
+  * (SURVEY.md §2.10).
+  *
+  * The reference is batch micro-orchestration — daily date-windowed pulls
+  * MERGEd into the target (`snowflake_bq_sync_daily Time Details/main.py:85-90,197-206`),
+  * re-triggered chunk loops (`main_paginated.py:313-352`) — which maps onto
+  * Structured Streaming as:
+  *
+  *  - the date window        → watermark (late-data acceptance policy)
+  *  - the scheduled pull     → micro-batch trigger (AvailableNow/ProcessingTime)
+  *  - the staged MERGE       → `foreachBatch { MergeInto }` (idempotent per key,
+  *                             so at-least-once delivery yields exactly-once tables)
+  *  - tumbling daily metrics → `groupBy(window($"ts", "1 day"))`
+  *
+  * Scale note: state held by the windowed aggregation is bounded by the
+  * watermark horizon; the foreachBatch merge rewrites only the touched date
+  * partitions when the target is partitioned by the event date.
+  */
+object Streaming {
+
+  /** ST6: watermarked tumbling daily aggregation of an event stream
+    * (`anomaly_detection_agent.py:46-61` analog; batch twin =
+    * DmlQueries.st6). */
+  def dailyMetrics(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("day_window"), col("event_type"))
+      .agg(count(lit(1)).as("event_cnt"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("day_window.start").cast("date").as("day"), col("event_type"),
+        col("event_cnt"), col("total_value"))
+
+  /** ST3: upsert-on-arrival sink — every micro-batch is MERGEd into the
+    * parquet target by key, making replays idempotent
+    * (`foreachBatch(MergeInto)`; ref merge `main.py:197-206`).
+    */
+  def upsertSink(stream: DataFrame, targetPath: String, keys: Seq[String],
+      orderCol: Option[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(targetPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
+            val target = spark.read.parquet(targetPath)
+            MergeInto.merge(target, batch.select(target.columns.map(col).toIndexedSeq: _*),
+              keys, orderCol)
+          } else batch
+        // AtomicWriter stages to a tmp dir while the old files are still in
+        // place (the lazy `merged` plan reads them), then swaps via rename.
+        AtomicWriter.overwrite(merged, targetPath)
+      }
+}

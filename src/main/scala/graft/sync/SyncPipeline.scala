@@ -1,0 +1,100 @@
+package graft.sync
+
+import graft.merge.{AtomicWriter, Dml, MergeInto}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline runners reproducing the reference's eight sync functions
+  * (SURVEY.md §7.5): full reload vs date-windowed incremental, audit
+  * columns, tracker emission, smart-delete, and the resumable chunked
+  * backfill state machine.
+  *
+  * The reference splits these across 22 `main.py` variants of the same loop
+  * (the `snowflake_bq_sync…` function directories); here each mode is one
+  * declarative plan:
+  * scan → (window filter) → MergeInto/overwrite → tracker row. The driver
+  * loop below replaces the Pub/Sub self-retrigger
+  * (`main_paginated.py:313-352`) — state lives in a tiny parquet control
+  * table, so a killed run resumes at the first incomplete chunk.
+  */
+object SyncPipeline {
+
+  final case class SyncResult(rowsSynced: Long, mode: String, tracker: DataFrame)
+
+  private def tracker(spark: SparkSession, pipeline: String, mode: String, rows: Long,
+      status: String): DataFrame = {
+    import spark.implicits._
+    Seq((pipeline, mode, rows, status)).toDF("pipeline", "mode", "rows_synced", "status")
+  }
+
+  /** Full sync: truncate-and-reload semantics (dimension pipelines, ref
+    * `client_dimension_sync_daily/main.py:183-195`). */
+  def fullSync(spark: SparkSession, source: DataFrame, targetPath: String,
+      pipeline: String): SyncResult = {
+    AtomicWriter.overwrite(Dml.overwriteWith(source), targetPath)
+    val n = spark.read.parquet(targetPath).count()
+    SyncResult(n, "full", tracker(spark, pipeline, "full", n, "COMPLETED"))
+  }
+
+  /** Incremental sync: date-windowed pull merged by key with audit columns
+    * (fact pipelines, ref `snowflake_bq_sync_daily Time Details/main.py:85-90,197-206`).
+    */
+  def incrementalSync(spark: SparkSession, source: DataFrame, targetPath: String,
+      keys: Seq[String], dateCol: String, start: String, end: String,
+      pipeline: String, audit: Option[MergeInto.Audit] = None): SyncResult = {
+    val windowed = Tables.dateWindow(source, dateCol, start, end)
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
+        val target = spark.read.parquet(targetPath)
+        audit match {
+          case Some(a) => MergeInto.mergeWithAudit(target, windowed, keys, a)
+          case None => MergeInto.merge(target, windowed.select(
+            target.columns.map(col).toIndexedSeq: _*), keys)
+        }
+      } else windowed
+    AtomicWriter.overwrite(merged, targetPath)
+    val n = spark.read.parquet(targetPath).count()
+    SyncResult(n, "incremental", tracker(spark, pipeline, "incremental", n, "COMPLETED"))
+  }
+
+  /** ST2: resumable chunked backfill. Chunk states live in a control table
+    * (PENDING → COMPLETED, ref `main_paginated.py:78-99`); a rerun skips
+    * completed chunks (`resume from MAX(end_date) WHERE status='COMPLETED'`,
+    * ref `:101-139`).
+    */
+  def chunkedBackfill(spark: SparkSession, source: DataFrame, targetPath: String,
+      statePath: String, keys: Seq[String], dateCol: String,
+      chunks: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing: Set[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+        spark.read.parquet(statePath).filter(col("status") === "COMPLETED")
+          .select("chunk_start").as[String].collect().toSet
+      else Set.empty
+    chunks.foreach { case (from, to) =>
+      if (!existing.contains(from)) {
+        val chunk = source.filter(col(dateCol) >= lit(from).cast("timestamp_ntz") &&
+          col(dateCol) < lit(to).cast("timestamp_ntz"))
+        val tgtExists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+        val merged =
+          if (tgtExists) {
+            val target = spark.read.parquet(targetPath)
+            MergeInto.merge(target, chunk.select(target.columns.map(col).toIndexedSeq: _*), keys)
+          } else chunk
+        AtomicWriter.overwrite(merged, targetPath)
+        val newState = Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
+        val allState =
+          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            spark.read.parquet(statePath).unionByName(newState)
+          else newState
+        AtomicWriter.overwrite(allState, statePath)
+      }
+    }
+    spark.read.parquet(targetPath)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.schema.SchemaMapper
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SchemaMapper (§1.2 type table), sink partitioning (S9), DDL-ish lifecycle
+  * (S7/S8), and the multimodal decode batch shape.
+  */
+class SchemaAndSinkSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Snowflake type names map per the reference table, parametrized types truncate") {
+    assert(SchemaMapper.sparkType("VARCHAR(255)") == StringType)
+    assert(SchemaMapper.sparkType("NUMBER(38,0)") == DecimalType(38, 9))
+    assert(SchemaMapper.sparkType("text") == StringType)
+    assert(SchemaMapper.sparkType("INT") == LongType)
+    assert(SchemaMapper.sparkType("FLOAT") == DoubleType)
+    assert(SchemaMapper.sparkType("BOOLEAN") == BooleanType)
+    assert(SchemaMapper.sparkType("DATE") == DateType)
+    assert(SchemaMapper.sparkType("TIMESTAMP_NTZ") == TimestampNTZType)
+    assert(SchemaMapper.sparkType("TIMESTAMP_TZ") == TimestampType)
+    assert(SchemaMapper.sparkType("GEOGRAPHY") == StringType) // unknown → STRING
+  }
+
+  test("introspect returns (column_name, data_type, ordinal) like information_schema") {
+    val out = SchemaMapper.introspect(spark, "/root/testdata/sf0.001/nation.parquet")
+      .as[(String, String, Long, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(out.map(_._3).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("castTo coerces ISO-string transport columns into the declared schema") {
+    val raw = Seq(("2024-01-02", "12.50", "7")).toDF("d", "amt", "n")
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("amt", DecimalType(18, 2)),
+      StructField("n", LongType)))
+    val out = SchemaMapper.castTo(raw, schema)
+    assert(out.schema == schema)
+    val r = out.head()
+    assert(r.getDate(0).toString == "2024-01-02" && r.getLong(2) == 7L)
+  }
+
+  test("S9: date-partitioned sink prunes partitions on read") {
+    val path = tmpDir() + "/partitioned"
+    val li = sf("lineitem").withColumn("ship_date", col("l_shipdate").cast("date"))
+    li.write.partitionBy("ship_date").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("ship_date") === lit("1996-03-13").cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must appear as a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("ship_date"))
+    assert(pruned.count() ==
+      li.filter(col("ship_date") === lit("1996-03-13").cast("date")).count())
+  }
+
+  test("S7/S8: temp-view staging lifecycle + create-if-not-exists semantics") {
+    val df = sf("region")
+    df.createOrReplaceTempView("staging_region")
+    assert(spark.catalog.tableExists("staging_region"))
+    assert(spark.sql("SELECT COUNT(*) c FROM staging_region").as[Long].head() == df.count())
+    spark.catalog.dropTempView("staging_region")
+    assert(!spark.catalog.tableExists("staging_region"))
+  }
+
+  test("multimodal decode: batch shape is per-partition, features deterministic") {
+    val media = Multimodal.mediaTable(sf("documents"))
+    val feats = Multimodal.decodeStub(spark, media)
+    val twice = Multimodal.decodeStub(spark, media)
+    assert(feats.toDF().exceptAll(twice.toDF()).isEmpty)
+    val f = feats.toDF()
+    assert(f.filter(col("n_bytes") =!= 16).count() == 0) // md5 payloads: 16 bytes
+    assert(f.select("media_type").distinct().count() == 3)
+    assert(f.filter(size(col("feat")) =!= 8).count() == 0)
+  }
+
+  test("events fixture: nanos timestamps surface as microsecond TIMESTAMP_NTZ") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(ev.schema("ts").dataType == TimestampNTZType)
+    assert(ev.select(min(col("ts")).cast("string")).head().getString(0).startsWith("2024-01-01"))
+  }
+}
