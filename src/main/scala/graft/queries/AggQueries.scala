@@ -85,6 +85,14 @@ object AggQueries extends QueryModule {
         .groupBy(col("n_regionkey"))
         .agg(Core.stringAggDistinct(col("n_name"), ", ").as("nation_list"))),
 
+    // X2: STRING_AGG ordered by a different column (exact ordering semantics,
+    // `verify_view_deduplication.sql:70` ORDER-BY-y variant).
+    "x2_string_agg_ordered" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy(col("n_regionkey"))
+        .agg(Core.stringAggOrdered(col("n_name"), col("n_nationkey"), ", ")
+          .as("nations_by_key"))),
+
     // A9: AVG/STDDEV population stats (`anomaly_detection_agent.py:53-54`) —
     // computed from exact sums so any engine reproduces them bit-for-bit.
     "a9_avg_stddev" -> ((s, dir) =>
@@ -168,6 +176,9 @@ object AggQueries extends QueryModule {
         |COUNT(*) FILTER (WHERE l_quantity >= 40) AS bulk_cnt FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a8_string_agg_distinct" ->
       """SELECT n_regionkey, array_to_string(list_sort(list_distinct(list(n_name))), ', ') AS nation_list
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+    "x2_string_agg_ordered" ->
+      """SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_nationkey) AS nations_by_key
         |FROM nation GROUP BY n_regionkey""".stripMargin,
     "a9_avg_stddev" ->
       s"""SELECT l_returnflag,

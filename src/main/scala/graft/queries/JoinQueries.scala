@@ -153,6 +153,19 @@ object JoinQueries extends QueryModule {
         .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_or_default"))
     }),
 
+    // A15: summary stats over the comparison frame (`dashboard/main.py:2148-2157`).
+    "a15_compare_stats" -> ((s, dir) => {
+      val bySupplier = Tables.lineitem(s, dir).groupBy(col("l_suppkey").as("user_id"))
+        .agg(Exact.sum2(col("l_quantity")).as("hours"))
+      val filtered = Tables.lineitem(s, dir).filter(col("l_returnflag") =!= "A")
+        .groupBy(col("l_suppkey").as("user_id"))
+        .agg(Exact.sum2(col("l_quantity")).as("hours"))
+      Core.toleranceCompare(bySupplier, filtered, Seq("user_id"), Seq("hours"), 0.01)
+        .groupBy(col("compare_status"))
+        .agg(count(lit(1)).as("n"),
+          sum(Exact.d2(col("hours_diff"))).cast("double").as("total_abs_diff"))
+    }),
+
     // J13/X5: keyed tolerance comparison (`dashboard/main.py:2068-2140`) —
     // same revenue computed two ways, compared at 0.01 abs tolerance.
     "j13_tolerance_compare" -> ((s, dir) => {
@@ -236,6 +249,21 @@ object JoinQueries extends QueryModule {
         |UNION ALL SELECT NULL, 'UNASSIGNED')
         |SELECT n_nationkey, n_name, r_name AS region_or_default FROM nation
         |JOIN rr ON rk = n_regionkey OR rk IS NULL""".stripMargin,
+    "a15_compare_stats" ->
+      """WITH l AS (SELECT l_suppkey AS user_id, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS hours_l
+        |FROM lineitem GROUP BY l_suppkey),
+        |r AS (SELECT l_suppkey AS user_id, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS hours_r
+        |FROM lineitem WHERE l_returnflag <> 'A' GROUP BY l_suppkey),
+        |cmp AS (SELECT COALESCE(l.user_id, r.user_id) AS user_id, hours_l, hours_r,
+        |CAST(ABS(CAST(hours_l AS DECIMAL(18,2)) - CAST(hours_r AS DECIMAL(18,2))) AS DOUBLE) AS hours_diff,
+        |CASE WHEN hours_l IS NULL THEN 'MISSING_LEFT'
+        |WHEN hours_r IS NULL THEN 'MISSING_RIGHT'
+        |WHEN COALESCE(CAST(ABS(CAST(hours_l AS DECIMAL(18,2)) - CAST(hours_r AS DECIMAL(18,2))) AS DOUBLE) <= 0.01, FALSE)
+        |THEN 'MATCH' ELSE 'MISMATCH' END AS compare_status
+        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id)
+        |SELECT compare_status, COUNT(*) AS n,
+        |CAST(SUM(CAST(hours_diff AS DECIMAL(18,2))) AS DOUBLE) AS total_abs_diff
+        |FROM cmp GROUP BY compare_status""".stripMargin,
     "j13_tolerance_compare" ->
       """WITH l AS (SELECT l_suppkey AS user_id, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS hours_l
         |FROM lineitem GROUP BY l_suppkey),

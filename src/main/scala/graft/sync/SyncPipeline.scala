@@ -60,6 +60,20 @@ object SyncPipeline {
     SyncResult(n, "incremental", tracker(spark, pipeline, "incremental", n, "COMPLETED"))
   }
 
+  /** ST4: progressive day-of-week range rotation (ref
+    * `…_daily/main_progressive.py:31-54`): each weekday owns a slice of the
+    * backfill horizon so a week of runs covers it fully. Spark has no
+    * 15-minute function timeout, so this is a scheduling policy, not a
+    * necessity — kept for semantic parity (ST5, the early-exit time budget,
+    * is documented-dropped for the same reason).
+    */
+  def progressiveRange(dayOfWeek: Int, horizonDays: Int = 180, slices: Int = 7): (Int, Int) = {
+    require(dayOfWeek >= 1 && dayOfWeek <= slices)
+    val step = math.ceil(horizonDays.toDouble / slices).toInt
+    val start = (dayOfWeek - 1) * step
+    (start, math.min(start + step, horizonDays))
+  }
+
   /** ST2: resumable chunked backfill. Chunk states live in a control table
     * (PENDING → COMPLETED, ref `main_paginated.py:78-99`); a rerun skips
     * completed chunks (`resume from MAX(end_date) WHERE status='COMPLETED'`,

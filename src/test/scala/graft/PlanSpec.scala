@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.{JoinQueries, ScanProjQueries, SetOrderQueries, ViewQueries}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that decide whether these operators
+  * survive a 100 TB scale-up — dimension joins must broadcast (no fact-side
+  * shuffle), filters and projections must reach the parquet scan, top-k must
+  * not globally sort. Regressions here are performance bugs even when
+  * results stay correct.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("V5 star: all dimension joins broadcast; no cartesian product") {
+    val p = plan(ViewQueries.defs("v5_individual_budget")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // customer/nation/region/supplier enrichments must not shuffle the fact:
+    // count the sort-merge joins — only fact-to-fact joins may remain.
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 4, s"too many sort-merge joins ($smj) — a dim join lost its broadcast:\n$p")
+  }
+
+  test("j1 star: broadcasts all five dims") {
+    val p = plan(JoinQueries.defs("j1_star_left_join")(spark, dir))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5, s"expected >=5 broadcast joins, got $bhj")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("s2 date window: filter is pushed into the parquet scan") {
+    val p = plan(ScanProjQueries.defs("s2_date_window")(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"))
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate.*"))
+  }
+
+  test("column pruning: projection reads only referenced columns") {
+    val df = ScanProjQueries.defs("p3_type_normalize")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.fieldNames.toSeq
+    }
+    assert(scans.nonEmpty)
+    // p3 touches 4 of lineitem's 11 columns — the scan must read exactly those
+    assert(scans.head.toSet ===
+      Set("l_orderkey", "l_quantity", "l_shipdate", "l_extendedprice"), scans.head)
+  }
+
+  test("o2 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(SetOrderQueries.defs("o2_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val df = graft.queries.AggQueries.defs("a1_groupby_rollup")(spark, dir)
+    // partial + final aggregation (map-side combine before the shuffle)
+    val p0 = plan(df)
+    assert(p0.contains("partial_sum"), p0)
+    assert("HashAggregate".r.findAllIn(p0).length >= 2)
+    df.collect() // AQE finalizes the plan; codegen stages appear post-execution
+    val p1 = plan(df)
+    assert(p1.contains("*(1)") && p1.contains("*(2)"), p1) // codegen stage markers
+  }
+
+  test("merge anti-join shuffles only the key projection") {
+    val p = plan(graft.queries.DmlQueries.defs("m1_merge_upsert")(spark, dir))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("exact dedup aggregates partially before the shuffle (minhash fan-in)") {
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+    val p = plan(sig)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "minhash must partial-aggregate map-side")
+  }
+}

@@ -59,6 +59,20 @@ class SyncPipelineSpec extends SparkSuite {
     assert(spark.read.parquet(s1).count() == 4)
   }
 
+  test("ST4: progressive weekday rotation covers the horizon exactly once per week") {
+    val ranges = (1 to 7).map(SyncPipeline.progressiveRange(_, horizonDays = 180))
+    assert(ranges.head._1 == 0 && ranges.last._2 == 180)
+    // contiguous, non-overlapping coverage
+    ranges.sliding(2).foreach { case Seq((_, e), (s, _)) => assert(e == s) }
+  }
+
+  test("S5: streaming-insert (append) sink accumulates rows") {
+    val path = tmpDir() + "/append_sink"
+    Seq((1, "a")).toDF("k", "v").write.mode("append").parquet(path)
+    Seq((2, "b")).toDF("k", "v").write.mode("append").parquet(path)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("merge survives a duplicate-key source (latest extract wins deterministically)") {
     val target = Seq((1, 0, "t")).toDF("k", "seq", "v")
     val source = Seq((1, 1, "s1"), (1, 2, "s2"), (1, 2, "s2")).toDF("k", "seq", "v")
