@@ -226,8 +226,10 @@ object ViewDag {
       .agg(sum(Exact.d4(col("budgeted_hours"))).cast("double").as("budgeted_hours"))
 
     // CTE 4: AllWorkItemUsers — UNION ALL + DISTINCT user universe (`:114-136`).
+    // Same set as budget-users ∪ time-users, but taken from the already
+    // aggregated summaries so the raw fact is not re-shuffled for a DISTINCT.
     val universe = ibs.select(col("work_item_id"), col("user_id"))
-      .union(te.select(col("work_item_id"), col("user_id")))
+      .union(its.select(col("work_item_id"), col("user_id")))
       .distinct()
 
     // Latest work items (J6 keep-ties, `:453-457`) + header.

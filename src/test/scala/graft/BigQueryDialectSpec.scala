@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.BigQueryDialect
+import org.apache.spark.sql.functions._
+
+/** The dialect shim must run BigQuery-shaped SQL — the reference's idioms
+  * (`SAFE_DIVIDE`, `COUNTIF`, `DATE_DIFF` with BQ arg order, `TIMESTAMP_ADD
+  * (… INTERVAL …)`, `STRING_AGG … ORDER BY`) — through spark.sql.
+  */
+class BigQueryDialectSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("SAFE_DIVIDE / COUNTIF / DATE_DIFF run with BigQuery semantics") {
+    sf("lineitem").createOrReplaceTempView("li")
+    val out = BigQueryDialect.sql(spark,
+      """SELECT l_returnflag,
+        |  SAFE_DIVIDE(SUM(l_quantity), COUNTIF(l_discount > 0.05)) AS q_per_disc,
+        |  SAFE_DIVIDE(SUM(l_quantity), 0) AS div0,
+        |  MAX(DATE_DIFF(CAST(l_shipdate AS DATE), DATE '1995-01-01', DAY)) AS max_days
+        |FROM li GROUP BY l_returnflag""".stripMargin)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.isNullAt(2))) // SAFE_DIVIDE by 0 → null, no error
+    assert(rows.forall(_.getInt(3) > 0)) // BQ arg order: later - earlier > 0
+  }
+
+  test("DATETIME_DIFF counts whole hours/minutes") {
+    val r = BigQueryDialect.sql(spark,
+      """SELECT DATETIME_DIFF(TIMESTAMP '2024-01-02 03:30:00', TIMESTAMP '2024-01-02 01:00:00', HOUR) AS h,
+        |DATETIME_DIFF(TIMESTAMP '2024-01-02 01:05:00', TIMESTAMP '2024-01-02 01:00:00', MINUTE) AS m""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+  }
+
+  test("GENERATE_UUID produces uuid-shaped distinct values") {
+    BigQueryDialect.register(spark)
+    val ids = spark.sql("SELECT GENERATE_UUID() AS u FROM range(5)").as[String].collect()
+    assert(ids.distinct.length == 5)
+    assert(ids.forall(_.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")))
+  }
+
+  test("translate rewrites INTERVAL forms and STRING_AGG ORDER BY") {
+    val t1 = BigQueryDialect.translate("SELECT TIMESTAMP_ADD(ts, INTERVAL 3 DAY) FROM t")
+    assert(t1.contains("(ts + INTERVAL 3 DAY)"))
+    val t2 = BigQueryDialect.translate("SELECT DATE_SUB(CURRENT_DATE(), INTERVAL 30 DAY)")
+    assert(t2.contains("(CURRENT_DATE() - INTERVAL 30 DAY)"))
+    val t3 = BigQueryDialect.translate(
+      "SELECT STRING_AGG(DISTINCT n_name, ', ' ORDER BY n_name) FROM nation GROUP BY n_regionkey")
+    assert(t3.contains("listagg(DISTINCT n_name, ', ') WITHIN GROUP (ORDER BY n_name)"))
+  }
+
+  test("a reference-shaped snippet runs end-to-end through the shim") {
+    sf("lineitem").createOrReplaceTempView("li")
+    // Shaped like `work_item_budget_time_tracking_view_v4.sql:71-74,237` +
+    // `verify_view_deduplication.sql:70`: safe utilization + deadline + agg list.
+    val out = BigQueryDialect.sql(spark,
+      """SELECT l_suppkey,
+        |  SAFE_DIVIDE(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END) * 100, SUM(l_quantity)) AS billable_pct,
+        |  TIMESTAMP_ADD(MAX(l_shipdate), INTERVAL 3 DAY) AS followup_due,
+        |  STRING_AGG(DISTINCT l_returnflag, ', ' ORDER BY l_returnflag) AS flags
+        |FROM li GROUP BY l_suppkey""".stripMargin)
+    val r = out.orderBy(col("l_suppkey")).head()
+    assert(!r.isNullAt(1) && r.getDouble(1) >= 0 && r.getDouble(1) <= 100)
+    assert(r.getString(3).split(", ").toSeq.sorted == r.getString(3).split(", ").toSeq)
+  }
+}
