@@ -22,7 +22,22 @@ object ViewQueries extends QueryModule {
       ViewDag.v5View(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir), Tables.supplier(s, dir))),
     "v5_fallback_budget" -> ((s, dir) =>
-      ViewDag.v5Fallback(Tables.lineitem(s, dir), Tables.orders(s, dir)))
+      ViewDag.v5Fallback(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
+    // The reference-named DAG over the deterministic domain fixtures
+    // (FIXTURES.md) — same table/column names as the reference; validated by
+    // DomainViewSpec invariants (no SQL oracle: fixtures live in-memory).
+    "ref_v5_domain" -> ((s, _) => {
+      val te = graft.views.DomainViews.timeEntryDedupCleanup(
+        graft.sources.FixtureGen.timeEntries(s))
+      graft.views.DomainViews.v5(
+        te,
+        graft.sources.FixtureGen.workItemDetails(s)
+          .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE"),
+        graft.sources.FixtureGen.budgetVsActual(s),
+        graft.sources.FixtureGen.clientDimension(s),
+        graft.sources.FixtureGen.userDimension(s))
+    })
   )
 
   // Shared CTE texts (DuckDB), mirroring ViewDag's base facts.

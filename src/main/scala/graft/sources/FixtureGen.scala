@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.schema.ReferenceCatalog
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.sql.Date
+import java.time.LocalDate
+import scala.util.Random
+
+/** Deterministic domain-shaped fixture generator (FIXTURES.md): the
+  * reference's data pathologies on its own schemas — duplicate
+  * (TIME_ENTRY_ID, REPORTING_DATE) pairs with differing ingestion
+  * timestamps, budget allocations replicated across sync dates, NULL
+  * USER_NAME / REPORTING_DATE rows, snapshot ties — so the view DAG and the
+  * cleanup operators are exercised exactly where the reference needed fixes.
+  * Seed fixed at 42; every run generates identical data.
+  */
+object FixtureGen {
+
+  private val seed = 42
+  private def date(base: LocalDate, plusDays: Int): Date = Date.valueOf(base.plusDays(plusDays))
+  private val jul1 = LocalDate.of(2025, 7, 1)
+
+  def users(n: Int = 40): Seq[String] = (1 to n).map(i => f"U$i%02d")
+
+  /** USER_TIME_ENTRY_BQ: ~2k rows, ~5% duplicated keys with newer ingestion
+    * timestamps (the `daily_sync.py:92-107` cleanup target), some NULL
+    * WORK_ITEM_ID and zero/negative minutes (dirty-data rows the diagnostics
+    * count).
+    */
+  def timeEntries(spark: SparkSession, nEntries: Int = 2000, nItems: Int = 300): DataFrame = {
+    val rnd = new Random(seed)
+    val us = users()
+    val base = (0 until nEntries).map { i =>
+      val user = us(rnd.nextInt(us.length))
+      val item = if (rnd.nextInt(100) < 2) null else f"W${rnd.nextInt(nItems)}%03d"
+      val d = date(jul1, rnd.nextInt(62))
+      val minutes = rnd.nextInt(100) match {
+        case 0 => 0L
+        case 1 => -30L
+        case _ => (15 + rnd.nextInt(466)).toLong
+      }
+      val billable: java.lang.Boolean =
+        if (rnd.nextInt(20) == 0) null else java.lang.Boolean.valueOf(rnd.nextBoolean())
+      Row(f"TE$i%05d", d, item, user, user + " Name", minutes, billable,
+        f"uuid-$i%05d", java.time.LocalDateTime.of(2025, 9, 1, 0, 0).plusMinutes(i.toLong))
+    }
+    val dups = (0 until nEntries by 40).map { i =>
+      val r = base(i)
+      Row(r.get(0), r.get(1), r.get(2), r.get(3), r.get(4), r.get(5), r.get(6),
+        f"uuid-dup-$i%05d",
+        java.time.LocalDateTime.of(2025, 9, 2, 0, 0).plusMinutes(i.toLong)) // newer ingestion
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(base ++ dups, 4), ReferenceCatalog.userTimeEntry)
+  }
+
+  /** WORK_ITEM_DETAILS_BQ: ~300 items × 3–10 snapshots; a few items carry a
+    * duplicated max-date snapshot row (the latest-view tie case). */
+  def workItemDetails(spark: SparkSession, nItems: Int = 300): DataFrame = {
+    val rnd = new Random(seed + 1)
+    val us = users()
+    val statuses = Seq("Planned", "In Progress", "Completed", "Closed")
+    val rows = (0 until nItems).flatMap { w =>
+      val snaps = 3 + rnd.nextInt(8)
+      val budget: java.lang.Long =
+        if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf((600 + rnd.nextInt(6000)).toLong)
+      val assigned = us(rnd.nextInt(us.length))
+      val created = us(rnd.nextInt(us.length))
+      val snapsRows = (0 until snaps).map { s =>
+        Row(f"W$w%03d", date(jul1, s * 7 + rnd.nextInt(3)), s"Work item $w",
+          f"C${w % 50}%02d", f"Client ${w % 50}", Seq("Tax", "Audit", "Advisory")(w % 3),
+          statuses(math.min(s, 3).min(statuses.length - 1)), "On Track",
+          assigned, created, if (s == snaps - 1) assigned else null,
+          java.time.LocalDateTime.of(2025, 8, 15, 0, 0),
+          budget, (s * 120).toLong, java.lang.Boolean.valueOf(rnd.nextInt(4) == 0))
+      }
+      // tie: duplicate the final snapshot row for every 37th item
+      if (w % 37 == 0) snapsRows :+ snapsRows.last else snapsRows
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), ReferenceCatalog.workItemDetails)
+  }
+
+  /** WORK_ITEM_BUDGET_VS_ACTUAL_BQ: 1–4 allocations per item, each
+    * replicated over 2–3 sync dates (the 7-column dedup target), plus NULL
+    * USER_NAME and NULL REPORTING_DATE rows, and budget-only users. */
+  def budgetVsActual(spark: SparkSession, nItems: Int = 300): DataFrame = {
+    val rnd = new Random(seed + 2)
+    val us = users()
+    val tasks = Seq("Prep", "Review", "Filing")
+    val roles = Seq("Senior", "Junior", "Manager")
+    val rows = (0 until nItems).flatMap { w =>
+      val nAlloc = 1 + rnd.nextInt(4)
+      (0 until nAlloc).flatMap { a =>
+        val user = if (rnd.nextInt(25) == 0) null else us(rnd.nextInt(us.length))
+        val task = tasks(rnd.nextInt(3)); val role = roles(rnd.nextInt(3))
+        val minutes = (60 + rnd.nextInt(1200)).toLong
+        val syncs = 2 + rnd.nextInt(2)
+        (0 until syncs).map { sIdx =>
+          val d: Date = if (rnd.nextInt(40) == 0) null else date(jul1.plusDays(10), sIdx * 7)
+          Row(d, f"W$w%03d", s"Work item $w", task, "Y", role,
+            user, user, f"C${w % 50}%02d", f"Client ${w % 50}",
+            minutes, (minutes * (50 + rnd.nextInt(70)) / 100))
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), ReferenceCatalog.workItemBudgetVsActual)
+  }
+
+  def clientDimension(spark: SparkSession, n: Int = 50): DataFrame = {
+    val us = users()
+    val rows = (0 until n).map { c =>
+      Row(f"C$c%02d", s"Client $c", if (c % 3 == 0) "Company" else "Individual",
+        us(c % us.length), us(c % us.length) + " Name",
+        us((c + 7) % us.length), us((c + 7) % us.length) + " Name",
+        "ACC1", "Account One", java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.clientDimension)
+  }
+
+  def userDimension(spark: SparkSession): DataFrame = {
+    val rows = users().zipWithIndex.map { case (u, i) =>
+      Row(u + " Name", u, "Accountant", s"$u@example.com", "2024-01-01", "2024-01-02",
+        if (i % 10 == 9) "Inactive" else "Active",
+        java.lang.Long.valueOf(6000L), java.lang.Long.valueOf(1200L),
+        java.lang.Boolean.valueOf(i % 10 == 0), "ACC1", "Account One")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.userDimension)
+  }
+}
