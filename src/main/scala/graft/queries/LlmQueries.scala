@@ -122,6 +122,27 @@ object LlmQueries extends QueryModule {
       Multimodal.featureStats(
         Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir))))),
 
+    // dq2: the quality-agent module over two tables with per-table
+    // thresholds and a fixed as-of date (`data_quality_agent.py:29-48`).
+    "dq2_quality_report" -> ((s, dir) => {
+      import graft.quality.QualityChecks
+      QualityChecks.run(Seq(
+        QualityChecks.TableCheck("documents", Tables.documents(s, dir),
+          Seq("doc_id"), None, "lang",
+          QualityChecks.Thresholds(minRows = 100)),
+        QualityChecks.TableCheck("events", Tables.events(s, dir),
+          Seq("event_id"), Some("ts"), "props",
+          QualityChecks.Thresholds(minRows = 1000, maxAgeHours = 25))),
+        asOf = lit("2024-02-01").cast("date"))
+    }),
+
+    // x4b: ML anomaly scoring — KMeans distance over standardized daily
+    // metrics (spark.ml; the reference's IsolationForest contract with a
+    // documented model substitution). Rows-only + QualitySpec.
+    "x4b_ml_anomaly" -> ((s, dir) =>
+      graft.quality.AnomalyDetection.score(
+        graft.quality.AnomalyDetection.dailyFeatures(Tables.events(s, dir)))),
+
     // dq1: data-quality agent checks — freshness/row-floor/null%/dup% flags
     // (`data_quality_agent.py:29-211`).
     "dq1_quality_checks" -> ((s, dir) => {
@@ -144,6 +165,26 @@ object LlmQueries extends QueryModule {
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "dq2_quality_report" ->
+      """WITH d AS (SELECT 'documents' AS table_name, COUNT(*) AS row_cnt,
+        |COUNT(*) FILTER (WHERE lang IS NULL) AS null_cnt,
+        |COUNT(*) - COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS dup_cnt,
+        |CAST(NULL AS DATE) AS latest_date,
+        |COUNT(*) >= 100 AS row_floor_ok,
+        |(COUNT(*) FILTER (WHERE lang IS NULL)) * 100.0 / greatest(COUNT(*), 1) <= 10.0 AS null_rate_ok,
+        |(COUNT(*) - COUNT(DISTINCT CAST(doc_id AS VARCHAR))) * 100.0 / greatest(COUNT(*), 1) <= 5.0 AS dup_rate_ok,
+        |TRUE AS freshness_ok FROM documents),
+        |e AS (SELECT 'events', COUNT(*),
+        |COUNT(*) FILTER (WHERE props IS NULL),
+        |COUNT(*) - COUNT(DISTINCT CAST(event_id AS VARCHAR)),
+        |MAX(CAST(ts AS DATE)),
+        |COUNT(*) >= 1000,
+        |(COUNT(*) FILTER (WHERE props IS NULL)) * 100.0 / greatest(COUNT(*), 1) <= 10.0,
+        |(COUNT(*) - COUNT(DISTINCT CAST(event_id AS VARCHAR))) * 100.0 / greatest(COUNT(*), 1) <= 5.0,
+        |CAST(DATEDIFF('day', MAX(CAST(ts AS DATE)), DATE '2024-02-01') AS INT) * 24 <= 25
+        |FROM events)
+        |SELECT *, row_floor_ok AND null_rate_ok AND dup_rate_ok AND freshness_ok AS all_ok
+        |FROM (SELECT * FROM d UNION ALL SELECT * FROM e)""".stripMargin,
     "dd1_exact_dedup" ->
       s"""WITH all_docs AS (
          |SELECT * FROM documents
