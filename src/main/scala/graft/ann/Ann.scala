@@ -53,11 +53,14 @@ object Ann {
       xxhash64(concat(lit(s"plane$plane"), lit("_"), dimIdx.cast("string"))), 0)
       .bitwiseAND(lit(1L))) === 1L, lit(1.0)).otherwise(lit(-1.0))
 
-  /** 16-bit LSH bucket id from random-hyperplane signs. */
+  /** LSH bucket id from random-hyperplane signs. Dimension-agnostic: the
+    * index sequence follows `size(emb)` so no dimension is silently dropped
+    * (and shorter vectors never null the projection).
+    */
   def lshBucket(emb: Column, planes: Int = 16): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(63)), (v, i) => v.cast("double") * planeSign(p, i)),
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) => v.cast("double") * planeSign(p, i)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

@@ -56,10 +56,10 @@ object Dedup {
     * their signatures matches exactly. Returns (id_a, id_b, est_jaccard)
     * with id_a < id_b and estimated Jaccard ≥ `threshold`.
     */
-  def minhashLsh(df: DataFrame, idCol: String, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, "text", numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
@@ -97,8 +97,8 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit band bucketing, verify by hamming
     * distance ≤ maxHamming (bit_count of xor).
     */
-  def simhashPairs(df: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, "text")
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")

@@ -31,7 +31,7 @@ object LlmQueries extends QueryModule {
       val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" trailing mutation token")).as("text"))
-      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", numHashes = 64, bands = 16,
+      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", "text", numHashes = 64, bands = 16,
         threshold = 0.5)
     }),
 
@@ -41,7 +41,7 @@ object LlmQueries extends QueryModule {
       val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" zz")).as("text"))
-      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", maxHamming = 3)
+      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxHamming = 3)
     }),
 
     // dd4: exact n-gram Jaccard verification on blocked candidate pairs.

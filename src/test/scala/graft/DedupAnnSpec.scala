@@ -28,7 +28,7 @@ class DedupAnnSpec extends SparkSuite {
     val mutated = docs.filter(col("doc_id") < 8)
       .select((col("doc_id") + 5000).as("doc_id"),
         concat(col("text"), lit(" tiny suffix")).as("text"))
-    val pairs = Dedup.minhashLsh(docs.unionByName(mutated), "doc_id",
+    val pairs = Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     (0 until 8).foreach { i =>
@@ -41,7 +41,7 @@ class DedupAnnSpec extends SparkSuite {
       .select((col("doc_id") + 5000).as("doc_id"),
         concat(col("text"), lit(" tiny suffix")).as("text"))
     val all = docs.unionByName(mutated)
-    val cand = Dedup.minhashLsh(all, "doc_id", threshold = 0.3)
+    val cand = Dedup.minhashLsh(all, "doc_id", "text", threshold = 0.3)
     val exact = Dedup.ngramJaccard(cand.select("id_a", "id_b"), all, "doc_id", "text")
     val joined = cand.join(exact, Seq("id_a", "id_b"))
     val bad = joined.filter(abs(col("est_jaccard") - col("jaccard")) > 0.25)
