@@ -16,6 +16,26 @@ object Dml {
     */
   def overwriteWith(replacement: DataFrame): DataFrame = replacement
 
+  /** Partition-scoped overwrite: replace ONLY the partitions of the parquet
+    * table at `path` that appear in `updated` (dynamic partition overwrite);
+    * every other partition directory is left untouched on disk. This is the
+    * write primitive that makes a daily MERGE touch ±window days of a 100 TB
+    * target instead of rewriting it (the reference's windowed MERGE,
+    * `work_item_budget_vs_actual_…_daily/main.py:344-353`, plus the
+    * partitioning it intended but left commented,
+    * `work_item_details_…_daily/main.py:161-162`).
+    *
+    * Crash semantics: the file committer stages new files and publishes at
+    * job commit, so a touched partition is observed either fully-old or
+    * fully-new; untouched partitions are never opened.
+    */
+  def overwritePartitions(updated: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    updated.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** M4: DELETE duplicate rows keeping the latest per key (ref:
     * `snowflake_bq_sync Time details/daily_sync.py:92-107` — ROW_NUMBER
     * partition dedup inside a DELETE). Equivalent to keeping rn=1.

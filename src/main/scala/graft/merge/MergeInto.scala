@@ -85,6 +85,52 @@ object MergeInto {
     val kept = target.join(deduped.select(keys.map(col): _*), keys, "left_anti")
     kept.unionByName(srcWithAudit.select(target.columns.map(col).toIndexedSeq: _*))
   }
+
+  /** Partition-scoped MERGE against a date-partitioned parquet target: read
+    * ONLY the partitions the source touches (static partition pruning on the
+    * collected partition values — control-plane-small, one per touched day),
+    * merge, and rewrite just those directories via
+    * [[Dml.overwritePartitions]]. The partition column must be part of the
+    * merge key — the reference's fact grain is exactly that,
+    * (TIME_ENTRY_ID, REPORTING_DATE) / (WORK_ITEM_ID, REPORTING_DATE)
+    * (`snowflake_bq_sync_daily Time Details/main.py:197-206`) — so a matched
+    * row can never move between partitions and the untouched ones stay
+    * byte-identical.
+    */
+  def mergePartitioned(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+      orderCol: Option[String] = None,
+      audit: Option[Audit] = None): Unit = {
+    require(keys.contains(partitionCol),
+      s"partition-scoped merge needs '$partitionCol' in the merge keys; " +
+        "otherwise a matched row could move partitions and strand its old copy")
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
+      val deduped = orderCol match {
+        case Some(c) => Core.dedupByKey(source, keys, Seq(col(c).desc))
+        case None => source.dropDuplicates(keys)
+      }
+      Dml.overwritePartitions(deduped, targetPath, Seq(partitionCol))
+    } else {
+      val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      val nonNull = touched.filter(_ != null)
+      val target = spark.read.parquet(targetPath)
+      val pruned = target.filter(
+        if (nonNull.length == touched.length) col(partitionCol).isin(nonNull: _*)
+        else col(partitionCol).isin(nonNull: _*) || col(partitionCol).isNull)
+      val merged = audit match {
+        case Some(a) => mergeWithAudit(pruned, source, keys, a, orderCol)
+        case None =>
+          merge(pruned, source.select(pruned.columns.map(col).toIndexedSeq: _*), keys, orderCol)
+      }
+      Dml.overwritePartitions(merged, targetPath, Seq(partitionCol))
+    }
+  }
 }
 
 /** Atomic write-and-swap for plain-parquet targets (the staging-table +

@@ -39,12 +39,16 @@ object AnomalyDetection {
     */
   def score(daily: DataFrame, k: Int = 3, contamination: Double = 0.1, seed: Long = 42L): DataFrame = {
     val featCols = Array("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
+    // One row per day: collapse to a single partition before the iterative ML
+    // stages (inheriting the scan's 32 shuffle partitions made every scaler/
+    // KMeans pass schedule 32 near-empty tasks — 234 s of overhead at sf0.1),
+    // and cache: fit() + transform() + the count/groupBy below each re-read it.
     val assembled = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("raw_features")
-      .transform(daily)
+      .transform(daily.coalesce(1)).cache()
     val scaler = new StandardScaler().setInputCol("raw_features").setOutputCol("features")
       .setWithMean(true).setWithStd(true).fit(assembled)
-    val scaled = scaler.transform(assembled)
+    val scaled = scaler.transform(assembled).cache()
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(scaled)
     val clustered = model.transform(scaled)
     // An extreme outlier captures its own centroid (distance 0); score

@@ -39,23 +39,33 @@ object SyncPipeline {
 
   /** Incremental sync: date-windowed pull merged by key with audit columns
     * (fact pipelines, ref `snowflake_bq_sync_daily Time Details/main.py:85-90,197-206`).
+    *
+    * When the date column is part of the merge key (the reference's fact
+    * grain), the target is stored partitioned by it and the merge is
+    * partition-scoped: only the ±window partitions are read and rewritten —
+    * at 100 TB the daily sync touches days, not the table. Otherwise it
+    * falls back to the full atomic rewrite.
     */
   def incrementalSync(spark: SparkSession, source: DataFrame, targetPath: String,
       keys: Seq[String], dateCol: String, start: String, end: String,
       pipeline: String, audit: Option[MergeInto.Audit] = None): SyncResult = {
     val windowed = Tables.dateWindow(source, dateCol, start, end)
-    val fs = new org.apache.hadoop.fs.Path(targetPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
-        val target = spark.read.parquet(targetPath)
-        audit match {
-          case Some(a) => MergeInto.mergeWithAudit(target, windowed, keys, a)
-          case None => MergeInto.merge(target, windowed.select(
-            target.columns.map(col).toIndexedSeq: _*), keys)
-        }
-      } else windowed
-    AtomicWriter.overwrite(merged, targetPath)
+    if (keys.contains(dateCol)) {
+      MergeInto.mergePartitioned(spark, targetPath, windowed, keys, dateCol, audit = audit)
+    } else {
+      val fs = new org.apache.hadoop.fs.Path(targetPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(targetPath))) {
+          val target = spark.read.parquet(targetPath)
+          audit match {
+            case Some(a) => MergeInto.mergeWithAudit(target, windowed, keys, a)
+            case None => MergeInto.merge(target, windowed.select(
+              target.columns.map(col).toIndexedSeq: _*), keys)
+          }
+        } else windowed
+      AtomicWriter.overwrite(merged, targetPath)
+    }
     val n = spark.read.parquet(targetPath).count()
     SyncResult(n, "incremental", tracker(spark, pipeline, "incremental", n, "COMPLETED"))
   }
@@ -78,11 +88,18 @@ object SyncPipeline {
     * (PENDING → COMPLETED, ref `main_paginated.py:78-99`); a rerun skips
     * completed chunks (`resume from MAX(end_date) WHERE status='COMPLETED'`,
     * ref `:101-139`).
+    *
+    * The target is partitioned by the chunk-granular date of `dateCol`, so
+    * each chunk writes only its own day partitions (the round-2 version
+    * rewrote the whole target per chunk — O(n²) I/O over a backfill) and the
+    * state table grows by appended rows, never rewritten. Chunk re-runs stay
+    * idempotent: the partition-scoped merge upserts on (keys, day).
     */
   def chunkedBackfill(spark: SparkSession, source: DataFrame, targetPath: String,
       statePath: String, keys: Seq[String], dateCol: String,
       chunks: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
+    val partCol = "part_date"
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val existing: Set[String] =
@@ -94,21 +111,12 @@ object SyncPipeline {
       if (!existing.contains(from)) {
         val chunk = source.filter(col(dateCol) >= lit(from).cast("timestamp_ntz") &&
           col(dateCol) < lit(to).cast("timestamp_ntz"))
-        val tgtExists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
-        val merged =
-          if (tgtExists) {
-            val target = spark.read.parquet(targetPath)
-            MergeInto.merge(target, chunk.select(target.columns.map(col).toIndexedSeq: _*), keys)
-          } else chunk
-        AtomicWriter.overwrite(merged, targetPath)
-        val newState = Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
-        val allState =
-          if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
-            spark.read.parquet(statePath).unionByName(newState)
-          else newState
-        AtomicWriter.overwrite(allState, statePath)
+          .withColumn(partCol, to_date(col(dateCol)))
+        MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
+        Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
+          .coalesce(1).write.mode("append").parquet(statePath)
       }
     }
-    spark.read.parquet(targetPath)
+    spark.read.parquet(targetPath).drop(partCol)
   }
 }

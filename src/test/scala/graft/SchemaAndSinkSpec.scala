@@ -55,6 +55,36 @@ class SchemaAndSinkSpec extends SparkSuite {
       li.filter(col("ship_date") === lit("1996-03-13").cast("date")).count())
   }
 
+  test("partition-scoped merge leaves untouched partitions byte-identical") {
+    import graft.merge.{Dml, MergeInto}
+    import java.sql.Date
+    val path = tmpDir() + "/pmerge"
+    val target = Seq(
+      (1L, Date.valueOf("2024-01-01"), "a"),
+      (2L, Date.valueOf("2024-01-02"), "b"),
+      (3L, Date.valueOf("2024-01-03"), "c")).toDF("id", "d", "v")
+    Dml.overwritePartitions(target, path, Seq("d"))
+    def files(day: String): Set[(String, Long, Long)] =
+      new java.io.File(s"$path/d=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before01 = files("2024-01-01"); val before03 = files("2024-01-03")
+    assert(before01.nonEmpty && before03.nonEmpty)
+
+    // merge touches only the 2024-01-02 partition: one update + one insert
+    val src = Seq(
+      (2L, Date.valueOf("2024-01-02"), "b2"),
+      (9L, Date.valueOf("2024-01-02"), "i")).toDF("id", "d", "v")
+    MergeInto.mergePartitioned(spark, path, src, Seq("id", "d"), "d")
+
+    // untouched partition directories: same file names, sizes, mtimes
+    assert(files("2024-01-01") == before01 && files("2024-01-03") == before03)
+    val out = spark.read.parquet(path)
+    assert(out.count() == 4)
+    assert(out.filter(col("id") === 2L).select("v").as[String].head() == "b2")
+    assert(out.filter(col("d") === lit("2024-01-01").cast("date")).count() == 1)
+  }
+
   test("S7/S8: temp-view staging lifecycle + create-if-not-exists semantics") {
     val df = sf("region")
     df.createOrReplaceTempView("staging_region")

@@ -24,12 +24,14 @@ class SyncPipelineSpec extends SparkSuite {
     val path = tmpDir() + "/fact"
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("d", col("ts").cast("date"))
-    // bootstrap with the first week
-    SyncPipeline.incrementalSync(spark, ev, path, Seq("event_id"), "d",
+    // bootstrap with the first week; date in the key → partitioned layout
+    SyncPipeline.incrementalSync(spark, ev, path, Seq("event_id", "d"), "d",
       "2024-01-01", "2024-01-07", "ev_sync")
     val week1 = spark.read.parquet(path).count()
+    // the target is laid out one directory per day (partition-scoped merges)
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("d=")))
     // pull an overlapping window — idempotent for the overlap, additive for the rest
-    val r = SyncPipeline.incrementalSync(spark, ev, path, Seq("event_id"), "d",
+    val r = SyncPipeline.incrementalSync(spark, ev, path, Seq("event_id", "d"), "d",
       "2024-01-05", "2024-01-14", "ev_sync")
     val expected = ev.filter(col("d") <= lit("2024-01-14").cast("date")).count()
     assert(r.rowsSynced == expected && r.rowsSynced > week1)
