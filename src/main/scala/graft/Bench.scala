@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic order (a Map iteration let an arbitrary query absorb JVM
+    // warm-up) + an untimed warm-up pass covering scan, shuffle, broadcast
+    // and window codegen paths before anything is measured.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number").foreach { w =>
+      SparkEntry.queries.get(w).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let Catalyst
       // prune the projections being measured) without write overhead.
@@ -20,8 +30,13 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Full copy on disk: the driver captures only the stdout tail, which
+    // truncated ~32 of 92 per-query times in round 2.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -29,7 +29,14 @@ object Ann {
     sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(x: Column, y: Column): Column = dot(x, y) / (l2norm(x) * l2norm(y))
+  /** Cosine rounded to 1e-6: the fold order of a float sum differs across
+    * engines in the last ulp, so ranking/thresholding on the raw value is
+    * irreproducible; 6 decimals is far below any meaningful similarity
+    * difference and makes top-k deterministic everywhere (ties broken by
+    * neighbor id).
+    */
+  def cosine(x: Column, y: Column): Column =
+    round(dot(x, y) / (l2norm(x) * l2norm(y)), 6)
 
   /** Exact top-k neighbors for each query vector (brute force; queries are
     * expected to be a small broadcastable set).

@@ -145,8 +145,10 @@ object Dedup {
       col("embedding").as("e_b"), col("nrm").as("n_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
+      // cosine rounded to 1e-6 so the threshold cut is reproducible across
+      // engines (see Ann.cosine)
       .select(col("id_a"), col("id_b"), col("block"),
-        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

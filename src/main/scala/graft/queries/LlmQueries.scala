@@ -163,6 +163,12 @@ object LlmQueries extends QueryModule {
 
   private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+  // 3-gram shingles of TOKS, deduped — mirrors Dedup.shingles(k=3)
+  private val GRAMS = "list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+    "i -> array_to_string(toks[i+1:i+3], ' ')))"
+  private def ratio(words: Seq[String]) =
+    s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)" +
+      " / CAST(greatest(len(toks), 1) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
     "dq2_quality_report" ->
@@ -215,6 +221,63 @@ object LlmQueries extends QueryModule {
     "tx4_fingerprint" ->
       s"""WITH fp AS (SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint FROM documents)
          |SELECT doc_id, fingerprint,
-         |COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size FROM fp""".stripMargin
+         |COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size FROM fp""".stripMargin,
+    "dd4_ngram_jaccard" ->
+      s"""WITH g AS (SELECT doc_id, lang, source, $GRAMS AS grams
+         |FROM (SELECT doc_id, lang, source, $TOKS AS toks FROM documents)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
+         | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    "dd5_embedding_dups" ->
+      """WITH all_e AS (
+        |SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]), label FROM embeddings WHERE vec_id % 11 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+        |round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM all_e a JOIN all_e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.98""".stripMargin,
+    "ann1_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |SELECT query_id, neighbor_id, round(list_cosine_similarity(qe, ce), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY query_id
+        |ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, neighbor_id) AS rank
+        |FROM q, c WHERE query_id <> neighbor_id)
+        |WHERE rank <= 5""".stripMargin,
+    "ann3_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
+        |SELECT query_id, neighbor_id, block, cosine, rank FROM (
+        |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label AS block,
+        |round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY a.vec_id
+        |ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rank
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |WHERE rank <= 3""".stripMargin,
+    "tx1_langid" ->
+      s"""WITH s AS (SELECT doc_id, lang AS labeled_lang,
+         |${ratio(graft.text.TextOps.stopwords("en"))} AS s_en,
+         |${ratio(graft.text.TextOps.stopwords("es"))} AS s_es,
+         |${ratio(graft.text.TextOps.stopwords("de"))} AS s_de,
+         |${ratio(graft.text.TextOps.stopwords("fr"))} AS s_fr
+         |FROM (SELECT doc_id, lang, $TOKS AS toks FROM documents))
+         |SELECT doc_id, labeled_lang,
+         |CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+         |WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |WHEN s_en >= s_de THEN 'en'
+         |ELSE 'de' END AS detected_lang FROM s""".stripMargin,
+    "dq1_quality_checks" ->
+      """SELECT 'documents' AS table_name, row_cnt, null_text_cnt,
+        |row_cnt - distinct_text_cnt AS dup_cnt,
+        |row_cnt >= 100 AS row_floor_ok,
+        |CAST(null_text_cnt AS DOUBLE) / row_cnt <= 0.10 AS null_rate_ok,
+        |CAST(row_cnt - distinct_text_cnt AS DOUBLE) / row_cnt <= 0.05 AS dup_rate_ok
+        |FROM (SELECT COUNT(*) AS row_cnt,
+        |COUNT(*) FILTER (WHERE text IS NULL) AS null_text_cnt,
+        |COUNT(DISTINCT text) AS distinct_text_cnt FROM documents)""".stripMargin
   )
 }
