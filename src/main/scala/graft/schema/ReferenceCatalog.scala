@@ -58,13 +58,17 @@ object ReferenceCatalog {
     StructField("BUDGETED_MINUTES", LongType),
     StructField("ACTUAL_MINUTES", LongType)))
 
-  /** PRODUCTIVITY_REPEATS_SYNC (`…view_v5.sql:270-277`). */
+  /** PRODUCTIVITY_REPEATS_SYNC — the columns V4 consumes
+    * (`work_item_budget_time_tracking_view_v4.sql:77-84`). */
   val productivityRepeats: StructType = StructType(Seq(
     StructField("WORK_ITEM_ID", StringType),
     StructField("CATEGORY", StringType),
     StructField("MEASURE_TYPE", StringType),
     StructField("POINTS", DecimalType(18, 2)),
-    StructField("SYNC_TIMESTAMP", TimestampNTZType)))
+    StructField("WEIGHTING", DecimalType(18, 2)),
+    StructField("TOTAL_POINTS", DecimalType(18, 2)),
+    StructField("SYNC_TIMESTAMP", TimestampNTZType),
+    StructField("LAST_MODIFIED_BY", StringType)))
 
   /** DIMN_CLIENT — 35 declared columns in the reference; the analytically
     * live subset here (`client_dimension_…_full/main.py:31-70`). */

@@ -31,7 +31,9 @@ object FixtureGen {
     val rnd = new Random(seed)
     val us = users()
     val base = (0 until nEntries).map { i =>
-      val user = us(rnd.nextInt(us.length))
+      // ~3% anonymous entries (NULL user): the rows the V5 predicate drops
+      // and the fallback view's disjunctive join has to survive
+      val user = if (rnd.nextInt(30) == 0) null else us(rnd.nextInt(us.length))
       val item = if (rnd.nextInt(100) < 2) null else f"W${rnd.nextInt(nItems)}%03d"
       val d = date(jul1, rnd.nextInt(62))
       val minutes = rnd.nextInt(100) match {
@@ -41,7 +43,8 @@ object FixtureGen {
       }
       val billable: java.lang.Boolean =
         if (rnd.nextInt(20) == 0) null else java.lang.Boolean.valueOf(rnd.nextBoolean())
-      Row(f"TE$i%05d", d, item, user, user + " Name", minutes, billable,
+      Row(f"TE$i%05d", d, item, user, if (user == null) null else user + " Name",
+        minutes, billable,
         f"uuid-$i%05d", java.time.LocalDateTime.of(2025, 9, 1, 0, 0).plusMinutes(i.toLong))
     }
     val dups = (0 until nEntries by 40).map { i =>
@@ -98,8 +101,10 @@ object FixtureGen {
         val syncs = 2 + rnd.nextInt(2)
         (0 until syncs).map { sIdx =>
           val d: Date = if (rnd.nextInt(40) == 0) null else date(jul1.plusDays(10), sIdx * 7)
+          // USER_NAME formatted like DIMN_USER/USER_TIME_ENTRY_BQ ("Uxx Name")
+          // so budget users and time users meet in the V5 universe join
           Row(d, f"W$w%03d", s"Work item $w", task, "Y", role,
-            user, user, f"C${w % 50}%02d", f"Client ${w % 50}",
+            user, if (user == null) null else user + " Name", f"C${w % 50}%02d", s"Client ${w % 50}",
             minutes, (minutes * (50 + rnd.nextInt(70)) / 100))
         }
       }
@@ -117,6 +122,47 @@ object FixtureGen {
         "ACC1", "Account One", java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.clientDimension)
+  }
+
+  /** PRODUCTIVITY_REPEATS_SYNC: ~1 row per 3rd work item, the V4 measure
+    * taxonomy (`…view_v4.sql:106-119`: Productivity / SLA / Productivity SLA). */
+  def productivityRepeats(spark: SparkSession, nItems: Int = 300): DataFrame = {
+    val rnd = new Random(seed + 3)
+    def dec(x: Int) = new java.math.BigDecimal(x).setScale(2)
+    val measures = Seq("Productivity", "SLA", "Productivity SLA")
+    val rows = (0 until nItems by 3).map { w =>
+      Row(f"W$w%03d", "Repeats", measures(rnd.nextInt(3)),
+        dec(1 + rnd.nextInt(10)), dec(1 + rnd.nextInt(3)), dec(5 + rnd.nextInt(20)),
+        java.time.LocalDateTime.of(2025, 8, 20, 6, 0), "sync-agent")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.productivityRepeats)
+  }
+
+  /** DIMN_CLIENT_GROUP: one group row per client (grain CLIENT_GROUP_ID×CLIENT,
+    * SURVEY §1.4) — every 5 clients share a group. */
+  def clientGroupDimension(spark: SparkSession, n: Int = 50): DataFrame = {
+    val rows = (0 until n).map { c =>
+      Row(f"G${c / 5}%02d", s"Group ${c / 5}", f"C$c%02d", s"Client $c",
+        if (c % 5 == 0) "PRIMARY" else "MEMBER", "ACC1", "Account One")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.clientGroupDimension)
+  }
+
+  /** DIMN_TENANT_TEAM: 4 teams, no hierarchy (the reference has 6 flat rows). */
+  def tenantTeamDimension(spark: SparkSession): DataFrame = {
+    val rows = (0 until 4).map { t =>
+      Row(f"T$t%02d", s"Team $t", null, null, "ACC1", "Account One")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.tenantTeamDimension)
+  }
+
+  /** DIMN_TENANT_TEAM_MEMBER: each user belongs to exactly one team. */
+  def tenantTeamMemberDimension(spark: SparkSession): DataFrame = {
+    val rows = users().zipWithIndex.map { case (u, i) =>
+      Row(f"TM$i%02d", f"T${i % 4}%02d", u, "ACC1", "Account One")
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      ReferenceCatalog.tenantTeamMemberDimension)
   }
 
   def userDimension(spark: SparkSession): DataFrame = {
