@@ -85,6 +85,12 @@ object BigQueryDialect {
     */
   def translate(sql: String): String = {
     var s = sql
+    // BigQuery types a decimal-point literal as FLOAT64; Spark's parser makes
+    // it DECIMAL(p,s), which silently switches every `x / 60.0` to decimal
+    // arithmetic. Coerce to double for BQ semantics. (Caveat: a quoted string
+    // containing a decimal number would be rewritten too — none of the
+    // reference texts has one.)
+    s = s.replaceAll("\\b(\\d+\\.\\d+)\\b", "CAST($1 AS DOUBLE)")
     // first-arg pattern tolerating one level of nested parens: MAX(x), CAST(x AS DATE), …
     val arg = "([^,()]*(?:\\([^()]*\\)[^,()]*)*)"
     // TIMESTAMP_ADD(x, INTERVAL n DAY) → (x + INTERVAL n DAY)
@@ -95,6 +101,9 @@ object BigQueryDialect {
       "($1 - INTERVAL $2 $3)")
     s = s.replaceAll(s"(?i)DATE_ADD\\($arg,\\s*INTERVAL\\s+(\\d+)\\s+(\\w+)\\)",
       "($1 + INTERVAL $2 $3)")
+    // BQ DATE_TRUNC(value, PART) → Spark date_trunc('PART', value)
+    s = s.replaceAll(s"(?i)DATE_TRUNC\\($arg,\\s*(DAY|WEEK|MONTH|QUARTER|YEAR)\\)",
+      "DATE_TRUNC('$2', $1)")
     // BQ bare unit identifiers as the last function argument → string literals
     // (the analyzer resolves columns before function builders run, so `DAY`
     // can only reach date_diff/datetime_diff as a literal).
@@ -112,4 +121,28 @@ object BigQueryDialect {
     register(spark)
     spark.sql(translate(bqSql))
   }
+
+  /** Prepare a BigQuery `CREATE OR REPLACE VIEW` file for execution against
+    * registered temp views: strip the CREATE header and trailing semicolon,
+    * reduce backticked `project.dataset.table` names to the bare table name,
+    * and (optionally) pin the volatile clock — `CURRENT_TIMESTAMP()` becomes
+    * an injected literal so the text is reproducible under test, the same
+    * clock injection the native views take via their `asOf` parameter.
+    */
+  def viewText(sql: String, asOf: Option[String] = None): String = {
+    var s = sql
+    s = s.replaceAll("(?is)CREATE\\s+OR\\s+REPLACE\\s+VIEW\\s+`[^`]+`\\s+AS", "")
+    s = s.replaceAll("`[\\w.-]+\\.(\\w+)`", "$1")
+    s = s.replaceAll(";\\s*$", "")
+    asOf.foreach { ts =>
+      s = s.replaceAll("(?i)CURRENT_TIMESTAMP\\(\\)",
+        s"CAST('$ts' AS TIMESTAMP_NTZ)")
+    }
+    s
+  }
+
+  /** viewText + translate + run. */
+  def runViewFile(spark: SparkSession, path: String, asOf: Option[String] = None):
+      org.apache.spark.sql.DataFrame =
+    sql(spark, viewText(java.nio.file.Files.readString(java.nio.file.Paths.get(path)), asOf))
 }

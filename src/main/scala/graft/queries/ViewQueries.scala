@@ -27,23 +27,28 @@ object ViewQueries extends QueryModule {
     // The reference-named DAG over the deterministic domain fixtures
     // (FIXTURES.md) — same table/column names as the reference; validated by
     // DomainViewSpec invariants (no SQL oracle: fixtures live in-memory).
-    "ref_v5_domain" -> ((s, _) => {
-      val te = graft.views.DomainViews.timeEntryDedupCleanup(
-        graft.sources.FixtureGen.timeEntries(s))
-      graft.views.DomainViews.v5(
-        te,
-        graft.sources.FixtureGen.workItemDetails(s)
-          .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE"),
-        graft.sources.FixtureGen.budgetVsActual(s),
-        graft.sources.FixtureGen.clientDimension(s),
-        graft.sources.FixtureGen.userDimension(s))
-    }),
-
     "ref_corrected_domain" -> ((s, _) =>
       graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s),
         graft.sources.FixtureGen.workItemDetails(s)
           .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE"))),
+
+    "ref_v5_domain" -> ((s, _) => {
+      val te = graft.views.DomainViews.timeEntryDedupCleanup(
+        graft.sources.FixtureGen.timeEntries(s))
+      val details = graft.sources.FixtureGen.workItemDetails(s)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+      val corrected = graft.views.DomainViews.corrected(
+        graft.sources.FixtureGen.budgetVsActual(s), details)
+      graft.views.DomainViews.v5(
+        te, details, corrected,
+        graft.sources.FixtureGen.productivityRepeats(s),
+        graft.sources.FixtureGen.clientGroupDimension(s),
+        graft.sources.FixtureGen.clientDimension(s),
+        graft.sources.FixtureGen.tenantTeamDimension(s),
+        graft.sources.FixtureGen.tenantTeamMemberDimension(s),
+        graft.sources.FixtureGen.userDimension(s))
+    }),
 
     "ref_v4_domain" -> ((s, _) => {
       val te = graft.views.DomainViews.timeEntryDedupCleanup(

@@ -24,45 +24,87 @@ object ReferenceCatalog {
       StructField("row_uuid", StringType),
       StructField("bq_ingestion_timestamp", TimestampNTZType)))
 
-  /** WORK_ITEM_DETAILS_BQ — snapshot fact (`work_item_details_latest_view.sql:9-53`,
-    * abbreviated to the columns the view DAG consumes). */
+  /** WORK_ITEM_DETAILS_BQ — snapshot fact, the full column set the V4/V5
+    * view texts project (`…view_v5.sql:140-179`; `…view_v4.sql:23-67`). */
   val workItemDetails: StructType = StructType(Seq(
     StructField("WORK_ITEM_ID", StringType),
     StructField("REPORTING_DATE", DateType),
     StructField("WORK_TITLE", StringType),
     StructField("CLIENT_ID", StringType),
     StructField("CLIENT", StringType),
+    StructField("CLIENT_TYPE", StringType),
+    StructField("INTERNAL_CLIENT_ID", StringType),
+    StructField("INTERNAL_CLIENT", StringType),
+    StructField("ACCOUNT_ID", StringType),
+    StructField("ACCOUNT_NAME", StringType),
+    StructField("WORK_TYPE_ID", StringType),
     StructField("WORK_TYPE", StringType),
+    StructField("PRIMARY_STATUS_ID", StringType),
+    StructField("SECONDARY_STATUS_ID", StringType),
     StructField("PRIMARY_STATUS", StringType),
     StructField("SECONDARY_STATUS", StringType),
-    StructField("ASSIGNED_TO_ID", StringType),
+    StructField("SECONDARY_STATUS_ORDER", LongType),
+    StructField("CURRENT_STATUS_ENTRY_DATE", TimestampNTZType),
+    StructField("REPEAT_SCHEDULE", StringType),
+    StructField("CREATED_DATETIME", TimestampNTZType),
     StructField("CREATED_BY_ID", StringType),
-    StructField("COMPLETED_BY_ID", StringType),
+    StructField("CREATED_BY", StringType),
+    StructField("START_DATETIME", TimestampNTZType),
+    StructField("ASSIGNED_TO_ID", StringType),
+    StructField("ASSIGNED_TO", StringType),
     StructField("DUE_DATETIME", TimestampNTZType),
+    StructField("DEADLINE_DATETIME", TimestampNTZType),
+    StructField("COMPLETED_DATETIME", TimestampNTZType),
+    StructField("COMPLETED_BY_ID", StringType),
+    StructField("COMPLETED_BY", StringType),
+    StructField("USER_DEFINED_CLIENT_ID", StringType),
+    StructField("WORK_TEMPLATE_ID", StringType),
+    StructField("WORK_TEMPLATE", StringType),
+    StructField("WORK_DESCRIPTION", StringType),
+    StructField("FIXED_FEE_ESTIMATED_COST", LongType),
     StructField("BUDGETED_MINUTES", LongType),
+    StructField("BUDGETED_COST", LongType),
+    StructField("EXPENSE_AMOUNT", LongType),
+    StructField("BILLABLE_EXPENSE_AMOUNT", LongType),
     StructField("TIME_ENTRY_MINUTES", LongType),
+    StructField("TIME_ENTRY_COST", LongType),
+    StructField("BUDGET_REMAINING_HOURS", DoubleType),
+    StructField("INTERNAL_TASKS_COMPLETED_COUNT", LongType),
+    StructField("INTERNAL_TASKS_PENDING_COUNT", LongType),
     StructField("IS_WORK_ITEM_OVERDUE", BooleanType)))
 
-  /** WORK_ITEM_BUDGET_VS_ACTUAL_BQ (`corrected_view.sql:11-34`). */
+  /** WORK_ITEM_BUDGET_VS_ACTUAL_BQ — the full corrected-view input column
+    * set (`corrected_view.sql:11-34`). */
   val workItemBudgetVsActual: StructType = StructType(Seq(
     StructField("REPORTING_DATE", DateType),
     StructField("WORK_ITEM_ID", StringType),
     StructField("WORK_TITLE", StringType),
+    StructField("WORK_TYPE_ID", StringType),
+    StructField("WORK_TYPE", StringType),
+    StructField("TASK_TYPE_ID", StringType),
     StructField("TASK_TYPE", StringType),
     StructField("TASK_TYPE_BILLABLE_FLAG", StringType),
+    StructField("ROLE_ID", StringType),
     StructField("ROLE_NAME", StringType),
+    StructField("ACCOUNT_ID", StringType),
+    StructField("ACCOUNT_NAME", StringType),
     StructField("USER_ID", StringType),
     StructField("USER_NAME", StringType),
+    StructField("INTERNAL_CLIENT_ID", StringType),
+    StructField("INTERNAL_CLIENT", StringType),
     StructField("CLIENT_ID", StringType),
     StructField("CLIENT", StringType),
     StructField("BUDGETED_MINUTES", LongType),
-    StructField("ACTUAL_MINUTES", LongType)))
+    StructField("ACTUAL_MINUTES", LongType),
+    StructField("BUDGETED_COST", LongType),
+    StructField("ACTUAL_COST", LongType)))
 
   /** PRODUCTIVITY_REPEATS_SYNC — the columns V4 consumes
     * (`work_item_budget_time_tracking_view_v4.sql:77-84`). */
   val productivityRepeats: StructType = StructType(Seq(
     StructField("WORK_ITEM_ID", StringType),
     StructField("CATEGORY", StringType),
+    StructField("PROJECT", StringType),
     StructField("MEASURE_TYPE", StringType),
     StructField("POINTS", DecimalType(18, 2)),
     StructField("WEIGHTING", DecimalType(18, 2)),
@@ -73,8 +115,10 @@ object ReferenceCatalog {
   /** DIMN_CLIENT — 35 declared columns in the reference; the analytically
     * live subset here (`client_dimension_…_full/main.py:31-70`). */
   val clientDimension: StructType = StructType(
-    s("CLIENT_ID", "CLIENT", "CLIENT_TYPE", "CLIENT_OWNER_USER_ID",
+    s("CLIENT_ID", "CLIENT", "CLIENT_TYPE", "CLIENT_SUBTYPE", "CLIENT_OWNER_USER_ID",
       "CLIENT_OWNER_USER_NAME", "CLIENT_MANAGER_USER_ID", "CLIENT_MANAGER_USER_NAME",
+      "PRIMARY_ADDRESS_COUNTRY_CODE", "PRIMARY_ADDRESS_STATE_PROVINCE_COUNTY",
+      "PRIMARY_ADDRESS_CITY",
       "ACCOUNT_ID", "ACCOUNT_NAME") :+ StructField("DATE_CREATED", TimestampNTZType))
 
   /** DIMN_USER (`user_dimension_…_full/main.py:34-49`). */

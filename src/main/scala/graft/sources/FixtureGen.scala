@@ -57,25 +57,56 @@ object FixtureGen {
       spark.sparkContext.parallelize(base ++ dups, 4), ReferenceCatalog.userTimeEntry)
   }
 
-  /** WORK_ITEM_DETAILS_BQ: ~300 items × 3–10 snapshots; a few items carry a
-    * duplicated max-date snapshot row (the latest-view tie case). */
+  /** WORK_ITEM_DETAILS_BQ: ~300 items × 3–10 snapshots on the full 45-column
+    * reference schema; a few items carry a duplicated max-date snapshot row
+    * (the latest-view tie case), some have NULL due dates/budgets. Due dates
+    * all precede 2025-08-29 so schedule/past-due flags are stable for any
+    * `asOf` from 2025-09-01 on. */
   def workItemDetails(spark: SparkSession, nItems: Int = 300): DataFrame = {
     val rnd = new Random(seed + 1)
     val us = users()
     val statuses = Seq("Planned", "In Progress", "Completed", "Closed")
+    def ldt(d: Int, h: Int) =
+      java.time.LocalDateTime.of(2025, 7, 1, 0, 0).plusDays(d.toLong).plusHours(h.toLong)
     val rows = (0 until nItems).flatMap { w =>
       val snaps = 3 + rnd.nextInt(8)
       val budget: java.lang.Long =
         if (rnd.nextInt(5) == 0) null else java.lang.Long.valueOf((600 + rnd.nextInt(6000)).toLong)
       val assigned = us(rnd.nextInt(us.length))
       val created = us(rnd.nextInt(us.length))
+      val due: java.time.LocalDateTime =
+        if (rnd.nextInt(8) == 0) null else ldt(rnd.nextInt(55), rnd.nextInt(24))
       val snapsRows = (0 until snaps).map { s =>
-        Row(f"W$w%03d", date(jul1, s * 7 + rnd.nextInt(3)), s"Work item $w",
-          f"C${w % 50}%02d", f"Client ${w % 50}", Seq("Tax", "Audit", "Advisory")(w % 3),
-          statuses(math.min(s, 3).min(statuses.length - 1)), "On Track",
-          assigned, created, if (s == snaps - 1) assigned else null,
-          java.time.LocalDateTime.of(2025, 8, 15, 0, 0),
-          budget, (s * 120).toLong, java.lang.Boolean.valueOf(rnd.nextInt(4) == 0))
+        val status = statuses(math.min(s, 3).min(statuses.length - 1))
+        val completed = status == "Completed" || status == "Closed"
+        val teMinutes = (s * 120).toLong
+        Row(
+          f"W$w%03d", date(jul1, s * 7 + rnd.nextInt(3)), s"Work item $w",
+          f"C${w % 50}%02d", f"Client ${w % 50}",
+          if (w % 3 == 0) "Company" else "Individual",
+          f"IC${w % 20}%02d", s"Internal ${w % 20}",
+          "ACC1", "Account One",
+          f"WT${w % 3}", Seq("Tax", "Audit", "Advisory")(w % 3),
+          f"PS${math.min(s, 3)}", f"SS$s", status, "On Track",
+          java.lang.Long.valueOf(s.toLong), ldt(s * 7, 9), if (w % 4 == 0) "MONTHLY" else null,
+          ldt(0, 8), created, created + " Name",
+          ldt(1, 9),
+          assigned, assigned + " Name",
+          due, if (due == null) null else due.plusDays(5),
+          if (completed) ldt(50, 17) else null,
+          if (completed) assigned else null,
+          if (completed) assigned + " Name" else null,
+          null, f"TPL${w % 5}", s"Template ${w % 5}", s"Description of work item $w",
+          java.lang.Long.valueOf((1000 + rnd.nextInt(5000)).toLong),
+          budget,
+          if (budget == null) null else java.lang.Long.valueOf(budget * 3),
+          java.lang.Long.valueOf(rnd.nextInt(500).toLong),
+          java.lang.Long.valueOf(rnd.nextInt(300).toLong),
+          java.lang.Long.valueOf(teMinutes),
+          java.lang.Long.valueOf(teMinutes * 2),
+          if (budget == null) null else java.lang.Double.valueOf((budget - teMinutes) / 60.0),
+          java.lang.Long.valueOf(s.toLong), java.lang.Long.valueOf((snaps - s).toLong),
+          java.lang.Boolean.valueOf(rnd.nextInt(4) == 0))
       }
       // tie: duplicate the final snapshot row for every 37th item
       if (w % 37 == 0) snapsRows :+ snapsRows.last else snapsRows
@@ -97,15 +128,28 @@ object FixtureGen {
       (0 until nAlloc).flatMap { a =>
         val user = if (rnd.nextInt(25) == 0) null else us(rnd.nextInt(us.length))
         val task = tasks(rnd.nextInt(3)); val role = roles(rnd.nextInt(3))
-        val minutes = (60 + rnd.nextInt(1200)).toLong
+        // allocation index in the low digit: two allocations of one item can
+        // never share BUDGETED_MINUTES, so the 7-col dedup partitions of
+        // same-amount same-role allocations never merge (tied sync dates
+        // inside a merged partition would make rn=1 nondeterministic)
+        val minutes = (60 + rnd.nextInt(1200)).toLong * 10 + a
         val syncs = 2 + rnd.nextInt(2)
         (0 until syncs).map { sIdx =>
-          val d: Date = if (rnd.nextInt(40) == 0) null else date(jul1.plusDays(10), sIdx * 7)
+          // at most one NULL sync date per allocation so the 7-column window
+          // dedup's ORDER BY sync_reporting_date DESC never ties on NULL
+          val d: Date = if (sIdx == 0 && rnd.nextInt(20) == 0) null
+            else date(jul1.plusDays(10), sIdx * 7)
           // USER_NAME formatted like DIMN_USER/USER_TIME_ENTRY_BQ ("Uxx Name")
           // so budget users and time users meet in the V5 universe join
-          Row(d, f"W$w%03d", s"Work item $w", task, "Y", role,
-            user, if (user == null) null else user + " Name", f"C${w % 50}%02d", s"Client ${w % 50}",
-            minutes, (minutes * (50 + rnd.nextInt(70)) / 100))
+          Row(d, f"W$w%03d", s"Work item $w",
+            f"WT${w % 3}", Seq("Tax", "Audit", "Advisory")(w % 3),
+            s"TT-$task", task, "Y", s"R-$role", role,
+            "ACC1", "Account One",
+            user, if (user == null) null else user + " Name",
+            f"IC${w % 20}%02d", s"Internal ${w % 20}",
+            f"C${w % 50}%02d", s"Client ${w % 50}",
+            minutes, (minutes * (50 + rnd.nextInt(70)) / 100),
+            minutes * 2, minutes)
         }
       }
     }
@@ -117,8 +161,10 @@ object FixtureGen {
     val us = users()
     val rows = (0 until n).map { c =>
       Row(f"C$c%02d", s"Client $c", if (c % 3 == 0) "Company" else "Individual",
+        if (c % 3 == 0) "LLC" else "Person",
         us(c % us.length), us(c % us.length) + " Name",
         us((c + 7) % us.length), us((c + 7) % us.length) + " Name",
+        "NZ", s"Region ${c % 4}", s"City ${c % 10}",
         "ACC1", "Account One", java.time.LocalDateTime.of(2024, 1, 1, 0, 0))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), ReferenceCatalog.clientDimension)
@@ -131,7 +177,7 @@ object FixtureGen {
     def dec(x: Int) = new java.math.BigDecimal(x).setScale(2)
     val measures = Seq("Productivity", "SLA", "Productivity SLA")
     val rows = (0 until nItems by 3).map { w =>
-      Row(f"W$w%03d", "Repeats", measures(rnd.nextInt(3)),
+      Row(f"W$w%03d", "Repeats", s"Project ${w % 7}", measures(rnd.nextInt(3)),
         dec(1 + rnd.nextInt(10)), dec(1 + rnd.nextInt(3)), dec(5 + rnd.nextInt(20)),
         java.time.LocalDateTime.of(2025, 8, 20, 6, 0), "sync-agent")
     }

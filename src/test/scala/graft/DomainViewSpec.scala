@@ -17,8 +17,11 @@ class DomainViewSpec extends SparkSuite {
   private lazy val details = FixtureGen.workItemDetails(spark)
     .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
   private lazy val budget = FixtureGen.budgetVsActual(spark)
-  private lazy val v5 = DomainViews.v5(te, details, budget,
-    FixtureGen.clientDimension(spark), FixtureGen.userDimension(spark))
+  private lazy val corrected = DomainViews.corrected(budget, details)
+  private lazy val v5 = DomainViews.v5(te, details, corrected,
+    FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+    FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+    FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
 
   test("dedup cleanup keeps exactly one row per (TIME_ENTRY_ID, REPORTING_DATE), newest ingestion") {
     assert(rawTe.count() > te.count()) // fixtures plant dup ingestions
@@ -40,8 +43,9 @@ class DomainViewSpec extends SparkSuite {
     assert(latestClean.groupBy("WORK_ITEM_ID").count().filter(col("count") > 1).isEmpty)
   }
 
-  test("v5 grain is (WORK_ITEM_ID, USER_NAME) with no duplicates") {
-    assert(v5.groupBy("WORK_ITEM_ID", "USER_NAME").count().filter(col("count") > 1).isEmpty)
+  test("v5 grain is (WORK_ITEM_ID, budget_user_name) with no duplicates") {
+    assert(v5.groupBy("WORK_ITEM_ID", "budget_user_name").count()
+      .filter(col("count") > 1).isEmpty)
   }
 
   test("sum of individual hours equals the work-item total (verify_view_deduplication.sql:164-194)") {
@@ -55,43 +59,52 @@ class DomainViewSpec extends SparkSuite {
     assert(joined.filter(abs(col("exp_total") - col("got_total")) > 0.01).isEmpty)
   }
 
-  test("budget dedup: replicated sync rows collapse to the latest allocation set") {
-    val ibs = DomainViews.individualBudgetSummary(budget)
-    // expected winner per allocation: lexicographic max of (sync date, minutes)
-    // — an independent spelling of the window dedup's (date DESC, minutes DESC)
-    val expected = budget
+  test("budget dedup: the 7-column window keeps one row per allocation amount (…v5.sql:78-81)") {
+    val ibs = DomainViews.individualBudgetSummary(corrected)
+    // independent spelling: identical (item/user/task/role/budget-amount)
+    // tuples collapse to one regardless of how many syncs re-stated them,
+    // and BUDGETED_MINUTES being a partition key makes the sum key-stable
+    val expected = corrected
       .filter(col("USER_NAME").isNotNull && col("BUDGETED_MINUTES") > 0)
-      .groupBy("WORK_ITEM_ID", "USER_NAME", "TASK_TYPE", "ROLE_NAME")
-      .agg(max(struct(
-        coalesce(col("REPORTING_DATE"), lit("1900-01-01").cast("date")).as("d"),
-        col("BUDGETED_MINUTES").as("m"))).getField("m").as("m"))
+      .select("WORK_ITEM_ID", "USER_ID", "USER_NAME", "TASK_TYPE_ID", "ROLE_ID",
+        "BUDGETED_MINUTES", "BUDGETED_COST")
+      .distinct()
       .groupBy("WORK_ITEM_ID", "USER_NAME")
-      .agg((sum("m") / 60.0).as("exp_hours"))
+      .agg(sum("BUDGETED_MINUTES").as("exp_minutes"))
     val joined = ibs.join(expected, Seq("WORK_ITEM_ID", "USER_NAME"), "full_outer")
-    assert(joined.filter(col("individual_budgeted_hours").isNull || col("exp_hours").isNull ||
-      abs(col("individual_budgeted_hours") - col("exp_hours")) > 1e-9).isEmpty)
+    assert(joined.filter(col("total_individual_budgeted_minutes").isNull ||
+      col("exp_minutes").isNull ||
+      col("total_individual_budgeted_minutes") =!= col("exp_minutes")).isEmpty)
   }
 
-  test("NULL USER_NAME rows are excluded from summaries (…v5.sql:83-84)") {
-    assert(v5.filter(col("USER_NAME").isNull).isEmpty)
+  test("anonymous (NULL-user) time rows surface in v5 but their time attaches to no one") {
+    // the reference's summaries keep the NULL-user group; the name-equality
+    // joins then drop its hours — the variance the diagnostics hunt for
+    val anon = v5.filter(col("budget_user_name").isNull)
+    assert(anon.count() > 0)
+    assert(anon.filter(col("individual_hours_logged_actual") =!= 0.0 ||
+      col("has_individual_budget") || col("has_individual_time_logged")).isEmpty)
   }
 
-  test("budget-only users appear with NO time and time-only users with NO_INDIVIDUAL_BUDGET") {
-    val budgetOnly = v5.filter(col("individual_hours_logged_actual") === 0.0 &&
-      col("individual_budgeted_hours").isNotNull)
-    val timeOnly = v5.filter(col("individual_budget_status") === "NO_INDIVIDUAL_BUDGET" &&
+  test("budget-only users appear with NO time and time-only users with NO_BUDGET") {
+    val budgetOnly = v5.filter(col("has_individual_budget") &&
+      col("individual_hours_logged_actual") === 0.0)
+    val timeOnly = v5.filter(col("budget_source") === "NO_BUDGET" &&
       col("individual_hours_logged_actual") > 0)
     assert(budgetOnly.count() > 0 && timeOnly.count() > 0)
   }
 
   test("utilization and status ladder agree on the domain shape") {
     val bad = v5.filter(
-      (col("individual_budget_status") === "OVER_BUDGET" && col("individual_utilization_pct") <= 100.0) ||
-        (col("individual_budget_status") === "UNDER_BUDGET" && col("individual_utilization_pct") >= 80.0))
+      (col("individual_budget_status") === "OVER_BUDGET" &&
+        col("individual_budget_utilization_percentage") <= 100.0) ||
+        (col("individual_budget_status") === "WITHIN_BUDGET" &&
+          col("individual_budget_utilization_percentage") > 80.0) ||
+        (col("individual_budget_status") === "NO_INDIVIDUAL_BUDGET_SET" &&
+          col("individual_budget_utilization_percentage").isNotNull))
     assert(bad.isEmpty)
   }
 
-  private lazy val corrected = DomainViews.corrected(budget, details)
   private lazy val v4 = DomainViews.v4(details, te,
     FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
     FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),

@@ -1,0 +1,116 @@
+package graft
+
+import graft.functions.BigQueryDialect
+import graft.sources.FixtureGen
+import graft.views.DomainViews
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end: the reference's ACTUAL view SQL files (read verbatim from
+  * /root/reference, reduced only by the mechanical `viewText` rewrites and a
+  * pinned clock) run through the BigQuery dialect shim against the domain
+  * fixtures, and the result must equal the native DataFrame implementation
+  * in `DomainViews` as a multiset, column set included.
+  */
+class ReferenceSqlSpec extends SparkSuite {
+
+  private val refDir = "/root/reference"
+  private val asOf = "2025-09-01 00:00:00"
+
+  private lazy val te = DomainViews.timeEntryDedupCleanup(FixtureGen.timeEntries(spark))
+  private lazy val details = FixtureGen.workItemDetails(spark)
+    .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+  private lazy val budget = FixtureGen.budgetVsActual(spark)
+  private lazy val corrected = DomainViews.corrected(budget, details)
+
+  private def registerAll(): Unit = {
+    te.createOrReplaceTempView("USER_TIME_ENTRY_BQ")
+    details.createOrReplaceTempView("WORK_ITEM_DETAILS_BQ")
+    budget.createOrReplaceTempView("WORK_ITEM_BUDGET_VS_ACTUAL_BQ")
+    FixtureGen.productivityRepeats(spark).createOrReplaceTempView("PRODUCTIVITY_REPEATS_SYNC")
+    FixtureGen.clientDimension(spark).createOrReplaceTempView("CLIENT_DIMENSION")
+    FixtureGen.clientGroupDimension(spark).createOrReplaceTempView("CLIENT_GROUP_DIMENSION")
+    FixtureGen.tenantTeamDimension(spark).createOrReplaceTempView("TENANT_TEAM_DIMENSION")
+    FixtureGen.tenantTeamMemberDimension(spark)
+      .createOrReplaceTempView("TENANT_TEAM_MEMBER_DIMENSION")
+    FixtureGen.userDimension(spark).createOrReplaceTempView("USER_DIMENSION")
+    // intermediate views are themselves inputs of downstream texts —
+    // register the verbatim-SQL versions so the whole DAG chains end-to-end
+    BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_details_latest_view.sql", Some(asOf))
+      .createOrReplaceTempView("WORK_ITEM_DETAILS_LATEST_VIEW")
+    BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_budget_vs_actual_corrected_view.sql", Some(asOf))
+      .createOrReplaceTempView("work_item_budget_vs_actual_corrected_view")
+  }
+
+  /** Multiset equality with identical column sets; `excluding` names columns
+    * whose reference spelling is nondeterministic (documented per test). */
+  private def assertEquivalent(sqlDf: DataFrame, native: DataFrame,
+      excluding: Seq[String] = Nil): Unit = {
+    assert(sqlDf.columns.sorted.toSeq == native.columns.sorted.toSeq,
+      s"column sets differ:\n sql-only: ${sqlDf.columns.diff(native.columns).mkString(",")}" +
+        s"\n native-only: ${native.columns.diff(sqlDf.columns).mkString(",")}")
+    val cols = sqlDf.columns.filterNot(excluding.contains).sorted.map(col).toIndexedSeq
+    // localCheckpoint severs the shared fixture lineage — both plans read the
+    // same in-memory DataFrames and exceptAll trips over reused attribute ids
+    val a = sqlDf.select(cols: _*).localCheckpoint(true)
+    val b = native.select(cols: _*).localCheckpoint(true)
+    val onlySql = a.exceptAll(b).count()
+    val onlyNative = b.exceptAll(a).count()
+    assert(onlySql == 0 && onlyNative == 0,
+      s"multisets differ: $onlySql rows only in SQL run, $onlyNative only in native run")
+    assert(a.count() == b.count() && a.count() > 0)
+  }
+
+  test("corrected_view.sql verbatim ≡ DomainViews.corrected") {
+    registerAll()
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_budget_vs_actual_corrected_view.sql", Some(asOf))
+    assertEquivalent(sqlDf, corrected)
+  }
+
+  test("work_item_budget_time_tracking_view_v4.sql verbatim ≡ DomainViews.v4") {
+    registerAll()
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_budget_time_tracking_view_v4.sql", Some(asOf))
+    val native = DomainViews.v4(details, te,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+    // client_avg…: the reference orders its client-level window by bare
+    // REPORTING_DATE, so frame contents on tied dates are engine-chosen;
+    // the native plan adds a WORK_ITEM_ID tie-break (documented deviation)
+    assertEquivalent(sqlDf, native,
+      excluding = Seq("client_avg_budget_variance_3_months_hours"))
+  }
+
+  test("work_item_individual_budget_time_tracking_view_v5.sql verbatim ≡ DomainViews.v5") {
+    registerAll()
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_individual_budget_time_tracking_view_v5.sql", Some(asOf))
+    val native = DomainViews.v5(te, details, corrected,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+    assertEquivalent(sqlDf, native)
+  }
+
+  test("…v5_fallback.sql verbatim ≡ DomainViews.v5Fallback") {
+    registerAll()
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_individual_budget_time_tracking_view_v5_fallback.sql", Some(asOf))
+    val native = DomainViews.v5Fallback(te, details, corrected)
+    assertEquivalent(sqlDf, native)
+  }
+
+  test("work_item_details_latest_view.sql verbatim ≡ DomainViews.workItemDetailsLatest") {
+    registerAll()
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/work_item_details_latest_view.sql", Some(asOf))
+    // the latest view projects an explicit column list; align the native side
+    val native = DomainViews.workItemDetailsLatest(details)
+      .select(sqlDf.columns.map(col).toIndexedSeq: _*)
+    assertEquivalent(sqlDf, native)
+  }
+}
