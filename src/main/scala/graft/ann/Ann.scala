@@ -74,11 +74,23 @@ object Ann {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
-  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8): DataFrame = {
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket.
+    * `probes` > 0 widens recall multi-probe style — the query side also
+    * visits every bucket within hamming distance 1 (one flipped hyperplane
+    * bit); a neighbor lands in exactly one bucket, so no pair is generated
+    * twice. The candidate join still shuffles (bucket, id) pairs only —
+    * never vectors all-pairs — so the 100 TB story is unchanged, with
+    * candidate volume scaled by (1 + planes).
+    */
+  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, probes: Int = 0): DataFrame = {
     val withBucket = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))
-    val a = withBucket.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val probeBuckets =
+      if (probes <= 0) array(col("bucket"))
+      else array((col("bucket") +:
+        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val a = withBucket.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(probeBuckets).as("bucket"))
     val b = withBucket.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
     val scored = a.join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.merge.AtomicWriter
+import graft.sources.Tables
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Write-path operators (SURVEY §2.1 S5–S9, §2.10 ST3) surfaced as
+  * write-then-read-back queries so the sink semantics get driver CORRECTNESS
+  * rows, not just ScalaTest coverage: each query writes to a fresh temp
+  * directory, reads the table back, and the oracle states what the readers
+  * must see.
+  */
+object SinkQueries extends QueryModule {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val defs: Map[String, Q] = Map(
+    // S5: streaming-insert (append) sink — two appends accumulate
+    // (`snowflake_bq_sync Time details/main.py:128-131,181`).
+    "s5_append_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s5") + "/t"
+      val orders = Tables.orders(s, dir)
+      orders.filter(col("o_orderstatus") === "F").write.mode("append").parquet(path)
+      orders.filter(col("o_orderstatus") === "O").write.mode("append").parquet(path)
+      s.read.parquet(path)
+    }),
+
+    // S6: bulk-load sink — atomic overwrite then read back
+    // (`work_item_budget_vs_actual_…_sync_daily/main.py:262-288`; Spark is
+    // always bulk, the 100-row strategy switch disappears).
+    "s6_bulk_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s6") + "/t"
+      AtomicWriter.overwrite(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name"), col("c_acctbal")), path)
+      s.read.parquet(path)
+    }),
+
+    // S7: temp staging lifecycle — stage as a temp view, query through SQL,
+    // drop (`snowflake_bq_sync_daily Time Details/main.py:120-123,217-219`).
+    "s7_staging_roundtrip" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_staging_supplier")
+      val out = s.sql(
+        """SELECT s_nationkey, COUNT(*) AS n_suppliers, SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+          |FROM graft_staging_supplier GROUP BY s_nationkey""".stripMargin)
+        .localCheckpoint(true)
+      s.catalog.dropTempView("graft_staging_supplier")
+      out
+    }),
+
+    // S8: create-if-not-exists — the second (conflicting) write is skipped
+    // because the table already exists (`snowflake_bq_sync Time details/main.py:29-101`).
+    "s8_create_if_not_exists" -> ((s, dir) => {
+      val path = tmp("graft_s8") + "/t"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Tables.region(s, dir).write.parquet(path)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) // second create: no-op
+        Tables.nation(s, dir).write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    }),
+
+    // S9: date-partitioned sink — write partitioned, read back a pruned
+    // slice (`work_item_details_…_daily/main.py:161-162`, the partitioning
+    // the reference intended but left commented).
+    "s9_partition_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s9") + "/t"
+      Tables.lineitem(s, dir).write.partitionBy("l_returnflag").parquet(path)
+      s.read.parquet(path).filter(col("l_returnflag") === "R")
+    }),
+
+    // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
+    // replay must be idempotent because every micro-batch is MERGEd by key
+    // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
+    "st3_stream_upsert_roundtrip" -> ((s, dir) => {
+      val base = tmp("graft_st3")
+      val srcDir = base + "/src"; val tgt = base + "/target"
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+      ev.write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def run(): Unit =
+        Streaming.upsertSink(s.readStream.schema(schema).parquet(srcDir), tgt,
+          Seq("event_id"), None).start().awaitTermination()
+      run(); run() // second run replays every file; keys collapse to one row
+      s.read.parquet(tgt)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s5_append_roundtrip" ->
+      """SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "s7_staging_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+    "s8_create_if_not_exists" -> "SELECT * FROM region",
+    "s9_partition_roundtrip" ->
+      "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "st3_stream_upsert_roundtrip" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin
+  )
+}
