@@ -127,6 +127,43 @@ object Dedup {
           size(array_union(col("grams_a"), col("grams_b"))).cast("double")).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup groups (keep one doc per group). Iterative
+    * min-label propagation: every round each vertex adopts the smallest
+    * label among itself and its neighbors; converges in O(diameter) rounds
+    * (near-dup graphs are shallow — cliques and short chains).
+    *
+    * 100 TB story: no driver-side graph — each round is one shuffle keyed on
+    * vertex id, the per-round `isEmpty` convergence probe is an aggregate,
+    * and `localCheckpoint` truncates the otherwise-exponential plan lineage.
+    * Returns (doc_id, group_id) with group_id = smallest reachable doc id.
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
   /** Embedding near-dup pairs by exact cosine within a blocking key (the
     * IVF-style coarse partition; brute force within the block only).
     */

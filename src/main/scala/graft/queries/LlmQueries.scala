@@ -56,6 +56,27 @@ object LlmQueries extends QueryModule {
       Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
     }),
 
+    // dd6: connected components over verified near-dup pairs → dedup groups.
+    // Three-generation mutation families (doc → +suffix → +longer tail) give
+    // a transitive structure the pairwise view alone can't collapse.
+    "dd6_dup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fam = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      val m1 = fam.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" chain hop one extra suffix")).as("text"))
+      val m2 = fam.select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"),
+          lit(" chain hop one extra suffix and then a second longer tail of filler tokens"))
+          .as("text"))
+      val all = docs.unionByName(m1).unionByName(m2)
+      val base = fam.select(col("doc_id").as("i"))
+      val cand = base.select(col("i").as("id_a"), (col("i") + 200000).as("id_b"))
+        .unionByName(base.select(col("i").as("id_a"), (col("i") + 400000).as("id_b")))
+        .unionByName(base.select((col("i") + 200000).as("id_a"), (col("i") + 400000).as("id_b")))
+      val pairs = Dedup.ngramJaccard(cand, all, "doc_id", "text").filter(col("jaccard") >= 0.45)
+      Dedup.dupGroups(pairs)
+    }),
+
     // dd5: embedding near-dups — exact cosine within a coarse block.
     "dd5_embedding_dups" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -229,6 +250,25 @@ object LlmQueries extends QueryModule {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    "dd6_dup_groups" ->
+      s"""WITH RECURSIVE
+         |fam AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+         |all_docs AS (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL SELECT doc_id + 200000, text || ' chain hop one extra suffix' FROM fam
+         |UNION ALL SELECT doc_id + 400000, text || ' chain hop one extra suffix and then a second longer tail of filler tokens' FROM fam),
+         |g AS (SELECT doc_id, $GRAMS AS grams FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
+         |cand AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM fam
+         |UNION ALL SELECT doc_id, doc_id + 400000 FROM fam
+         |UNION ALL SELECT doc_id + 200000, doc_id + 400000 FROM fam),
+         |scored AS (SELECT id_a, id_b FROM cand
+         |JOIN g a ON a.doc_id = id_a JOIN g b ON b.doc_id = id_b
+         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         | / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.45),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored UNION SELECT id_b, id_a FROM scored),
+         |reach(id, label) AS (SELECT src, src FROM edges
+         |UNION SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id""".stripMargin,
     "dd5_embedding_dups" ->
       """WITH all_e AS (
         |SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings

@@ -161,6 +161,15 @@ object ScanProjQueries extends QueryModule {
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber LIMIT 500 OFFSET 1000",
     "s2_date_window" ->
       "SELECT * FROM lineitem WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'",
+    // S3: DuckDB's DESCRIBE with its type names mapped onto Spark's SQL type
+    // names (both engines read the same parquet footer)
+    "s3_schema_introspect" ->
+      """SELECT column_name,
+        |CASE column_type WHEN 'VARCHAR' THEN 'STRING' WHEN 'INTEGER' THEN 'INT'
+        |WHEN 'TIMESTAMP' THEN 'TIMESTAMP_NTZ' ELSE column_type END AS data_type,
+        |CAST(ROW_NUMBER() OVER () AS BIGINT) AS ordinal_position,
+        |"null" = 'YES' AS is_nullable
+        |FROM (DESCRIBE SELECT * FROM lineitem)""".stripMargin,
     "s4_whole_table" -> "SELECT * FROM customer",
     "p1_star_projection" ->
       """SELECT o_orderkey AS order_id, o_custkey AS client_id, o_orderstatus AS status,

@@ -56,6 +56,17 @@ class DedupAnnSpec extends SparkSuite {
     (0 until 5).foreach(i => assert(sigs(i.toLong) == sigs(i + 7000L)))
   }
 
+  test("dupGroups merges chains transitively, keeps components apart, survives deep chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val g = Dedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(g(_) == 1L))
+    assert(g(10L) == 10L && g(11L) == 10L)
+    // a diameter-11 chain needs several propagation rounds to converge
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val g2 = Dedup.dupGroups(chain).as[(Long, Long)].collect().toMap
+    assert((1L to 12L).forall(g2(_) == 1L))
+  }
+
   test("brute-force ANN ranks an identical vector as the top neighbor") {
     val emb = sf("embeddings")
     val clones = emb.filter(col("vec_id") < 3)
