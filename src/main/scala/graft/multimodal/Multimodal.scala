@@ -61,4 +61,47 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         min(col("header_be32")).as("min_header"),
         max(col("header_be32")).as("max_header"))
+
+  case class ResizedMedia(doc_id: Long, media_type: String, n_bytes: Long,
+      thumb: Array[Byte], thumb_bytes: Long)
+
+  /** The "resize" stage (image → thumbnail): same per-partition batch slot as
+    * [[decodeStub]]; the stub resamples every other byte to a fixed-size
+    * payload where a real codec would decode-scale-reencode. Map-side only —
+    * the original payload never shuffles, and the projection that moves on is
+    * the (smaller) thumbnail.
+    */
+  def resizeStub(spark: SparkSession, media: DataFrame, outBytes: Int = 8): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { r =>
+        val thumb = Array.tabulate(outBytes)(i => r.payload((i * 2) % r.payload.length))
+        ResizedMedia(r.doc_id, r.media_type, r.n_bytes, thumb, thumb.length.toLong)
+      }
+    }
+  }
+
+  case class FrameRecord(doc_id: Long, frame_no: Int, frame_payload: Array[Byte],
+      frame_checksum: Long)
+
+  /** The frame-sampling stage (video → k frames): one media row flatMaps into
+    * k frame rows inside the partition batch — the fan-out happens map-side
+    * with no shuffle, so at 100 TB frame extraction is scan-bound. The stub
+    * slices the payload per frame where a real demuxer would seek keyframes.
+    */
+  def frameSampleStub(spark: SparkSession, media: DataFrame, frames: Int = 4): Dataset[FrameRecord] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.filter(_.media_type == "video").flatMap { r =>
+        (0 until frames).iterator.map { f =>
+          val start = (f * r.payload.length) / frames
+          val end = ((f + 1) * r.payload.length) / frames
+          val payload = r.payload.slice(start, end)
+          val checksum = payload.foldLeft(1469598103934665603L)(
+            (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
+          FrameRecord(r.doc_id, f, payload, checksum)
+        }
+      }
+    }
+  }
 }

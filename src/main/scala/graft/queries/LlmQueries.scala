@@ -143,6 +143,16 @@ object LlmQueries extends QueryModule {
       Multimodal.featureStats(
         Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir))))),
 
+    // mm3: resize plumbing — per-partition batch thumbnail of the payload.
+    "mm3_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+        .toDF().drop("thumb")),
+
+    // mm4: frame sampling — video rows fan out into k frame rows map-side.
+    "mm4_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSampleStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
+        .toDF().drop("frame_payload")),
+
     // dq2: the quality-agent module over two tables with per-table
     // thresholds and a fixed as-of date (`data_quality_agent.py:29-48`).
     "dq2_quality_report" -> ((s, dir) => {

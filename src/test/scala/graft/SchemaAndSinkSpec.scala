@@ -94,6 +94,20 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!spark.catalog.tableExists("staging_region"))
   }
 
+  test("multimodal resize + frame sampling: map-side batch shapes, deterministic") {
+    val media = Multimodal.mediaTable(sf("documents"))
+    val thumbs = Multimodal.resizeStub(spark, media, outBytes = 8).toDF()
+    assert(thumbs.filter(col("thumb_bytes") =!= 8).count() == 0)
+    assert(thumbs.count() == media.count())
+    assert(thumbs.exceptAll(Multimodal.resizeStub(spark, media, outBytes = 8).toDF()).isEmpty)
+    val frames = Multimodal.frameSampleStub(spark, media, frames = 4).toDF()
+    val nVideo = media.filter(col("media_type") === "video").count()
+    assert(frames.count() == nVideo * 4)
+    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 4).isEmpty)
+    // no shuffle in the fan-out: plan has no Exchange
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("multimodal decode: batch shape is per-partition, features deterministic") {
     val media = Multimodal.mediaTable(sf("documents"))
     val feats = Multimodal.decodeStub(spark, media)
