@@ -146,6 +146,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // labels only ever decrease, so Σlabel is a strictly decreasing potential
+    // until the fixpoint — an unchanged sum IS convergence, probed with one
+    // aggregate instead of a self-join per round
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -156,8 +160,9 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      val nextSum = next.agg(sum(col("label"))).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -73,6 +73,26 @@ object ViewQueries extends QueryModule {
       val corrected = graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s), details)
       graft.views.DomainViews.v5Fallback(te, details, corrected)
+    }),
+
+    // the reference's verification corpus reduced to flagged-row counts
+    // (`verify_view_deduplication.sql`; ScalaTest asserts the checks flag
+    // exactly the planted pathologies)
+    "ref_view_check_summary" -> ((s, _) => {
+      val te = graft.views.DomainViews.timeEntryDedupCleanup(
+        graft.sources.FixtureGen.timeEntries(s))
+      val details = graft.sources.FixtureGen.workItemDetails(s)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+      val corrected = graft.views.DomainViews.corrected(
+        graft.sources.FixtureGen.budgetVsActual(s), details)
+      val v5 = graft.views.DomainViews.v5(te, details, corrected,
+        graft.sources.FixtureGen.productivityRepeats(s),
+        graft.sources.FixtureGen.clientGroupDimension(s),
+        graft.sources.FixtureGen.clientDimension(s),
+        graft.sources.FixtureGen.tenantTeamDimension(s),
+        graft.sources.FixtureGen.tenantTeamMemberDimension(s),
+        graft.sources.FixtureGen.userDimension(s))
+      graft.quality.ViewVerification.summary(details, corrected, v5)
     })
   )
 

@@ -166,6 +166,32 @@ class DomainViewSpec extends SparkSuite {
     assert(sums.filter(abs(col("sum_est") - col("work_item_total_budgeted_minutes")) > 0.01).isEmpty)
   }
 
+  test("verification corpus: checks flag exactly the planted pathologies (verify_view_deduplication.sql)") {
+    import graft.quality.ViewVerification
+    // check 4: the deduplicated V5 grain is clean
+    assert(ViewVerification.v5GrainDups(v5).isEmpty)
+    // check 3: the replicated-sync pathology IS flagged pre-dedup
+    assert(ViewVerification.budgetDupRows(corrected).count() > 0)
+    // check 7: items flagged for time variance are exactly those with
+    // anonymous (NULL-user) entries — the hours the name-joins drop
+    val anonItems = te.filter(col("USER_NAME").isNull && col("WORK_ITEM_ID").isNotNull)
+      .select(col("WORK_ITEM_ID")).distinct()
+    val flagged = ViewVerification.timeConsistency(v5).select("WORK_ITEM_ID")
+    assert(flagged.join(anonItems, Seq("WORK_ITEM_ID"), "left_anti").isEmpty)
+    assert(flagged.count() > 0)
+    // check 10: the status census partitions every record
+    val h = ViewVerification.healthSummary(v5).head()
+    val statuses = Seq("over_budget_count", "approaching_budget_count",
+      "within_budget_count", "no_budget_count").map(c => h.getAs[Long](c)).sum
+    assert(statuses == h.getAs[Long]("total_records"))
+    // checks 1/8/9 run and return rows
+    assert(ViewVerification.freshness(details, te, corrected).count() == 3)
+    assert(ViewVerification.coverageSummary(v5).count() == 1)
+    assert(ViewVerification.recentActivity(v5).count() > 0)
+    assert(ViewVerification.detailsDupGroups(details).count() > 0)
+    assert(ViewVerification.budgetConsistency(v5).count() > 0)
+  }
+
   test("fallback: provenance and the disjunctive join branch (J12) both surface") {
     // actual + estimated sources are mutually exclusive per work item
     val mixed = fallback.filter(col("budget_source").isNotNull)
