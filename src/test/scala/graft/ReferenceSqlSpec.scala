@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.BigQueryDialect
+import graft.quality.ViewVerification
 import graft.sources.FixtureGen
 import graft.views.DomainViews
 import org.apache.spark.sql.DataFrame
@@ -102,6 +103,27 @@ class ReferenceSqlSpec extends SparkSuite {
       s"$refDir/work_item_individual_budget_time_tracking_view_v5_fallback.sql", Some(asOf))
     val native = DomainViews.v5Fallback(te, details, corrected)
     assertEquivalent(sqlDf, native)
+  }
+
+  test("verify_view_deduplication.sql verbatim checks 4/8/10 ≡ ViewVerification") {
+    registerAll()
+    val v5 = DomainViews.v5(te, details, corrected,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+    v5.createOrReplaceTempView("WORK_ITEM_INDIVIDUAL_BUDGET_TIME_TRACKING_VIEW_V5")
+    val stmts = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$refDir/verify_view_deduplication.sql")).split(";")
+    def run(marker: String): DataFrame = {
+      val stmt = stmts.find(_.contains(marker)).get
+      BigQueryDialect.sql(spark, BigQueryDialect.viewText(stmt, Some(asOf)))
+    }
+    // check 4: grain duplicates — both must be empty on the deduplicated view
+    assert(run("V5_VIEW_USER_WORK_ITEM_DUPLICATES").isEmpty)
+    assert(ViewVerification.v5GrainDups(v5).isEmpty)
+    // checks 8 and 10: single-row summaries, exact equality
+    assertEquivalent(run("'VIEW_COVERAGE_SUMMARY'"), ViewVerification.coverageSummary(v5))
+    assertEquivalent(run("'VIEW_HEALTH_SUMMARY'"), ViewVerification.healthSummary(v5))
   }
 
   test("work_item_details_latest_view.sql verbatim ≡ DomainViews.workItemDetailsLatest") {
