@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.views.ViewDag
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, substring}
 
 /** The analytics view DAG (`latest → corrected → V4 → V5 + fallback`) as
   * verifiable queries — the reference's product surface (SURVEY.md §3.2).
@@ -73,6 +73,22 @@ object ViewQueries extends QueryModule {
       val corrected = graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s), details)
       graft.views.DomainViews.v5Fallback(te, details, corrected)
+    }),
+
+    // §3.3 cross-system reconciliation on reference names: per-table
+    // would-delete counts for work items that vanished from the source
+    // system (`snowflake_bq_deduplication_sync.py:95-165,234-314`)
+    "ref_reconciliation" -> ((s, _) => {
+      val details = graft.sources.FixtureGen.workItemDetails(s)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+      val tables = graft.quality.Reconciliation.Tables(
+        details,
+        graft.sources.FixtureGen.budgetVsActual(s),
+        graft.sources.FixtureGen.timeEntries(s))
+      // simulated drift: every 41st work item no longer exists in the source
+      val source = details.select(col("WORK_ITEM_ID")).distinct()
+        .filter(!(pmod(substring(col("WORK_ITEM_ID"), 2, 3).cast("int"), lit(41)) === 0))
+      graft.quality.Reconciliation.cleanupReport(source, tables)
     }),
 
     // the reference's verification corpus reduced to flagged-row counts

@@ -8,6 +8,38 @@ import org.apache.spark.sql.functions._
 class QualitySpec extends SparkSuite {
   import spark.implicits._
 
+  test("reconciliation: orphans/missing detected; live cleanup matches the dry-run report") {
+    import graft.quality.Reconciliation
+    import graft.sources.FixtureGen
+    val details = FixtureGen.workItemDetails(spark)
+      .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+    val tables = Reconciliation.Tables(details,
+      FixtureGen.budgetVsActual(spark), FixtureGen.timeEntries(spark))
+    val isDrifted = pmod(substring(col("WORK_ITEM_ID"), 2, 3).cast("int"), lit(41)) === 0
+    val source = details.select(col("WORK_ITEM_ID")).distinct().filter(!isDrifted)
+      .unionByName(Seq("W998", "W999").toDF("WORK_ITEM_ID")) // only-in-source items
+
+    val a = Reconciliation.analyze(source, details.select("WORK_ITEM_ID")).head()
+    // 300 items, every 41st drifted: 0,41,...,287 → 8 orphans; 2 missing
+    assert(a.getAs[Long]("orphaned_in_bigquery") == 8)
+    assert(a.getAs[Long]("missing_in_bigquery") == 2)
+    assert(a.getAs[Long]("bigquery_work_items") == 300)
+
+    val report = Reconciliation.cleanupReport(source, tables)
+      .as[(String, Long)].collect().toMap
+    val cleaned = Reconciliation.cleanup(source, tables)
+    // live deletions equal the dry-run counts, table by table
+    assert(details.count() - cleaned.details.count() == report("WORK_ITEM_DETAILS_BQ"))
+    assert(tables.budget.count() - cleaned.budget.count() == report("WORK_ITEM_BUDGET_VS_ACTUAL_BQ"))
+    assert(tables.timeEntries.count() - cleaned.timeEntries.count() == report("USER_TIME_ENTRY_BQ"))
+    // no orphaned item survives anywhere; NULL-key rows are preserved
+    assert(cleaned.details.filter(isDrifted).isEmpty)
+    assert(cleaned.budget.filter(isDrifted).isEmpty)
+    assert(cleaned.timeEntries.filter(isDrifted).isEmpty)
+    assert(cleaned.timeEntries.filter(col("WORK_ITEM_ID").isNull).count() ==
+      tables.timeEntries.filter(col("WORK_ITEM_ID").isNull).count())
+  }
+
   test("quality checks flag row-floor, null-rate, dup-rate and freshness breaches") {
     val good = Seq.tabulate(50)(i => (i.toLong, s"v$i", "2024-01-30"))
       .toDF("k", "v", "d").withColumn("d", col("d").cast("date"))
