@@ -166,6 +166,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent cap would return half-merged groups as if they were final
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroups did not converge within $maxIter rounds; raise maxIter " +
+          "(graph diameter exceeds the round budget)")
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
