@@ -75,6 +75,16 @@ object ViewQueries extends QueryModule {
       graft.views.DomainViews.v5Fallback(te, details, corrected)
     }),
 
+    // `work_item_x_user_time_view.sql` second view: W2 exactly-one-latest
+    // (row_number, not tie-keeping) + P2 EXCEPT(col) under each time entry
+    "ref_user_time_detail_domain" -> ((s, _) => {
+      val te = graft.views.DomainViews.timeEntryDedupCleanup(
+        graft.sources.FixtureGen.timeEntries(s))
+      graft.views.DomainViews.workItemUserTimeDetail(te,
+        graft.sources.FixtureGen.workItemDetails(s)
+          .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE"))
+    }),
+
     // §3.3 cross-system reconciliation on reference names: per-table
     // would-delete counts for work items that vanished from the source
     // system (`snowflake_bq_deduplication_sync.py:95-165,234-314`)

@@ -92,6 +92,49 @@ object DomainViews {
       .unionByName(its.select(col("WORK_ITEM_ID"), col("USER_ID"), col("USER_NAME")))
       .distinct()
 
+  /** `work_item_x_user_time_view.sql:1-27` (first view): time entries rolled
+    * up per (item, user, date, billable flag), enriched by ANY_VALUE picks
+    * over the UNFILTERED details join — the reference joins every snapshot,
+    * so snapshot-varying fields (PRIMARY_STATUS) are engine-chosen; the
+    * equality test excludes them.
+    */
+  def workItemXUserTime(timeEntries: DataFrame, details: DataFrame): DataFrame = {
+    val wi = details.select(col("WORK_ITEM_ID").as("wi_item_id"), col("WORK_TITLE"),
+      col("CLIENT"), col("PRIMARY_STATUS"), col("START_DATETIME"), col("DUE_DATETIME"),
+      col("ASSIGNED_TO"), col("BUDGETED_MINUTES"), col("WORK_TYPE"))
+    timeEntries.join(wi, col("WORK_ITEM_ID") === col("wi_item_id"), "left")
+      .groupBy(col("WORK_ITEM_ID"), col("USER_NAME"),
+        col("REPORTING_DATE").as("time_entry_date"), col("IS_BILLABLE"))
+      .agg(
+        any_value(col("WORK_TITLE")).as("work_item_title"),
+        any_value(col("CLIENT")).as("client_name"),
+        any_value(col("PRIMARY_STATUS")).as("status"),
+        any_value(col("START_DATETIME")).as("start_date"),
+        any_value(col("DUE_DATETIME")).as("due_date"),
+        any_value(col("ASSIGNED_TO")).as("assignee"),
+        (any_value(col("BUDGETED_MINUTES")) / 60.0).as("total_budget_hours"),
+        any_value(col("WORK_TYPE")).as("work_type"),
+        (sum(col("MINUTES")) / 60.0).as("hours_logged"))
+  }
+
+  /** `work_item_x_user_time_view.sql:29-52` (second view): W2's
+    * ROW_NUMBER-latest (exactly one row per item, unlike the tie-keeping
+    * latest view) dropped via P2's `* EXCEPT(row_num)`, LEFT JOINed under
+    * each time entry. */
+  def workItemUserTimeDetail(timeEntries: DataFrame, details: DataFrame): DataFrame = {
+    val latest = Core.latestSnapshot(details, Seq("WORK_ITEM_ID"), "REPORTING_DATE",
+      keepTies = false)
+      .select(col("WORK_ITEM_ID").as("wi_item_id"), col("WORK_TITLE"),
+        col("CLIENT").as("client_name"), col("WORK_TYPE"),
+        col("PRIMARY_STATUS").as("status"),
+        (col("BUDGETED_MINUTES") / 60.0).as("budget_hours"))
+    timeEntries.join(latest, col("WORK_ITEM_ID") === col("wi_item_id"), "left")
+      .select(col("WORK_ITEM_ID"), col("WORK_TITLE"), col("client_name"),
+        col("WORK_TYPE"), col("status"), col("budget_hours"),
+        col("USER_NAME"), col("REPORTING_DATE").as("time_entry_date"),
+        col("IS_BILLABLE"), (col("MINUTES") / 60.0).as("hours_logged"))
+  }
+
   /** `daily_sync.py:92-107` (M4): the post-merge duplicate cleanup — keep
     * the newest ingestion per (TIME_ENTRY_ID, REPORTING_DATE). */
   def timeEntryDedupCleanup(timeEntries: DataFrame): DataFrame =

@@ -126,6 +126,20 @@ class ReferenceSqlSpec extends SparkSuite {
     assertEquivalent(run("'VIEW_HEALTH_SUMMARY'"), ViewVerification.healthSummary(v5))
   }
 
+  test("work_item_x_user_time_view.sql verbatim (both views) ≡ DomainViews") {
+    registerAll()
+    val stmts = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$refDir/work_item_details_pipeline/work_item_x_user_time_view.sql")).split(";")
+      .filter(_.trim.nonEmpty)
+    val sqlV1 = BigQueryDialect.sql(spark, BigQueryDialect.viewText(stmts(0), Some(asOf)))
+    // PRIMARY_STATUS varies across the UNFILTERED snapshot join, so the
+    // reference's ANY_VALUE pick of `status` is engine-chosen — excluded
+    assertEquivalent(sqlV1, DomainViews.workItemXUserTime(te, details),
+      excluding = Seq("status"))
+    val sqlV2 = BigQueryDialect.sql(spark, BigQueryDialect.viewText(stmts(1), Some(asOf)))
+    assertEquivalent(sqlV2, DomainViews.workItemUserTimeDetail(te, details))
+  }
+
   test("work_item_details_latest_view.sql verbatim ≡ DomainViews.workItemDetailsLatest") {
     registerAll()
     val sqlDf = BigQueryDialect.runViewFile(spark,
