@@ -135,8 +135,9 @@ object BigQueryDialect {
     s = s.replaceAll("`[\\w.-]+\\.(\\w+)`", "$1")
     s = s.replaceAll(";\\s*$", "")
     asOf.foreach { ts =>
-      s = s.replaceAll("(?i)CURRENT_TIMESTAMP\\(\\)",
-        s"CAST('$ts' AS TIMESTAMP_NTZ)")
+      s = s.replaceAll("(?i)CURRENT_TIMESTAMP\\(\\)", s"CAST('$ts' AS TIMESTAMP_NTZ)")
+      s = s.replaceAll("(?i)CURRENT_DATETIME\\(\\)", s"CAST('$ts' AS TIMESTAMP_NTZ)")
+      s = s.replaceAll("(?i)CURRENT_DATE\\(\\)", s"CAST('${ts.take(10)}' AS DATE)")
     }
     s
   }

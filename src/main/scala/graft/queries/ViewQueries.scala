@@ -101,6 +101,23 @@ object ViewQueries extends QueryModule {
       graft.quality.Reconciliation.cleanupReport(source, tables)
     }),
 
+    // the reference's daily monitoring dashboard (`pipeline_monitoring.sql`):
+    // three-section tagged-union health report on reference table names
+    "ref_pipeline_monitoring" -> ((s, _) => {
+      val te = graft.views.DomainViews.timeEntryDedupCleanup(
+        graft.sources.FixtureGen.timeEntries(s))
+      val details = graft.sources.FixtureGen.workItemDetails(s)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+      val v4 = graft.views.DomainViews.v4(details, te,
+        graft.sources.FixtureGen.productivityRepeats(s),
+        graft.sources.FixtureGen.clientGroupDimension(s),
+        graft.sources.FixtureGen.clientDimension(s),
+        graft.sources.FixtureGen.tenantTeamDimension(s),
+        graft.sources.FixtureGen.tenantTeamMemberDimension(s),
+        graft.sources.FixtureGen.userDimension(s))
+      graft.quality.Monitoring.report(details, te, v4)
+    }),
+
     // the reference's verification corpus reduced to flagged-row counts
     // (`verify_view_deduplication.sql`; ScalaTest asserts the checks flag
     // exactly the planted pathologies)

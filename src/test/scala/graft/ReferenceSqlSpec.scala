@@ -140,6 +140,18 @@ class ReferenceSqlSpec extends SparkSuite {
     assertEquivalent(sqlV2, DomainViews.workItemUserTimeDetail(te, details))
   }
 
+  test("pipeline_monitoring.sql verbatim ≡ Monitoring.report") {
+    registerAll()
+    val v4 = DomainViews.v4(details, te,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+    v4.createOrReplaceTempView("WORK_ITEM_BUDGET_TIME_TRACKING_VIEW_V4")
+    val sqlDf = BigQueryDialect.runViewFile(spark,
+      s"$refDir/pipeline_monitoring.sql", Some(asOf))
+    assertEquivalent(sqlDf, graft.quality.Monitoring.report(details, te, v4))
+  }
+
   test("work_item_details_latest_view.sql verbatim ≡ DomainViews.workItemDetailsLatest") {
     registerAll()
     val sqlDf = BigQueryDialect.runViewFile(spark,
