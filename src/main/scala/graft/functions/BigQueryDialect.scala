@@ -29,54 +29,61 @@ object BigQueryDialect {
     case _ => None
   }
 
+  /** The dialect's function set as (identifier, info, builder) triples — the
+    * shared source for runtime registration ([[register]]) and session-start
+    * injection ([[GraftExtensions]]).
+    */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String) = new ExpressionInfo("graft.functions.BigQueryDialect", name)
+    Seq(
+      (FunctionIdentifier("safe_divide"), info("safe_divide"), {
+        case Seq(a, b) =>
+          If(Or(IsNull(b), EqualTo(b, Literal(0))), Literal.create(null, NullType), Divide(a, b))
+        case args => throw new IllegalArgumentException(s"safe_divide expects 2 args, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      (FunctionIdentifier("countif"), info("countif"), {
+        case Seq(p) => CountIf(p).toAggregateExpression()
+        case args => throw new IllegalArgumentException(s"countif expects 1 arg, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      // BigQuery arg order: DATE_DIFF(a, b, PART) = a - b in PART units.
+      (FunctionIdentifier("date_diff"), info("date_diff"), {
+        case Seq(a, b, p) => unit(p) match {
+          case Some("DAY") => DateDiff(a, b)
+          case Some("WEEK") => IntegralDivide(DateDiff(a, b), Literal(7L))
+          case Some("MONTH") => Cast(MonthsBetween(a, b, Literal(false)), org.apache.spark.sql.types.LongType)
+          case Some("YEAR") => Subtract(Year(a), Year(b))
+          case other => throw new IllegalArgumentException(s"date_diff: unsupported part $other")
+        }
+        case args => throw new IllegalArgumentException(s"date_diff expects 3 args, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      // DATETIME_DIFF(a, b, PART): whole-unit difference of the epoch seconds
+      // (BigQuery counts part boundaries; for HOUR/MINUTE/SECOND on aligned
+      // timestamps the results coincide — deviation documented).
+      (FunctionIdentifier("datetime_diff"), info("datetime_diff"), {
+        case Seq(a, b, p) =>
+          val secs = Subtract(UnixTimestamp(a, Literal("yyyy-MM-dd HH:mm:ss")),
+            UnixTimestamp(b, Literal("yyyy-MM-dd HH:mm:ss")))
+          unit(p) match {
+            case Some("HOUR") => IntegralDivide(secs, Literal(3600L))
+            case Some("MINUTE") => IntegralDivide(secs, Literal(60L))
+            case Some("SECOND") => secs
+            case other => throw new IllegalArgumentException(s"datetime_diff: unsupported part $other")
+          }
+        case args => throw new IllegalArgumentException(s"datetime_diff expects 3 args, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      (FunctionIdentifier("generate_uuid"), info("generate_uuid"), {
+        case Seq() => Uuid()
+        case args => throw new IllegalArgumentException(s"generate_uuid expects 0 args, got ${args.length}")
+      }: Seq[Expression] => Expression))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-
-    def info(name: String) = new ExpressionInfo("graft.functions.BigQueryDialect", name)
-
-    reg.registerFunction(FunctionIdentifier("safe_divide"), info("safe_divide"), {
-      case Seq(a, b) =>
-        If(Or(IsNull(b), EqualTo(b, Literal(0))), Literal.create(null, NullType), Divide(a, b))
-      case args => throw new IllegalArgumentException(s"safe_divide expects 2 args, got ${args.length}")
-    })
-
-    reg.registerFunction(FunctionIdentifier("countif"), info("countif"), {
-      case Seq(p) => CountIf(p).toAggregateExpression()
-      case args => throw new IllegalArgumentException(s"countif expects 1 arg, got ${args.length}")
-    })
-
-    // BigQuery arg order: DATE_DIFF(a, b, PART) = a - b in PART units.
-    reg.registerFunction(FunctionIdentifier("date_diff"), info("date_diff"), {
-      case Seq(a, b, p) => unit(p) match {
-        case Some("DAY") => DateDiff(a, b)
-        case Some("WEEK") => IntegralDivide(DateDiff(a, b), Literal(7L))
-        case Some("MONTH") => Cast(MonthsBetween(a, b, Literal(false)), org.apache.spark.sql.types.LongType)
-        case Some("YEAR") => Subtract(Year(a), Year(b))
-        case other => throw new IllegalArgumentException(s"date_diff: unsupported part $other")
-      }
-      case args => throw new IllegalArgumentException(s"date_diff expects 3 args, got ${args.length}")
-    })
-
-    // DATETIME_DIFF(a, b, PART): whole-unit difference of the epoch seconds
-    // (BigQuery counts part boundaries; for HOUR/MINUTE/SECOND on aligned
-    // timestamps the results coincide — deviation documented).
-    reg.registerFunction(FunctionIdentifier("datetime_diff"), info("datetime_diff"), {
-      case Seq(a, b, p) =>
-        val secs = Subtract(UnixTimestamp(a, Literal("yyyy-MM-dd HH:mm:ss")),
-          UnixTimestamp(b, Literal("yyyy-MM-dd HH:mm:ss")))
-        unit(p) match {
-          case Some("HOUR") => IntegralDivide(secs, Literal(3600L))
-          case Some("MINUTE") => IntegralDivide(secs, Literal(60L))
-          case Some("SECOND") => secs
-          case other => throw new IllegalArgumentException(s"datetime_diff: unsupported part $other")
-        }
-      case args => throw new IllegalArgumentException(s"datetime_diff expects 3 args, got ${args.length}")
-    })
-
-    reg.registerFunction(FunctionIdentifier("generate_uuid"), info("generate_uuid"), {
-      case Seq() => Uuid()
-      case args => throw new IllegalArgumentException(s"generate_uuid expects 0 args, got ${args.length}")
-    })
+    functions.foreach { case (id, fInfo, builder) => reg.registerFunction(id, fInfo, builder) }
   }
 
   /** Text pre-pass for parser-level dialect differences. Regex-based and

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.merge.{AtomicWriter, MergeInto}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout,
+  OutputMode, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming face of the incremental sync semantics
@@ -37,6 +38,40 @@ object Streaming {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("day_window.start").cast("date").as("day"), col("event_type"),
         col("event_cnt"), col("total_value"))
+
+  final case class TrackerEvent(sync_id: String, rows: Long, failed: Boolean)
+  final case class TrackerState(rows_processed: Long, batches: Long, failures: Long)
+  final case class TrackerRow(sync_id: String, rows_processed: Long, batches: Long,
+      failures: Long, status: String)
+
+  /** The sync-state tracker as streaming custom state (ref
+    * `main_paginated.py:78-99,177-184`: the `time_entry_sync_state` table's
+    * PENDING→PROCESSING→COMPLETED/FAILED rows, maintained per sync id as
+    * events arrive). `flatMapGroupsWithState` holds one small state record
+    * per key — running totals + failure count — and emits the refreshed
+    * tracker row each micro-batch, which is exactly what the reference's
+    * UPDATE-one-control-row (M8) writes. State is bounded by the number of
+    * live sync ids, not by event volume, so the operator is 100 TB-safe.
+    */
+  def trackerState(events: Dataset[TrackerEvent]): Dataset[TrackerRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.sync_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (syncId: String, batch: Iterator[TrackerEvent], state: GroupState[TrackerState]) =>
+          val prev = state.getOption.getOrElse(TrackerState(0L, 0L, 0L))
+          var rows = prev.rows_processed
+          var failures = prev.failures
+          batch.foreach { e =>
+            rows += e.rows
+            if (e.failed) failures += 1
+          }
+          val next = TrackerState(rows, prev.batches + 1, failures)
+          state.update(next)
+          val status = if (failures > 0) "FAILED" else "PROCESSING"
+          Iterator.single(TrackerRow(syncId, next.rows_processed, next.batches,
+            next.failures, status))
+      }
+  }
 
   /** ST3: upsert-on-arrival sink — every micro-batch is MERGEd into the
     * parquet target by key, making replays idempotent

@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
 class BigQueryDialectSpec extends SparkSuite {
   import spark.implicits._
 
+  test("GraftExtensions injects the dialect functions at session creation") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      // cleared active/default → getOrCreate builds a NEW session on the
+      // existing context and applies the builder's extensions
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT safe_divide(10, 0) AS z, countif(x > 1) AS c FROM VALUES (1),(2),(3) t(x)")
+        .head()
+      assert(row.isNullAt(0) && row.getLong(1) == 2L)
+    } finally {
+      SparkSession.setActiveSession(prev); SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("SAFE_DIVIDE / COUNTIF / DATE_DIFF run with BigQuery semantics") {
     sf("lineitem").createOrReplaceTempView("li")
     val out = BigQueryDialect.sql(spark,

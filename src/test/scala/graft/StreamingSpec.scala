@@ -20,10 +20,6 @@ class StreamingSpec extends SparkSuite {
     val events = input.toDF().toDF("ts0", "event_type", "value")
       .select(col("ts0").cast("timestamp").as("ts"), col("event_type"), col("value"))
 
-    val query = Streaming.dailyMetrics(events)
-      .writeStream.format("memory").queryName("daily_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-
     val rows = Seq(
       (Timestamp.valueOf("2024-01-01 01:00:00"), "click", 1.0),
       (Timestamp.valueOf("2024-01-01 02:00:00"), "click", 2.0),
@@ -31,7 +27,12 @@ class StreamingSpec extends SparkSuite {
       (Timestamp.valueOf("2024-01-02 01:00:00"), "click", 8.0),
       // watermark pusher: far-future event closes the earlier windows
       (Timestamp.valueOf("2024-02-01 00:00:00"), "late", 0.0))
+    // data must exist BEFORE an AvailableNow query starts: the trigger
+    // snapshots the available offsets at start and ignores later additions
     input.addData(rows)
+    val query = Streaming.dailyMetrics(events)
+      .writeStream.format("memory").queryName("daily_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.processAllAvailable()
     query.stop()
 
@@ -41,6 +42,33 @@ class StreamingSpec extends SparkSuite {
     assert(out.contains(("2024-01-01", "click", 2L, 3.0)))
     assert(out.contains(("2024-01-01", "view", 1L, 4.0)))
     assert(out.contains(("2024-01-02", "click", 1L, 8.0)))
+  }
+
+  test("tracker state accumulates per sync id across micro-batches (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Boolean)]
+    val events = input.toDS().map { case (id, n, f) => Streaming.TrackerEvent(id, n, f) }
+    val query = Streaming.trackerState(events)
+      .writeStream.format("memory").queryName("tracker_out")
+      .outputMode("update").start()
+
+    input.addData(Seq(("sync_a", 100L, false), ("sync_a", 50L, false), ("sync_b", 10L, false)))
+    query.processAllAvailable()
+    input.addData(Seq(("sync_a", 25L, false), ("sync_b", 5L, true)))
+    query.processAllAvailable()
+    query.stop()
+
+    // last emitted row per sync id carries the running totals
+    val out = spark.table("tracker_out")
+      .groupBy("sync_id").agg(
+        max(struct(col("batches"), col("rows_processed"), col("failures"), col("status")))
+          .as("last"))
+      .select(col("sync_id"), col("last.rows_processed"), col("last.batches"),
+        col("last.failures"), col("last.status"))
+      .as[(String, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(out("sync_a") == ((175L, 2L, 0L, "PROCESSING")))
+    assert(out("sync_b") == ((15L, 2L, 1L, "FAILED")))
   }
 
   test("ST3: foreachBatch upsert sink is idempotent under replay") {
