@@ -152,6 +152,78 @@ class ReferenceSqlSpec extends SparkSuite {
     assertEquivalent(sqlDf, graft.quality.Monitoring.report(details, te, v4))
   }
 
+  test("every statement of the diagnostic/validation/investigation corpora executes through the shim") {
+    registerAll()
+    // downstream views the corpora query — native plans, proven verbatim-
+    // equal above, checkpointed once so ~41 statements stay fast
+    val v4 = DomainViews.v4(details, te,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+      .localCheckpoint(true)
+    v4.createOrReplaceTempView("WORK_ITEM_BUDGET_TIME_TRACKING_VIEW_V4")
+    DomainViews.v5(te, details, corrected,
+      FixtureGen.productivityRepeats(spark), FixtureGen.clientGroupDimension(spark),
+      FixtureGen.clientDimension(spark), FixtureGen.tenantTeamDimension(spark),
+      FixtureGen.tenantTeamMemberDimension(spark), FixtureGen.userDimension(spark))
+      .localCheckpoint(true)
+      .createOrReplaceTempView("WORK_ITEM_INDIVIDUAL_BUDGET_TIME_TRACKING_VIEW_V5")
+    DomainViews.v5Fallback(te, details, corrected).localCheckpoint(true)
+      .createOrReplaceTempView("WORK_ITEM_INDIVIDUAL_BUDGET_TIME_TRACKING_VIEW_V5_FALLBACK")
+
+    // deploy_and_verify runs first: it redeploys the corrected view WITH the
+    // schedule_status extension the validation corpus then queries — the
+    // sweep chains CREATE OR REPLACE VIEW statements exactly like a user
+    // running the files in deployment order
+    val files = Seq(
+      "budget_diagnostic_queries.sql",
+      "missing_time_entries_diagnostic.sql",
+      "deploy_and_verify_corrected_view.sql",
+      "work_item_budget_vs_actual_validation_queries.sql",
+      "v5_budget_issue_investigation.sql",
+      "dashboard/date_analysis_queries.sql")
+    // broken in the reference itself: the CTE is declared `bq_current_filter`
+    // but referenced as `bq_current` — BigQuery rejects it identically
+    val knownBroken = Set("dashboard/date_analysis_queries.sql#3")
+    val createView = "(?is).*CREATE\\s+OR\\s+REPLACE\\s+VIEW\\s+`[\\w.-]+\\.(\\w+)`.*".r
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    var executed = 0
+    files.foreach { f =>
+      val stmts = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$refDir/$f"))
+        .split(";").map(_.trim)
+        .filter(s => s.nonEmpty && s.linesIterator.exists(l => !l.trim.startsWith("--") && l.trim.nonEmpty))
+      stmts.zipWithIndex.foreach { case (stmt, i) =>
+        if (!knownBroken.contains(s"$f#$i")) try {
+          val df = BigQueryDialect.sql(spark, BigQueryDialect.viewText(stmt, Some(asOf)))
+          stmt match {
+            case createView(name) =>
+              df.count()
+              // the deploy script projects BUDGETED_COST twice (raw :30,
+              // coalesced alias :67) — BigQuery rejects duplicate view
+              // columns, so deploying it forces a dedupe; keep the first
+              val cols = df.columns
+              val seen = scala.collection.mutable.Set.empty[String]
+              val keep = cols.zipWithIndex.filter { case (c, _) => seen.add(c.toLowerCase) }
+              val clean =
+                if (keep.length == cols.length) df
+                else {
+                  val tmp = df.toDF(cols.indices.map(i => s"__c$i"): _*)
+                  tmp.select(keep.map { case (c, i) => col(s"__c$i").as(c) }.toIndexedSeq: _*)
+                }
+              clean.createOrReplaceTempView(name)
+            case _ => df.count()
+          }
+          executed += 1
+        } catch {
+          case e: Throwable =>
+            failures += s"$f#$i: ${e.getMessage.linesIterator.take(2).mkString(" ")}"
+        }
+      }
+    }
+    assert(failures.isEmpty, s"$executed ok; failing statements:\n${failures.mkString("\n")}")
+    assert(executed >= 38, s"only $executed statements executed")
+  }
+
   test("work_item_details_latest_view.sql verbatim ≡ DomainViews.workItemDetailsLatest") {
     registerAll()
     val sqlDf = BigQueryDialect.runViewFile(spark,
