@@ -34,18 +34,27 @@ object Dedup {
   }
 
   /** MinHash signatures via explode + partial aggregation: one row per
-    * (doc, shingle), `numHashes` seeded xxhash64 columns, then per-doc MIN of
+    * (doc, shingle), `numHashes` seeded hash columns, then per-doc MIN of
     * each. Map-side combine collapses the explosion before the shuffle, so
     * at 100 TB the shuffle carries one 64-long vector per document — this is
     * the formulation that scales (the nested-lambda one recomputes the
     * shingle array per seed).
+    *
+    * `portableHash` swaps xxhash64 for the first 60 bits of md5 — ~3× the
+    * hash cost, but reproducible on any engine with md5 (DuckDB:
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), which buys the whole
+    * MinHash+LSH pipeline a cross-engine oracle.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, k: Int = 3): DataFrame = {
+      numHashes: Int = 64, k: Int = 3, portableHash: Boolean = false): DataFrame = {
+    def h(seed: Int): Column = {
+      val salted = concat(col("shingle"), lit(s"#$seed"))
+      if (portableHash) conv(substring(md5(salted), 1, 15), 16, 10).cast("long")
+      else xxhash64(salted)
+    }
     val exploded = df.select(col(idCol).as("doc"),
       explode(shingles(col(textCol), k)).as("shingle"))
-    val mins = (1 to numHashes).map(s =>
-      min(xxhash64(concat(col("shingle"), lit(s"#$s")))).as(s"h$s"))
+    val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
     exploded.groupBy(col("doc"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
@@ -57,12 +66,13 @@ object Dedup {
     * with id_a < id_b and estimated Jaccard ≥ `threshold`.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5, portableHash: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    val bandHashFn = if (portableHash) "md5" else "xxhash64"
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
+        s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))

@@ -35,6 +35,18 @@ object LlmQueries extends QueryModule {
         threshold = 0.5)
     }),
 
+    // dd2b: the SAME MinHash+LSH pipeline on the portable (md5-derived)
+    // hash, which a cross-engine oracle can reproduce end-to-end — banding,
+    // bucket collision and jaccard estimate all verified exactly.
+    "dd2b_minhash_portable" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" trailing mutation token")).as("text"))
+      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", "text", numHashes = 16,
+        bands = 4, threshold = 0.5, portableHash = true)
+    }),
+
     // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify).
     "dd3_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -260,6 +272,35 @@ object LlmQueries extends QueryModule {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    "dd2b_minhash_portable" -> {
+      val mins = (1 to 16).map(sd =>
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$sd'), 1, 15)) AS BIGINT)) AS h$sd")
+        .mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      def bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      s"""WITH all_docs AS (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000, text || ' trailing mutation token' FROM documents WHERE doc_id % 7 = 0),
+         |ex AS (SELECT doc_id AS doc,
+         |unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+         |  i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+         |FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
+         |mins AS (SELECT doc, $mins FROM ex GROUP BY doc),
+         |sigs AS (SELECT doc, $sigList AS sig FROM mins),
+         |banded AS (SELECT doc, sig, b AS band, CASE b $bandHash END AS band_hash
+         |FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs)
+         |SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+         |CAST(list_sum(list_transform(range(1, 17),
+         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard
+         |FROM banded a JOIN banded b
+         |ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+         |WHERE CAST(list_sum(list_transform(range(1, 17),
+         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5""".stripMargin
+    },
     "dd6_dup_groups" ->
       s"""WITH RECURSIVE
          |fam AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
