@@ -53,21 +53,26 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
-    * ±1 from xxhash64 — reproducible across runs and engines with xxhash64.
+    * ±1 from a hash parity — xxhash64 by default, or (portable) the low md5
+    * bit, which any engine with md5 reproduces.
     */
-  private def planeSign(plane: Int, dimIdx: Column): Column =
-    when((shiftrightunsigned(
-      xxhash64(concat(lit(s"plane$plane"), lit("_"), dimIdx.cast("string"))), 0)
-      .bitwiseAND(lit(1L))) === 1L, lit(1.0)).otherwise(lit(-1.0))
+  private def planeSign(plane: Int, dimIdx: Column, portable: Boolean): Column = {
+    val salted = concat(lit(s"plane$plane"), lit("_"), dimIdx.cast("string"))
+    val bit =
+      if (portable) conv(substring(md5(salted), 1, 15), 16, 10).cast("long").bitwiseAND(lit(1L))
+      else xxhash64(salted).bitwiseAND(lit(1L))
+    when(bit === 1L, lit(1.0)).otherwise(lit(-1.0))
+  }
 
   /** LSH bucket id from random-hyperplane signs. Dimension-agnostic: the
     * index sequence follows `size(emb)` so no dimension is silently dropped
     * (and shorter vectors never null the projection).
     */
-  def lshBucket(emb: Column, planes: Int = 16): Column = {
+  def lshBucket(emb: Column, planes: Int = 16, portableHash: Boolean = false): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (v, i) => v.cast("double") * planeSign(p, i)),
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (v, i) => v.cast("double") * planeSign(p, i, portableHash)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
@@ -82,9 +87,10 @@ object Ann {
     * never vectors all-pairs — so the 100 TB story is unchanged, with
     * candidate volume scaled by (1 + planes).
     */
-  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, probes: Int = 0): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
+      portableHash: Boolean = false): DataFrame = {
     val withBucket = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes, portableHash).as("bucket"))
     val probeBuckets =
       if (probes <= 0) array(col("bucket"))
       else array((col("bucket") +:

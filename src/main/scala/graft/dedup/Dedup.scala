@@ -85,18 +85,25 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash signatures: explode tokens, per-bit ±1 vote sums with
+  /** SimHash signatures: explode tokens, per-bit ±1 vote sums with
     * map-side combine, pack the sign bits into a bigint. Same scale shape as
-    * [[minhashSignatures]]: the shuffle carries 64 ints per doc.
+    * [[minhashSignatures]]: the shuffle carries one int per bit per doc.
+    * Default 64 bits from xxhash64; `portableHash` uses the 60 md5-derived
+    * bits any engine can reproduce (see minhashSignatures).
     */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      portableHash: Boolean = false): DataFrame = {
+    val bits = if (portableHash) 60 else 64
+    val hashCol =
+      if (portableHash) conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("tok"))
     val exploded = df
       .select(col(idCol).as("doc"), explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
-      .select(col("doc"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(j =>
+      .select(col("doc"), hashCol.as("h"))
+    val votes = (0 until bits).map(j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j"))
-    val packed = (0 until 64)
+    val packed = (0 until bits)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     exploded.groupBy(col("doc"))
@@ -104,13 +111,18 @@ object Dedup {
       .select(col("doc"), packed.as("sig"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band bucketing, verify by hamming
-    * distance ≤ maxHamming (bit_count of xor).
+  /** SimHash near-dup pairs: 4-band bucketing (16 bits per band, 15 in
+    * portable mode), verify by hamming distance ≤ maxHamming (bit_count of
+    * xor).
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      portableHash: Boolean = false): DataFrame = {
+    val bandBits = if (portableHash) 15 else 16
+    val mask = (1 << bandBits) - 1
+    val sigs = simhashSignatures(df, idCol, textCol, portableHash)
     val banded = sigs.select(col("doc"), col("sig"),
-      posexplode(expr("transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * 16) & 65535)")))
+      posexplode(expr(
+        s"transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * $bandBits) & $mask)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
     val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
     val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))

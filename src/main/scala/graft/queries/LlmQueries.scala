@@ -56,6 +56,17 @@ object LlmQueries extends QueryModule {
       Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxHamming = 3)
     }),
 
+    // dd3b: the SAME SimHash pipeline on the portable 60-bit md5 hash —
+    // votes, bit packing, banding and hamming verify all oracle-checked.
+    "dd3b_simhash_portable" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxHamming = 3,
+        portableHash = true)
+    }),
+
     // dd4: exact n-gram Jaccard verification on blocked candidate pairs.
     "dd4_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -108,6 +119,12 @@ object LlmQueries extends QueryModule {
     // ann2: random-hyperplane LSH bucketed approximate top-k (scale path).
     "ann2_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, planes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))),
+
+    // ann2b: the same hyperplane-LSH top-k with portable (md5-parity) plane
+    // signs — bucketing, candidate join and ranking all oracle-checked.
+    "ann2b_lsh_portable" -> ((s, dir) =>
+      Ann.lshTopK(Tables.embeddings(s, dir), k = 5, planes = 8, portableHash = true)
         .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))),
 
     // ann3: IVF-style exact search within the label block.
@@ -301,6 +318,29 @@ object LlmQueries extends QueryModule {
          |WHERE CAST(list_sum(list_transform(range(1, 17),
          |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5""".stripMargin
     },
+    "dd3b_simhash_portable" -> {
+      val votes = (0 until 60).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val packed = (0 until 60).map(j =>
+        s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+        .mkString(" + ")
+      s"""WITH all_docs AS (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000, text || ' zz' FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id AS doc, unnest(toks) AS t
+         |FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
+         |h AS (SELECT doc, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+         |votes AS (SELECT doc, $votes FROM h GROUP BY doc),
+         |sigs AS (SELECT doc, $packed AS sig FROM votes),
+         |banded AS (SELECT doc, sig, b AS band, (sig >> (b * 15)) & 32767 AS band_bits
+         |FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs)
+         |SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+         |bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM banded a JOIN banded b
+         |ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc < b.doc
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
+    },
     "dd6_dup_groups" ->
       s"""WITH RECURSIVE
          |fam AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
@@ -339,6 +379,24 @@ object LlmQueries extends QueryModule {
         |ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, neighbor_id) AS rank
         |FROM q, c WHERE query_id <> neighbor_id)
         |WHERE rank <= 5""".stripMargin,
+    "ann2b_lsh_portable" -> {
+      val sign = (p: Int) =>
+        s"CASE WHEN CAST(('0x' || substr(md5('plane${p}_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1 " +
+          "THEN 1.0 ELSE -1.0 END"
+      val bucket = (0 until 8).map { p =>
+        s"CASE WHEN list_sum(list_transform(range(0, len(emb)), i -> emb[i+1] * ${sign(p)})) > 0 " +
+          s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e)
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+         |SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, a.bucket,
+         |round(list_cosine_similarity(a.emb, c.emb), 6) AS cosine,
+         |ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |ORDER BY round(list_cosine_similarity(a.emb, c.emb), 6) DESC, c.vec_id) AS rank
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin
+    },
     "ann3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
         |SELECT query_id, neighbor_id, block, cosine, rank FROM (
