@@ -34,6 +34,28 @@ class MergeSpec extends SparkSuite {
     })
   }
 
+  test("partition-scoped merge ≡ full-table merge (property over random targets/sources)") {
+    import java.sql.Date
+    val genDated = Gen.listOfN(25, for {
+      k <- Gen.choose(0, 12); d <- Gen.choose(1, 4); seq <- Gen.choose(0, 5)
+    } yield (k, Date.valueOf(f"2024-01-0$d"), seq, s"v$k-$seq"))
+    def dated(rows: Seq[(Int, Date, Int, String)]) = rows.toDF("k", "d", "seq", "v")
+    checkProp(Prop.forAll(genDated, genDated) { (t, s) =>
+      // the merge key includes the date (the reference's fact grain); unique
+      // target keys so the expected full-table merge is well-defined, and v
+      // is a function of (k, seq) so within-source ties are value-identical
+      val target = dated(t).dropDuplicates("k", "d").localCheckpoint(true)
+      val source = dated(s)
+      val expected = MergeInto.merge(target, source, Seq("k", "d"), Some("seq"))
+      val path = tmpDir() + "/pmerge_prop"
+      Dml.overwritePartitions(target, path, Seq("d"))
+      MergeInto.mergePartitioned(spark, path, source, Seq("k", "d"), "d",
+        orderCol = Some("seq"))
+      val got = spark.read.parquet(path).select("k", "d", "seq", "v")
+      got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty
+    })
+  }
+
   test("merge latest-wins: highest seq per key survives; unmatched target rows kept") {
     val target = kv(Seq((1, 0, "old1"), (2, 0, "old2"), (3, 0, "keep3")))
     val source = kv(Seq((1, 1, "mid1"), (1, 2, "new1"), (2, 5, "new2")))
