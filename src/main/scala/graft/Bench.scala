@@ -28,10 +28,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-dp values: the driver parses the stdout TAIL, and full-precision
+    // doubles pushed the one-line JSON past its window in rounds 2 and 3
+    // (BENCH_r03 arrived unparseable) — ~30 bytes/query keeps 120+ queries
+    // inside it.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Full copy on disk: the driver captures only the stdout tail, which
     // truncated ~32 of 92 per-query times in round 2.

@@ -64,37 +64,55 @@ object Ann {
     when(bit === 1L, lit(1.0)).otherwise(lit(-1.0))
   }
 
-  /** LSH bucket id from random-hyperplane signs. Dimension-agnostic: the
-    * index sequence follows `size(emb)` so no dimension is silently dropped
-    * (and shorter vectors never null the projection).
+  /** Signed projections of `emb` onto each hyperplane, as a `planes`-long
+    * double array. Dimension-agnostic: the index sequence follows
+    * `size(emb)` so no dimension is silently dropped (and shorter vectors
+    * never null the projection).
     */
-  def lshBucket(emb: Column, planes: Int = 16, portableHash: Boolean = false): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
+  private def planeProjections(emb: Column, planes: Int, portable: Boolean): Column =
+    array((0 until planes).map { p =>
+      aggregate(
         zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v.cast("double") * planeSign(p, i, portableHash)),
+          (v, i) => v.cast("double") * planeSign(p, i, portable)),
         lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    }: _*)
+
+  private def bucketOf(projs: Column, planes: Int): Column =
+    (0 until planes)
+      .map(p => when(element_at(projs, p + 1) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH bucket id from random-hyperplane signs. */
+  def lshBucket(emb: Column, planes: Int = 16, portableHash: Boolean = false): Column =
+    bucketOf(planeProjections(emb, planes, portableHash), planes)
 
   /** LSH-bucketed approximate top-k: candidates share the query's bucket.
-    * `probes` > 0 widens recall multi-probe style — the query side also
-    * visits every bucket within hamming distance 1 (one flipped hyperplane
-    * bit); a neighbor lands in exactly one bucket, so no pair is generated
-    * twice. The candidate join still shuffles (bucket, id) pairs only —
-    * never vectors all-pairs — so the 100 TB story is unchanged, with
-    * candidate volume scaled by (1 + planes).
+    * `probes` = N > 0 widens recall multi-probe style: the query side also
+    * visits the N hamming-distance-1 buckets whose hyperplane projection is
+    * smallest in magnitude — the bits most likely to be on the wrong side of
+    * their plane — in classic query-directed probe order (capped at
+    * `planes`). A neighbor lands in exactly one bucket, so no pair is
+    * generated twice. The candidate join still shuffles (bucket, id) pairs
+    * only — never vectors all-pairs — so the 100 TB story is unchanged, with
+    * candidate volume scaled by (1 + probes).
     */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
       portableHash: Boolean = false): DataFrame = {
     val withBucket = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes, portableHash).as("bucket"))
+      planeProjections(col("embedding"), planes, portableHash).as("projs"))
+      .withColumn("bucket", bucketOf(col("projs"), planes))
+    // plane indices ordered by |projection| ascending (struct sort: margin
+    // first, index tiebreak), turned into single-bit flip masks
+    val flipMasks = slice(
+      transform(
+        array_sort(zip_with(col("projs"), sequence(lit(0), lit(planes - 1)),
+          (pr, i) => struct(abs(pr).as("m"), i.as("p")))),
+        s => pow(lit(2.0), s.getField("p")).cast("long")),
+      1, math.min(math.max(probes, 0), planes))
     val probeBuckets =
       if (probes <= 0) array(col("bucket"))
-      else array((col("bucket") +:
-        (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+      else concat(array(col("bucket")),
+        transform(flipMasks, m => col("bucket").bitwiseXOR(m)))
     val a = withBucket.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       explode(probeBuckets).as("bucket"))
     val b = withBucket.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))

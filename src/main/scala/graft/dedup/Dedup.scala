@@ -168,6 +168,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // "no near-dup pairs" is a normal outcome: SUM over zero rows is NULL and
+    // would NPE the unboxing below, so return the empty frame directly
+    if (labels.isEmpty)
+      return labels.select(col("id").as("doc_id"), col("label").as("group_id"))
     // labels only ever decrease, so Σlabel is a strictly decreasing potential
     // until the fixpoint — an unchanged sum IS convergence, probed with one
     // aggregate instead of a self-join per round

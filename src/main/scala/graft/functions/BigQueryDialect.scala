@@ -90,14 +90,32 @@ object BigQueryDialect {
     * deliberately narrow: it rewrites only the exact shapes the reference
     * uses (`…v4.sql:237`, `verify_view_deduplication.sql:70,238`).
     */
+  /** Rewrite bare decimal-point literals to `CAST(x AS DOUBLE)`, leaving
+    * single-quoted string contents and version-like tokens (`1.2.3`,
+    * `v1.2`) untouched: the matcher alternates over quoted segments (passed
+    * through verbatim) and candidate literals, so `'1.5 hrs'` survives even
+    * though this is also the front door for arbitrary user SQL.
+    */
+  private def castDecimalLiterals(sql: String): String = {
+    val p = java.util.regex.Pattern.compile("('(?:[^'])*')|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
+    val m = p.matcher(sql)
+    val out = new java.lang.StringBuilder
+    while (m.find()) {
+      val repl =
+        if (m.group(1) != null) m.group(1)
+        else "CAST(" + m.group(2) + " AS DOUBLE)"
+      m.appendReplacement(out, java.util.regex.Matcher.quoteReplacement(repl))
+    }
+    m.appendTail(out)
+    out.toString
+  }
+
   def translate(sql: String): String = {
     var s = sql
     // BigQuery types a decimal-point literal as FLOAT64; Spark's parser makes
     // it DECIMAL(p,s), which silently switches every `x / 60.0` to decimal
-    // arithmetic. Coerce to double for BQ semantics. (Caveat: a quoted string
-    // containing a decimal number would be rewritten too — none of the
-    // reference texts has one.)
-    s = s.replaceAll("\\b(\\d+\\.\\d+)\\b", "CAST($1 AS DOUBLE)")
+    // arithmetic. Coerce to double for BQ semantics.
+    s = castDecimalLiterals(s)
     // first-arg pattern tolerating one level of nested parens: MAX(x), CAST(x AS DATE), …
     val arg = "([^,()]*(?:\\([^()]*\\)[^,()]*)*)"
     // TIMESTAMP_ADD(x, INTERVAL n DAY) → (x + INTERVAL n DAY)

@@ -26,8 +26,14 @@ object Dml {
     * `work_item_details_…_daily/main.py:161-162`).
     *
     * Crash semantics: the file committer stages new files and publishes at
-    * job commit, so a touched partition is observed either fully-old or
-    * fully-new; untouched partitions are never opened.
+    * job commit, so on an atomic-rename filesystem (HDFS, local) a touched
+    * partition is observed fully-old or fully-new; untouched partitions are
+    * never opened. On object stores without atomic rename — or if the driver
+    * dies mid-commit — a touched partition CAN be observed partially-new;
+    * pair with a committer that gives the needed guarantee there. Callers
+    * that read the same path they overwrite must decouple the self-read
+    * (e.g. `localCheckpoint`, as [[MergeInto.mergePartitioned]] does) rather
+    * than rely on dynamic mode deferring deletes to commit time.
     */
   def overwritePartitions(updated: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     updated.write

@@ -116,6 +116,21 @@ object MergeInto {
         case None => source.dropDuplicates(keys)
       }
       Dml.overwritePartitions(deduped, targetPath, Seq(partitionCol))
+    } else if (!isPartitionedLayout(fs, targetPath, partitionCol)) {
+      // Layout guard: dynamic partition overwrite on a target previously
+      // written UNPARTITIONED (e.g. by AtomicWriter.overwrite / fullSync)
+      // would add partitionCol=… subdirectories while leaving the old
+      // root-level parquet files in place — read-back would then double-count
+      // every pre-existing row. Fall back to a full merge through the atomic
+      // write-and-swap, which also converts the target to the partitioned
+      // layout so subsequent merges take the scoped path.
+      val target = spark.read.parquet(targetPath)
+      val merged = audit match {
+        case Some(a) => mergeWithAudit(target, source, keys, a, orderCol)
+        case None =>
+          merge(target, source.select(target.columns.map(col).toIndexedSeq: _*), keys, orderCol)
+      }
+      AtomicWriter.overwrite(merged, targetPath, Seq(partitionCol))
     } else {
       val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
       val nonNull = touched.filter(_ != null)
@@ -128,8 +143,25 @@ object MergeInto {
         case None =>
           merge(pruned, source.select(pruned.columns.map(col).toIndexedSeq: _*), keys, orderCol)
       }
-      Dml.overwritePartitions(merged, targetPath, Seq(partitionCol))
+      // localCheckpoint decouples the self-read from the overwrite of the
+      // same path (the touched window only — bounded, not the whole target),
+      // rather than relying on dynamic mode deferring deletes to commit time.
+      Dml.overwritePartitions(merged.localCheckpoint(true), targetPath, Seq(partitionCol))
     }
+  }
+
+  /** A target directory is in partitioned layout iff it has `col=…`
+    * subdirectories and no stray root-level data files (a mixed layout means
+    * a previous unpartitioned writer touched it — treat as not partitioned).
+    */
+  private def isPartitionedLayout(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, partitionCol: String): Boolean = {
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+    val hasPartDirs =
+      entries.exists(e => e.isDirectory && e.getPath.getName.startsWith(partitionCol + "="))
+    val hasRootData =
+      entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    hasPartDirs && !hasRootData
   }
 }
 

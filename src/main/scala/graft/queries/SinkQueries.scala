@@ -42,8 +42,12 @@ object SinkQueries extends QueryModule {
     // drop (`snowflake_bq_sync_daily Time Details/main.py:120-123,217-219`).
     "s7_staging_roundtrip" -> ((s, dir) => {
       Tables.supplier(s, dir).createOrReplaceTempView("graft_staging_supplier")
+      // integer-cents sum: the 2-dp doubles sit off their decimal value
+      // (8752.13 ≈ 8752.1299…), so a cast to DECIMAL rounds differently
+      // across engines; ROUND(x*100) lands on the same integer everywhere
       val out = s.sql(
-        """SELECT s_nationkey, COUNT(*) AS n_suppliers, SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+        """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+          |SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS total_bal_cents
           |FROM graft_staging_supplier GROUP BY s_nationkey""".stripMargin)
         .localCheckpoint(true)
       s.catalog.dropTempView("graft_staging_supplier")
@@ -97,7 +101,7 @@ object SinkQueries extends QueryModule {
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s7_staging_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
-        |SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS total_bal
+        |SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS total_bal_cents
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "s8_create_if_not_exists" -> "SELECT * FROM region",
     "s9_partition_roundtrip" ->

@@ -68,6 +68,16 @@ class BigQueryDialectSpec extends SparkSuite {
     assert(t3.contains("listagg(DISTINCT n_name, ', ') WITHIN GROUP (ORDER BY n_name)"))
   }
 
+  test("decimal-literal coercion skips quoted strings and version-like tokens") {
+    val t = BigQueryDialect.translate("SELECT x / 60.0, '1.5 hrs used', 'v2.0' FROM t")
+    assert(t.contains("CAST(60.0 AS DOUBLE)"))
+    assert(t.contains("'1.5 hrs used'") && t.contains("'v2.0'"))
+    val v = BigQueryDialect.translate("SELECT '1.2.3' AS ver, note FROM t WHERE r > 0.5")
+    assert(v.contains("'1.2.3'") && v.contains("CAST(0.5 AS DOUBLE)"))
+    // dotted chains outside quotes are identifiers/versions, not literals
+    assert(BigQueryDialect.translate("SELECT a1.2.3x").contains("a1.2.3x"))
+  }
+
   test("a reference-shaped snippet runs end-to-end through the shim") {
     sf("lineitem").createOrReplaceTempView("li")
     // Shaped like `work_item_budget_time_tracking_view_v4.sql:71-74,237` +

@@ -65,6 +65,9 @@ class DedupAnnSpec extends SparkSuite {
     val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
     val g2 = Dedup.dupGroups(chain).as[(Long, Long)].collect().toMap
     assert((1L to 12L).forall(g2(_) == 1L))
+    // zero near-dup pairs is a normal production outcome, not a crash
+    val none = Dedup.dupGroups(pairs.filter(col("id_a") < 0))
+    assert(none.columns.toSeq == Seq("doc_id", "group_id") && none.isEmpty)
   }
 
   test("brute-force ANN ranks an identical vector as the top neighbor") {
@@ -109,9 +112,14 @@ class DedupAnnSpec extends SparkSuite {
       (0 until 100).count(i => top.get(i + 100000L).contains(i.toLong)) / 100.0
     }
     val single = recallAt1(Ann.lshTopK(all, k = 1, planes = 8, probes = 0))
-    val multi = recallAt1(Ann.lshTopK(all, k = 1, planes = 8, probes = 1))
-    assert(multi >= 0.8, s"multi-probe recall $multi < 0.8")
-    assert(multi >= single, s"multi-probe $multi should not lose to single-probe $single")
+    val directed = recallAt1(Ann.lshTopK(all, k = 1, planes = 8, probes = 2))
+    val full = recallAt1(Ann.lshTopK(all, k = 1, planes = 8, probes = 8))
+    assert(full >= 0.8, s"full multi-probe recall $full < 0.8")
+    assert(directed >= single, s"directed probes $directed should not lose to single-probe $single")
+    assert(full >= directed, s"widening probes should not lose recall: $full < $directed")
+    // query-directed probing: 2 margin-ordered probes should recover most of
+    // what flipping all 8 planes recovers
+    assert(directed >= full - 0.15, s"directed 2-probe recall $directed too far below full $full")
     // IVF: planted twin shares the label block, and in-block search is exact
     val ivf = recallAt1(Ann.ivfTopK(all, "label", k = 1))
     assert(ivf >= 0.99, s"IVF in-block recall $ivf < 0.99")
