@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + all executor threads in ONE JVM: 8g starved the
+  // 32-way shuffles at sf0.1 once checkpoint blocks accumulated (the box has
+  // 128 GiB; a real cluster would give each executor its own heap).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -26,7 +26,14 @@ object Bench {
       // prune the projections being measured) without write overhead.
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation between measurements: ~30 queries localCheckpoint eagerly,
+      // and those blocks pin storage memory until the async context cleaner
+      // runs — by late alphabet the heap pressure tripled some timings
+      // (v5_individual_budget: 53 s polluted vs 14 s clean).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sqlContext.clearCache()
+      name -> dt
     }
     // 3-dp values: the driver parses the stdout TAIL, and full-precision
     // doubles pushed the one-line JSON past its window in rounds 2 and 3

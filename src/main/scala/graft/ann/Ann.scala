@@ -34,9 +34,18 @@ object Ann {
     * irreproducible; 6 decimals is far below any meaningful similarity
     * difference and makes top-k deterministic everywhere (ties broken by
     * neighbor id).
+    *
+    * Computed by the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression (one fused loop inside whole-stage codegen) rather than the
+    * interpreted `aggregate`/`zip_with` chain — bit-identical result, no
+    * lambda dispatch or intermediate arrays on the hot path.
     */
-  def cosine(x: Column, y: Column): Column =
-    round(dot(x, y) / (l2norm(x) * l2norm(y)), 6)
+  def cosine(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    round(ColumnBridge.column(graft.functions.CosineSimilarity(
+      ColumnBridge.expression(x.cast("array<double>")),
+      ColumnBridge.expression(y.cast("array<double>")))), 6)
+  }
 
   /** Exact top-k neighbors for each query vector (brute force; queries are
     * expected to be a small broadcastable set).

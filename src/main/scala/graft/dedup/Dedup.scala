@@ -204,24 +204,15 @@ object Dedup {
     * IVF-style coarse partition; brute force within the block only).
     */
   def embeddingNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val norm = (x: Column) =>
-      sqrt(aggregate(transform(x, a => a.cast("double") * a.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
-    val withNorm = emb.select(col("vec_id"), col(blockCol).as("block"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    val a = withNorm.select(col("vec_id").as("id_a"), col("block"),
-      col("embedding").as("e_a"), col("nrm").as("n_a"))
-    val b = withNorm.select(col("vec_id").as("id_b"), col("block"),
-      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val base = emb.select(col("vec_id"), col(blockCol).as("block"), col("embedding"))
+    val a = base.select(col("vec_id").as("id_a"), col("block"), col("embedding").as("e_a"))
+    val b = base.select(col("vec_id").as("id_b"), col("block"), col("embedding").as("e_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      // cosine rounded to 1e-6 so the threshold cut is reproducible across
-      // engines (see Ann.cosine)
+      // native fused cosine (graft.functions.CosineSimilarity), rounded to
+      // 1e-6 so the threshold cut is reproducible across engines
       .select(col("id_a"), col("id_b"), col("block"),
-        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+        graft.ann.Ann.cosine(col("e_a"), col("e_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

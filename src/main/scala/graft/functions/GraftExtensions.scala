@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    BigQueryDialect.functions.foreach { case (id, info, builder) =>
-      ext.injectFunction((id, info, builder))
+    (BigQueryDialect.functions ++ GraftFunctions.functions).foreach {
+      case (id, info, builder) => ext.injectFunction((id, info, builder))
     }
 }

@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine-native SQL functions (as opposed to the BigQuery-compat set in
+  * [[BigQueryDialect]]): registered under graft's own names for SQL users,
+  * injected at session start by [[GraftExtensions]].
+  */
+object GraftFunctions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def info(name: String) = new ExpressionInfo("graft.functions.GraftFunctions", name)
+    Seq(
+      (FunctionIdentifier("cosine_similarity"), info("cosine_similarity"), {
+        case Seq(a, b) => CosineSimilarity(a, b)
+        case args => throw new IllegalArgumentException(
+          s"cosine_similarity expects 2 args, got ${args.length}")
+      }: Seq[Expression] => Expression))
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    functions.foreach { case (id, fInfo, builder) => reg.registerFunction(id, fInfo, builder) }
+  }
+}
