@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines: dataset
+  * splits, stratified sampling, per-key reservoirs. All are driven by a
+  * portable uniform hash of the row id — not `rand()` — so
+  *
+  *  - the same row lands in the same split/sample on every run, every
+  *    engine, and every cluster size (resumable pipelines, reproducible
+  *    ablations);
+  *  - adding rows never reassigns existing ones (stable membership as the
+  *    corpus grows);
+  *  - results are oracle-checkable in any engine with md5.
+  *
+  * 100 TB story: `hashSplit`/`stratifiedSample` are pure per-row projections
+  * (scan-speed, no shuffle); `reservoirPerKey` shuffles once on the key like
+  * any windowed top-n.
+  */
+object Sampling {
+
+  /** Uniform hash of `c` in [0,1): first 60 bits of md5 over the string form
+    * (optionally salted), divided by 2^60. Reproducible anywhere:
+    * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT) / 1152921504606846976.0`.
+    */
+  def unitHash(c: Column, salt: String = ""): Column = {
+    val keyed = if (salt.isEmpty) c.cast("string") else concat(c.cast("string"), lit(salt))
+    conv(substring(md5(keyed), 1, 15), 16, 10).cast("long").cast("double") /
+      lit(1152921504606846976.0) // 2^60
+  }
+
+  /** Split assignment by id hash. `cuts` are LITERAL cumulative upper bounds
+    * for all but the last split (e.g. names=(train,val,test), cuts=(0.8,0.9)
+    * → 80/10/10) — literals, not summed weights, so the thresholds are the
+    * exact same doubles in any re-implementation or oracle.
+    */
+  def hashSplit(df: DataFrame, idCol: String, names: Seq[String], cuts: Seq[Double],
+      salt: String = "", splitCol: String = "split"): DataFrame = {
+    require(names.length == cuts.length + 1, "need one more split name than cuts")
+    require(cuts == cuts.sorted && cuts.forall(c => c > 0 && c < 1), "cuts must ascend in (0,1)")
+    val u = unitHash(col(idCol), salt)
+    val assign = names.init.zip(cuts).foldRight(lit(names.last): Column) {
+      case ((name, cut), rest) => when(u < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn(splitCol, assign)
+  }
+
+  /** Stratified sample: keep a row iff its id hash falls under its stratum's
+    * fraction — per-stratum Bernoulli with deterministic membership. Strata
+    * missing from `fractions` use `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double, salt: String = ""): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1).foldRight(lit(defaultFraction): Column) {
+      case ((stratum, f), rest) => when(col(strataCol) === stratum, lit(f)).otherwise(rest)
+    }
+    df.filter(unitHash(col(idCol), salt) < threshold)
+  }
+
+  /** Fixed-size deterministic reservoir per key: the `n` rows with the
+    * smallest id hash win (hash order ≈ uniform random order, but stable).
+    * One shuffle on the key; state per key is the reservoir, not the group.
+    */
+  def reservoirPerKey(df: DataFrame, keyCol: String, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -136,6 +136,12 @@ object DmlQueries extends QueryModule {
           col("event_type"))
         .agg(count(lit(1)).as("event_cnt"), Exact.sum2(col("value")).as("total_value"))),
 
+    // ST7: gap-based sessionization (session_window; 15-min inactivity gap).
+    // The same operator shapes the streaming variant — see
+    // Streaming.sessionizeStream + the batch-equivalence test.
+    "st7_sessionize" -> ((s, dir) =>
+      graft.streaming.Streaming.sessionize(Tables.events(s, dir), "15 minutes")),
+
     // X3: proportional budget redistribution — per-user share of the
     // work-item budget by hours fraction (`…v5_fallback.sql:58-93`).
     "x3_budget_redistribution" -> ((s, dir) => {
@@ -247,6 +253,23 @@ object DmlQueries extends QueryModule {
       """SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, event_type, COUNT(*) AS event_cnt,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands twin of session_window: a session breaks when the
+    // inactivity gap reaches 15 min (Spark merges strictly-overlapping
+    // [ts, ts+gap) windows, so `>=` is the matching break condition)
+    "st7_sessionize" ->
+      """WITH brk AS (SELECT user_id, ts, value, event_type,
+        |CASE WHEN LAG(ts) OVER w IS NULL
+        |     OR ts - LAG(ts) OVER w >= INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS is_new
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |ROWS UNBOUNDED PRECEDING) AS sid FROM brk)
+        |SELECT user_id,
+        |CAST(DATE_TRUNC('second', MIN(ts)) AS TIMESTAMP) AS session_start,
+        |CAST(DATE_TRUNC('second', MAX(ts) + INTERVAL 15 MINUTE) AS TIMESTAMP) AS session_end_plus_gap,
+        |COUNT(*) AS n_events,
+        |SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_e4,
+        |MAX(event_type) AS last_event_type
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "x3_budget_redistribution" ->
       """WITH per_pair AS (SELECT l_orderkey, l_suppkey,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS user_qty

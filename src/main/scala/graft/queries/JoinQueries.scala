@@ -176,7 +176,20 @@ object JoinQueries extends QueryModule {
         .agg((sum(when(col("l_returnflag") =!= "X", Exact.d2(col("l_quantity")))
           .otherwise(Exact.d2(lit(0))))).cast("double").as("hours"))
       Core.toleranceCompare(bySupplier, byNBillable, Seq("user_id"), Seq("hours"), 0.01)
-    })
+    }),
+
+    // J14: salted skew join — output ≡ the plain inner join (the oracle IS
+    // the plain join), but the shuffle key is (key, salt) so a whale
+    // order-key's rows spread across 8 reducers instead of one straggler.
+    "j14_salted_skew_join" -> ((s, dir) =>
+      graft.ops.Skew.saltedJoin(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), col("l_quantity")),
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate")),
+        "l_orderkey", "o_orderkey", salts = 8,
+        saltFrom = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +290,10 @@ object JoinQueries extends QueryModule {
         |WHEN hours_r IS NULL THEN 'MISSING_RIGHT'
         |WHEN COALESCE(CAST(ABS(CAST(hours_l AS DECIMAL(18,2)) - CAST(hours_r AS DECIMAL(18,2))) AS DOUBLE) <= 0.01, FALSE)
         |THEN 'MATCH' ELSE 'MISMATCH' END AS compare_status
-        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id""".stripMargin
+        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id""".stripMargin,
+    "j14_salted_skew_join" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |o_orderkey, o_orderstatus, o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
   )
 }

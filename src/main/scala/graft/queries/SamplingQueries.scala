@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.ops.Sampling
+import graft.sources.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + PII redaction over the documents corpus —
+  * the dataset-curation half of a training-data pipeline (hash splits,
+  * stratified draws, per-source reservoirs, scrubbing). All hash-driven and
+  * engine-portable, so every query here has a full DuckDB oracle.
+  */
+object SamplingQueries extends QueryModule {
+
+  // DuckDB twin of Sampling.unitHash (no salt): first 60 bits of md5 / 2^60.
+  private val duckUnitHash =
+    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0)"
+
+  val defs: Map[String, Q] = Map(
+    // SP1: reproducible train/val/test split — literal cuts 0.8/0.9, so
+    // membership is stable as the corpus grows and identical on any engine.
+    "sp1_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train", "val", "test"), Seq(0.8, 0.9))
+        .select(col("doc_id"), col("lang"), col("split"))),
+
+    // SP2: per-language stratified Bernoulli sample (en kept at 50%, the
+    // rest at 20%) — deterministic membership via the id hash.
+    "sp2_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5), defaultFraction = 0.2)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // SP3: fixed-size reservoir of 25 docs per source, smallest-hash-wins.
+    "sp3_reservoir_per_key" -> ((s, dir) =>
+      Sampling.reservoirPerKey(Tables.documents(s, dir), "source", "doc_id", n = 25)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // TX5: PII redaction + audit count (per-row regexp_replace, scan-speed).
+    "tx5_pii_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.redactPii(col("text")).as("clean_text"),
+          TextOps.piiCount(col("text")).as("pii_hits"))))
+
+  val oracles: Map[String, String] = Map(
+    "sp1_hash_split" ->
+      s"""SELECT doc_id, lang,
+         |CASE WHEN $duckUnitHash < 0.8 THEN 'train'
+         |     WHEN $duckUnitHash < 0.9 THEN 'val'
+         |     ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "sp2_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE $duckUnitHash < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)""".stripMargin,
+    "sp3_reservoir_per_key" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY $duckUnitHash, doc_id) <= 25""".stripMargin,
+    "tx5_pii_redact" ->
+      """SELECT doc_id,
+        |regexp_replace(regexp_replace(text,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+        |(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+        | + len(regexp_split_to_array(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) - 1) AS pii_hits
+        |FROM documents""".stripMargin)
+}

@@ -39,6 +39,36 @@ object Streaming {
       .select(col("day_window.start").cast("date").as("day"), col("event_type"),
         col("event_cnt"), col("total_value"))
 
+  /** ST7: gap-based sessionization via `session_window` — events within
+    * `gap` of the session's moving end merge into one session per user. The
+    * same call shapes a batch frame or a watermarked stream (the batch twin
+    * is the oracle for the streaming run). Session boundaries are truncated
+    * to whole seconds in the output: the source timestamps carry nanos,
+    * engines truncate nanos→micros differently, and a session boundary is a
+    * second-grain fact anyway.
+    *
+    * 100 TB story: one shuffle on user_id; streaming state per key is
+    * bounded by the watermark horizon, and sessions close (state evicted)
+    * once the watermark passes end+gap.
+    */
+  def sessionize(events: DataFrame, gap: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        // integer ten-thousandths: per-row ROUND then integer sum is the
+        // only double aggregation that is deterministic across engines
+        sum(round(col("value") * 10000).cast("long")).as("value_e4"),
+        max(col("event_type")).as("last_event_type"))
+      .select(col("user_id"),
+        date_trunc("second", col("sw.start")).as("session_start"),
+        date_trunc("second", col("sw.end")).as("session_end_plus_gap"),
+        col("n_events"), col("value_e4"), col("last_event_type"))
+
+  def sessionizeStream(events: DataFrame, gap: String = "15 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    sessionize(events.withWatermark("ts", watermark), gap)
+
   final case class TrackerEvent(sync_id: String, rows: Long, failed: Boolean)
   final case class TrackerState(rows_processed: Long, batches: Long, failures: Long)
   final case class TrackerRow(sync_id: String, rows_processed: Long, batches: Long,

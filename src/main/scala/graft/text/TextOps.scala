@@ -75,4 +75,21 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(lower(text)), " "))
+
+  /** PII patterns kept RE2-compatible (no backrefs/lookaround) so the same
+    * regexes run in Java, RE2, and hyperscan-style engines — redaction rules
+    * must behave identically across every system that touches the corpus.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII redaction: mask emails then phone-like digit runs. Pure per-row
+    * regexp_replace — scan-speed, codegen'd, no shuffle at 100 TB.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Count of PII hits before redaction (audit metric). */
+  def piiCount(text: Column): Column =
+    (size(split(text, EmailRe, -1)) - 1 + (size(split(text, PhoneRe, -1)) - 1)).cast("long")
 }

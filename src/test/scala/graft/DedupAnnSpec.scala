@@ -70,6 +70,43 @@ class DedupAnnSpec extends SparkSuite {
     assert(none.columns.toSeq == Seq("doc_id", "group_id") && none.isEmpty)
   }
 
+  test("native CosineSimilarity ≡ the HOF formulation, on codegen AND interpreted paths") {
+    val emb = sf("embeddings").limit(200)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .filter(col("ia") < col("ib")).limit(500)
+    // the pre-Expression formulation, kept as the reference implementation
+    def hofCosine(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      def nrm(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(transform(c, a => a.cast("double") * a.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      round(dot / (nrm(x) * nrm(y)), 6)
+    }
+    def diffs(df: org.apache.spark.sql.DataFrame) = df
+      .select(Ann.cosine(col("ea"), col("eb")).as("native"), hofCosine(col("ea"), col("eb")).as("hof"))
+      .filter(col("native") =!= col("hof") || col("native").isNull =!= col("hof").isNull)
+      .count()
+    assert(diffs(pairs) == 0) // codegen path
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(diffs(pairs) == 0) // interpreted path exercises nullSafeEval
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // mismatched lengths → NULL, like zip_with over unequal arrays
+    val mm = pairs.limit(1).select(
+      Ann.cosine(col("ea"), slice(col("eb"), 1, 10)).as("c"))
+    assert(mm.filter(col("c").isNull).count() == 1)
+    // registered for SQL users via GraftFunctions
+    graft.functions.GraftFunctions.register(spark)
+    val sqlRow = spark.sql(
+      "SELECT round(cosine_similarity(array(1.0d,0.0d), array(1.0d,0.0d)), 6) c").head()
+    assert(sqlRow.getDouble(0) == 1.0)
+  }
+
   test("brute-force ANN ranks an identical vector as the top neighbor") {
     val emb = sf("embeddings")
     val clones = emb.filter(col("vec_id") < 3)

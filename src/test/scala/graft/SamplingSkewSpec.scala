@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.{Sampling, Skew}
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, skew-salted joins, and PII redaction: the
+  * dataset-curation operators are hash-driven, so every property here is
+  * exact — no statistical tolerance needed beyond split-fraction sanity.
+  */
+class SamplingSkewSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("SP1: hash split is stable under corpus growth and roughly proportional") {
+    val docs = sf("documents")
+    val full = Sampling.hashSplit(docs, "doc_id", Seq("train", "val", "test"), Seq(0.8, 0.9))
+      .select("doc_id", "split")
+    // membership is a pure function of doc_id: splitting a subset assigns
+    // every row exactly what the full-corpus split assigns it
+    val subset = Sampling.hashSplit(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", Seq("train", "val", "test"), Seq(0.8, 0.9)).select("doc_id", "split")
+    assert(subset.join(full, Seq("doc_id"))
+      .filter(subset("split") =!= full("split")).count() == 0)
+
+    val counts = full.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.count().toDouble
+    assert(math.abs(counts("train") / n - 0.8) < 0.08)
+    assert(math.abs(counts("val") / n - 0.1) < 0.05)
+    assert(counts("train") + counts("val") + counts("test") == n.toLong)
+    // a different salt reshuffles membership (salt actually participates)
+    val salted = Sampling.hashSplit(docs, "doc_id", Seq("a", "b"), Seq(0.5), salt = "s1")
+    val unsalted = Sampling.hashSplit(docs, "doc_id", Seq("a", "b"), Seq(0.5))
+    assert(salted.join(unsalted, Seq("doc_id"))
+      .filter(salted("split") =!= unsalted("split")).count() > 0)
+  }
+
+  test("SP2: stratified sample keeps per-stratum fractions and is idempotent") {
+    val docs = sf("documents")
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.2)
+    // sampling the sample with the same config is a no-op (membership is
+    // a deterministic per-row predicate, not a draw)
+    val resampled = Sampling.stratifiedSample(sampled, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.2)
+    assert(resampled.count() == sampled.count())
+    val frac = sampled.groupBy("lang").count()
+      .join(docs.groupBy("lang").count().withColumnRenamed("count", "total"), "lang")
+      .select(col("lang"), col("count") / col("total"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(frac("en") - 0.5) < 0.15)
+    frac.filterNot(_._1 == "en").values.foreach(f => assert(math.abs(f - 0.2) < 0.15))
+  }
+
+  test("SP3: per-key reservoir holds exactly min(n, |group|) rows, deterministically") {
+    val docs = sf("documents")
+    val res = Sampling.reservoirPerKey(docs, "source", "doc_id", n = 25)
+    val sizes = res.groupBy("source").count()
+      .join(docs.groupBy("source").count().withColumnRenamed("count", "total"), "source")
+      .as[(String, Long, Long)].collect()
+    sizes.foreach { case (_, kept, total) => assert(kept == math.min(25L, total)) }
+    val rerun = Sampling.reservoirPerKey(docs, "source", "doc_id", n = 25)
+    assert(res.select("doc_id").exceptAll(rerun.select("doc_id")).isEmpty)
+  }
+
+  test("J14: salted join equals the plain inner join, keys spread across salts") {
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val ord = sf("orders").select("o_orderkey", "o_orderstatus")
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      salts = 8, saltFrom = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"), "inner")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the salt really fans out: a multi-row key occupies >1 salt bucket
+    val spread = li.groupBy("l_orderkey").count().filter(col("count") >= 4)
+      .join(li.withColumn("__salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber")),
+          lit(8L))), "l_orderkey")
+      .groupBy("l_orderkey").agg(countDistinct(col("__salt")).as("nsalts"))
+      .agg(max("nsalts")).head().getLong(0)
+    assert(spread > 1)
+  }
+
+  test("TX5: PII redaction masks emails and phones; the audit count matches") {
+    val rows = Seq(
+      ("contact me at jane.doe+x@example.co.uk today", 1L),
+      ("call +1 (555) 123-4567 or 020 7946 0958 now", 2L),
+      ("mixed: a@b.io and 555-867-5309", 2L),
+      ("no pii here, just 42 and v1.2", 0L)).toDF("text", "expected")
+    val out = rows.select(col("expected"),
+      TextOps.redactPii(col("text")).as("clean"),
+      TextOps.piiCount(col("text")).as("hits"))
+    assert(out.filter(col("hits") =!= col("expected")).count() == 0)
+    assert(out.filter(col("clean").rlike(TextOps.EmailRe)).count() == 0)
+    val cleaned = out.as[(Long, String, Long)].collect().map(_._2)
+    assert(cleaned(0) == "contact me at <EMAIL> today")
+    assert(cleaned(1).contains("<PHONE>") && !cleaned(1).exists(_.isDigit))
+  }
+}

@@ -44,6 +44,43 @@ class StreamingSpec extends SparkSuite {
     assert(out.contains(("2024-01-02", "click", 1L, 8.0)))
   }
 
+  test("ST7: streamed sessionization equals the batch session_window twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_type", "value")
+
+    val rows = Seq(
+      // user 1: two sessions — a 20-min gap splits at the 15-min threshold
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), "view", 2.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), "click", 3.0),
+      // user 2: one session, events chained under the gap
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), "view", 4.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:14:00"), "view", 5.0),
+      (2L, Timestamp.valueOf("2024-01-01 10:28:00"), "view", 6.0),
+      // watermark pusher closes all earlier sessions
+      (9L, Timestamp.valueOf("2024-02-01 00:00:00"), "late", 0.0))
+    input.addData(rows)
+    val query = Streaming.sessionizeStream(events, "15 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("sess_out")
+    // the pusher's own session never closes (nothing advances the watermark
+    // past it), so it exists only in the batch twin — compare without it
+    val batch = Streaming.sessionize(
+      spark.createDataFrame(rows).toDF("user_id", "ts", "event_type", "value"),
+      "15 minutes").filter(col("user_id") =!= 9L)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    val u1 = streamed.filter(col("user_id") === 1L)
+      .select(col("session_start").cast("string"), col("n_events"))
+      .as[(String, Long)].collect().toSet
+    assert(u1 == Set(("2024-01-01 10:00:00", 2L), ("2024-01-01 10:30:00", 1L)))
+    assert(streamed.filter(col("user_id") === 2L).count() == 1)
+  }
+
   test("tracker state accumulates per sync id across micro-batches (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Boolean)]
