@@ -28,11 +28,14 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
       // Isolation between measurements: ~30 queries localCheckpoint eagerly,
-      // and those blocks pin storage memory until the async context cleaner
-      // runs — by late alphabet the heap pressure tripled some timings
-      // (v5_individual_budget: 53 s polluted vs 14 s clean).
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // and broadcast/checkpoint blocks are reaped only when the context
+      // cleaner sees their weak refs die — which needs a GC. Without one,
+      // ~100 queries of accumulated blocks tripled late-alphabet timings
+      // (v5_individual_budget: 57 s polluted vs 9-16 s in a clean JVM).
+      // All of this runs OUTSIDE the timed region.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache()
+      System.gc()
       name -> dt
     }
     // 3-dp values: the driver parses the stdout TAIL, and full-precision

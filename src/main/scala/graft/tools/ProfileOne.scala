@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler: run one registered query N times in a clean JVM and
+  * print wall times + the formatted plan. Not part of the library surface.
+  *
+  * usage: runMain graft.tools.ProfileOne <query> [n] [explain]
+  */
+object ProfileOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val n = if (args.length > 1) args(1).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        println(f"[stage] ${si.stageId}%3d ${si.numTasks}%4d tasks " +
+          f"exec=${m.executorRunTime / 1e3}%8.1fs gc=${m.jvmGCTime / 1e3}%6.1fs " +
+          f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+          f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
+          f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
+          f"spill=${m.memoryBytesSpilled / 1e6}%8.1fMB  ${si.name.take(60)}")
+      }
+    })
+    val fn = graft.SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
