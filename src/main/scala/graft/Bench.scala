@@ -38,20 +38,24 @@ object Bench {
       System.gc()
       name -> dt
     }
-    // 3-dp values: the driver parses the stdout TAIL, and full-precision
-    // doubles pushed the one-line JSON past its window in rounds 2 and 3
-    // (BENCH_r03 arrived unparseable) — ~30 bytes/query keeps 120+ queries
-    // inside it.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // Full copy on disk: the driver captures only the stdout tail, which
-    // truncated ~32 of 92 per-query times in round 2.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the stdout TAIL, front-truncating whatever came
+    // earlier: a single 120-query JSON line arrived unparseable three rounds
+    // running. So the full per-query line goes FIRST (plus a disk copy in
+    // BENCH_LOCAL.json), and the LAST line is a short summary — total plus the
+    // headline composite queries only — guaranteed to fit the tail intact.
+    println(full)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
+      "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
+    val hq = results.filter { case (k, _) => headline.contains(k) }
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

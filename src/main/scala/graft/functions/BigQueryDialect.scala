@@ -91,13 +91,16 @@ object BigQueryDialect {
     * uses (`…v4.sql:237`, `verify_view_deduplication.sql:70,238`).
     */
   /** Rewrite bare decimal-point literals to `CAST(x AS DOUBLE)`, leaving
-    * single-quoted string contents and version-like tokens (`1.2.3`,
-    * `v1.2`) untouched: the matcher alternates over quoted segments (passed
-    * through verbatim) and candidate literals, so `'1.5 hrs'` survives even
-    * though this is also the front door for arbitrary user SQL.
+    * `--` / `／*…*／` comment contents, single-quoted string contents (with
+    * `''` escapes), and version-like tokens (`1.2.3`, `v1.2`) untouched: the
+    * matcher alternates over comment and quoted segments (passed through
+    * verbatim) and candidate literals, so `'1.5 hrs'` survives — and an
+    * apostrophe inside a comment (`-- don't`) can't open a phantom string
+    * that swallows the literals after it.
     */
   private def castDecimalLiterals(sql: String): String = {
-    val p = java.util.regex.Pattern.compile("('(?:[^'])*')|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
+    val p = java.util.regex.Pattern.compile(
+      "(--[^\\n]*|/\\*(?s:.*?)\\*/|'(?:''|[^'])*')|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
     val m = p.matcher(sql)
     val out = new java.lang.StringBuilder
     while (m.find()) {

@@ -267,7 +267,7 @@ object DmlQueries extends QueryModule {
         |CAST(DATE_TRUNC('second', MIN(ts)) AS TIMESTAMP) AS session_start,
         |CAST(DATE_TRUNC('second', MAX(ts) + INTERVAL 15 MINUTE) AS TIMESTAMP) AS session_end_plus_gap,
         |COUNT(*) AS n_events,
-        |SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS value_e4,
+        |CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4,
         |MAX(event_type) AS last_event_type
         |FROM sess GROUP BY user_id, sid""".stripMargin,
     "x3_budget_redistribution" ->

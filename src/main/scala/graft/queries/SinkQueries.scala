@@ -101,7 +101,7 @@ object SinkQueries extends QueryModule {
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s7_staging_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
-        |SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS total_bal_cents
+        |CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
         |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "s8_create_if_not_exists" -> "SELECT * FROM region",
     "s9_partition_roundtrip" ->

@@ -78,6 +78,19 @@ class BigQueryDialectSpec extends SparkSuite {
     assert(BigQueryDialect.translate("SELECT a1.2.3x").contains("a1.2.3x"))
   }
 
+  test("decimal-literal coercion survives apostrophes in comments and '' escapes") {
+    // r4 regression: the apostrophe in a `--` comment opened a phantom string
+    // spanning 9 kB of v5.sql and swallowed every `/ 60.0` after it.
+    val t = BigQueryDialect.translate(
+      "SELECT x / 60.0 AS h -- items that don't appear\n, y / 60.0 AS m FROM t")
+    assert(t.sliding("CAST(60.0 AS DOUBLE)".length).count(_ == "CAST(60.0 AS DOUBLE)") == 2)
+    assert(t.contains("-- items that don't appear"))
+    val b = BigQueryDialect.translate("SELECT /* can't 1.5 */ x / 60.0 FROM t")
+    assert(b.contains("/* can't 1.5 */") && b.contains("CAST(60.0 AS DOUBLE)"))
+    val e = BigQueryDialect.translate("SELECT 'it''s 1.5 hrs', z / 60.0 FROM t")
+    assert(e.contains("'it''s 1.5 hrs'") && e.contains("CAST(60.0 AS DOUBLE)"))
+  }
+
   test("a reference-shaped snippet runs end-to-end through the shim") {
     sf("lineitem").createOrReplaceTempView("li")
     // Shaped like `work_item_budget_time_tracking_view_v4.sql:71-74,237` +

@@ -36,7 +36,16 @@ def compare(name, spark_df, oracle_df):
     s, o = canon(spark_df), canon(oracle_df)
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+        s_float, o_float = pd.api.types.is_float_dtype(sv), pd.api.types.is_float_dtype(ov)
+        s_int, o_int = pd.api.types.is_integer_dtype(sv), pd.api.types.is_integer_dtype(ov)
+        # The driver hashes raw values, so int64 875213 vs float64 875213.0 is
+        # a FAIL there (DuckDB HUGEINT→float64 class of bug). Mirror that:
+        # a numeric dtype mismatch is an error even when the values coincide.
+        if (s_float and o_int) or (s_int and o_float):
+            issues.append(f"col {c}: dtype mismatch spark={sv.dtype} oracle={ov.dtype} "
+                          "(driver hash would fail even on equal values)")
+            continue
+        if s_float or o_float:
             sv = pd.to_numeric(sv, errors="coerce").astype(float)
             ov = pd.to_numeric(ov, errors="coerce").astype(float)
             neq = ~((sv == ov) | (sv.isna() & ov.isna()))
