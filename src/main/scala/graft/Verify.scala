@@ -15,6 +15,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Domain fixtures → parquet at a fixed path, so the ref_* domain-view
+    // oracles (queries/DomainOracles.scala) can read the exact same inputs
+    // from DuckDB via read_parquet(). FixtureGen is seed-fixed, so the dump
+    // is identical on every run. Kept OUTSIDE outDir: the compare harness
+    // treats every outDir subdirectory as a query result.
+    locally {
+      import graft.sources.FixtureGen
+      Seq(
+        "time_entries" -> FixtureGen.timeEntries(spark),
+        "work_item_details" -> FixtureGen.workItemDetails(spark),
+        "budget_vs_actual" -> FixtureGen.budgetVsActual(spark),
+        "productivity_repeats" -> FixtureGen.productivityRepeats(spark),
+        "client_group_dim" -> FixtureGen.clientGroupDimension(spark),
+        "client_dim" -> FixtureGen.clientDimension(spark),
+        "tenant_team_dim" -> FixtureGen.tenantTeamDimension(spark),
+        "tenant_team_member_dim" -> FixtureGen.tenantTeamMemberDimension(spark),
+        "user_dim" -> FixtureGen.userDimension(spark)
+      ).foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"${graft.queries.DomainOracles.FixturesDir}/$name")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -2,13 +2,23 @@ package graft.queries
 
 import graft.sources.Tables
 import graft.views.ViewDag
-import org.apache.spark.sql.functions.{col, lit, pmod, substring}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, pmod, round, substring}
 
 /** The analytics view DAG (`latest → corrected → V4 → V5 + fallback`) as
   * verifiable queries — the reference's product surface (SURVEY.md §3.2).
   * The oracle SQL mirrors the Spark plans CTE-for-CTE.
   */
 object ViewQueries extends QueryModule {
+
+  /** Verification projection for the domain views: parquet DECIMAL(18,2)
+    * reaches pandas as objects but DuckDB as float64 — cast to DOUBLE on
+    * both sides (the oracle casts too). The view itself stays
+    * reference-typed; only the driver-compared surface is projected.
+    */
+  private def decimalsToDouble(df: DataFrame): DataFrame =
+    Seq("POINTS", "WEIGHTING", "TOTAL_POINTS").foldLeft(df)((d, c) =>
+      d.withColumn(c, col(c).cast("double")))
 
   val defs: Map[String, Q] = Map(
     "v_latest_snapshot" -> ((s, dir) =>
@@ -40,20 +50,24 @@ object ViewQueries extends QueryModule {
         .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
       val corrected = graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s), details)
-      graft.views.DomainViews.v5(
+      decimalsToDouble(graft.views.DomainViews.v5(
         te, details, corrected,
         graft.sources.FixtureGen.productivityRepeats(s),
         graft.sources.FixtureGen.clientGroupDimension(s),
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s))
+        graft.sources.FixtureGen.userDimension(s)))
     }),
 
     "ref_v4_domain" -> ((s, _) => {
       val te = graft.views.DomainViews.timeEntryDedupCleanup(
         graft.sources.FixtureGen.timeEntries(s))
-      graft.views.DomainViews.v4(
+      // round(6) on the two windowed double averages: the only two columns
+      // anywhere in the domain DAG whose value is a float SUM whose addition
+      // order an engine may legally vary (DuckDB windows aggregate via
+      // segment trees) — everything else sums exact long minutes.
+      decimalsToDouble(graft.views.DomainViews.v4(
         graft.sources.FixtureGen.workItemDetails(s)
           .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE"),
         te,
@@ -62,7 +76,11 @@ object ViewQueries extends QueryModule {
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s))
+        graft.sources.FixtureGen.userDimension(s)))
+        .withColumn("avg_budget_variance_3_months_hours",
+          round(col("avg_budget_variance_3_months_hours"), 6))
+        .withColumn("client_avg_budget_variance_3_months_hours",
+          round(col("client_avg_budget_variance_3_months_hours"), 6))
     }),
 
     "ref_v5_fallback_domain" -> ((s, _) => {
@@ -164,6 +182,11 @@ object ViewQueries extends QueryModule {
       |FROM ibs_d GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ref_corrected_domain" -> DomainOracles.corrected,
+    "ref_v4_domain" -> DomainOracles.v4,
+    "ref_v5_domain" -> DomainOracles.v5,
+    "ref_v5_fallback_domain" -> DomainOracles.v5Fallback,
+
     "v_latest_snapshot" ->
       s"""WITH $SNAPS, $LATEST
          |SELECT work_item_id, reporting_date, lines_on_date, hours_on_date,
