@@ -14,12 +14,24 @@ object Bench {
     // warm-up) + an untimed warm-up pass covering scan, shuffle, broadcast
     // and window codegen paths before anything is measured.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number").foreach { w =>
+    // Generic warm-up (scan/shuffle/broadcast/window codegen paths) plus one
+    // untimed pass of each headline composite: r4's measurement isolation
+    // (unpersist+GC between queries) made every measurement include its own
+    // whole-stage-codegen + JIT cold start, which tripled the reported time
+    // of plan-healthy queries (v5_fallback_budget: 9.1 s cold vs 2.1-2.6 s
+    // warm in a clean JVM). The headline numbers the baseline comparison
+    // reads should be steady-state, not first-compile.
+    Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number",
+      "v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
+      "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
     }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sqlContext.clearCache()
+    System.gc()
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: computes every output column (count() would let Catalyst
