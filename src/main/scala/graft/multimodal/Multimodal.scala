@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns + typed
   * metadata, processed in partition-sized batches.
   *
-  * The real decode (image/audio libs) is STUBBED — `decodeStub` derives
-  * deterministic fake features from the bytes — but the Spark-side shape is
-  * real: schema, batch iteration (`mapPartitions`, the JVM analog of
-  * `mapInPandas` batches), and the partitioning story. At 100 TB the rule is
-  * that the binary payload is scanned once, never shuffled: features are
-  * extracted map-side and only the (id, features) projection moves on.
+  * The IMAGE path is real: [[imageTable]] encodes actual PNGs, and
+  * [[decodeImage]]/[[resizeImage]] run javax.imageio (decode → half-scale →
+  * re-encode). The audio/video decode (`decodeStub`) remains STUBBED — those
+  * codecs aren't in the JDK — with deterministic fake features, but the
+  * Spark-side shape is real everywhere: schema, batch iteration
+  * (`mapPartitions`, the JVM analog of `mapInPandas` batches), and the
+  * partitioning story. At 100 TB the rule is that the binary payload is
+  * scanned once, never shuffled: features are extracted map-side and only
+  * the (id, features) projection moves on.
   */
 object Multimodal {
 
@@ -77,6 +80,91 @@ object Multimodal {
       batch.map { r =>
         val thumb = Array.tabulate(outBytes)(i => r.payload((i * 2) % r.payload.length))
         ResizedMedia(r.doc_id, r.media_type, r.n_bytes, thumb, thumb.length.toLong)
+      }
+    }
+  }
+
+  // ---- real image codec path (mm1/mm3) ------------------------------------
+  // javax.imageio is in the JDK, so the image pipeline needs no stub: the
+  // fixture synthesizes REAL PNG payloads (encode), and decode/resize run the
+  // actual codec. Scale story unchanged: encoding exists only to build the
+  // fixture column; decode and resize are map-side batch stages — the binary
+  // payload is scanned once and never shuffled.
+
+  case class ImageRecord(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+  case class DecodedImage(doc_id: Long, width: Int, height: Int, channels: Int, n_bytes: Long)
+  case class ImageThumb(doc_id: Long, width: Int, height: Int,
+      thumb_width: Int, thumb_height: Int, thumb: Array[Byte], thumb_bytes: Long)
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic real-PNG fixture column: one (8 + id%16) × (8 + id%12)
+    * RGB image per document, pixels a pure function of (id, x, y) — so an
+    * external oracle can predict the decoded dimensions without a codec.
+    */
+  def imageTable(spark: SparkSession, docs: DataFrame): Dataset[ImageRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + (id % 12).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 31 + x * 7 + y * 13) & 0xff).toInt
+            img.setRGB(x, y, (v << 16) | (((v * 3) & 0xff) << 8) | ((v * 7) & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = pngBytes(img)
+        ImageRecord(id, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** mm1, honestly: ImageIO-decode each PNG payload in partition batches and
+    * emit (dimensions, channels, size) — the metadata a curation pipeline
+    * filters on before paying for pixel-level work.
+    */
+  def decodeImage(spark: SparkSession, images: Dataset[ImageRecord]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    images.mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        DecodedImage(r.doc_id, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, r.n_bytes)
+      }
+    }
+  }
+
+  /** mm3, honestly: decode → scale to half dimensions (Graphics2D bilinear)
+    * → re-encode PNG, map-side. The thumbnail (smaller payload) is what moves
+    * downstream; the original never shuffles.
+    */
+  def resizeImage(spark: SparkSession, images: Dataset[ImageRecord]): Dataset[ImageThumb] = {
+    import spark.implicits._
+    images.mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (tw, th) = (math.max(w / 2, 1), math.max(h / 2, 1))
+        val thumb = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = thumb.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val bytes = pngBytes(thumb)
+        ImageThumb(r.doc_id, w, h, tw, th, bytes, bytes.length.toLong)
       }
     }
   }

@@ -161,21 +161,26 @@ object LlmQueries extends QueryModule {
         col("dup_group_size"))
     }),
 
-    // mm1: multimodal decode pipeline — binary payload → mapPartitions batch
-    // "decode" (stubbed codec) → typed features. Rows-only + ScalaTest.
+    // mm1: multimodal decode, real codec — the fixture column is actual PNG
+    // bytes and the decode is javax.imageio in partition batches. The oracle
+    // predicts the decoded dimensions from doc_id (the fixture's generator
+    // formula), so a decode that didn't really parse the PNG can't pass.
     "mm1_multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
-        .toDF().drop("feat")),
+      Multimodal.decodeImage(s, Multimodal.imageTable(s, Tables.documents(s, dir)))
+        .toDF().select(col("doc_id"), col("width"), col("height"), col("channels"))),
 
-    // mm2: per-media-type curation stats over extracted features.
+    // mm2: per-media-type curation stats over extracted features (audio/video
+    // codecs aren't in the JDK — decodeStub, rows-only + ScalaTest).
     "mm2_media_stats" -> ((s, dir) =>
       Multimodal.featureStats(
         Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir))))),
 
-    // mm3: resize plumbing — per-partition batch thumbnail of the payload.
+    // mm3: real resize — ImageIO decode → half-scale bilinear → PNG
+    // re-encode, map-side. Thumb dimensions oracle-checked like mm1.
     "mm3_resize" -> ((s, dir) =>
-      Multimodal.resizeStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
-        .toDF().drop("thumb")),
+      Multimodal.resizeImage(s, Multimodal.imageTable(s, Tables.documents(s, dir)))
+        .toDF().select(col("doc_id"), col("width"), col("height"),
+          col("thumb_width"), col("thumb_height"))),
 
     // mm4: frame sampling — video rows fan out into k frame rows map-side.
     "mm4_frame_sample" -> ((s, dir) =>
@@ -231,6 +236,20 @@ object LlmQueries extends QueryModule {
       " / CAST(greatest(len(toks), 1) AS DOUBLE)"
 
   val oracles: Map[String, String] = Map(
+    // mm1/mm3: the image fixture is a pure function of doc_id (width =
+    // 8 + id%16, height = 8 + id%12, RGB), so the oracle recomputes the
+    // dimensions ImageIO must recover from the actual PNG bytes.
+    "mm1_multimodal_decode" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |CAST(8 + doc_id % 12 AS INT) AS height, CAST(3 AS INT) AS channels
+        |FROM documents""".stripMargin,
+    "mm3_resize" ->
+      """SELECT doc_id, CAST(8 + doc_id % 16 AS INT) AS width,
+        |CAST(8 + doc_id % 12 AS INT) AS height,
+        |CAST((8 + doc_id % 16) // 2 AS INT) AS thumb_width,
+        |CAST((8 + doc_id % 12) // 2 AS INT) AS thumb_height
+        |FROM documents""".stripMargin,
+
     "dq2_quality_report" ->
       """WITH d AS (SELECT 'documents' AS table_name, COUNT(*) AS row_cnt,
         |COUNT(*) FILTER (WHERE lang IS NULL) AS null_cnt,

@@ -133,6 +133,33 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("image codec: real PNG bytes round-trip through ImageIO decode and resize") {
+    val imgs = Multimodal.imageTable(spark, sf("documents"))
+    // payloads are genuine PNGs: magic bytes \x89PNG
+    val firstBytes = imgs.limit(5).collect()
+    assert(firstBytes.nonEmpty)
+    firstBytes.foreach { r =>
+      assert((r.payload(0) & 0xff) == 0x89 && r.payload(1) == 'P' &&
+        r.payload(2) == 'N' && r.payload(3) == 'G')
+      assert(r.n_bytes > 50) // a real encoded image, not a 16-byte stub hash
+    }
+    // decode recovers the generator's dimensions from the bytes alone
+    val dec = Multimodal.decodeImage(spark, imgs).toDF()
+    assert(dec.filter(col("width") =!= (lit(8) + pmod(col("doc_id"), lit(16)))).count() == 0)
+    assert(dec.filter(col("height") =!= (lit(8) + pmod(col("doc_id"), lit(12)))).count() == 0)
+    assert(dec.filter(col("channels") =!= 3).count() == 0)
+    // resize halves both dimensions and re-encodes a valid, smaller PNG
+    val th = Multimodal.resizeImage(spark, imgs).toDF()
+    assert(th.filter(col("thumb_width") =!= (col("width") / 2).cast("int")).count() == 0)
+    assert(th.filter(col("thumb_height") =!= (col("height") / 2).cast("int")).count() == 0)
+    val one = Multimodal.resizeImage(spark, imgs).head()
+    val reDecoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one.thumb))
+    assert(reDecoded.getWidth == one.thumb_width && reDecoded.getHeight == one.thumb_height)
+    // decode + resize are map-side: no Exchange in either plan
+    assert(!dec.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(!th.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("multimodal decode: batch shape is per-partition, features deterministic") {
     val media = Multimodal.mediaTable(sf("documents"))
     val feats = Multimodal.decodeStub(spark, media)
