@@ -25,7 +25,11 @@ object LlmQueries extends QueryModule {
       Dedup.exact(docs.unionByName(dups), "doc_id", "text")
     }),
 
-    // dd2: MinHash + LSH banded near-dup pairs (never all-pairs).
+    // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
+    // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
+    // (the scale path - fastest codegen'd hash), which no other engine
+    // reproduces; the bit-exact cross-engine oracle for this exact pipeline
+    // is its md5 twin dd2b below, which differs ONLY in the hash function.
     "dd2_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -48,6 +52,8 @@ object LlmQueries extends QueryModule {
     }),
 
     // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify).
+    // Rows-only BY DESIGN (xxhash64 signatures); the oracle-checked twin is
+    // dd3b below, same pipeline on the portable md5 hash.
     "dd3_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
@@ -117,6 +123,9 @@ object LlmQueries extends QueryModule {
     }),
 
     // ann2: random-hyperplane LSH bucketed approximate top-k (scale path).
+    // Rows-only BY DESIGN (xxhash64-seeded planes); ann2b below is the same
+    // operator on md5-parity planes with a full DuckDB oracle, and
+    // DedupAnnSpec asserts planted-neighbor recall@1 >= 0.8 with probes.
     "ann2_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, planes = 8)
         .select(col("query_id"), col("neighbor_id"), col("bucket"), col("cosine"), col("rank"))),
