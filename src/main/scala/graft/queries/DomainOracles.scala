@@ -426,6 +426,158 @@ object DomainOracles {
        |FROM joined j""".stripMargin
   }
 
+  /** `work_item_x_user_time_view.sql` second view
+    * (DomainViews.workItemUserTimeDetail): exactly-one-latest snapshot
+    * (row_number — unique per key here since the snapshot dedup ran) LEFT
+    * JOINed under each cleaned time entry.
+    */
+  val userTimeDetail: String =
+    s"""WITH $TE_CLEAN, $DETAILS,
+       |lat AS (SELECT * EXCLUDE (__rn) FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY "WORK_ITEM_ID"
+       |    ORDER BY "REPORTING_DATE" DESC NULLS LAST) AS __rn FROM details) WHERE __rn = 1),
+       |wi AS (SELECT "WORK_ITEM_ID" AS wi_item_id, "WORK_TITLE",
+       |  "CLIENT" AS client_name, "WORK_TYPE", "PRIMARY_STATUS" AS status,
+       |  "BUDGETED_MINUTES" / CAST(60.0 AS DOUBLE) AS budget_hours FROM lat)
+       |SELECT t."WORK_ITEM_ID", w."WORK_TITLE", w.client_name, w."WORK_TYPE", w.status,
+       |  w.budget_hours, t."USER_NAME", t."REPORTING_DATE" AS time_entry_date,
+       |  t."IS_BILLABLE", t."MINUTES" / CAST(60.0 AS DOUBLE) AS hours_logged
+       |FROM te t LEFT JOIN wi w ON t."WORK_ITEM_ID" = w.wi_item_id""".stripMargin
+
+  /** `snowflake_bq_deduplication_sync.py:95-165` (Reconciliation
+    * .cleanupReport): per-table would-delete counts for work items missing
+    * from the simulated source (every 41st id dropped, as the query does).
+    */
+  val reconciliation: String =
+    s"""WITH $DETAILS,
+       |src AS (SELECT DISTINCT "WORK_ITEM_ID" FROM details
+       |  WHERE NOT (CAST(substr("WORK_ITEM_ID", 2, 3) AS INT) % 41 = 0)),
+       |bud AS (SELECT * FROM ${fx("budget_vs_actual")}),
+       |ter AS (SELECT * FROM ${fx("time_entries")})
+       |SELECT 'WORK_ITEM_DETAILS_BQ' AS table_name,
+       |  (SELECT COUNT(*) FROM details d WHERE d."WORK_ITEM_ID" IS NOT NULL
+       |   AND NOT EXISTS (SELECT 1 FROM src s WHERE s."WORK_ITEM_ID" = d."WORK_ITEM_ID")) AS records_would_delete
+       |UNION ALL
+       |SELECT 'WORK_ITEM_BUDGET_VS_ACTUAL_BQ',
+       |  (SELECT COUNT(*) FROM bud d WHERE d."WORK_ITEM_ID" IS NOT NULL
+       |   AND NOT EXISTS (SELECT 1 FROM src s WHERE s."WORK_ITEM_ID" = d."WORK_ITEM_ID"))
+       |UNION ALL
+       |SELECT 'USER_TIME_ENTRY_BQ',
+       |  (SELECT COUNT(*) FROM ter d WHERE d."WORK_ITEM_ID" IS NOT NULL
+       |   AND NOT EXISTS (SELECT 1 FROM src s WHERE s."WORK_ITEM_ID" = d."WORK_ITEM_ID"))""".stripMargin
+
+  // Slim V5 projection shared by the check-summary oracle: only the columns
+  // the verification checks read — none come from the star dimensions, so
+  // the star joins (all ×1) are omitted.
+  private val V5_SLIM =
+    """v5slim AS (SELECT l."WORK_ITEM_ID", l."WORK_TITLE",
+      |  a.awu_user_id AS budget_user_id, a.awu_user_name AS budget_user_name,
+      |  l."BUDGETED_MINUTES" AS work_item_total_budgeted_minutes,
+      |  COALESCE(i.total_individual_budgeted_minutes, 0) AS individual_budgeted_minutes,
+      |  COALESCE(w.work_item_total_hours_logged, CAST(0 AS DOUBLE)) AS work_item_total_hours_logged_summary,
+      |  COALESCE(t.total_hours_logged, CAST(0 AS DOUBLE)) AS individual_hours_logged_actual
+      | FROM latest l
+      | JOIN awu a ON l."WORK_ITEM_ID" = a."WORK_ITEM_ID"
+      | LEFT JOIN ibs i ON l."WORK_ITEM_ID" = i."WORK_ITEM_ID" AND a.awu_user_name = i."USER_NAME"
+      | LEFT JOIN its t ON l."WORK_ITEM_ID" = t."WORK_ITEM_ID" AND a.awu_user_name = t."USER_NAME"
+      | LEFT JOIN wits w ON l."WORK_ITEM_ID" = w."WORK_ITEM_ID")""".stripMargin
+
+  /** `verify_view_deduplication.sql` reduced to flagged-row counts
+    * (ViewVerification.summary): snapshot dup groups, 7-column budget
+    * restatements, V5 grain dups, budget/time consistency variances.
+    */
+  val viewCheckSummary: String =
+    s"""WITH $TE_CLEAN, $DETAILS, $LATEST,
+       |corr AS (SELECT b."WORK_ITEM_ID", b."USER_ID", b."USER_NAME", b."TASK_TYPE_ID", b."ROLE_ID",
+       |  b."BUDGETED_MINUTES", b."BUDGETED_COST", b."ACTUAL_MINUTES", b."ACTUAL_COST",
+       |  b."REPORTING_DATE" AS sync_reporting_date
+       | FROM (SELECT DISTINCT * FROM ${fx("budget_vs_actual")}) b),
+       |ibsd AS (SELECT * FROM (SELECT c.*, ROW_NUMBER() OVER (
+       |    PARTITION BY "WORK_ITEM_ID", "USER_ID", "USER_NAME", "TASK_TYPE_ID", "ROLE_ID", "BUDGETED_MINUTES", "BUDGETED_COST"
+       |    ORDER BY sync_reporting_date DESC NULLS LAST) AS __rn
+       |  FROM corr c WHERE "USER_NAME" IS NOT NULL AND "BUDGETED_MINUTES" > 0) WHERE __rn = 1),
+       |ibs AS (SELECT "WORK_ITEM_ID", "USER_ID", "USER_NAME",
+       |  CAST(SUM("BUDGETED_MINUTES") AS BIGINT) AS total_individual_budgeted_minutes
+       | FROM ibsd GROUP BY 1, 2, 3),
+       |its AS (SELECT "WORK_ITEM_ID", "USER_NAME", "USER_ID",
+       |  SUM("MINUTES") / CAST(60.0 AS DOUBLE) AS total_hours_logged
+       | FROM te GROUP BY 1, 2, 3),
+       |wits AS (SELECT "WORK_ITEM_ID",
+       |  SUM("MINUTES") / CAST(60.0 AS DOUBLE) AS work_item_total_hours_logged
+       | FROM te GROUP BY 1),
+       |awu AS (SELECT DISTINCT "WORK_ITEM_ID", "USER_ID" AS awu_user_id, "USER_NAME" AS awu_user_name FROM (
+       |  SELECT "WORK_ITEM_ID", "USER_ID", "USER_NAME" FROM ibs
+       |  UNION ALL SELECT "WORK_ITEM_ID", "USER_ID", "USER_NAME" FROM its)),
+       |$V5_SLIM
+       |SELECT 'WORK_ITEM_DETAILS_BQ_DUPLICATES' AS check_name,
+       |  (SELECT COUNT(*) FROM (SELECT "WORK_ITEM_ID" FROM details GROUP BY 1 HAVING COUNT(*) > 1)) AS flagged
+       |UNION ALL SELECT 'BUDGET_VS_ACTUAL_DUPLICATES',
+       |  (SELECT COUNT(*) FROM (SELECT 1 FROM corr WHERE "USER_NAME" IS NOT NULL AND "BUDGETED_MINUTES" > 0
+       |    GROUP BY "WORK_ITEM_ID", "USER_ID", "USER_NAME", "TASK_TYPE_ID", "ROLE_ID", "BUDGETED_MINUTES", "BUDGETED_COST"
+       |    HAVING COUNT(*) > 1))
+       |UNION ALL SELECT 'V5_VIEW_USER_WORK_ITEM_DUPLICATES',
+       |  (SELECT COUNT(*) FROM (SELECT 1 FROM v5slim
+       |    GROUP BY "WORK_ITEM_ID", budget_user_id, budget_user_name HAVING COUNT(*) > 1))
+       |UNION ALL SELECT 'BUDGET_CONSISTENCY_NOT_CONSISTENT',
+       |  (SELECT COUNT(*) FROM (
+       |    SELECT "WORK_ITEM_ID", "WORK_TITLE", work_item_total_budgeted_minutes,
+       |      work_item_total_budgeted_minutes - SUM(individual_budgeted_minutes) AS budget_difference
+       |    FROM v5slim GROUP BY 1, 2, 3 HAVING work_item_total_budgeted_minutes > 0)
+       |   WHERE NOT (CASE WHEN ABS(budget_difference) > 60 THEN 'SIGNIFICANT_VARIANCE'
+       |     WHEN budget_difference <> 0 THEN 'MINOR_VARIANCE' ELSE 'CONSISTENT' END = 'CONSISTENT'))
+       |UNION ALL SELECT 'TIME_TRACKING_CONSISTENCY',
+       |  (SELECT COUNT(*) FROM (
+       |    SELECT "WORK_ITEM_ID", "WORK_TITLE", work_item_total_hours_logged_summary,
+       |      work_item_total_hours_logged_summary - SUM(individual_hours_logged_actual) AS time_difference
+       |    FROM v5slim GROUP BY 1, 2, 3 HAVING work_item_total_hours_logged_summary > 0)
+       |   WHERE ABS(time_difference) > CAST(0.1 AS DOUBLE))""".stripMargin
+
+  /** `pipeline_monitoring.sql:9-131` (Monitoring.report): three-section
+    * tagged-union health report. The V4 rows reduce to the latest-snapshot
+    * relation: every star join is ×1 on these dimensions, so V4's row set,
+    * REPORTING_DATE, WORK_ITEM_ID and CLIENT_ID are latest's own.
+    */
+  val pipelineMonitoring: String =
+    s"""WITH $TE_CLEAN, $DETAILS, $LATEST,
+       |health AS (
+       |  SELECT 'WORK_ITEM_DETAILS_BQ' AS table_name, MAX("REPORTING_DATE") AS latest_date,
+       |    COUNT(*) AS total_records, COUNT(DISTINCT "WORK_ITEM_ID") AS unique_work_items FROM details
+       |  UNION ALL
+       |  SELECT 'WORK_ITEM_BUDGET_TIME_TRACKING_VIEW_V4', MAX("REPORTING_DATE"),
+       |    COUNT(*), COUNT(DISTINCT "WORK_ITEM_ID") FROM latest
+       |  UNION ALL
+       |  SELECT 'USER_TIME_ENTRY_BQ', MAX("REPORTING_DATE"),
+       |    COUNT(*), COUNT(DISTINCT "USER_ID") FROM te),
+       |alerts AS (SELECT table_name, latest_date, total_records,
+       |  CAST(DATE_DIFF('day', latest_date, DATE '2025-09-01') AS INT) AS days_behind
+       | FROM health),
+       |quality AS (
+       |  SELECT 'WORK_ITEM_DETAILS_BQ' AS table_name, 'NULL_WORK_ITEM_ID' AS check_type,
+       |    COUNT(*) FILTER (WHERE "WORK_ITEM_ID" IS NULL OR "WORK_ITEM_ID" = '') AS issue_count FROM details
+       |  UNION ALL
+       |  SELECT 'WORK_ITEM_BUDGET_TIME_TRACKING_VIEW_V4', 'NULL_CLIENT_ID',
+       |    COUNT(*) FILTER (WHERE "CLIENT_ID" IS NULL OR "CLIENT_ID" = '') FROM latest
+       |  UNION ALL
+       |  SELECT 'USER_TIME_ENTRY_BQ', 'FUTURE_DATES',
+       |    COUNT(*) FILTER (WHERE "REPORTING_DATE" > DATE '2025-09-01') FROM te)
+       |SELECT '🔍 PIPELINE HEALTH REPORT' AS report_section, $asOf AS report_timestamp,
+       |  '' AS table_name, CAST(NULL AS DATE) AS latest_date, CAST(NULL AS BIGINT) AS total_records,
+       |  CAST(NULL AS INT) AS days_behind, '' AS alert_level,
+       |  'Generated automatically for daily monitoring' AS alert_message
+       |UNION ALL
+       |SELECT '📊 DATA FRESHNESS', $asOf, table_name, latest_date, total_records, days_behind,
+       |  CASE WHEN days_behind > 3 THEN 'CRITICAL' WHEN days_behind > 1 THEN 'WARNING' ELSE 'OK' END,
+       |  CASE WHEN days_behind > 3 THEN 'Data is more than 3 days old - investigate pipeline'
+       |    WHEN days_behind > 1 THEN 'Data is more than 1 day old - monitor closely'
+       |    ELSE 'Data freshness is acceptable' END
+       |FROM alerts
+       |UNION ALL
+       |SELECT '⚠️ DATA QUALITY ISSUES', $asOf, table_name, CAST(NULL AS DATE), issue_count,
+       |  CAST(NULL AS INT),
+       |  CASE WHEN issue_count > 0 THEN 'WARNING' ELSE 'OK' END,
+       |  check_type || ': ' || CAST(issue_count AS VARCHAR) || ' issues found'
+       |FROM quality""".stripMargin
+
   /** `…v5_fallback.sql` (DomainViews.v5Fallback): actual individual budgets
     * (plain rollup, no window dedup) ∪ proportional estimates for items
     * without them, under the disjunctive `cbs.USER_NAME = ite.USER_NAME OR

@@ -186,6 +186,10 @@ object ViewQueries extends QueryModule {
     "ref_v4_domain" -> DomainOracles.v4,
     "ref_v5_domain" -> DomainOracles.v5,
     "ref_v5_fallback_domain" -> DomainOracles.v5Fallback,
+    "ref_user_time_detail_domain" -> DomainOracles.userTimeDetail,
+    "ref_reconciliation" -> DomainOracles.reconciliation,
+    "ref_view_check_summary" -> DomainOracles.viewCheckSummary,
+    "ref_pipeline_monitoring" -> DomainOracles.pipelineMonitoring,
 
     "v_latest_snapshot" ->
       s"""WITH $SNAPS, $LATEST
