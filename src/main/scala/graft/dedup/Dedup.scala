@@ -47,13 +47,20 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, k: Int = 3, portableHash: Boolean = false): DataFrame = {
-    def h(seed: Int): Column = {
-      val salted = concat(col("shingle"), lit(s"#$seed"))
-      if (portableHash) conv(substring(md5(salted), 1, 15), 16, 10).cast("long")
-      else xxhash64(salted)
-    }
-    val exploded = df.select(col(idCol).as("doc"),
+    // Fast path: hash the (variable-length) shingle string ONCE, then derive
+    // the `numHashes` family members by hashing the resulting 8-byte long
+    // with the seed — ~numHashes× less string hashing and no per-seed concat
+    // allocation, same pairwise-independence story. The portable path keeps
+    // the salted-md5-per-seed form the cross-engine oracle reproduces.
+    def h(seed: Int): Column =
+      if (portableHash)
+        conv(substring(md5(concat(col("shingle"), lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("shingle_h"), lit(seed))
+    val exploded0 = df.select(col(idCol).as("doc"),
       explode(shingles(col(textCol), k)).as("shingle"))
+    val exploded =
+      if (portableHash) exploded0
+      else exploded0.withColumn("shingle_h", xxhash64(col("shingle")))
     val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
     exploded.groupBy(col("doc"))
       .agg(mins.head, mins.tail: _*)
@@ -144,9 +151,13 @@ object Dedup {
     pairs
       .join(grams.select(col("doc").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
       .join(grams.select(col("doc").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      // |A∪B| = |A| + |B| − |A∩B| (arrays are distinct): one hash-probe pass
+      // per pair instead of two, and no union-array allocation.
+      .withColumn("inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("double"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double")).as("jaccard"))
+        (col("inter") /
+          ((size(col("grams_a")) + size(col("grams_b"))).cast("double") - col("inter")))
+          .as("jaccard"))
   }
 
   /** Connected components over a near-dup pair list — the step that turns
