@@ -16,6 +16,7 @@ object ProfileOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -37,8 +38,13 @@ object ProfileOne {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same inter-measurement isolation as Bench
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache()
+      System.gc()
     }
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    if (args.contains("simple")) fn(spark, sfDir).explain() // shows codegen '*' spans
     spark.stop()
   }
 }
