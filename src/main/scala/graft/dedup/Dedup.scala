@@ -33,15 +33,15 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
 
-  /** MinHash signatures via explode + partial aggregation: one row per
-    * (doc, shingle), `numHashes` seeded hash columns, then per-doc MIN of
-    * each. Map-side combine collapses the explosion before the shuffle, so
-    * at 100 TB the shuffle carries one 64-long vector per document — this is
-    * the formulation that scales (the nested-lambda one recomputes the
-    * shingle array per seed).
+  /** MinHash signatures. Default path: the native [[graft.functions.MinHashSignature]]
+    * expression — one fused codegen'd loop per document row (shingles ×
+    * seeds), no explode, no aggregation, no shuffle for the signature stage
+    * at all. Expects one row per document id.
     *
-    * `portableHash` swaps xxhash64 for the first 60 bits of md5 — ~3× the
-    * hash cost, but reproducible on any engine with md5 (DuckDB:
+    * `portableHash` swaps xxhash64 for the first 60 bits of per-seed salted
+    * md5 — ~3× the hash cost and an explode + per-doc MIN aggregation
+    * (map-side combine collapses the explosion before the shuffle) — but
+    * reproducible on any engine with md5 (DuckDB:
     * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`), which buys the whole
     * MinHash+LSH pipeline a cross-engine oracle.
     */
@@ -52,19 +52,25 @@ object Dedup {
     // with the seed — ~numHashes× less string hashing and no per-seed concat
     // allocation, same pairwise-independence story. The portable path keeps
     // the salted-md5-per-seed form the cross-engine oracle reproduces.
-    def h(seed: Int): Column =
-      if (portableHash)
+    if (!portableHash) {
+      // Fast path: the native MinHashSignature expression computes the whole
+      // signature in one fused per-row loop — no explode, no aggregation, no
+      // shuffle for the signature stage (bit-identical to the explode/agg
+      // xxhash64 formulation; asserted in DedupAnnSpec).
+      import org.apache.spark.sql.graft.ColumnBridge
+      df.select(col(idCol).as("doc"),
+        ColumnBridge.column(graft.functions.MinHashSignature(
+          ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
+    } else {
+      def h(seed: Int): Column =
         conv(substring(md5(concat(col("shingle"), lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
-      else xxhash64(col("shingle_h"), lit(seed))
-    val exploded0 = df.select(col(idCol).as("doc"),
-      explode(shingles(col(textCol), k)).as("shingle"))
-    val exploded =
-      if (portableHash) exploded0
-      else exploded0.withColumn("shingle_h", xxhash64(col("shingle")))
-    val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
-    exploded.groupBy(col("doc"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
+      val exploded = df.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
+      exploded.groupBy(col("doc"))
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
+    }
   }
 
   /** MinHash + LSH near-dup pairs over `df(idCol, textCol)`.
@@ -77,10 +83,16 @@ object Dedup {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
+    // Explicit repartition on the join key: both self-join sides derive from
+    // the SAME exchange (ReusedExchange), so shingling + signatures are
+    // computed once, not once per side — and the join needs no further
+    // shuffle. Matters doubly for the native-expression path, which has no
+    // aggregation exchange of its own to anchor the reuse.
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+      .repartition(col("band"), col("band_hash"))
     val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
     val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))
@@ -127,10 +139,12 @@ object Dedup {
     val bandBits = if (portableHash) 15 else 16
     val mask = (1 << bandBits) - 1
     val sigs = simhashSignatures(df, idCol, textCol, portableHash)
+    // same ReusedExchange anchor as minhashLsh: one computation, one shuffle
     val banded = sigs.select(col("doc"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * $bandBits) & $mask)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+      .repartition(col("band"), col("band_bits"))
     val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
     val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))
     a.join(b, Seq("band", "band_bits"))

@@ -107,6 +107,31 @@ class DedupAnnSpec extends SparkSuite {
     assert(sqlRow.getDouble(0) == 1.0)
   }
 
+  test("native MinHashSignature ≡ the explode/agg xxhash64 formulation, codegen AND interpreted") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = sf("documents").limit(200).select(col("doc_id"), col("text"))
+    def viaExpr = docs.select(col("doc_id").as("doc"),
+      ColumnBridge.column(graft.functions.MinHashSignature(
+        ColumnBridge.expression(Dedup.shingles(col("text"), 3)), 16)).as("sig"))
+    // the pre-Expression formulation, kept as the reference implementation
+    val exploded = docs.select(col("doc_id").as("doc"),
+      explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .withColumn("shingle_h", xxhash64(col("shingle")))
+    val mins = (1 to 16).map(s => min(xxhash64(col("shingle_h"), lit(s))).as(s"h$s"))
+    val viaAgg = exploded.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((1 to 16).map(s => col(s"h$s")): _*).as("sig"))
+      .localCheckpoint(true)
+    assert(viaExpr.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaExpr).isEmpty)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(viaExpr.exceptAll(viaAgg).isEmpty) // interpreted path = nullSafeEval
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("brute-force ANN ranks an identical vector as the top neighbor") {
     val emb = sf("embeddings")
     val clones = emb.filter(col("vec_id") < 3)
