@@ -112,10 +112,17 @@ object Dedup {
     */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       portableHash: Boolean = false): DataFrame = {
-    val bits = if (portableHash) 60 else 64
-    val hashCol =
-      if (portableHash) conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-      else xxhash64(col("tok"))
+    if (!portableHash) {
+      // Fast path: native fused per-row loop (see MinHashSignature) — no
+      // explode, no 64-column vote aggregate, no shuffle. Bit-identity with
+      // the explode/agg formulation asserted in DedupAnnSpec.
+      import org.apache.spark.sql.graft.ColumnBridge
+      return df.select(col(idCol).as("doc"),
+        ColumnBridge.column(graft.functions.SimHashSignature(
+          ColumnBridge.expression(TextOps.tokens(lower(col(textCol)))))).as("sig"))
+    }
+    val bits = 60
+    val hashCol = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
     val exploded = df
       .select(col(idCol).as("doc"), explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
       .select(col("doc"), hashCol.as("h"))

@@ -17,6 +17,19 @@ object GraftFunctions {
         case Seq(a, b) => CosineSimilarity(a, b)
         case args => throw new IllegalArgumentException(
           s"cosine_similarity expects 2 args, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      (FunctionIdentifier("minhash_signature"), info("minhash_signature"), {
+        case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
+          MinHashSignature(a, n)
+        case args => throw new IllegalArgumentException(
+          s"minhash_signature expects (array<string>, int literal), got ${args.length} args")
+      }: Seq[Expression] => Expression),
+
+      (FunctionIdentifier("simhash_signature"), info("simhash_signature"), {
+        case Seq(a) => SimHashSignature(a)
+        case args => throw new IllegalArgumentException(
+          s"simhash_signature expects 1 arg, got ${args.length}")
       }: Seq[Expression] => Expression))
   }
 

@@ -132,6 +132,42 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("native SimHashSignature ≡ the explode/agg vote formulation, codegen AND interpreted") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = sf("documents").limit(200).select(col("doc_id"), col("text"))
+    def viaExpr = docs.select(col("doc_id").as("doc"),
+      ColumnBridge.column(graft.functions.SimHashSignature(
+        ColumnBridge.expression(graft.text.TextOps.tokens(lower(col("text")))))).as("sig"))
+    val exploded = docs
+      .select(col("doc_id").as("doc"),
+        explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val packed = (0 until 64)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val viaAgg = exploded.groupBy(col("doc"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc"), packed.as("sig"))
+      .localCheckpoint(true)
+    assert(viaExpr.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaExpr).isEmpty)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(viaExpr.exceptAll(viaAgg).isEmpty) // interpreted path = nullSafeEval
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    // SQL registration round-trip
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_signature(array('a b c','b c d'), 4) AS m, simhash_signature(array('a','b')) AS s")
+      .head()
+    assert(r.getSeq[Long](0).length == 4 && r.getLong(1) != 0L)
+  }
+
   test("brute-force ANN ranks an identical vector as the top neighbor") {
     val emb = sf("embeddings")
     val clones = emb.filter(col("vec_id") < 3)
