@@ -197,17 +197,21 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // LAZY checkpoint: the Σlabel convergence probe below is the action that
+    // materializes it, so each round costs ONE job, not two (an eager
+    // checkpoint + separate probe doubled the per-round fixed latency that
+    // dominates this iterative operator — the data itself is tiny per round).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    // "no near-dup pairs" is a normal outcome: SUM over zero rows is NULL and
-    // would NPE the unboxing below, so return the empty frame directly
-    if (labels.isEmpty)
-      return labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+      .localCheckpoint(false)
     // labels only ever decrease, so Σlabel is a strictly decreasing potential
     // until the fixpoint — an unchanged sum IS convergence, probed with one
-    // aggregate instead of a self-join per round
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // aggregate instead of a self-join per round. SUM over zero rows is NULL,
+    // which doubles as the "no near-dup pairs" signal (a normal outcome).
+    val sum0 = labels.agg(sum(col("label"))).head().getAs[java.lang.Long](0)
+    if (sum0 == null)
+      return labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    var prevSum = sum0.longValue
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -217,7 +221,7 @@ object Dedup {
       val next = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum
