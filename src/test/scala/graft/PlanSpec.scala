@@ -71,10 +71,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("exact dedup aggregates partially before the shuffle (minhash fan-in)") {
+  test("minhash signatures: native path is shuffle-free; portable path partial-aggregates") {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
-    val p = plan(sig)
-    assert("HashAggregate".r.findAllIn(p).length >= 2, "minhash must partial-aggregate map-side")
+    // default (native MinHashSignature expression): map-side only — no
+    // explode, no aggregation, no Exchange at all in the signature stage
+    val fast = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
+    assert(!fast.contains("Exchange"), "native signature path must not shuffle")
+    assert(fast.contains("minhash_signature"), fast)
+    // portable-md5 oracle path keeps explode + per-doc MIN with map-side combine
+    val portable = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text",
+      numHashes = 16, portableHash = true))
+    assert("HashAggregate".r.findAllIn(portable).length >= 2,
+      "portable minhash must partial-aggregate map-side")
   }
 }
