@@ -62,8 +62,16 @@ object Dedup {
         ColumnBridge.column(graft.functions.MinHashSignature(
           ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
     } else {
-      def h(seed: Int): Column =
-        conv(substring(md5(concat(col("shingle"), lit(s"#$seed"))), 1, 15), 16, 10).cast("long")
+      // One md5 digest carries two independent 60-bit hashes (hex chars 1-15
+      // and 17-31), so seeds 2p-1 and 2p share the digest salted with #p —
+      // half the md5 calls, and subexpression elimination in the aggregate
+      // codegen computes each shared digest once. The DuckDB oracle
+      // (LlmQueries dd2b) mirrors the same split.
+      def h(seed: Int): Column = {
+        val pair = (seed + 1) / 2
+        val off = if (seed % 2 == 1) 1 else 17
+        conv(substring(md5(concat(col("shingle"), lit(s"#$pair"))), off, 15), 16, 10).cast("long")
+      }
       val exploded = df.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), k)).as("shingle"))
       val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))

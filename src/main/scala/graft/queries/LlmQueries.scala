@@ -318,9 +318,12 @@ object LlmQueries extends QueryModule {
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
     "dd2b_minhash_portable" -> {
-      val mins = (1 to 16).map(sd =>
-        s"MIN(CAST(('0x' || substr(md5(shingle || '#$sd'), 1, 15)) AS BIGINT)) AS h$sd")
-        .mkString(", ")
+      // seeds 2p-1 / 2p split the #p-salted digest's two 60-bit halves,
+      // mirroring Dedup.minhashSignatures' portable path
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
       val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
       def bandHash = (0 until 4).map { b =>
         val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
