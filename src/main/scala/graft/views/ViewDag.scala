@@ -284,7 +284,10 @@ object ViewDag {
         col("last_entry_date"),
         coalesce(col("months_active"), lit(0L)).as("months_active")) ++
         (1 to 12).map(m => coalesce(col(f"hours_m_$m%02d"), lit(0.0)).as(f"hours_m_$m%02d")): _*)
-      .orderBy(col("client_name"), col("work_item_id"), col("user_id"))
+    // No trailing ORDER BY: the reference view's is presentation-only, and a
+    // total sort of the full view output (range-partition exchange + sort of
+    // every wide row) is the single largest avoidable shuffle at scale.
+    // Consumers that need an order sort their (filtered, small) result.
   }
 
   /** `…v5_fallback.sql` analog: work items with no individual budgets get a
