@@ -6,83 +6,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns + typed
   * metadata, processed in partition-sized batches.
   *
-  * The IMAGE path is real: [[imageTable]] encodes actual PNGs, and
-  * [[decodeImage]]/[[resizeImage]] run javax.imageio (decode → half-scale →
-  * re-encode). The audio/video decode (`decodeStub`) remains STUBBED — those
-  * codecs aren't in the JDK — with deterministic fake features, but the
-  * Spark-side shape is real everywhere: schema, batch iteration
-  * (`mapPartitions`, the JVM analog of `mapInPandas` batches), and the
-  * partitioning story. At 100 TB the rule is that the binary payload is
-  * scanned once, never shuffled: features are extracted map-side and only
-  * the (id, features) projection moves on.
+  * All three modalities run REAL codecs from the JDK:
+  *  - image: [[imageTable]] encodes actual PNGs; [[decodeImage]] /
+  *    [[resizeImage]] run javax.imageio (decode → half-scale → re-encode);
+  *  - audio: [[audioTable]] writes genuine RIFF/WAV (PCM16 mono);
+  *    [[decodeAudio]] parses it back through javax.sound.sampled and reads
+  *    the PCM frames (peak amplitude proves the data chunk is really read);
+  *  - video: [[videoTable]] packs per-frame PNGs into a length-prefixed
+  *    container; [[frameSample]] demuxes the frame index and ImageIO-decodes
+  *    only the sampled frames.
+  *
+  * Every fixture field is a closed-form function of doc_id, so external
+  * DuckDB oracles can predict exactly what each codec must recover from the
+  * bytes — a decode that doesn't really parse the payload cannot pass.
+  *
+  * At 100 TB the rule is that the binary payload is scanned once, never
+  * shuffled: features are extracted map-side (`mapPartitions`, the JVM analog
+  * of `mapInPandas` batches) and only the (id, features) projection moves on.
   */
 object Multimodal {
-
-  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte], n_bytes: Long)
-  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-      header_be32: Long, checksum: Long, feat: Array[Float])
-
-  /** Synthesize an opaque media column from the documents table (16-byte
-    * md5-derived payload standing in for real image/audio bytes).
-    */
-  def mediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      unhex(md5(col("text"))).as("payload"))
-      .withColumn("n_bytes", length(col("payload")).cast("long"))
-
-  /** The "decode" stage: batch-iterate records per partition, emit features.
-    * ??? in a real deployment this calls the codec; here it derives
-    * deterministic pseudo-features so the pipeline is testable end-to-end.
-    */
-  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
-      batch.map { r =>
-        val bytes = r.payload
-        val header = bytes.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
-        val checksum = bytes.foldLeft(1469598103934665603L)((h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
-        val feat = Array.tabulate(8) { i =>
-          val v = bytes((i * 2) % bytes.length) & 0xff
-          (v.toFloat / 255.0f)
-        }
-        MediaFeatures(r.doc_id, r.media_type, r.n_bytes, header, checksum, feat)
-      }
-    }
-  }
-
-  /** Feature post-processing back in DataFrame land: per-type stats over the
-    * extracted features (what a training-data curation job aggregates).
-    */
-  def featureStats(features: Dataset[MediaFeatures]): DataFrame =
-    features.toDF()
-      .groupBy(col("media_type"))
-      .agg(
-        count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).as("total_bytes"),
-        min(col("header_be32")).as("min_header"),
-        max(col("header_be32")).as("max_header"))
-
-  case class ResizedMedia(doc_id: Long, media_type: String, n_bytes: Long,
-      thumb: Array[Byte], thumb_bytes: Long)
-
-  /** The "resize" stage (image → thumbnail): same per-partition batch slot as
-    * [[decodeStub]]; the stub resamples every other byte to a fixed-size
-    * payload where a real codec would decode-scale-reencode. Map-side only —
-    * the original payload never shuffles, and the projection that moves on is
-    * the (smaller) thumbnail.
-    */
-  def resizeStub(spark: SparkSession, media: DataFrame, outBytes: Int = 8): Dataset[ResizedMedia] = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
-      batch.map { r =>
-        val thumb = Array.tabulate(outBytes)(i => r.payload((i * 2) % r.payload.length))
-        ResizedMedia(r.doc_id, r.media_type, r.n_bytes, thumb, thumb.length.toLong)
-      }
-    }
-  }
 
   // ---- real image codec path (mm1/mm3) ------------------------------------
   // javax.imageio is in the JDK, so the image pipeline needs no stub: the
@@ -169,27 +111,190 @@ object Multimodal {
     }
   }
 
-  case class FrameRecord(doc_id: Long, frame_no: Int, frame_payload: Array[Byte],
-      frame_checksum: Long)
+  // ---- real audio codec path (mm2) ----------------------------------------
+  // RIFF/WAV PCM16 is both trivially writable (fixture) and parseable by the
+  // JDK's javax.sound.sampled, so the audio pipeline needs no stub either.
 
-  /** The frame-sampling stage (video → k frames): one media row flatMaps into
-    * k frame rows inside the partition batch — the fan-out happens map-side
-    * with no shuffle, so at 100 TB frame extraction is scan-bound. The stub
-    * slices the payload per frame where a real demuxer would seek keyframes.
+  case class AudioRecord(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long, peak_abs: Int)
+
+  /** One PCM16-mono WAV per doc: rate 8000 + (id%8)·1000 Hz, 256 + (id%128)·16
+    * samples, a planted peak of 20000 + id%10000 at sample 0 (all other
+    * samples bounded by ±8192) — every decoded field is a closed-form function
+    * of doc_id, so the oracle can predict what the codec must recover.
     */
-  def frameSampleStub(spark: SparkSession, media: DataFrame, frames: Int = 4): Dataset[FrameRecord] = {
+  private[multimodal] def wavBytes(id: Long): Array[Byte] = {
+    val sampleRate = 8000 + (id % 8).toInt * 1000
+    val n = 256 + (id % 128).toInt * 16
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = rate * blockAlign
+      .putShort(2).putShort(16) // blockAlign, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.putShort((20000 + (id % 10000)).toShort)
+    var i = 1
+    while (i < n) {
+      bb.putShort((((id * 131 + i * 17) % 16384) - 8192).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  def audioTable(spark: SparkSession, docs: DataFrame): Dataset[AudioRecord] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
-      batch.filter(_.media_type == "video").flatMap { r =>
-        (0 until frames).iterator.map { f =>
-          val start = (f * r.payload.length) / frames
-          val end = ((f + 1) * r.payload.length) / frames
-          val payload = r.payload.slice(start, end)
-          val checksum = payload.foldLeft(1469598103934665603L)(
-            (h, b) => (h ^ (b & 0xffL)) * 1099511628211L)
-          FrameRecord(r.doc_id, f, payload, checksum)
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = wavBytes(id)
+        AudioRecord(id, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** mm2, honestly: parse each WAV through javax.sound.sampled in partition
+    * batches — format fields from the header, then the PCM data chunk read in
+    * full for the peak amplitude (so a header-only "decode" can't pass the
+    * planted-peak oracle). Map-side; the payload never shuffles.
+    */
+  def decodeAudio(spark: SparkSession, audio: Dataset[AudioRecord]): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    audio.mapPartitions { batch =>
+      batch.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val nFrames = in.getFrameLength
+        val pcm = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var peak = 0
+        while (bb.remaining() >= 2) {
+          val v = math.abs(bb.getShort.toInt)
+          if (v > peak) peak = v
+        }
+        val rate = fmt.getSampleRate.toInt
+        DecodedAudio(r.doc_id, rate, fmt.getChannels, fmt.getSampleSizeInBits,
+          nFrames, nFrames * 1000L / rate, peak)
+      }
+    }
+  }
+
+  // ---- real video container path (mm4) ------------------------------------
+  // There is no video codec in the JDK, but a container demux doesn't need
+  // one: frames are individually-encoded PNGs packed behind a length-prefixed
+  // index (the MJPEG idea). The demux walks real offsets and ImageIO-decodes
+  // only the sampled frames — seek-and-decode, exactly the access pattern a
+  // keyframe sampler has over a real container.
+
+  case class VideoRecord(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+  case class VideoProbe(doc_id: Long, n_frames: Int, n_bytes: Long)
+  case class SampledFrame(doc_id: Long, frame_no: Int, frame_index: Int,
+      width: Int, height: Int)
+
+  /** Container layout: "GFV1" | frameCount:int32BE | (len:int32BE | png)*.
+    * 2 + id%5 frames per doc; frame f is a real PNG of
+    * (4 + (id+f)%8) × (4 + (id+f)%6) — closed-form for the oracle.
+    */
+  private[multimodal] def videoBytes(id: Long): Array[Byte] = {
+    val fc = 2 + (id % 5).toInt
+    val frames = (0 until fc).map { f =>
+      val w = 4 + ((id + f) % 8).toInt
+      val h = 4 + ((id + f) % 6).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 37 + f * 11 + x * 5 + y * 3) & 0xff).toInt
+          img.setRGB(x, y, (v << 16) | (((v * 5) & 0xff) << 8) | ((v * 11) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      pngBytes(img)
+    }
+    val bb = java.nio.ByteBuffer.allocate(8 + frames.map(4 + _.length).sum)
+    bb.put("GFV1".getBytes("US-ASCII")).putInt(fc)
+    frames.foreach(f => bb.putInt(f.length).put(f))
+    bb.array()
+  }
+
+  def videoTable(spark: SparkSession, docs: DataFrame): Dataset[VideoRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val bytes = videoBytes(id)
+        VideoRecord(id, bytes, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Header + index walk without pixel decode — what a curation filter runs
+    * before paying for frame extraction. Validates the magic and that the
+    * length-prefix walk lands exactly at end-of-payload.
+    */
+  def probeVideo(spark: SparkSession, videos: Dataset[VideoRecord]): Dataset[VideoProbe] = {
+    import spark.implicits._
+    videos.mapPartitions { batch =>
+      batch.map { r =>
+        val bb = wrapContainer(r)
+        val fc = bb.getInt
+        var i = 0
+        while (i < fc) {
+          val len = bb.getInt
+          bb.position(bb.position() + len)
+          i += 1
+        }
+        require(!bb.hasRemaining, s"container for doc ${r.doc_id} has trailing bytes")
+        VideoProbe(r.doc_id, fc, r.n_bytes)
+      }
+    }
+  }
+
+  /** mm4, honestly: demux the frame index, pick min(k, n) evenly-spaced frame
+    * indices (j·n/k), and ImageIO-decode only those — the map-side fan-out is
+    * one row per sampled frame, no shuffle, and undecoded frames are never
+    * touched beyond their length prefix.
+    */
+  def frameSample(spark: SparkSession, videos: Dataset[VideoRecord], k: Int = 4): Dataset[SampledFrame] = {
+    import spark.implicits._
+    videos.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val bb = wrapContainer(r)
+        val fc = bb.getInt
+        val offsets = new Array[(Int, Int)](fc) // (start, len) per frame
+        var i = 0
+        while (i < fc) {
+          val len = bb.getInt
+          offsets(i) = (bb.position(), len)
+          bb.position(bb.position() + len)
+          i += 1
+        }
+        (0 until math.min(k, fc)).iterator.map { j =>
+          val idx = if (fc <= k) j else (j * fc) / k
+          val (start, len) = offsets(idx)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload, start, len))
+          SampledFrame(r.doc_id, j, idx, img.getWidth, img.getHeight)
         }
       }
     }
+  }
+
+  private def wrapContainer(r: VideoRecord): java.nio.ByteBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(r.payload) // big-endian by default
+    val magic = new Array[Byte](4)
+    bb.get(magic)
+    require(new String(magic, "US-ASCII") == "GFV1",
+      s"bad container magic for doc ${r.doc_id}")
+    bb
   }
 }

@@ -178,11 +178,31 @@ object LlmQueries extends QueryModule {
       Multimodal.decodeImage(s, Multimodal.imageTable(s, Tables.documents(s, dir)))
         .toDF().select(col("doc_id"), col("width"), col("height"), col("channels"))),
 
-    // mm2: per-media-type curation stats over extracted features (audio/video
-    // codecs aren't in the JDK — decodeStub, rows-only + ScalaTest).
-    "mm2_media_stats" -> ((s, dir) =>
-      Multimodal.featureStats(
-        Multimodal.decodeStub(s, Multimodal.mediaTable(Tables.documents(s, dir))))),
+    // mm2: per-media-type curation stats over the REAL decodes — pixel count
+    // from ImageIO, sample count from javax.sound.sampled, frame count from
+    // the container demux. Each leg is one map-side codec pass + a global agg;
+    // the oracle predicts every number from the fixture formulas.
+    "mm2_media_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val img = Multimodal.decodeImage(s, Multimodal.imageTable(s, docs)).toDF()
+        .agg(count(lit(1)).as("n_assets"),
+          sum((col("width") * col("height")).cast("long")).as("total_units"))
+        .select(lit("image").as("media_type"), col("n_assets"), col("total_units"))
+      val aud = Multimodal.decodeAudio(s, Multimodal.audioTable(s, docs)).toDF()
+        .agg(count(lit(1)).as("n_assets"), sum(col("n_samples")).as("total_units"))
+        .select(lit("audio").as("media_type"), col("n_assets"), col("total_units"))
+      val vid = Multimodal.probeVideo(s, Multimodal.videoTable(s, docs)).toDF()
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_frames").cast("long")).as("total_units"))
+        .select(lit("video").as("media_type"), col("n_assets"), col("total_units"))
+      img.union(aud).union(vid)
+    }),
+
+    // mm2b: per-row audio decode — the strongest check of the WAV codec path
+    // (the planted peak can only come from actually reading the PCM frames).
+    "mm2_audio_decode" -> ((s, dir) =>
+      Multimodal.decodeAudio(s, Multimodal.audioTable(s, Tables.documents(s, dir)))
+        .toDF()),
 
     // mm3: real resize — ImageIO decode → half-scale bilinear → PNG
     // re-encode, map-side. Thumb dimensions oracle-checked like mm1.
@@ -191,10 +211,13 @@ object LlmQueries extends QueryModule {
         .toDF().select(col("doc_id"), col("width"), col("height"),
           col("thumb_width"), col("thumb_height"))),
 
-    // mm4: frame sampling — video rows fan out into k frame rows map-side.
+    // mm4: real frame sampling — demux the length-prefixed container, decode
+    // only the min(k, n_frames) evenly-spaced frames, fan out map-side. The
+    // oracle replays the sampling arithmetic and the per-frame dimension
+    // formula, so a sampler that doesn't really walk the index can't pass.
     "mm4_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSampleStub(s, Multimodal.mediaTable(Tables.documents(s, dir)))
-        .toDF().drop("frame_payload")),
+      Multimodal.frameSample(s, Multimodal.videoTable(s, Tables.documents(s, dir)))
+        .toDF()),
 
     // dq2: the quality-agent module over two tables with per-table
     // thresholds and a fixed as-of date (`data_quality_agent.py:29-48`).
@@ -258,6 +281,47 @@ object LlmQueries extends QueryModule {
         |CAST((8 + doc_id % 16) // 2 AS INT) AS thumb_width,
         |CAST((8 + doc_id % 12) // 2 AS INT) AS thumb_height
         |FROM documents""".stripMargin,
+
+    // mm2: the stats the codecs must recover, from the fixture formulas —
+    // image pixels (8+id%16)·(8+id%12), audio samples 256+(id%128)·16, video
+    // frames 2+id%5. CAST(SUM AS BIGINT): DuckDB SUM(int) is HUGEINT.
+    "mm2_media_stats" ->
+      """SELECT 'image' AS media_type, COUNT(*) AS n_assets,
+        |CAST(SUM((8 + doc_id % 16) * (8 + doc_id % 12)) AS BIGINT) AS total_units
+        |FROM documents
+        |UNION ALL SELECT 'audio', COUNT(*),
+        |CAST(SUM(256 + (doc_id % 128) * 16) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'video', COUNT(*),
+        |CAST(SUM(2 + doc_id % 5) AS BIGINT) FROM documents""".stripMargin,
+
+    // mm2b: every WAV field the codec must recover, per row. duration_ms uses
+    // the same integer floor division as the Spark side.
+    "mm2_audio_decode" ->
+      """SELECT doc_id,
+        |CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |CAST(1 AS INT) AS channels,
+        |CAST(16 AS INT) AS bits_per_sample,
+        |CAST(256 + (doc_id % 128) * 16 AS BIGINT) AS n_samples,
+        |CAST((256 + (doc_id % 128) * 16) * 1000
+        |  // (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+        |CAST(20000 + doc_id % 10000 AS INT) AS peak_abs
+        |FROM documents""".stripMargin,
+
+    // mm4: replay the sampler's arithmetic — n = 2+id%5 frames, k = 4 output
+    // slots, frame_index = j·n/k when n > k else j — and the per-frame
+    // dimension formulas the PNG decode must recover.
+    "mm4_frame_sample" ->
+      """WITH f AS (SELECT doc_id, CAST(2 + doc_id % 5 AS INT) AS fc FROM documents),
+        |s AS (SELECT doc_id, fc, CAST(j AS INT) AS frame_no
+        |      FROM f, generate_series(0, 3) t(j) WHERE j < least(fc, 4)),
+        |x AS (SELECT doc_id, frame_no,
+        |      CAST(CASE WHEN fc <= 4 THEN frame_no
+        |                ELSE (frame_no * fc) // 4 END AS INT) AS frame_index
+        |      FROM s)
+        |SELECT doc_id, frame_no, frame_index,
+        |CAST(4 + (doc_id + frame_index) % 8 AS INT) AS width,
+        |CAST(4 + (doc_id + frame_index) % 6 AS INT) AS height
+        |FROM x""".stripMargin,
 
     "dq2_quality_report" ->
       """WITH d AS (SELECT 'documents' AS table_name, COUNT(*) AS row_cnt,

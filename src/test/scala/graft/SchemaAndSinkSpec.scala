@@ -119,18 +119,69 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!spark.catalog.tableExists("staging_region"))
   }
 
-  test("multimodal resize + frame sampling: map-side batch shapes, deterministic") {
-    val media = Multimodal.mediaTable(sf("documents"))
-    val thumbs = Multimodal.resizeStub(spark, media, outBytes = 8).toDF()
-    assert(thumbs.filter(col("thumb_bytes") =!= 8).count() == 0)
-    assert(thumbs.count() == media.count())
-    assert(thumbs.exceptAll(Multimodal.resizeStub(spark, media, outBytes = 8).toDF()).isEmpty)
-    val frames = Multimodal.frameSampleStub(spark, media, frames = 4).toDF()
-    val nVideo = media.filter(col("media_type") === "video").count()
-    assert(frames.count() == nVideo * 4)
-    assert(frames.groupBy("doc_id").count().filter(col("count") =!= 4).isEmpty)
-    // no shuffle in the fan-out: plan has no Exchange
+  test("audio codec: real WAV bytes round-trip through javax.sound.sampled") {
+    val docs = sf("documents")
+    val audio = Multimodal.audioTable(spark, docs)
+    // payloads are genuine RIFF/WAVE containers
+    audio.limit(5).collect().foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") == "RIFF")
+      assert(new String(r.payload.slice(8, 12), "US-ASCII") == "WAVE")
+      assert(r.n_bytes >= 44 + 2 * 256) // header + at least the minimum samples
+    }
+    // decode recovers every generator formula from the bytes alone — the
+    // planted peak requires actually reading the PCM data chunk
+    val dec = Multimodal.decodeAudio(spark, audio).toDF()
+    assert(dec.filter(col("sample_rate") =!=
+      (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 1000)).count() == 0)
+    assert(dec.filter(col("channels") =!= 1 || col("bits_per_sample") =!= 16).count() == 0)
+    assert(dec.filter(col("n_samples") =!=
+      (lit(256) + pmod(col("doc_id"), lit(128)) * 16)).count() == 0)
+    assert(dec.filter(col("peak_abs") =!=
+      (lit(20000) + pmod(col("doc_id"), lit(10000)).cast("int"))).count() == 0)
+    // duration: integer milliseconds from (samples, rate)
+    assert(dec.filter(col("duration_ms") =!=
+      floor(col("n_samples") * 1000 / col("sample_rate"))).count() == 0)
+    // decode is map-side: no Exchange
+    assert(!dec.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("video demux: container index walked for real, sampled frames decoded") {
+    val docs = sf("documents")
+    val videos = Multimodal.videoTable(spark, docs)
+    videos.limit(3).collect().foreach { r =>
+      assert(new String(r.payload.take(4), "US-ASCII") == "GFV1")
+    }
+    // probe: header count matches the walk, trailing bytes rejected
+    val probe = Multimodal.probeVideo(spark, videos).toDF()
+    assert(probe.filter(col("n_frames") =!=
+      (lit(2) + pmod(col("doc_id"), lit(5)).cast("int"))).count() == 0)
+    // sampling: min(k, n) rows per doc, frame_index evenly spaced, dims from
+    // the per-frame formula (so each sampled frame really was PNG-decoded)
+    val frames = Multimodal.frameSample(spark, videos, k = 4).toDF()
+    assert(frames.groupBy("doc_id").count()
+      .join(probe, "doc_id")
+      .filter(col("count") =!= least(col("n_frames"), lit(4))).count() == 0)
+    assert(frames.filter(col("width") =!=
+      (lit(4) + pmod(col("doc_id") + col("frame_index"), lit(8)).cast("int"))).count() == 0)
+    assert(frames.filter(col("height") =!=
+      (lit(4) + pmod(col("doc_id") + col("frame_index"), lit(6)).cast("int"))).count() == 0)
+    // a 6-frame video sampled at k=4 must skip frames (indices 0,1,3,4)
+    val six = frames.join(probe.filter(col("n_frames") === 6), "doc_id")
+    if (six.count() > 0)
+      assert(six.groupBy("doc_id").agg(collect_set("frame_index").as("idxs"))
+        .filter(!array_contains(col("idxs"), 0) || !array_contains(col("idxs"), 4))
+        .count() == 0)
+    // fan-out is map-side: no Exchange
     assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    // corrupted magic is rejected, not silently mis-parsed
+    import spark.implicits._
+    val bad = Seq(Multimodal.VideoRecord(1L, "NOPE".getBytes("US-ASCII") ++
+      Array.fill[Byte](8)(0), 12L)).toDS()
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.frameSample(spark, bad).collect()
+    }
+    assert(ex.getMessage.contains("magic") ||
+      Option(ex.getCause).exists(_.getMessage.contains("magic")))
   }
 
   test("image codec: real PNG bytes round-trip through ImageIO decode and resize") {
@@ -160,15 +211,15 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!th.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("multimodal decode: batch shape is per-partition, features deterministic") {
-    val media = Multimodal.mediaTable(sf("documents"))
-    val feats = Multimodal.decodeStub(spark, media)
-    val twice = Multimodal.decodeStub(spark, media)
-    assert(feats.toDF().exceptAll(twice.toDF()).isEmpty)
-    val f = feats.toDF()
-    assert(f.filter(col("n_bytes") =!= 16).count() == 0) // md5 payloads: 16 bytes
-    assert(f.select("media_type").distinct().count() == 3)
-    assert(f.filter(size(col("feat")) =!= 8).count() == 0)
+  test("multimodal stats: cross-codec aggregates are deterministic") {
+    val stats = graft.SparkEntry.queries("mm2_media_stats")(spark, "/root/testdata/sf0.001")
+    val rows = stats.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("image", "audio", "video"))
+    val n = sf("documents").count()
+    assert(rows.values.forall(_._1 == n))
+    // every doc has ≥ 8×8 pixels, ≥ 256 samples, ≥ 2 frames
+    assert(rows("image")._2 >= n * 64 && rows("audio")._2 >= n * 256 &&
+      rows("video")._2 >= n * 2)
   }
 
   test("events fixture: nanos timestamps surface as microsecond TIMESTAMP_NTZ") {
