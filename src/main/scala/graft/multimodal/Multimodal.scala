@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write spills
+  // through a temp file, which at scale turns a CPU-bound decode into file
+  // churn on the executor's tmp dir. All our payloads are in-memory byte
+  // arrays, so force the heap cache (JVM-wide, set when the first partition
+  // touches this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- real image codec path (mm1/mm3) ------------------------------------
   // javax.imageio is in the JDK, so the image pipeline needs no stub: the
   // fixture synthesizes REAL PNG payloads (encode), and decode/resize run the
