@@ -3,9 +3,11 @@ package graft.queries
 import graft.merge.{Dml, MergeInto}
 import graft.ops.Exact
 import graft.sources.Tables
+import graft.sync.SyncPipeline
 import org.apache.spark.sql.functions._
 
-/** SURVEY §2.9 MERGE/DML (M1–M8) + §2.10 incremental semantics (ST1/ST2/ST6)
+/** SURVEY §2.9 MERGE/DML (M1–M8) + §2.10 incremental semantics
+  * (ST1/ST2/ST5/ST6)
   * as verifiable queries. The merge scenarios are built from overlapping
   * slices of the same immutable table so the expected result is expressible
   * as plain SQL for the oracle; the write-path (atomic swap, partitioned
@@ -128,6 +130,32 @@ object DmlQueries extends QueryModule {
       }
     }),
 
+    // ST5: early-exit time budget over the real path-based backfill
+    // (`main_paginated.py:313-352`). A fake clock burns the budget after two
+    // chunks — the first call must stop early (asserted via the control
+    // table), the second resumes at the first incomplete chunk. The final
+    // table must equal a single full-range sync, which is what the oracle
+    // checks; the intermediate stop is asserted here because the driver only
+    // sees the end state.
+    "st5_budget_resume" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_st5").toString
+      val (target, state) = (s"$base/t", s"$base/state")
+      val chunks = Seq(
+        ("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+        ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
+      // clock ticks +60 ms per call (once at t0, once per chunk guard):
+      // elapsed is 60/120/180/240 ms at the four guards, so a 150 ms budget
+      // runs chunks 1–2 and trips before chunk 3.
+      var tick = 0L
+      val fakeClock = () => { tick += 60L * 1000000L; tick }
+      SyncPipeline.chunkedBackfill(s, ev, target, state, Seq("event_id"), "ts",
+        chunks, timeBudgetMs = 150L, clock = fakeClock)
+      val done = s.read.parquet(state).count()
+      require(done < chunks.length, s"budget did not stop early ($done chunks)")
+      SyncPipeline.chunkedBackfill(s, ev, target, state, Seq("event_id"), "ts", chunks)
+    }),
+
     // ST6: tumbling daily aggregation of sync metrics
     // (`anomaly_detection_agent.py:46-61`); batch twin of the streaming path.
     "st6_tumbling_daily" -> ((s, dir) =>
@@ -247,6 +275,11 @@ object DmlQueries extends QueryModule {
          |SELECT t.* FROM tgt t WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.event_id = t.event_id)
          |UNION ALL SELECT * FROM src""".stripMargin,
     "st2_chunked_backfill" ->
+      s"""SELECT $evCols FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin,
+    // ST5: a budget-stopped run resumed to completion must be
+    // indistinguishable from one uninterrupted full-range sync.
+    "st5_budget_resume" ->
       s"""SELECT $evCols FROM events
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin,
     "st6_tumbling_daily" ->

@@ -74,8 +74,8 @@ object SyncPipeline {
     * `…_daily/main_progressive.py:31-54`): each weekday owns a slice of the
     * backfill horizon so a week of runs covers it fully. Spark has no
     * 15-minute function timeout, so this is a scheduling policy, not a
-    * necessity — kept for semantic parity (ST5, the early-exit time budget,
-    * is documented-dropped for the same reason).
+    * necessity — kept for semantic parity (as is ST5, the early-exit time
+    * budget on [[chunkedBackfill]]).
     */
   def progressiveRange(dayOfWeek: Int, horizonDays: Int = 180, slices: Int = 7): (Int, Int) = {
     require(dayOfWeek >= 1 && dayOfWeek <= slices)
@@ -84,10 +84,18 @@ object SyncPipeline {
     (start, math.min(start + step, horizonDays))
   }
 
-  /** ST2: resumable chunked backfill. Chunk states live in a control table
-    * (PENDING → COMPLETED, ref `main_paginated.py:78-99`); a rerun skips
-    * completed chunks (`resume from MAX(end_date) WHERE status='COMPLETED'`,
-    * ref `:101-139`).
+  /** ST2 + ST5: resumable chunked backfill with an early-exit time budget.
+    * Chunk states live in a control table (PENDING → COMPLETED, ref
+    * `main_paginated.py:78-99`); a rerun skips completed chunks (`resume from
+    * MAX(end_date) WHERE status='COMPLETED'`, ref `:101-139`).
+    *
+    * ST5 (`main_paginated.py:313-352`): the reference stops before its
+    * 15-minute cloud-function timeout and lets the re-trigger resume. Here
+    * the budget is checked BETWEEN chunks (a started chunk always commits, so
+    * the state machine never sees a half-applied chunk): once
+    * `timeBudgetMs` elapses, remaining chunks are left un-attempted and the
+    * next call resumes at the first incomplete chunk. `clock` is injectable
+    * so the early exit is testable deterministically.
     *
     * The target is partitioned by the chunk-granular date of `dateCol`, so
     * each chunk writes only its own day partitions (the round-2 version
@@ -97,7 +105,8 @@ object SyncPipeline {
     */
   def chunkedBackfill(spark: SparkSession, source: DataFrame, targetPath: String,
       statePath: String, keys: Seq[String], dateCol: String,
-      chunks: Seq[(String, String)]): DataFrame = {
+      chunks: Seq[(String, String)], timeBudgetMs: Long = Long.MaxValue,
+      clock: () => Long = () => System.nanoTime()): DataFrame = {
     import spark.implicits._
     val partCol = "part_date"
     val fs = new org.apache.hadoop.fs.Path(statePath)
@@ -107,14 +116,19 @@ object SyncPipeline {
         spark.read.parquet(statePath).filter(col("status") === "COMPLETED")
           .select("chunk_start").as[String].collect().toSet
       else Set.empty
+    val t0 = clock()
+    var budgetHit = false
     chunks.foreach { case (from, to) =>
-      if (!existing.contains(from)) {
-        val chunk = source.filter(col(dateCol) >= lit(from).cast("timestamp_ntz") &&
-          col(dateCol) < lit(to).cast("timestamp_ntz"))
-          .withColumn(partCol, to_date(col(dateCol)))
-        MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
-        Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
-          .coalesce(1).write.mode("append").parquet(statePath)
+      if (!budgetHit && !existing.contains(from)) {
+        if ((clock() - t0) / 1000000L >= timeBudgetMs) budgetHit = true
+        else {
+          val chunk = source.filter(col(dateCol) >= lit(from).cast("timestamp_ntz") &&
+            col(dateCol) < lit(to).cast("timestamp_ntz"))
+            .withColumn(partCol, to_date(col(dateCol)))
+          MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
+          Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
+            .coalesce(1).write.mode("append").parquet(statePath)
+        }
       }
     }
     spark.read.parquet(targetPath).drop(partCol)

@@ -61,6 +61,34 @@ class SyncPipelineSpec extends SparkSuite {
     assert(spark.read.parquet(s1).count() == 4)
   }
 
+  test("ST5: time budget stops between chunks; a started chunk always commits") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val chunks = Seq(
+      ("2024-01-01", "2024-01-08"), ("2024-01-08", "2024-01-15"),
+      ("2024-01-15", "2024-01-22"), ("2024-01-22", "2024-02-01"))
+    val t = tmpDir() + "/st5_target"; val s = tmpDir() + "/st5_state"
+    // deterministic clock: +60 ms per call → elapsed 60/120/180/240 ms at the
+    // four chunk guards; a 150 ms budget admits exactly chunks 1 and 2
+    var tick = 0L
+    val fakeClock = () => { tick += 60L * 1000000L; tick }
+    SyncPipeline.chunkedBackfill(spark, ev, t, s, Seq("event_id"), "ts", chunks,
+      timeBudgetMs = 150L, clock = fakeClock)
+    val state = spark.read.parquet(s)
+    assert(state.count() == 2) // stopped early, both completed chunks recorded
+    assert(state.filter(col("status") =!= "COMPLETED").isEmpty) // never half-applied
+    val partial = spark.read.parquet(t).count()
+    val expected2 = ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz") &&
+      col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp_ntz")).count()
+    assert(partial == expected2) // target holds exactly the committed chunks
+    // a zero budget attempts nothing and leaves existing state untouched
+    SyncPipeline.chunkedBackfill(spark, ev, t, s, Seq("event_id"), "ts", chunks,
+      timeBudgetMs = 0L)
+    assert(spark.read.parquet(s).count() == 2)
+    // an unbudgeted resume completes the remaining chunks
+    SyncPipeline.chunkedBackfill(spark, ev, t, s, Seq("event_id"), "ts", chunks)
+    assert(spark.read.parquet(s).count() == 4)
+  }
+
   test("ST4: progressive weekday rotation covers the horizon exactly once per week") {
     val ranges = (1 to 7).map(SyncPipeline.progressiveRange(_, horizonDays = 180))
     assert(ranges.head._1 == 0 && ranges.last._2 == 180)
