@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // At bench SF some compute-dense stages (e.g. n-gram set intersection)
+      // move only ~1 MB of shuffle bytes; AQE's default 1 MB minPartitionSize
+      // floor coalesces them to ONE task and serializes minutes of CPU onto
+      // one core. A 64 KB floor lets parallelismFirst spread them; at real
+      // scale partitions dwarf both floors and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

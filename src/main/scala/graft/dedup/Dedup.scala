@@ -175,8 +175,16 @@ object Dedup {
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
-    val grams = docs.select(col(idCol).as("doc"),
-      array_distinct(shingles(col(textCol), k)).as("grams"))
+    // Only docs that appear in a candidate pair need shingling — at scale the
+    // candidate set is a small fraction of the corpus, so a semi-join prune
+    // before the (expensive) shingle projection beats shingling everything
+    // and discarding at the join. AQE turns this into a broadcast semi-join
+    // when the candidate id set is small, i.e. a map-side filter.
+    val wanted = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val grams = docs.join(wanted, Seq(idCol), "left_semi")
+      .select(col(idCol).as("doc"),
+        array_distinct(shingles(col(textCol), k)).as("grams"))
     pairs
       .join(grams.select(col("doc").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
       .join(grams.select(col("doc").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))

@@ -16,6 +16,9 @@ object ProfileOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // mirror Bench: keep AQE from coalescing compute-dense small-byte
+      // shuffles onto one core at bench SF
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
