@@ -1,12 +1,13 @@
 package graft.queries
 
 import graft.merge.AtomicWriter
+import graft.ops.Exact
 import graft.sources.Tables
 import graft.streaming.Streaming
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Write-path operators (SURVEY §2.1 S5–S9, §2.10 ST3) surfaced as
+/** Write-path operators (SURVEY §2.1 S5–S10, §2.10 ST3) surfaced as
   * write-then-read-back queries so the sink semantics get driver CORRECTNESS
   * rows, not just ScalaTest coverage: each query writes to a fresh temp
   * directory, reads the table back, and the oracle states what the readers
@@ -76,6 +77,28 @@ object SinkQueries extends QueryModule {
       s.read.parquet(path).filter(col("l_returnflag") === "R")
     }),
 
+    // S10: bucketed co-located fact-fact join — both sides written
+    // bucketBy(join key) + sortBy, so the join needs NO exchange and no
+    // sort-for-join of the big sides (asserted in PlanSpec). At 100 TB this
+    // is the technique for repeated fact-fact joins: pay the bucketed write
+    // once, join shuffle-free forever after. The merge hint pins SMJ so the
+    // demo proves bucketing (not a broadcast) removed the shuffle.
+    "s10_bucketed_join" -> ((s, dir) => {
+      val base = tmp("graft_s10")
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(Exact.sum2(col("l_quantity")).as("total_qty"))
+      perOrder.write.mode("overwrite").option("path", s"$base/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_s10_li")
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").option("path", s"$base/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_s10_ord")
+      s.table("graft_s10_ord")
+        .join(s.table("graft_s10_li").hint("merge"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("total_qty"))
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -106,6 +129,11 @@ object SinkQueries extends QueryModule {
     "s8_create_if_not_exists" -> "SELECT * FROM region",
     "s9_partition_roundtrip" ->
       "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "s10_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
     "st3_stream_upsert_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
         |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin

@@ -71,6 +71,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s10 bucketed co-located join: no shuffle and no sort on the probe side") {
+    val out = graft.queries.SinkQueries.defs("s10_bucketed_join")(spark, dir)
+    out.write.format("noop").mode("overwrite").save() // let AQE finalize
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(500))
+    // bucketing replaces the shuffle: the join reads bucketed scans directly
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      "bucketed join must not shuffle either side")
+    assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
+  }
+
   test("minhash signatures: native path is shuffle-free; portable path partial-aggregates") {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // default (native MinHashSignature expression): map-side only — no
