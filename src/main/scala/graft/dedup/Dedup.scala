@@ -234,9 +234,20 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
-      val next = labels.join(nbr, Seq("id"), "left")
+      val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // Pointer doubling: additionally adopt the label OF one's current label
+      // (labels are vertex ids, so it's a self-join). Neighbor propagation
+      // alone needs O(diameter) rounds — a chain of k near-dup revisions
+      // takes k rounds; with doubling the hop distance halves every round,
+      // so convergence is O(log diameter). The adopted label is the label of
+      // a reachable vertex, so labels still only decrease within components.
+      val next = prop.join(
+          prop.select(col("id").as("label"), col("label").as("label_of_label")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("label_of_label"), col("label"))).as("label"))
         .localCheckpoint(false)
       val nextSum = next.agg(sum(col("label"))).head().getLong(0)
       converged = nextSum == prevSum

@@ -61,10 +61,11 @@ class DedupAnnSpec extends SparkSuite {
     val g = Dedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(g(_) == 1L))
     assert(g(10L) == 10L && g(11L) == 10L)
-    // a diameter-11 chain needs several propagation rounds to converge
-    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
-    val g2 = Dedup.dupGroups(chain).as[(Long, Long)].collect().toMap
-    assert((1L to 12L).forall(g2(_) == 1L))
+    // pointer doubling: a diameter-63 chain converges in O(log d) rounds —
+    // plain neighbor propagation would need 63 and blow the 10-round cap
+    val chain = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val g2 = Dedup.dupGroups(chain, maxIter = 10).as[(Long, Long)].collect().toMap
+    assert((1L to 64L).forall(g2(_) == 1L))
     // zero near-dup pairs is a normal production outcome, not a crash
     val none = Dedup.dupGroups(pairs.filter(col("id_a") < 0))
     assert(none.columns.toSeq == Seq("doc_id", "group_id") && none.isEmpty)
