@@ -72,7 +72,13 @@ object Dedup {
         val off = if (seed % 2 == 1) 1 else 17
         conv(substring(md5(concat(col("shingle"), lit(s"#$pair"))), off, 15), 16, 10).cast("long")
       }
-      val exploded = df.select(col(idCol).as("doc"),
+      // The md5 family is ~3× the CPU of xxhash64, and a small corpus scans
+      // into few input partitions — an explicit spread (AQE never widens a
+      // scan) keeps the hash stage on all cores. The shuffle moves only the
+      // raw (id, text) projection, far less than the exploded shingles.
+      val spread = df.select(col(idCol), col(textCol))
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      val exploded = spread.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), k)).as("shingle"))
       val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
       exploded.groupBy(col("doc"))
