@@ -25,6 +25,32 @@ object LlmQueries extends QueryModule {
       Dedup.exact(docs.unionByName(dups), "doc_id", "text")
     }),
 
+    // st8: dd1's continuous twin — streaming exact dedup at ingest via
+    // dropDuplicatesWithinWatermark (state bounded by the watermark horizon,
+    // not the corpus). Output is the surviving fingerprint set: which
+    // duplicate arrives first is a race, the set of distinct fingerprints is
+    // not — that's what the oracle pins.
+    "st8_stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_st8").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val dups = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      docs.unionByName(dups)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      graft.streaming.Streaming
+        .dedupStream(s.readStream.schema(schema).parquet(s"$base/src"))
+        .select(col("fingerprint"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
     // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
     // (the scale path - fastest codegen'd hash), which no other engine
@@ -343,6 +369,14 @@ object LlmQueries extends QueryModule {
         |FROM events)
         |SELECT *, row_floor_ok AND null_rate_ok AND dup_rate_ok AND freshness_ok AS all_ok
         |FROM (SELECT * FROM d UNION ALL SELECT * FROM e)""".stripMargin,
+    // st8: the surviving fingerprint set of the streaming dedup — identical
+    // to batch DISTINCT fingerprints over the same duplicated corpus.
+    "st8_stream_dedup" ->
+      s"""WITH all_docs AS (
+         |SELECT * FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0)
+         |SELECT DISTINCT md5(array_to_string($TOKS, ' ')) AS fingerprint FROM all_docs""".stripMargin,
     "dd1_exact_dedup" ->
       s"""WITH all_docs AS (
          |SELECT * FROM documents

@@ -39,6 +39,19 @@ object Streaming {
       .select(col("day_window.start").cast("date").as("day"), col("event_type"),
         col("event_cnt"), col("total_value"))
 
+  /** ST8 (dd1's continuous twin): streaming exact dedup on a content
+    * fingerprint. `dropDuplicatesWithinWatermark` keeps only first arrivals
+    * and holds state ONLY for the watermark horizon — at 100 TB/day the
+    * dedup state is bounded by the late-arrival window, not the corpus,
+    * which is what makes continuous dedup feasible at ingest. (Full-corpus
+    * exact dedup remains the batch job, dd1.)
+    */
+  def dedupStream(docs: DataFrame, tsCol: String = "ts",
+      fpCols: Seq[String] = Seq("fingerprint"),
+      watermark: String = "1 day"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fpCols)
+
   /** ST7: gap-based sessionization via `session_window` — events within
     * `gap` of the session's moving end merge into one session per user. The
     * same call shapes a batch frame or a watermarked stream (the batch twin

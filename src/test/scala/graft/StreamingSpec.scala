@@ -44,6 +44,26 @@ class StreamingSpec extends SparkSuite {
     assert(out.contains(("2024-01-02", "click", 1L, 8.0)))
   }
 
+  test("ST8: streaming dedup emits one survivor per fingerprint, equals batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "fingerprint", "payload")
+    input.addData(Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "fpA", "first"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), "fpA", "re-ingested dup"),
+      (Timestamp.valueOf("2024-01-01 10:02:00"), "fpB", "first"),
+      (Timestamp.valueOf("2024-01-01 10:03:00"), "fpA", "another dup"),
+      (Timestamp.valueOf("2024-01-02 11:00:00"), "fpC", "watermark pusher")))
+    val q = Streaming.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.groupBy("fingerprint").count().filter(col("count") =!= 1).isEmpty)
+    assert(out.select("fingerprint").as[String].collect().toSet == Set("fpA", "fpB", "fpC"))
+  }
+
   test("ST7: streamed sessionization equals the batch session_window twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
