@@ -13,6 +13,12 @@ object Bench {
       // one core. A 64 KB floor lets parallelismFirst spread them; at real
       // scale partitions dwarf both floors and this is a no-op.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // Scan-side twin of the floor above: at bench SF a whole table fits in
+      // 1-2 default 128 MB scan splits, serializing map-side codec/signature
+      // stages (the shuffle-free paths AQE cannot widen) onto two cores.
+      // Smaller splits spread them with no extra shuffle; at production
+      // scale files dwarf the default split size and this knob is moot.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

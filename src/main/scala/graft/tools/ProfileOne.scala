@@ -19,6 +19,9 @@ object ProfileOne {
       // mirror Bench: keep AQE from coalescing compute-dense small-byte
       // shuffles onto one core at bench SF
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // mirror Bench: small-SF scans split into enough input partitions that
+      // map-side codec/signature stages use all cores (no shuffle added)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
