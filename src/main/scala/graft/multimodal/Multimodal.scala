@@ -131,7 +131,7 @@ object Multimodal {
     * samples bounded by ±8192) — every decoded field is a closed-form function
     * of doc_id, so the oracle can predict what the codec must recover.
     */
-  private[multimodal] def wavBytes(id: Long): Array[Byte] = {
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
     val sampleRate = 8000 + (id % 8).toInt * 1000
     val n = 256 + (id % 128).toInt * 16
     val dataLen = n * 2
@@ -209,7 +209,7 @@ object Multimodal {
     * 2 + id%5 frames per doc; frame f is a real PNG of
     * (4 + (id+f)%8) × (4 + (id+f)%6) — closed-form for the oracle.
     */
-  private[multimodal] def videoBytes(id: Long): Array[Byte] = {
+  private[graft] def videoBytes(id: Long): Array[Byte] = {
     val fc = 2 + (id % 5).toInt
     val frames = (0 until fc).map { f =>
       val w = 4 + ((id + f) % 8).toInt

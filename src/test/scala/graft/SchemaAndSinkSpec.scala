@@ -222,6 +222,44 @@ class SchemaAndSinkSpec extends SparkSuite {
       rows("video")._2 >= n * 2)
   }
 
+  test("codec fixtures: WAV and frame container round-trip for arbitrary ids (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genId = Gen.choose(0L, 5000000L)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40),
+      Prop.forAll(genId) { id =>
+        // WAV: the real codec recovers every generator formula, incl. the
+        // planted peak that requires reading the PCM data chunk
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(Multimodal.wavBytes(id)))
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes(); in.close()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var peak = 0
+        while (bb.remaining() >= 2) peak = math.max(peak, math.abs(bb.getShort.toInt))
+        val wavOk = fmt.getSampleRate.toInt == 8000 + (id % 8).toInt * 1000 &&
+          fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+          pcm.length / 2 == 256 + (id % 128).toInt * 16 &&
+          peak == 20000 + (id % 10000).toInt
+        // container: index walk lands exactly at end-of-payload, and every
+        // frame ImageIO-decodes to its formula dimensions
+        val payload = Multimodal.videoBytes(id)
+        val cb = java.nio.ByteBuffer.wrap(payload)
+        val magic = new Array[Byte](4); cb.get(magic)
+        val fc = cb.getInt
+        var framesOk = new String(magic, "US-ASCII") == "GFV1" && fc == 2 + (id % 5).toInt
+        (0 until fc).foreach { f =>
+          val len = cb.getInt
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, cb.position(), len))
+          framesOk &&= img.getWidth == 4 + ((id + f) % 8).toInt &&
+            img.getHeight == 4 + ((id + f) % 6).toInt
+          cb.position(cb.position() + len)
+        }
+        wavOk && framesOk && !cb.hasRemaining
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("events fixture: nanos timestamps surface as microsecond TIMESTAMP_NTZ") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     assert(ev.schema("ts").dataType == TimestampNTZType)
