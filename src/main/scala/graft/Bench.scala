@@ -25,7 +25,12 @@ object Bench {
     // Deterministic order (a Map iteration let an arbitrary query absorb JVM
     // warm-up) + an untimed warm-up pass covering scan, shuffle, broadcast
     // and window codegen paths before anything is measured.
+    // SPARK_GRAFT_FILTER=dd,v5 runs only queries with those name prefixes —
+    // a bisection tool for isolating cross-query JVM pollution (the full
+    // suite is the default and what the driver runs).
+    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
     // Generic warm-up (scan/shuffle/broadcast/window codegen paths) plus one
     // untimed pass of each headline composite: r4's measurement isolation
     // (unpersist+GC between queries) made every measurement include its own
@@ -37,8 +42,10 @@ object Bench {
       "v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
       "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        System.err.println(f"[warmup] $w: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
