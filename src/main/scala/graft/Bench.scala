@@ -80,8 +80,11 @@ object Bench {
     // BENCH_LOCAL.json), and the LAST line is a short summary — total plus the
     // headline composite queries only — guaranteed to fit the tail intact.
     println(full)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    // a filtered bisection run must not replace the committed full-suite
+    // snapshot with a partial total
+    if (filter.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
       "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
     val hq = results.filter { case (k, _) => headline.contains(k) }

@@ -72,12 +72,17 @@ object Dedup {
         val off = if (seed % 2 == 1) 1 else 17
         conv(substring(md5(concat(col("shingle"), lit(s"#$pair"))), off, 15), 16, 10).cast("long")
       }
-      // The md5 family is ~3× the CPU of xxhash64, and a small corpus scans
-      // into few input partitions — an explicit spread (AQE never widens a
-      // scan) keeps the hash stage on all cores. The shuffle moves only the
-      // raw (id, text) projection, far less than the exploded shingles.
-      val spread = df.select(col(idCol), col(textCol))
-        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+      // The md5 family is ~3× the CPU of xxhash64, and a small corpus can
+      // scan into fewer partitions than cores (a single-row-group file is
+      // unsplittable and AQE never widens a scan), serializing the hash
+      // stage. Spread ONLY in that case: at real scale the scan already has
+      // ample partitions and adding a raw-text shuffle before the map-side
+      // signature combine would violate the scan-once design.
+      val projected = df.select(col(idCol), col(textCol))
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      val spread =
+        if (projected.rdd.getNumPartitions >= target) projected
+        else projected.repartition(target)
       val exploded = spread.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), k)).as("shingle"))
       val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
@@ -240,9 +245,14 @@ object Dedup {
       val nbr = edges
         .join(labels.select(col("id").as("src"), col("label").as("src_label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("src_label")).as("nbr_label"))
+      // lazy checkpoint: prop feeds BOTH sides of the doubling join under
+      // different partitionings (label vs id-as-label), so ReusedExchange
+      // can't fire — without this the edges⋈labels propagation would run
+      // twice per round. Materialized by the same Σlabel probe job below.
       val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(false)
       // Pointer doubling: additionally adopt the label OF one's current label
       // (labels are vertex ids, so it's a self-join). Neighbor propagation
       // alone needs O(diameter) rounds — a chain of k near-dup revisions

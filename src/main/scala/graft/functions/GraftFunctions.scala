@@ -22,6 +22,9 @@ object GraftFunctions {
       (FunctionIdentifier("minhash_signature"), info("minhash_signature"), {
         case Seq(a, org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _)) =>
           MinHashSignature(a, n)
+        case Seq(_, bad) => throw new IllegalArgumentException(
+          "minhash_signature: second argument must be a plain INT literal " +
+            s"(the signature width is fixed at plan time), got ${bad.sql}")
         case args => throw new IllegalArgumentException(
           s"minhash_signature expects (array<string>, int literal), got ${args.length} args")
       }: Seq[Expression] => Expression),

@@ -88,6 +88,9 @@ object Multimodal {
     images.mapPartitions { batch =>
       batch.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        // ImageIO returns null (not an exception) for unparseable bytes —
+        // name the offending doc instead of NPE-ing the whole partition
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         DecodedImage(r.doc_id, img.getWidth, img.getHeight,
           img.getColorModel.getNumComponents, r.n_bytes)
       }
@@ -103,6 +106,7 @@ object Multimodal {
     images.mapPartitions { batch =>
       batch.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
         val (w, h) = (img.getWidth, img.getHeight)
         val (tw, th) = (math.max(w / 2, 1), math.max(h / 2, 1))
         val thumb = new java.awt.image.BufferedImage(tw, th,
@@ -290,6 +294,7 @@ object Multimodal {
           val (start, len) = offsets(idx)
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.payload, start, len))
+          require(img != null, s"undecodable frame $idx for doc ${r.doc_id}")
           SampledFrame(r.doc_id, j, idx, img.getWidth, img.getHeight)
         }
       }

@@ -30,7 +30,11 @@ object DomainOracles {
     * treats outDir subdirectories as query results). Verify re-writes the
     * seed-fixed fixtures here before every dump.
     */
-  val FixturesDir = "/tmp/graft_fixtures"
+  // User-scoped (and env-overridable) so concurrent verify runs on a shared
+  // machine don't race on one world-shared /tmp path. Resolved once per JVM,
+  // so the Verify dump and the oracle SQL it emits always agree.
+  val FixturesDir: String = sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+    s"${System.getProperty("java.io.tmpdir")}/graft_fixtures_${System.getProperty("user.name", "anon")}")
 
   private def fx(t: String) = s"read_parquet('$FixturesDir/$t/*.parquet')"
 

@@ -131,6 +131,11 @@ object SyncPipeline {
         }
       }
     }
-    spark.read.parquet(targetPath).drop(partCol)
+    // a budget can expire before the first chunk of a fresh backfill ever
+    // commits — a clean stop, not a crash: the next run starts from zero
+    if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+      source.filter(lit(false))
+    else
+      spark.read.parquet(targetPath).drop(partCol)
   }
 }

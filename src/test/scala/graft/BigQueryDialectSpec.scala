@@ -89,6 +89,12 @@ class BigQueryDialectSpec extends SparkSuite {
     assert(b.contains("/* can't 1.5 */") && b.contains("CAST(60.0 AS DOUBLE)"))
     val e = BigQueryDialect.translate("SELECT 'it''s 1.5 hrs', z / 60.0 FROM t")
     assert(e.contains("'it''s 1.5 hrs'") && e.contains("CAST(60.0 AS DOUBLE)"))
+    // double-quoted segments are pass-through too: a `--` or version token
+    // inside one must neither desync the scan nor get rewritten
+    val d = BigQueryDialect.translate(
+      "SELECT \"hrs -- note\" AS a, \"v 1.5\" AS b, x / 60.0 FROM t")
+    assert(d.contains("\"hrs -- note\"") && d.contains("\"v 1.5\""))
+    assert(d.contains("CAST(60.0 AS DOUBLE)"))
   }
 
   test("a reference-shaped snippet runs end-to-end through the shim") {

@@ -84,6 +84,12 @@ class SyncPipelineSpec extends SparkSuite {
     SyncPipeline.chunkedBackfill(spark, ev, t, s, Seq("event_id"), "ts", chunks,
       timeBudgetMs = 0L)
     assert(spark.read.parquet(s).count() == 2)
+    // a budget that expires before a FRESH backfill's first chunk is a clean
+    // empty result, not a path-not-found crash
+    val fresh = SyncPipeline.chunkedBackfill(spark, ev,
+      tmpDir() + "/st5_never", tmpDir() + "/st5_never_state",
+      Seq("event_id"), "ts", chunks, timeBudgetMs = 0L)
+    assert(fresh.isEmpty)
     // an unbudgeted resume completes the remaining chunks
     SyncPipeline.chunkedBackfill(spark, ev, t, s, Seq("event_id"), "ts", chunks)
     assert(spark.read.parquet(s).count() == 4)
