@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "summary JSON is the LAST stdout line"; sbt's
+// "[success] Total time: …" epilogue trailed it for four rounds and broke the
+// driver's tail parse. Suppress it (errors still surface via exit code).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run output goes through sbt's logger by default, prefixing every
+// line with "[info] " — which would still defeat a strict JSON parse of the
+// bench summary line. Inherit sbt's raw stdout/stderr instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,7 +28,12 @@ object Bench {
     // SPARK_GRAFT_FILTER=dd,v5 runs only queries with those name prefixes —
     // a bisection tool for isolating cross-query JVM pollution (the full
     // suite is the default and what the driver runs).
-    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.split(",").toSeq)
+    // A blank/whitespace env var means "no filter" (Some(Seq("")) would match
+    // everything while filter.isEmpty stayed false, silently skipping the
+    // BENCH_LOCAL.json snapshot below).
+    val filter = sys.env.get("SPARK_GRAFT_FILTER")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
     // Generic warm-up (scan/shuffle/broadcast/window codegen paths) plus one
@@ -38,9 +43,12 @@ object Bench {
     // of plan-healthy queries (v5_fallback_budget: 9.1 s cold vs 2.1-2.6 s
     // warm in a clean JVM). The headline numbers the baseline comparison
     // reads should be steady-state, not first-compile.
+    // Bisection runs warm only the queries they measure: warming the full
+    // headline list on a filtered subset pays ~30 s for queries that never run.
     Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number",
       "v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
-      "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge").foreach { w =>
+      "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
+      .filter(w => filter.forall(_.exists(w.startsWith))).foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

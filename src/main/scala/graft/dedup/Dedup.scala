@@ -79,9 +79,19 @@ object Dedup {
       // ample partitions and adding a raw-text shuffle before the map-side
       // signature combine would violate the scan-once design.
       val projected = df.select(col(idCol), col(textCol))
-      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      val conf = df.sparkSession.sessionState.conf
+      val target = conf.numShufflePartitions
+      // Decide from logical-plan statistics, never by touching .rdd: on a plan
+      // with upstream shuffles, materializing the RDD executes every upstream
+      // stage eagerly and the real signature pass then re-runs them (no
+      // reuse). bytes / maxPartitionBytes bounds the scan's split count from
+      // above, so "estimate < target" means the hash stage cannot fill the
+      // cores without a spread; at real scale sizeInBytes dwarfs the
+      // threshold and no repartition happens.
+      val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+      val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
       val spread =
-        if (projected.rdd.getNumPartitions >= target) projected
+        if (approxScanParts >= target) projected
         else projected.repartition(target)
       val exploded = spread.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), k)).as("shingle"))

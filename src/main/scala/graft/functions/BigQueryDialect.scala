@@ -92,16 +92,18 @@ object BigQueryDialect {
     */
   /** Rewrite bare decimal-point literals to `CAST(x AS DOUBLE)`, leaving
     * `--` / `／*…*／` comment contents, single- and double-quoted segment
-    * contents (with `''`/`""` escapes), and version-like tokens (`1.2.3`,
-    * `v1.2`) untouched: the matcher alternates over comment and quoted
-    * segments (passed through verbatim) and candidate literals, so
-    * `'1.5 hrs'` and `"v 1.5"` survive — and an apostrophe inside a comment
-    * (`-- don't`) or a `--` inside a quoted segment can't desync the scan
-    * and swallow the literals after it.
+    * contents (with `''`/`""` doubling AND `\'`/`\"` backslash escapes —
+    * both BigQuery and Spark default to backslash escaping, so `'don\'t
+    * 1.5'` must not close the segment at the escaped quote), and
+    * version-like tokens (`1.2.3`, `v1.2`) untouched: the matcher alternates
+    * over comment and quoted segments (passed through verbatim) and
+    * candidate literals, so `'1.5 hrs'` and `"v 1.5"` survive — and an
+    * apostrophe inside a comment (`-- don't`) or a `--` inside a quoted
+    * segment can't desync the scan and swallow the literals after it.
     */
   private def castDecimalLiterals(sql: String): String = {
     val p = java.util.regex.Pattern.compile(
-      "(--[^\\n]*|/\\*(?s:.*?)\\*/|'(?:''|[^'])*'|\"(?:\"\"|[^\"])*\")|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
+      "(--[^\\n]*|/\\*(?s:.*?)\\*/|'(?:''|\\\\.|[^'\\\\])*'|\"(?:\"\"|\\\\.|[^\"\\\\])*\")|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
     val m = p.matcher(sql)
     val out = new java.lang.StringBuilder
     while (m.find()) {

@@ -85,18 +85,29 @@ object SinkQueries extends QueryModule {
     // demo proves bucketing (not a broadcast) removed the shuffle.
     "s10_bucketed_join" -> ((s, dir) => {
       val base = tmp("graft_s10")
+      // Per-invocation table names: fixed names leaked catalog entries across
+      // reruns (each orphaning the previous temp-dir files) and would collide
+      // between sessions sharing a metastore.
+      val tag = base.replaceAll("[^A-Za-z0-9]", "").takeRight(10).toLowerCase
+      val liTbl = s"graft_s10_li_$tag"; val ordTbl = s"graft_s10_ord_$tag"
       val perOrder = Tables.lineitem(s, dir)
         .groupBy(col("l_orderkey"))
         .agg(Exact.sum2(col("l_quantity")).as("total_qty"))
       perOrder.write.mode("overwrite").option("path", s"$base/li")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("graft_s10_li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liTbl)
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite").option("path", s"$base/ord")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("graft_s10_ord")
-      s.table("graft_s10_ord")
-        .join(s.table("graft_s10_li").hint("merge"),
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordTbl)
+      val out = s.table(ordTbl)
+        .join(s.table(liTbl).hint("merge"),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("total_qty"))
+      // Analysis is eager: `out`'s plan holds the resolved bucketed file
+      // relations, so dropping the (external-path) catalog entries here keeps
+      // the query runnable while leaving the session catalog clean.
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $ordTbl")
+      out
     }),
 
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the

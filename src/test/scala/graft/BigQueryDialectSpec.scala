@@ -95,6 +95,13 @@ class BigQueryDialectSpec extends SparkSuite {
       "SELECT \"hrs -- note\" AS a, \"v 1.5\" AS b, x / 60.0 FROM t")
     assert(d.contains("\"hrs -- note\"") && d.contains("\"v 1.5\""))
     assert(d.contains("CAST(60.0 AS DOUBLE)"))
+    // backslash escapes (the BigQuery/Spark default): an escaped quote must
+    // not close the segment — `\"don\\\"t 1.5\"` stays verbatim and the
+    // trailing quote must not open a phantom segment that swallows `/ 60.0`
+    val bs = BigQueryDialect.translate(
+      "SELECT \"don\\\"t 1.5\" AS a, 'it\\'s 2.5 hrs' AS b, x / 60.0 FROM t")
+    assert(bs.contains("\"don\\\"t 1.5\"") && bs.contains("'it\\'s 2.5 hrs'"))
+    assert(bs.contains("CAST(60.0 AS DOUBLE)"))
   }
 
   test("a reference-shaped snippet runs end-to-end through the shim") {

@@ -73,8 +73,12 @@ class PlanSpec extends SparkSuite {
 
   test("s10 bucketed co-located join: no shuffle and no sort on the probe side") {
     val out = graft.queries.SinkQueries.defs("s10_bucketed_join")(spark, dir)
-    out.write.format("noop").mode("overwrite").save() // let AQE finalize
+    // Execute THIS QueryExecution (a noop write would spawn a separate one and
+    // leave `out`'s own AdaptiveSparkPlan un-finalized), then assert on the
+    // plan that actually ran.
+    out.collect()
     val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
     assert(p.contains("SortMergeJoin"), p.take(500))
     // bucketing replaces the shuffle: the join reads bucketed scans directly
     assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
