@@ -37,6 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // local[32] runs driver + all executor threads in ONE JVM: 8g starved the
   // 32-way shuffles at sf0.1 once checkpoint blocks accumulated (the box has
-  // 128 GiB; a real cluster would give each executor its own heap).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 128 GiB; a real cluster would give each executor its own heap). 24g
+  // still showed 39 s G1 spikes inside single bench stages (PERF_NOTES.md);
+  // 32g gives G1 the slack to keep collections off the measured path.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -54,13 +54,18 @@ object Dedup {
     // the salted-md5-per-seed form the cross-engine oracle reproduces.
     if (!portableHash) {
       // Fast path: the native MinHashSignature expression computes the whole
-      // signature in one fused per-row loop — no explode, no aggregation, no
-      // shuffle for the signature stage (bit-identical to the explode/agg
-      // xxhash64 formulation; asserted in DedupAnnSpec).
+      // signature in one fused per-row loop — no explode, no aggregation, and
+      // at scale no shuffle for the signature stage (bit-identical to the
+      // explode/agg xxhash64 formulation; asserted in DedupAnnSpec). The same
+      // starved-scan spread as the portable path applies: a corpus too small
+      // to split (single-row-group parquet) would otherwise serialize the
+      // whole signature pass onto 1–2 cores; above ~target×maxPartitionBytes
+      // of input the spread is a no-op and the stage stays map-side-only.
       import org.apache.spark.sql.graft.ColumnBridge
-      df.select(col(idCol).as("doc"),
-        ColumnBridge.column(graft.functions.MinHashSignature(
-          ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
+      spreadIfStarved(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"),
+          ColumnBridge.column(graft.functions.MinHashSignature(
+            ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
     } else {
       // One md5 digest carries two independent 60-bit hashes (hex chars 1-15
       // and 17-31), so seeds 2p-1 and 2p share the digest salted with #p —
@@ -78,21 +83,7 @@ object Dedup {
       // stage. Spread ONLY in that case: at real scale the scan already has
       // ample partitions and adding a raw-text shuffle before the map-side
       // signature combine would violate the scan-once design.
-      val projected = df.select(col(idCol), col(textCol))
-      val conf = df.sparkSession.sessionState.conf
-      val target = conf.numShufflePartitions
-      // Decide from logical-plan statistics, never by touching .rdd: on a plan
-      // with upstream shuffles, materializing the RDD executes every upstream
-      // stage eagerly and the real signature pass then re-runs them (no
-      // reuse). bytes / maxPartitionBytes bounds the scan's split count from
-      // above, so "estimate < target" means the hash stage cannot fill the
-      // cores without a spread; at real scale sizeInBytes dwarfs the
-      // threshold and no repartition happens.
-      val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
-      val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
-      val spread =
-        if (approxScanParts >= target) projected
-        else projected.repartition(target)
+      val spread = spreadIfStarved(df.select(col(idCol), col(textCol)))
       val exploded = spread.select(col(idCol).as("doc"),
         explode(shingles(col(textCol), k)).as("shingle"))
       val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
@@ -100,6 +91,24 @@ object Dedup {
         .agg(mins.head, mins.tail: _*)
         .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
     }
+  }
+
+  /** Repartition a projected input iff its logical-plan byte size says the
+    * scan cannot feed all cores (e.g. a single-row-group parquet file is
+    * unsplittable, and AQE never widens a scan). Decided from statistics,
+    * never by touching `.rdd` — on a plan with upstream shuffles,
+    * materializing the RDD executes every upstream stage eagerly and the
+    * real pass then re-runs them. bytes / maxPartitionBytes bounds the
+    * scan's split count from above, so "estimate < target" means cores
+    * would starve; at real scale sizeInBytes dwarfs the threshold and no
+    * repartition happens.
+    */
+  private def spreadIfStarved(projected: DataFrame): DataFrame = {
+    val conf = projected.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+    val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    if (approxScanParts >= target) projected else projected.repartition(target)
   }
 
   /** MinHash + LSH near-dup pairs over `df(idCol, textCol)`.
@@ -111,25 +120,43 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.5, portableHash: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
+    // One explicit exchange of the COMPACT signatures (numHashes longs per
+    // doc — the minimal representation) anchors all three consumers below on
+    // the same computed-once stage via ReusedExchange: the banding explode
+    // and both sides of the signature re-attach. Signatures are the
+    // expensive stage; nothing may recompute them.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
-    // Explicit repartition on the join key: both self-join sides derive from
-    // the SAME exchange (ReusedExchange), so shingling + signatures are
-    // computed once, not once per side — and the join needs no further
-    // shuffle. Matters doubly for the native-expression path, which has no
-    // aggregation exchange of its own to anchor the reuse.
-    val banded = sigs.select(col("doc"), col("sig"),
+      .repartition(col("doc"))
+    // Banding carries ONLY (doc, band, band_hash): the old shape dragged the
+    // full signature array through the 16-way explode — `bands`× the sig
+    // bytes through the band shuffle and again through the self-join (39 MB
+    // of 78 MB read at bench SF was duplicated sig payload). At 100 TB this
+    // is the difference between shuffling ids and shuffling the corpus'
+    // signatures 16 times over.
+    val banded = sigs.select(col("doc"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
       .repartition(col("band"), col("band_hash"))
-    val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = banded.select(col("doc").as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col("doc").as("id_b"), col("band"), col("band_hash"))
+    // Dedup colliding pairs BEFORE touching signatures (a near-dup pair
+    // collides in up to `bands` bands; the zip comparison should run once
+    // per unique pair, not once per collision), then re-attach signatures.
+    // shuffle_hash hints keep AQE from broadcasting the sigs side — a
+    // broadcast subtree cannot reuse the shuffle exchange and would
+    // recompute the signature stage per join; the shuffled join reads the
+    // anchored exchange for free (sigs is already partitioned by doc) and
+    // only the small deduped pair set moves.
+    val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash")
+    val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash")
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, lit(1))),
           v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 

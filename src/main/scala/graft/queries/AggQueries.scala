@@ -138,10 +138,24 @@ object AggQueries extends QueryModule {
           countDistinct(col("l_orderkey")).as("order_cnt"),
           Exact.sum2(col("l_quantity")).as("sum_qty"),
           min(col("l_shipdate").cast("date")).as("min_ship"),
-          max(col("l_shipdate").cast("date")).as("max_ship")))
+          max(col("l_shipdate").cast("date")).as("max_ship"))),
+
+    // A11: partial/merge aggregation surfaced as its own driver row (the
+    // map-side-combine physical shape every groupBy here gets from Catalyst;
+    // PlanSpec asserts the partial_* + final HashAggregate pair on exactly
+    // this query). Semantically a plain per-status rollup of the time fact.
+    "a11_partial_merge_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("line_cnt"),
+          Exact.sum2(col("l_extendedprice")).as("sum_price")))
   )
 
   val oracles: Map[String, String] = Map(
+    "a11_partial_merge_agg" ->
+      s"""SELECT l_linestatus, COUNT(*) AS line_cnt, ${S("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "a1_groupby_rollup" ->
       s"""SELECT l_returnflag, l_linestatus, ${S("l_quantity")} AS sum_qty,
          |${S("l_extendedprice")} AS sum_price, COUNT(*) AS cnt,

@@ -130,6 +130,23 @@ object DmlQueries extends QueryModule {
       }
     }),
 
+    // ST4: progressive weekday range rotation (`main_progressive.py:31-54`):
+    // each of the 7 weekday runs syncs its `progressiveRange` slice of a
+    // 28-day horizon; after the full week the target holds the whole horizon
+    // — which is what the oracle states. Slices touch at midnight boundaries
+    // (dateWindow is inclusive), so the merge's idempotence is exercised too.
+    "st4_progressive_rotation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val target = java.nio.file.Files.createTempDirectory("graft_st4").toString + "/t"
+      val base = java.time.LocalDate.parse("2024-01-01")
+      (1 to 7).foreach { dow =>
+        val (a, b) = SyncPipeline.progressiveRange(dow, horizonDays = 28, slices = 7)
+        SyncPipeline.incrementalSync(s, ev, target, Seq("event_id"), "ts",
+          base.plusDays(a).toString, base.plusDays(b).toString, "st4_rotation")
+      }
+      s.read.parquet(target)
+    }),
+
     // ST5: early-exit time budget over the real path-based backfill
     // (`main_paginated.py:313-352`). A fake clock burns the budget after two
     // chunks — the first call must stop early (asserted via the control
@@ -277,6 +294,12 @@ object DmlQueries extends QueryModule {
     "st2_chunked_backfill" ->
       s"""SELECT $evCols FROM events
          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'""".stripMargin,
+    // ST4: seven weekday slices of [2024-01-01, 2024-01-29] (each slice
+    // inclusive of its end midnight — dateWindow uses BETWEEN) cover the
+    // horizon exactly once merged by event_id.
+    "st4_progressive_rotation" ->
+      s"""SELECT $evCols FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-29 00:00:00'""".stripMargin,
     // ST5: a budget-stopped run resumed to completion must be
     // indistinguishable from one uninterrupted full-range sync.
     "st5_budget_resume" ->

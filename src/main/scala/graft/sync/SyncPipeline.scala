@@ -116,6 +116,24 @@ object SyncPipeline {
         spark.read.parquet(statePath).filter(col("status") === "COMPLETED")
           .select("chunk_start").as[String].collect().toSet
       else Set.empty
+    // One target-root listing per CALL (not per chunk): a chunk's touched day
+    // partitions are [from, to) by construction — enumerable with date
+    // arithmetic, no Spark job — so a chunk whose days don't exist yet (the
+    // normal backfill path) can dedup + dynamic-partition-write directly,
+    // skipping mergePartitioned's per-chunk target read, touched-partition
+    // collect and localCheckpoint (~4 jobs/chunk of pure fixed cost at any
+    // data size; at 100 TB it also skips re-listing an ever-growing target).
+    // The merge path remains for crash recovery: day partitions that already
+    // exist (a chunk that committed data but died before its state append)
+    // are re-merged idempotently.
+    val targetRoot = new org.apache.hadoop.fs.Path(targetPath)
+    val partPrefix = partCol + "="
+    var rootEntries: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(targetRoot)) fs.listStatus(targetRoot).toSeq else Nil
+    def chunkDays(from: String, to: String): Seq[String] = {
+      val (f, t) = (java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
+      Iterator.iterate(f)(_.plusDays(1)).takeWhile(_.isBefore(t)).map(_.toString).toSeq
+    }
     val t0 = clock()
     var budgetHit = false
     chunks.foreach { case (from, to) =>
@@ -125,7 +143,18 @@ object SyncPipeline {
           val chunk = source.filter(col(dateCol) >= lit(from).cast("timestamp_ntz") &&
             col(dateCol) < lit(to).cast("timestamp_ntz"))
             .withColumn(partCol, to_date(col(dateCol)))
-          MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
+          val existingDirs = rootEntries.filter(_.isDirectory).map(_.getPath.getName)
+          val cleanLayout = rootEntries.isEmpty ||
+            (existingDirs.exists(_.startsWith(partPrefix)) &&
+              !rootEntries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
+          val freshDays = !chunkDays(from, to)
+            .exists(d => existingDirs.contains(partPrefix + d))
+          if (cleanLayout && freshDays)
+            Dml.overwritePartitions(
+              chunk.dropDuplicates(keys :+ partCol), targetPath, Seq(partCol))
+          else
+            MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
+          rootEntries = fs.listStatus(targetRoot).toSeq
           Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
             .coalesce(1).write.mode("append").parquet(statePath)
         }

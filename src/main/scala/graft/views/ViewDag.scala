@@ -217,6 +217,14 @@ object ViewDag {
           .as("m_billable"),
         min(col("entry_date")).as("m_first"),
         max(col("entry_date")).as("m_last"))
+      // Pivot month resolved ONCE per monthly row: the 12 pivot sums used to
+      // each re-derive year()+month() from the timestamp (24 tz-aware date
+      // conversions per row, ~14M per million rows — ProfileOne showed them
+      // as a top final-stage cost). An int compare per CASE is ~free;
+      // when() yields NULL for non-pivot years exactly like the old
+      // year=PivotYear && month=m conjunction, so sums are bit-identical.
+      .withColumn("pivot_m",
+        when(year(col("entry_month")) === PivotYear, month(col("entry_month"))))
     val aggCols: Seq[org.apache.spark.sql.Column] = Seq(
       sum(col("m_hours")).cast("double").as("hours_logged"),
       sum(col("m_billable")).cast("double").as("billable_hours"),
@@ -224,14 +232,18 @@ object ViewDag {
       max(col("m_last")).as("last_entry_date"),
       count(lit(1)).as("months_active")) ++
       (1 to 12).map { m =>
-        sum(when(year(col("entry_month")) === PivotYear &&
-            month(col("entry_month")) === m, col("m_hours")))
+        sum(when(col("pivot_m") === m, col("m_hours")))
           .cast("double").as(f"hours_m_$m%02d")
       }
     val its = monthly.groupBy(col("work_item_id"), col("user_id"))
       .agg(aggCols.head, aggCols.tail: _*)
 
-    // CTE 2: WorkItemTimeEntrySummary (`:39-51`).
+    // CTE 2: WorkItemTimeEntrySummary (`:39-51`). Note: deriving this from
+    // `monthly` (sum of m_hours per item — bit-identical by decimal
+    // associativity) was tried and REVERTED: Catalyst's column pruning
+    // rewrites the shared subtree per-branch, so the exchange is never
+    // reused and the "shared" formulation just adds a second shuffle level.
+    // The direct form is one pruned 3-column scan + one narrow shuffle.
     val wts = te.groupBy(col("work_item_id"))
       .agg(Exact.sum2(col("hours")).as("work_item_total_hours"))
 

@@ -65,6 +65,13 @@ class PlanSpec extends SparkSuite {
     assert(p1.contains("*(1)") && p1.contains("*(2)"), p1) // codegen stage markers
   }
 
+  test("a11 partial/merge aggregation: map-side combine before the shuffle") {
+    val p = plan(graft.queries.AggQueries.defs("a11_partial_merge_agg")(spark, dir))
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected a partial + final HashAggregate pair")
+  }
+
   test("merge anti-join shuffles only the key projection") {
     val p = plan(graft.queries.DmlQueries.defs("m1_merge_upsert")(spark, dir))
     assert(p.contains("LeftAnti"))
@@ -86,13 +93,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
   }
 
-  test("minhash signatures: native path is shuffle-free; portable path partial-aggregates") {
+  test("minhash signatures: native path is shuffle-free at scale; portable path partial-aggregates") {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // default (native MinHashSignature expression): map-side only — no
-    // explode, no aggregation, no Exchange at all in the signature stage
-    val fast = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
-    assert(!fast.contains("Exchange"), "native signature path must not shuffle")
-    assert(fast.contains("minhash_signature"), fast)
+    // At-scale shape (input bytes ≥ target × maxPartitionBytes — simulated by
+    // shrinking the split size so the tiny test file counts as "many
+    // splits"): the native MinHashSignature expression is map-side only — no
+    // explode, no aggregation, no Exchange in the signature stage.
+    val defaultSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+      val fast = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
+      assert(!fast.contains("Exchange"), "native signature path must not shuffle at scale")
+      assert(fast.contains("minhash_signature"), fast)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit)
+    // Starved-scan shape (default 128 MB splits make this corpus ~1 split):
+    // the spread repartition kicks in so the signature loop uses all cores.
+    val spread = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
+    assert(spread.contains("Exchange"), "starved scan must spread before the signature loop")
     // portable-md5 oracle path keeps explode + per-doc MIN with map-side combine
     val portable = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text",
       numHashes = 16, portableHash = true))
