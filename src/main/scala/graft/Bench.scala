@@ -67,22 +67,35 @@ object Bench {
     spark.sqlContext.clearCache()
     System.gc()
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: computes every output column (count() would let Catalyst
-      // prune the projections being measured) without write overhead.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolation between measurements: ~30 queries localCheckpoint eagerly,
-      // and broadcast/checkpoint blocks are reaped only when the context
-      // cleaner sees their weak refs die — which needs a GC. Without one,
-      // ~100 queries of accumulated blocks tripled late-alphabet timings
-      // (v5_individual_budget: 57 s polluted vs 9-16 s in a clean JVM).
-      // All of this runs OUTSIDE the timed region.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.sqlContext.clearCache()
-      System.gc()
-      name -> dt
+      // Headline composites are measured 3× and reported as the MEDIAN:
+      // single-shot timings of warm queries still swing ±25% from one-off
+      // JIT recompiles / G1 pauses inside a long-lived JVM (three
+      // consecutive full runs put v5_individual at 10.5/9.3/15.1 s with an
+      // identical plan — PERF_NOTES.md). The median absorbs the spike
+      // without cherry-picking the best case; non-headline queries stay
+      // single-shot (their totals aren't compared against the baseline).
+      val reps = if (headline.contains(name)) 3 else 1
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: computes every output column (count() would let Catalyst
+        // prune the projections being measured) without write overhead.
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Isolation between measurements: ~30 queries localCheckpoint eagerly,
+        // and broadcast/checkpoint blocks are reaped only when the context
+        // cleaner sees their weak refs die — which needs a GC. Without one,
+        // ~100 queries of accumulated blocks tripled late-alphabet timings
+        // (v5_individual_budget: 57 s polluted vs 9-16 s in a clean JVM).
+        // All of this runs OUTSIDE the timed region.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        spark.sqlContext.clearCache()
+        System.gc()
+        dt
+      }
+      if (reps > 1)
+        System.err.println(f"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
+      name -> times.sorted.apply(times.length / 2)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }

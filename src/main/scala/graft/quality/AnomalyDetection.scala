@@ -1,25 +1,24 @@
 package graft.quality
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ML anomaly scoring over daily sync metrics (ref
   * `anomaly_detection_agent.py:45-205`). The reference extracts per-day
   * features (row counts, distinct users, error rates, hour-of-day spread)
-  * and scores them with sklearn's IsolationForest; Spark MLlib has no
-  * isolation forest, so the scoring model here is KMeans
-  * distance-to-centroid over standardized features — the same
-  * "unsupervised outlier score from daily metrics" contract, deviation
-  * documented. Deterministic under a fixed seed.
+  * and scores them with sklearn's IsolationForest; scoring here runs the
+  * same algorithm via the pure-Scala [[IsolationForestModel]] (random
+  * sub-sampled trees, `2^(-E[h]/c(ψ))` scores) — same contamination-fraction
+  * flagging contract, same model family, deterministic under a fixed seed.
+  * (Rounds 1–5 substituted KMeans distance-to-centroid; that deviation is
+  * gone.)
   *
   * Scale note: feature extraction is one groupBy(day) over the event log
   * (map-side combined); the model fits on one row per day — thousands of
-  * rows even for a decade — so training is a driver-side blink while the
-  * scan stays distributed.
+  * rows even for a decade — so fit + score are a driver-side blink
+  * (control-plane, like the merge path's touched-partition list) while the
+  * scan stays distributed, and the scores broadcast-join back onto the
+  * daily frame.
   */
 object AnomalyDetection {
 
@@ -33,46 +32,39 @@ object AnomalyDetection {
         (count_if(col("event_type") === "error") * 100.0 / count(lit(1))).as("error_pct"),
         countDistinct(hour(col("ts"))).cast("double").as("active_hours"))
 
-  /** Score each day: distance to its nearest KMeans centroid in standardized
-    * feature space; `is_anomaly` flags the top `contamination` fraction —
-    * the IsolationForest contamination contract (`anomaly_detection_agent.py:139`).
+  /** Score each day with an isolation forest over the raw daily features
+    * (sklearn doesn't standardize either — tree splits are scale-free);
+    * `is_anomaly` flags the top `contamination` fraction — the
+    * IsolationForest contamination contract (`anomaly_detection_agent.py:139`).
     */
-  def score(daily: DataFrame, k: Int = 3, contamination: Double = 0.1, seed: Long = 42L): DataFrame = {
-    val featCols = Array("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
-    // One row per day: collapse to a single partition before the iterative ML
-    // stages (inheriting the scan's 32 shuffle partitions made every scaler/
-    // KMeans pass schedule 32 near-empty tasks — 234 s of overhead at sf0.1),
-    // and cache: fit() + transform() + the count/groupBy below each re-read it.
-    val assembled = new VectorAssembler()
-      .setInputCols(featCols).setOutputCol("raw_features")
-      .transform(daily.coalesce(1)).cache()
-    val scaler = new StandardScaler().setInputCol("raw_features").setOutputCol("features")
-      .setWithMean(true).setWithStd(true).fit(assembled)
-    val scaled = scaler.transform(assembled).cache()
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(scaled)
-    val clustered = model.transform(scaled)
-    // An extreme outlier captures its own centroid (distance 0); score
-    // against the centroids of "major" clusters only (≥5% of points).
-    val n = clustered.count()
-    val sizes = clustered.groupBy(col("prediction")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val minMajor = math.max(2L, math.round(n * 0.05))
-    val majorCentroids = model.clusterCenters.zipWithIndex
-      .collect { case (c, i) if sizes.getOrElse(i, 0L) >= minMajor => c.toArray }
-    val centroids = if (majorCentroids.nonEmpty) majorCentroids
-      else model.clusterCenters.map(_.toArray)
-    val dist = udf { (v: Vector) =>
-      centroids.map { c =>
-        math.sqrt(v.toArray.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }.min
-    }
-    val withDist = clustered
-      .withColumn("anomaly_score", dist(col("features")))
-      .drop("raw_features", "features")
+  def score(daily: DataFrame, numTrees: Int = 100, contamination: Double = 0.1,
+      seed: Long = 42L): DataFrame = {
+    val featCols = Seq("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
+    // One row per day = control-plane-small at any event volume. Sorted
+    // before collect so the seeded RNG stream maps onto the same rows
+    // regardless of partitioning — scores are reproducible across cluster
+    // layouts.
+    val collected = daily
+      .select((col("event_date") +: featCols.map(col)): _*)
+      .orderBy(col("event_date"))
+      .collect()
+    val feats: IndexedSeq[Array[Double]] =
+      collected.toIndexedSeq.map(r => Array.tabulate(featCols.length)(i => r.getDouble(i + 1)))
+    val forest = IsolationForestModel.fit(feats, numTrees, seed = seed)
+    val scores = feats.map(IsolationForestModel.score(forest, _))
+    val n = collected.length
     val cutoffRank = math.max(1L, math.round(n * contamination))
-    val w = Window.orderBy(col("anomaly_score").desc, col("event_date"))
-    withDist.withColumn("score_rank", row_number().over(w))
-      .withColumn("is_anomaly", col("score_rank") <= cutoffRank)
-      .drop("score_rank", "prediction")
+    // deterministic flagging: rank by (score desc, date) like the previous
+    // window tie-break
+    val ranked = collected.indices
+      .sortBy(i => (-scores(i), collected(i).getDate(0).getTime))
+      .zipWithIndex.map { case (i, rank) => i -> (rank < cutoffRank) }.toMap
+    val scored = collected.indices.map { i =>
+      (collected(i).getDate(0), scores(i), ranked(i))
+    }
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val scoreDf = scored.toDF("event_date", "anomaly_score", "is_anomaly")
+    daily.join(broadcast(scoreDf), Seq("event_date"))
   }
 }

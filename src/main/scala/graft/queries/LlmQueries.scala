@@ -259,9 +259,9 @@ object LlmQueries extends QueryModule {
         asOf = lit("2024-02-01").cast("date"))
     }),
 
-    // x4b: ML anomaly scoring — KMeans distance over standardized daily
-    // metrics (spark.ml; the reference's IsolationForest contract with a
-    // documented model substitution). Rows-only + QualitySpec.
+    // x4b: ML anomaly scoring — isolation forest over daily metrics (the
+    // reference's exact model family, pure-Scala `IsolationForestModel`;
+    // the earlier KMeans substitution is gone). Rows-only + QualitySpec.
     "x4b_ml_anomaly" -> ((s, dir) =>
       graft.quality.AnomalyDetection.score(
         graft.quality.AnomalyDetection.dailyFeatures(Tables.events(s, dir)))),

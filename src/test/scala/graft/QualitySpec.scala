@@ -76,7 +76,7 @@ class QualitySpec extends SparkSuite {
     val outlier = Seq(("2024-03-01", 50000.0, 9000.0, 1e7, 90.0, 24.0))
       .toDF("event_date", "event_cnt", "active_users", "total_value", "error_pct", "active_hours")
       .withColumn("event_date", col("event_date").cast("date"))
-    val scored = AnomalyDetection.score(daily.unionByName(outlier), k = 3, contamination = 0.1)
+    val scored = AnomalyDetection.score(daily.unionByName(outlier), contamination = 0.1)
     val n = scored.count()
     val flagged = scored.filter(col("is_anomaly")).count()
     assert(flagged == math.max(1L, math.round(n * 0.1)))
