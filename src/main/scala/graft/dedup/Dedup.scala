@@ -143,16 +143,17 @@ object Dedup {
     // Dedup colliding pairs BEFORE touching signatures (a near-dup pair
     // collides in up to `bands` bands; the zip comparison should run once
     // per unique pair, not once per collision), then re-attach signatures.
-    // shuffle_hash hints keep AQE from broadcasting the sigs side — a
-    // broadcast subtree cannot reuse the shuffle exchange and would
-    // recompute the signature stage per join; the shuffled join reads the
-    // anchored exchange for free (sigs is already partitioned by doc) and
-    // only the small deduped pair set moves.
+    // merge hints keep AQE from broadcasting the sigs side — a broadcast
+    // subtree cannot reuse the shuffle exchange and would recompute the
+    // signature stage per join. SMJ rather than shuffled-hash because the
+    // sigs side is corpus-sized: a sort streams and spills, a per-partition
+    // hash build of every signature does not; sigs is already partitioned
+    // by doc so only the small deduped pair set moves.
     val pairs = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")).hint("shuffle_hash")
-    val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")).hint("shuffle_hash")
+    val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")).hint("merge")
+    val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")).hint("merge")
     pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, lit(1))),

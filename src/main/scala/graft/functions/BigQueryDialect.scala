@@ -103,7 +103,7 @@ object BigQueryDialect {
     */
   private def castDecimalLiterals(sql: String): String = {
     val p = java.util.regex.Pattern.compile(
-      "(--[^\\n]*|/\\*(?s:.*?)\\*/|'(?:''|\\\\.|[^'\\\\])*'|\"(?:\"\"|\\\\.|[^\"\\\\])*\")|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
+      "(--[^\\n]*|/\\*(?s:.*?)\\*/|'(?:''|\\\\(?s:.)|[^'\\\\])*'|\"(?:\"\"|\\\\(?s:.)|[^\"\\\\])*\")|(?<![\\w.])(\\d+\\.\\d+)(?![\\w.])")
     val m = p.matcher(sql)
     val out = new java.lang.StringBuilder
     while (m.find()) {

@@ -40,11 +40,15 @@ object AnomalyDetection {
   def score(daily: DataFrame, numTrees: Int = 100, contamination: Double = 0.1,
       seed: Long = 42L): DataFrame = {
     val featCols = Seq("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
+    // The daily aggregate feeds BOTH the driver-side collect and the joined
+    // result — cache it (one row per day, tiny) or the full event scan +
+    // groupBy runs twice: once here, once when the returned join evaluates.
+    val cached = daily.cache()
     // One row per day = control-plane-small at any event volume. Sorted
     // before collect so the seeded RNG stream maps onto the same rows
     // regardless of partitioning — scores are reproducible across cluster
     // layouts.
-    val collected = daily
+    val collected = cached
       .select((col("event_date") +: featCols.map(col)): _*)
       .orderBy(col("event_date"))
       .collect()
@@ -55,9 +59,11 @@ object AnomalyDetection {
     val n = collected.length
     val cutoffRank = math.max(1L, math.round(n * contamination))
     // deterministic flagging: rank by (score desc, date) like the previous
-    // window tie-break
+    // window tie-break; a null day (null-ts events group) sorts first like
+    // the window's default nulls-first instead of NPE-ing
     val ranked = collected.indices
-      .sortBy(i => (-scores(i), collected(i).getDate(0).getTime))
+      .sortBy(i => (-scores(i),
+        Option(collected(i).getDate(0)).map(_.getTime).getOrElse(Long.MinValue)))
       .zipWithIndex.map { case (i, rank) => i -> (rank < cutoffRank) }.toMap
     val scored = collected.indices.map { i =>
       (collected(i).getDate(0), scores(i), ranked(i))
@@ -65,6 +71,10 @@ object AnomalyDetection {
     val spark = daily.sparkSession
     import spark.implicits._
     val scoreDf = scored.toDF("event_date", "anomaly_score", "is_anomaly")
-    daily.join(broadcast(scoreDf), Seq("event_date"))
+    // null-safe equality so a null-day group keeps its score row (plain
+    // equality would silently drop it from the result)
+    cached.join(broadcast(scoreDf),
+        cached("event_date") <=> scoreDf("event_date"))
+      .drop(scoreDf("event_date"))
   }
 }

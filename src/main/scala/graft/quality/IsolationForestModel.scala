@@ -35,7 +35,16 @@ object IsolationForestModel {
     // standard height limit: average depth of a ψ-node random tree
     val heightLimit = math.ceil(math.log(math.max(psi, 2).toDouble) / math.log(2.0)).toInt
     val trees = (1 to numTrees).map { _ =>
-      val sample = Array.fill(psi)(data(rnd.nextInt(data.length)))
+      // sub-sample WITHOUT replacement (as the paper and sklearn do):
+      // partial Fisher–Yates over an index array, first ψ slots
+      val idx = Array.tabulate(data.length)(identity)
+      var i = 0
+      while (i < psi) {
+        val j = i + rnd.nextInt(data.length - i)
+        val t = idx(i); idx(i) = idx(j); idx(j) = t
+        i += 1
+      }
+      val sample = Array.tabulate(psi)(k => data(idx(k)))
       grow(sample, 0, heightLimit, rnd)
     }
     Forest(trees, psi)

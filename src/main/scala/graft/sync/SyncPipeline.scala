@@ -130,10 +130,16 @@ object SyncPipeline {
     val partPrefix = partCol + "="
     var rootEntries: Seq[org.apache.hadoop.fs.FileStatus] =
       if (fs.exists(targetRoot)) fs.listStatus(targetRoot).toSeq else Nil
-    def chunkDays(from: String, to: String): Seq[String] = {
-      val (f, t) = (java.time.LocalDate.parse(from), java.time.LocalDate.parse(to))
-      Iterator.iterate(f)(_.plusDays(1)).takeWhile(_.isBefore(t)).map(_.toString).toSeq
-    }
+    // Tolerates timestamped bounds ("2024-01-01 00:00:00"): only the date
+    // part matters for partition names, and `to`'s own day is included —
+    // a past-midnight `to` touches it, and over-approximating just forces
+    // the safe merge path more often. Unparseable bounds → None → merge.
+    def chunkDays(from: String, to: String): Option[Seq[String]] =
+      try {
+        val f = java.time.LocalDate.parse(from.take(10))
+        val t = java.time.LocalDate.parse(to.take(10))
+        Some(Iterator.iterate(f)(_.plusDays(1)).takeWhile(!_.isAfter(t)).map(_.toString).toSeq)
+      } catch { case _: java.time.format.DateTimeParseException => None }
     val t0 = clock()
     var budgetHit = false
     chunks.foreach { case (from, to) =>
@@ -147,14 +153,16 @@ object SyncPipeline {
           val cleanLayout = rootEntries.isEmpty ||
             (existingDirs.exists(_.startsWith(partPrefix)) &&
               !rootEntries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
-          val freshDays = !chunkDays(from, to)
-            .exists(d => existingDirs.contains(partPrefix + d))
+          val freshDays = chunkDays(from, to)
+            .exists(days => !days.exists(d => existingDirs.contains(partPrefix + d)))
           if (cleanLayout && freshDays)
             Dml.overwritePartitions(
               chunk.dropDuplicates(keys :+ partCol), targetPath, Seq(partCol))
           else
             MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
-          rootEntries = fs.listStatus(targetRoot).toSeq
+          // an all-empty chunk may leave the target still uncreated
+          rootEntries =
+            if (fs.exists(targetRoot)) fs.listStatus(targetRoot).toSeq else Nil
           Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
             .coalesce(1).write.mode("append").parquet(statePath)
         }

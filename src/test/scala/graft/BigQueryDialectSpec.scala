@@ -102,6 +102,10 @@ class BigQueryDialectSpec extends SparkSuite {
       "SELECT \"don\\\"t 1.5\" AS a, 'it\\'s 2.5 hrs' AS b, x / 60.0 FROM t")
     assert(bs.contains("\"don\\\"t 1.5\"") && bs.contains("'it\\'s 2.5 hrs'"))
     assert(bs.contains("CAST(60.0 AS DOUBLE)"))
+    // a backslash immediately before a newline inside a string must not
+    // desync the segment scan (the escape alternative needs DOTALL)
+    val nl = BigQueryDialect.translate("SELECT 'a\\\n1.5 x' AS s, y / 60.0 FROM t")
+    assert(nl.contains("'a\\\n1.5 x'") && nl.contains("CAST(60.0 AS DOUBLE)"))
   }
 
   test("a reference-shaped snippet runs end-to-end through the shim") {
