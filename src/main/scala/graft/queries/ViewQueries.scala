@@ -122,17 +122,22 @@ object ViewQueries extends QueryModule {
     // the reference's daily monitoring dashboard (`pipeline_monitoring.sql`):
     // three-section tagged-union health report on reference table names
     "ref_pipeline_monitoring" -> ((s, _) => {
+      // The report fans each input into several check branches with
+      // different prunings, so Catalyst can't reuse one branch's exchanges
+      // for another (each canonicalizes differently). Materialize the shared
+      // frames once — the Spark analog of the reference materializing its
+      // views as tables before monitoring reads them.
       val te = graft.views.DomainViews.timeEntryDedupCleanup(
-        graft.sources.FixtureGen.timeEntries(s))
+        graft.sources.FixtureGen.timeEntries(s)).localCheckpoint(true)
       val details = graft.sources.FixtureGen.workItemDetails(s)
-        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE").localCheckpoint(true)
       val v4 = graft.views.DomainViews.v4(details, te,
         graft.sources.FixtureGen.productivityRepeats(s),
         graft.sources.FixtureGen.clientGroupDimension(s),
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s))
+        graft.sources.FixtureGen.userDimension(s)).localCheckpoint(true)
       graft.quality.Monitoring.report(details, te, v4)
     }),
 
@@ -140,19 +145,25 @@ object ViewQueries extends QueryModule {
     // (`verify_view_deduplication.sql`; ScalaTest asserts the checks flag
     // exactly the planted pathologies)
     "ref_view_check_summary" -> ((s, _) => {
+      // Three of the five checks aggregate the v5 frame (and two the
+      // corrected/details frames) through different prunings — without a
+      // materialization point each union branch re-executes the whole view
+      // DAG. Checkpoint each level once; the library functions stay lazy and
+      // callers choose where to materialize, like the reference's
+      // verification corpus reading materialized view tables.
       val te = graft.views.DomainViews.timeEntryDedupCleanup(
-        graft.sources.FixtureGen.timeEntries(s))
+        graft.sources.FixtureGen.timeEntries(s)).localCheckpoint(true)
       val details = graft.sources.FixtureGen.workItemDetails(s)
-        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE").localCheckpoint(true)
       val corrected = graft.views.DomainViews.corrected(
-        graft.sources.FixtureGen.budgetVsActual(s), details)
+        graft.sources.FixtureGen.budgetVsActual(s), details).localCheckpoint(true)
       val v5 = graft.views.DomainViews.v5(te, details, corrected,
         graft.sources.FixtureGen.productivityRepeats(s),
         graft.sources.FixtureGen.clientGroupDimension(s),
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s))
+        graft.sources.FixtureGen.userDimension(s)).localCheckpoint(true)
       graft.quality.ViewVerification.summary(details, corrected, v5)
     })
   )
