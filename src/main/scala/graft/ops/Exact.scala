@@ -35,6 +35,16 @@ object Exact {
   /** SUM over a ≤2-decimal column, exact, returned as double. */
   def sum2(c: Column): Column = sum(c.cast(D2)).cast(DoubleType)
 
+  /** A ≤2-decimal double as integer cents (`ROUND(c*100)` — the value is
+    * within half an ulp of k/100, so the round always lands on k). Long sums
+    * of cents are plain codegen'd long adds — no Decimal boxing or
+    * changePrecision per row — and `sum_cents / 100.0` is the same
+    * correctly-rounded double as `CAST(SUM(DECIMAL) AS DOUBLE)` while the
+    * total stays under 2^53. Use on aggregation hot paths; keep decimal
+    * forms where an oracle twin spells the decimal shape.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** AVG over a ≤2-decimal column: exact decimal sum divided as double. */
   def avg2(c: Column): Column = sum(c.cast(D2)).cast(DoubleType) / count(c)
 

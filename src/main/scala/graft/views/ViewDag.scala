@@ -209,12 +209,17 @@ object ViewDag {
     // distinct-month count becomes a plain count (no Expand), and absent
     // pivot months surface as NULL, coalesced to 0.0 in the final select
     // exactly like the rows the left join fails to match.
+    // Hours aggregate as integer CENTS (long adds in codegen, no Decimal
+    // boxing — Exact.cents): `sum_cents/100.0` is the same correctly-rounded
+    // double as the decimal-sum-cast (both round the identical rational
+    // once; totals sit far under 2^53), so every downstream value is
+    // bit-identical to the decimal formulation the oracle spells.
     val monthly = te.groupBy(col("work_item_id"), col("user_id"),
         date_trunc("month", col("entry_date")).as("entry_month"))
       .agg(
-        sum(Exact.d2(col("hours"))).as("m_hours"),
-        sum(when(col("is_billable"), Exact.d2(col("hours"))).otherwise(Exact.d2(lit(0))))
-          .as("m_billable"),
+        sum(Exact.cents(col("hours"))).as("m_hours_c"),
+        sum(when(col("is_billable"), Exact.cents(col("hours"))).otherwise(lit(0L)))
+          .as("m_billable_c"),
         min(col("entry_date")).as("m_first"),
         max(col("entry_date")).as("m_last"))
       // Pivot month resolved ONCE per monthly row: the 12 pivot sums used to
@@ -226,14 +231,16 @@ object ViewDag {
       .withColumn("pivot_m",
         when(year(col("entry_month")) === PivotYear, month(col("entry_month"))))
     val aggCols: Seq[org.apache.spark.sql.Column] = Seq(
-      sum(col("m_hours")).cast("double").as("hours_logged"),
-      sum(col("m_billable")).cast("double").as("billable_hours"),
+      (sum(col("m_hours_c")) / 100.0).as("hours_logged"),
+      (sum(col("m_billable_c")) / 100.0).as("billable_hours"),
       min(col("m_first")).as("first_entry_date"),
       max(col("m_last")).as("last_entry_date"),
       count(lit(1)).as("months_active")) ++
       (1 to 12).map { m =>
-        sum(when(col("pivot_m") === m, col("m_hours")))
-          .cast("double").as(f"hours_m_$m%02d")
+        // sum of all-NULL is NULL, and NULL/100.0 stays NULL — absent pivot
+        // months still surface as NULL for the final coalesce
+        (sum(when(col("pivot_m") === m, col("m_hours_c"))) / 100.0)
+          .as(f"hours_m_$m%02d")
       }
     val its = monthly.groupBy(col("work_item_id"), col("user_id"))
       .agg(aggCols.head, aggCols.tail: _*)
