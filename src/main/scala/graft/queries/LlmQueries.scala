@@ -187,6 +187,17 @@ object LlmQueries extends QueryModule {
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         TextOps.approxBpeCount(col("text")).as("n_bpe_tokens"))),
 
+    // tx6: Gopher-rule quality filters (Rae et al. 2021 §A1.1) — the
+    // standard pre-dedup format heuristics of a pretraining pipeline, all
+    // integer-count based so the oracle hashes bit-identically.
+    "tx6_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherFlags(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("alpha_word_ratio"), col("bullet_line_ratio"),
+          col("ellipsis_line_ratio"), col("word_count_ok"), col("mean_word_len_ok"),
+          col("symbol_ratio_ok"), col("alpha_ok"), col("bullet_ok"),
+          col("ellipsis_ok"), col("gopher_pass"))),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -408,6 +419,35 @@ object LlmQueries extends QueryModule {
       s"""WITH fp AS (SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint FROM documents)
          |SELECT doc_id, fingerprint,
          |COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size FROM fp""".stripMargin,
+    "tx6_gopher_rules" ->
+      s"""WITH m AS (SELECT doc_id,
+         |CAST(len($TOKS_RAW) AS BIGINT) AS n_words,
+         |CAST(greatest(len($TOKS_RAW), 1) AS DOUBLE) AS nw,
+         |CAST(list_sum(list_transform($TOKS_RAW, t -> length(t))) AS DOUBLE) AS char_sum,
+         |CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |  + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS sym_cnt,
+         |CAST(len(list_filter($TOKS_RAW, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+         |CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE) AS nl,
+         |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullet_cnt,
+         |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ell_cnt
+         |FROM documents),
+         |r AS (SELECT doc_id, n_words, char_sum / nw AS mean_word_len,
+         |CAST(sym_cnt AS DOUBLE) / nw AS symbol_ratio,
+         |CAST(alpha_cnt AS DOUBLE) / nw AS alpha_word_ratio,
+         |CAST(bullet_cnt AS DOUBLE) / nl AS bullet_line_ratio,
+         |CAST(ell_cnt AS DOUBLE) / nl AS ellipsis_line_ratio FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+         |bullet_line_ratio, ellipsis_line_ratio,
+         |n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+         |mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_word_len_ok,
+         |symbol_ratio <= 0.1 AS symbol_ratio_ok,
+         |alpha_word_ratio >= 0.8 AS alpha_ok,
+         |bullet_line_ratio <= 0.9 AS bullet_ok,
+         |ellipsis_line_ratio <= 0.3 AS ellipsis_ok,
+         |(n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         |AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+         |AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AS gopher_pass
+         |FROM r""".stripMargin,
     "dd4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, source, $GRAMS AS grams
          |FROM (SELECT doc_id, lang, source, $TOKS AS toks FROM documents)),

@@ -70,6 +70,44 @@ object TextOps {
           4))
   }
 
+  /** Gopher-rule document filters (Rae et al. 2021 §A1.1 — the standard
+    * pre-dedup format/repetition heuristics of a pretraining corpus
+    * pipeline): word-count window, mean word length window, symbol-to-word
+    * ratio, bullet-/ellipsis-line fractions, alphabetic-word fraction.
+    * Every metric is built from integer counts and ratios divide those
+    * integers, so the arithmetic reproduces bit-for-bit in any engine —
+    * the property the oracle harness hashes. Per-row, no shuffle.
+    */
+  def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = greatest(size(toks), lit(1)).cast("double")
+    val charSum = aggregate(toks, lit(0), (acc, x) => acc + length(x)).cast("double")
+    val hashCount = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipsisCount =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    df.withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len", charSum / nWords)
+      .withColumn("symbol_ratio", (hashCount + ellipsisCount).cast("double") / nWords)
+      .withColumn("alpha_word_ratio", alphaWords.cast("double") / nWords)
+      .withColumn("bullet_line_ratio", bulletLines.cast("double") / nLines)
+      .withColumn("ellipsis_line_ratio", ellipsisLines.cast("double") / nLines)
+      .withColumn("word_count_ok", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("mean_word_len_ok", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("symbol_ratio_ok", col("symbol_ratio") <= 0.1)
+      .withColumn("alpha_ok", col("alpha_word_ratio") >= 0.8)
+      .withColumn("bullet_ok", col("bullet_line_ratio") <= 0.9)
+      .withColumn("ellipsis_ok", col("ellipsis_line_ratio") <= 0.3)
+      .withColumn("gopher_pass",
+        col("word_count_ok") && col("mean_word_len_ok") && col("symbol_ratio_ok") &&
+          col("alpha_ok") && col("bullet_ok") && col("ellipsis_ok"))
+  }
+
   /** Document fingerprint: md5 of the normalized token stream — the exact
     * dedup key (hash-groupBy dedup shuffles only (fingerprint, doc_id)).
     */

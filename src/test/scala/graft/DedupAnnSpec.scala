@@ -241,4 +241,20 @@ class DedupAnnSpec extends SparkSuite {
       .as[(Long, String)].collect().toMap
     assert(df(1L) == "en" && df(2L) == "es" && df(3L) == "unknown")
   }
+
+  test("gopher rules: planted pathologies trip exactly their rule") {
+    val df = Seq(
+      ("good", (1 to 80).map(i => s"word$i").mkString(" ")),
+      ("short", "tiny doc"),
+      ("symbols", (1 to 60).map(_ => "ok#tag").mkString(" ") + " ..."),
+      ("bullets", (1 to 60).map(i => s"- item$i").mkString("\n"))).toDF("doc_id", "text")
+    val out = TextOps.gopherFlags(df, "text").collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(out("good").getAs[Boolean]("gopher_pass"))
+    assert(!out("short").getAs[Boolean]("word_count_ok") &&
+      !out("short").getAs[Boolean]("gopher_pass"))
+    assert(!out("symbols").getAs[Boolean]("symbol_ratio_ok"))
+    assert(out("symbols").getAs[Boolean]("word_count_ok")) // only the symbol rule trips
+    assert(!out("bullets").getAs[Boolean]("bullet_ok"))
+  }
 }
