@@ -198,6 +198,32 @@ object LlmQueries extends QueryModule {
           col("symbol_ratio_ok"), col("alpha_ok"), col("bullet_ok"),
           col("ellipsis_ok"), col("gopher_pass"))),
 
+    // tx7: repetition filters — duplicate-line / duplicate-paragraph
+    // fractions (boilerplate detection; the other half of the Gopher rules).
+    "tx7_repetition" -> ((s, dir) =>
+      TextOps.repetitionFlags(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("dup_line_ratio"), col("dup_para_ratio"),
+          col("dup_line_ok"), col("dup_para_ok"), col("repetition_pass"))),
+
+    // tx8: sequence packing — assign each document a (pack shard, sequence
+    // id, token offset) for fixed-window pretraining batches via the
+    // concat-and-chunk scheme: documents concatenate in deterministic order
+    // within a shard and split at every `seqLen` tokens; a doc belongs to
+    // the sequence its first token lands in. One window function per shard
+    // partition — no global sort, shards pack independently at any scale.
+    "tx8_sequence_pack" -> ((s, dir) => {
+      val seqLen = 4096L
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (col("tokens_before") / seqLen).cast("long").as("seq_id"),
+          pmod(col("tokens_before"), lit(seqLen)).cast("long").as("seq_offset"))
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -419,6 +445,27 @@ object LlmQueries extends QueryModule {
       s"""WITH fp AS (SELECT doc_id, md5(array_to_string($TOKS, ' ')) AS fingerprint FROM documents)
          |SELECT doc_id, fingerprint,
          |COUNT(*) OVER (PARTITION BY fingerprint) AS dup_group_size FROM fp""".stripMargin,
+    "tx7_repetition" ->
+      s"""WITH m AS (SELECT doc_id,
+         |string_split(text, chr(10)) AS l,
+         |string_split(text, chr(10) || chr(10)) AS p FROM documents),
+         |r AS (SELECT doc_id,
+         |CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / CAST(greatest(len(l), 1) AS DOUBLE) AS dup_line_ratio,
+         |CAST(len(p) - len(list_distinct(p)) AS DOUBLE) / CAST(greatest(len(p), 1) AS DOUBLE) AS dup_para_ratio
+         |FROM m)
+         |SELECT doc_id, dup_line_ratio, dup_para_ratio,
+         |dup_line_ratio <= 0.3 AS dup_line_ok,
+         |dup_para_ratio <= 0.3 AS dup_para_ok,
+         |dup_line_ratio <= 0.3 AND dup_para_ratio <= 0.3 AS repetition_pass
+         |FROM r""".stripMargin,
+    "tx8_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |CAST(tb // 4096 AS BIGINT) AS seq_id,
+         |CAST(tb % 4096 AS BIGINT) AS seq_offset FROM c""".stripMargin,
     "tx6_gopher_rules" ->
       s"""WITH m AS (SELECT doc_id,
          |CAST(len($TOKS_RAW) AS BIGINT) AS n_words,

@@ -108,6 +108,27 @@ object TextOps {
           col("alpha_ok") && col("bullet_ok") && col("ellipsis_ok"))
   }
 
+  /** Repetition filters (the other half of the Gopher rules): fraction of
+    * duplicate lines and duplicate paragraphs within a document. Repetitive
+    * boilerplate (headers, nav bars, spam) shows up as the same line
+    * repeated; ≤0.3 is the published keep-threshold for both. Integer
+    * counts + integer-ratio divisions, per-row, no shuffle.
+    */
+  def repetitionFlags(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val paras = split(t, "\n\n")
+    val nParas = greatest(size(paras), lit(1)).cast("double")
+    df.withColumn("dup_line_ratio",
+        (size(lines) - size(array_distinct(lines))).cast("double") / nLines)
+      .withColumn("dup_para_ratio",
+        (size(paras) - size(array_distinct(paras))).cast("double") / nParas)
+      .withColumn("dup_line_ok", col("dup_line_ratio") <= 0.3)
+      .withColumn("dup_para_ok", col("dup_para_ratio") <= 0.3)
+      .withColumn("repetition_pass", col("dup_line_ok") && col("dup_para_ok"))
+  }
+
   /** Document fingerprint: md5 of the normalized token stream — the exact
     * dedup key (hash-groupBy dedup shuffles only (fingerprint, doc_id)).
     */

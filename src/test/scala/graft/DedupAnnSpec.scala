@@ -257,4 +257,17 @@ class DedupAnnSpec extends SparkSuite {
     assert(out("symbols").getAs[Boolean]("word_count_ok")) // only the symbol rule trips
     assert(!out("bullets").getAs[Boolean]("bullet_ok"))
   }
+
+  test("repetition filter: duplicated lines and paragraphs trip their ratios") {
+    val clean = ("clean", (1 to 5).map(i => s"unique line $i").mkString("\n"))
+    val dupLines = ("dup_lines", Seq.fill(10)("same line").mkString("\n"))
+    val dupParas = ("dup_paras",
+      (Seq.fill(3)("same para body") ++ Seq("another one")).mkString("\n\n"))
+    val out = graft.text.TextOps.repetitionFlags(
+        Seq(clean, dupLines, dupParas).toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(out("clean").getAs[Boolean]("repetition_pass"))
+    assert(!out("dup_lines").getAs[Boolean]("dup_line_ok")) // 9/10 duplicate lines
+    assert(!out("dup_paras").getAs[Boolean]("dup_para_ok")) // 2/4 duplicate paras
+  }
 }
