@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Exact {
   val D2: DecimalType = DecimalType(18, 2)
   val D4: DecimalType = DecimalType(18, 4)
+  val D6: DecimalType = DecimalType(18, 6)
 
   def d2(c: Column): Column = c.cast(D2)
 

@@ -59,6 +59,38 @@ object Sampling {
     df.filter(unitHash(col(idCol), salt) < threshold)
   }
 
+  /** Temperature-reweighted mixture sampling — the pretraining "data
+    * mixing" step: source `s` keeps rate `min(1, target·w_s/(Σw·n_s))`
+    * with `w_s = √n_s` (temperature τ = 0.5), up-weighting small sources
+    * against dominant ones. Membership by the same unit hash as the other
+    * samplers: deterministic and stable as the corpus grows.
+    *
+    * Cross-engine determinism: √ is IEEE-exact (unlike pow, whose last ulp
+    * is libm-dependent), and the weights are quantized to DECIMAL(18,6)
+    * before summing so Σw is exact and order-independent — a raw double
+    * sum would depend on aggregation order and could flip a borderline row
+    * between engines. The rate arithmetic then runs the identical double
+    * ops on identical inputs everywhere.
+    *
+    * 100 TB story: one count aggregate over the corpus, a broadcast of
+    * #sources rate rows, then a scan-speed per-row filter — no data
+    * shuffle.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String, targetRows: Long,
+      salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")).cast(graft.ops.Exact.D6))
+    val total = counts.agg(sum(col("__w")).cast("double").as("__tw"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(targetRows.toDouble) * (col("__w").cast("double") / col("__tw")) /
+            col("__n").cast("double")).as("__rate"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(unitHash(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Fixed-size deterministic reservoir per key: the `n` rows with the
     * smallest id hash win (hash order ≈ uniform random order, but stable).
     * One shuffle on the key; state per key is the reservoir, not the group.

@@ -36,6 +36,14 @@ object SamplingQueries extends QueryModule {
       Sampling.reservoirPerKey(Tables.documents(s, dir), "source", "doc_id", n = 25)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // SP4: temperature-reweighted mixture (τ=0.5): small sources up-weighted
+    // toward a 2000-doc target budget; deterministic membership, exact
+    // decimal weight sum (see Sampling.temperatureMix).
+    "sp4_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), "doc_id", "source",
+        targetRows = 2000)
+        .select(col("doc_id"), col("source"), col("lang"))),
+
     // TX5: PII redaction + audit count (per-row regexp_replace, scan-speed).
     "tx5_pii_redact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -53,6 +61,19 @@ object SamplingQueries extends QueryModule {
     "sp2_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE $duckUnitHash < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END)""".stripMargin,
+    // mirrors temperatureMix exactly: decimal(18,6)-quantized sqrt weights,
+    // exact decimal sum, then the identical double ops in the same order
+    "sp4_temperature_mix" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n,
+         |CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+         |FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM c),
+         |r AS (SELECT source,
+         |least(1.0, 2000.0 * (CAST(w AS DOUBLE) / tw) / CAST(n AS DOUBLE)) AS rate
+         |FROM c, t)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d
+         |JOIN r ON d.source = r.source
+         |WHERE $duckUnitHash < r.rate""".stripMargin,
     "sp3_reservoir_per_key" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY $duckUnitHash, doc_id) <= 25""".stripMargin,

@@ -80,6 +80,28 @@ class SamplingSkewSpec extends SparkSuite {
     assert(spread > 1)
   }
 
+  test("SP4: temperature mix up-weights small sources and is deterministic") {
+    import graft.ops.Sampling
+    // 9000 docs from a dominant source, 1000 from a minority one
+    val docs = spark.range(10000).selectExpr("id AS doc_id",
+      "CASE WHEN id < 9000 THEN 'big' ELSE 'small' END AS source")
+    val mixed = Sampling.temperatureMix(docs, "doc_id", "source", targetRows = 2000)
+    val kept = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // τ=0.5 weights: w ∝ √n → small's share of the 2000 budget is
+    // √1000/(√9000+√1000) = 0.25 → ~500 kept of 1000 (50% rate) vs
+    // big ~1500 of 9000 (17%): the minority source's keep RATE must be
+    // far higher even though it contributes fewer rows overall.
+    val smallRate = kept("small").toDouble / 1000
+    val bigRate = kept("big").toDouble / 9000
+    assert(smallRate > 2 * bigRate, s"small=$smallRate big=$bigRate")
+    // Bernoulli noise aside, totals should be near the target budget
+    assert(math.abs(kept.values.sum - 2000L) < 300, kept.toString)
+    // deterministic: a second evaluation keeps the identical id set
+    val again = Sampling.temperatureMix(docs, "doc_id", "source", 2000)
+    assert(mixed.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+  }
+
   test("TX5: PII redaction masks emails and phones; the audit count matches") {
     val rows = Seq(
       ("contact me at jane.doe+x@example.co.uk today", 1L),
