@@ -40,6 +40,15 @@ object Bench {
     // JIT/G1 state accumulated from the ~118 queries that alphabetical order
     // ran before them, not plan costs. Measuring them in a warm-but-clean JVM
     // is the honest steady-state number; see PERF_NOTES.md.
+    // MEASUREMENT-POLICY DISCLOSURE (applies to every published composite):
+    // headline queries are warm (one untimed pass) and median-of-3; the other
+    // ~124 queries are single-shot. The baseline side of the comparison
+    // (BASELINE.md's 300-450 s envelope) is the reference's own logged
+    // production wall-clock — a long-lived, fully warm service process, so
+    // comparing against our warm steady-state is like-for-like; but it is the
+    // reference's ONE observed run, not a median. With a ~13-15x margin the
+    // asymmetry cannot change the conclusion; stated here and in PERF_NOTES.md
+    // so the composite is never read as a cold-start number.
     val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
       "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
     val ordered = (headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++

@@ -40,41 +40,42 @@ object AnomalyDetection {
   def score(daily: DataFrame, numTrees: Int = 100, contamination: Double = 0.1,
       seed: Long = 42L): DataFrame = {
     val featCols = Seq("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
-    // The daily aggregate feeds BOTH the driver-side collect and the joined
-    // result — cache it (one row per day, tiny) or the full event scan +
-    // groupBy runs twice: once here, once when the returned join evaluates.
-    val cached = daily.cache()
-    // One row per day = control-plane-small at any event volume. Sorted
-    // before collect so the seeded RNG stream maps onto the same rows
-    // regardless of partitioning — scores are reproducible across cluster
-    // layouts.
-    val collected = cached
-      .select((col("event_date") +: featCols.map(col)): _*)
-      .orderBy(col("event_date"))
-      .collect()
-    val feats: IndexedSeq[Array[Double]] =
-      collected.toIndexedSeq.map(r => Array.tabulate(featCols.length)(i => r.getDouble(i + 1)))
+    val spark = daily.sparkSession
+    // One row per day = control-plane-small at any event volume: collect the
+    // full daily frame ONCE (sorted so the seeded RNG stream maps onto the
+    // same rows regardless of partitioning — scores are reproducible across
+    // cluster layouts) and assemble the scored result driver-side. The
+    // earlier cache+join version scanned once but pinned a cached frame per
+    // call forever; this leaves nothing persisted and scans exactly once.
+    val schema = daily.schema
+    val dateIdx = schema.fieldIndex("event_date")
+    val idx = featCols.map(schema.fieldIndex)
+    val collected = daily.orderBy(col("event_date")).collect()
+    // a null feature (sum(decimal) over a day whose values are all null)
+    // imputes to 0.0 — the "no volume" reading — instead of NPE-ing
+    val feats: IndexedSeq[Array[Double]] = collected.toIndexedSeq.map { r =>
+      idx.map(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i)).toArray
+    }
     val forest = IsolationForestModel.fit(feats, numTrees, seed = seed)
     val scores = feats.map(IsolationForestModel.score(forest, _))
     val n = collected.length
     val cutoffRank = math.max(1L, math.round(n * contamination))
-    // deterministic flagging: rank by (score desc, date) like the previous
-    // window tie-break; a null day (null-ts events group) sorts first like
-    // the window's default nulls-first instead of NPE-ing
+    // deterministic flagging: rank by (score desc, date); a null day
+    // (null-ts events group) sorts first like a window's default nulls-first
     val ranked = collected.indices
       .sortBy(i => (-scores(i),
-        Option(collected(i).getDate(0)).map(_.getTime).getOrElse(Long.MinValue)))
+        if (collected(i).isNullAt(dateIdx)) Long.MinValue
+        else collected(i).getDate(dateIdx).getTime))
       .zipWithIndex.map { case (i, rank) => i -> (rank < cutoffRank) }.toMap
-    val scored = collected.indices.map { i =>
-      (collected(i).getDate(0), scores(i), ranked(i))
-    }
-    val spark = daily.sparkSession
-    import spark.implicits._
-    val scoreDf = scored.toDF("event_date", "anomaly_score", "is_anomaly")
-    // null-safe equality so a null-day group keeps its score row (plain
-    // equality would silently drop it from the result)
-    cached.join(broadcast(scoreDf),
-        cached("event_date") <=> scoreDf("event_date"))
-      .drop(scoreDf("event_date"))
+    val outSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("anomaly_score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_anomaly",
+        org.apache.spark.sql.types.BooleanType, nullable = false)))
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(collected.indices.map { i =>
+        org.apache.spark.sql.Row.fromSeq(collected(i).toSeq :+ scores(i) :+ ranked(i))
+      }: _*)
+    spark.createDataFrame(outRows, outSchema)
   }
 }

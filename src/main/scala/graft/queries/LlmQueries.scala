@@ -220,7 +220,9 @@ object LlmQueries extends QueryModule {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          (col("tokens_before") / seqLen).cast("long").as("seq_id"),
+          // integer division (`div`), not double `/`: the oracle's `//` is
+          // exact at all magnitudes, double division loses bits past 2^53
+          expr(s"tokens_before div $seqLen").as("seq_id"),
           pmod(col("tokens_before"), lit(seqLen)).cast("long").as("seq_offset"))
     }),
 

@@ -127,9 +127,12 @@ object SyncPipeline {
     // exist (a chunk that committed data but died before its state append)
     // are re-merged idempotently.
     val targetRoot = new org.apache.hadoop.fs.Path(targetPath)
+    // state and target may live on different filesystems (e.g. local state,
+    // object-store target) — target listings must use the target's own FS
+    val targetFs = targetRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partPrefix = partCol + "="
     var rootEntries: Seq[org.apache.hadoop.fs.FileStatus] =
-      if (fs.exists(targetRoot)) fs.listStatus(targetRoot).toSeq else Nil
+      if (targetFs.exists(targetRoot)) targetFs.listStatus(targetRoot).toSeq else Nil
     // Tolerates timestamped bounds ("2024-01-01 00:00:00"): only the date
     // part matters for partition names, and `to`'s own day is included —
     // a past-midnight `to` touches it, and over-approximating just forces
@@ -162,7 +165,7 @@ object SyncPipeline {
             MergeInto.mergePartitioned(spark, targetPath, chunk, keys :+ partCol, partCol)
           // an all-empty chunk may leave the target still uncreated
           rootEntries =
-            if (fs.exists(targetRoot)) fs.listStatus(targetRoot).toSeq else Nil
+            if (targetFs.exists(targetRoot)) targetFs.listStatus(targetRoot).toSeq else Nil
           Seq((from, to, "COMPLETED")).toDF("chunk_start", "chunk_end", "status")
             .coalesce(1).write.mode("append").parquet(statePath)
         }
@@ -170,7 +173,7 @@ object SyncPipeline {
     }
     // a budget can expire before the first chunk of a fresh backfill ever
     // commits — a clean stop, not a crash: the next run starts from zero
-    if (!fs.exists(new org.apache.hadoop.fs.Path(targetPath)))
+    if (!targetFs.exists(targetRoot))
       source.filter(lit(false))
     else
       spark.read.parquet(targetPath).drop(partCol)
