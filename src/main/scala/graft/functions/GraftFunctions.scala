@@ -33,6 +33,12 @@ object GraftFunctions {
         case Seq(a) => SimHashSignature(a)
         case args => throw new IllegalArgumentException(
           s"simhash_signature expects 1 arg, got ${args.length}")
+      }: Seq[Expression] => Expression),
+
+      (FunctionIdentifier("bpe_token_count"), info("bpe_token_count"), {
+        case Seq(a) => BpeTokenCount(a, graft.text.Bpe.mergesDefault)
+        case args => throw new IllegalArgumentException(
+          s"bpe_token_count expects 1 arg, got ${args.length}")
       }: Seq[Expression] => Expression))
   }
 

@@ -180,12 +180,24 @@ object LlmQueries extends QueryModule {
           col("avg_token_len"), col("distinct_token_ratio"), col("stopword_ratio"),
           col("quality_score"))),
 
-    // tx3: token counting — whitespace + BPE-ish subword estimate.
+    // tx3: token counting — whitespace + the chars/4 subword estimate (the
+    // documented FALLBACK; tx3b below is the real vocab-driven count).
     "tx3_token_count" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         TextOps.approxBpeCount(col("text")).as("n_bpe_tokens"))),
+
+    // tx3b: REAL subword token counting — greedy longest-match merging
+    // against a merges vocab (BPE/WordPiece inference) fused into one
+    // codegen'd per-row loop (functions.BpeTokenCount). The oracle replays
+    // the identical greedy scan as a recursive CTE over the same vocab
+    // (text.Bpe renders ONE list into both sides), so the count is verified
+    // bit-exactly, not approximated.
+    "tx3b_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.bpeCount(col("text")).as("n_bpe_tokens"))),
 
     // tx6: Gopher-rule quality filters (Rae et al. 2021 §A1.1) — the
     // standard pre-dedup format heuristics of a pretraining pipeline, all
@@ -211,20 +223,16 @@ object LlmQueries extends QueryModule {
     // within a shard and split at every `seqLen` tokens; a doc belongs to
     // the sequence its first token lands in. One window function per shard
     // partition — no global sort, shards pack independently at any scale.
-    "tx8_sequence_pack" -> ((s, dir) => {
-      val seqLen = 4096L
-      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          // integer division (`div`), not double `/`: the oracle's `//` is
-          // exact at all magnitudes, double division loses bits past 2^53
-          expr(s"tokens_before div $seqLen").as("seq_id"),
-          pmod(col("tokens_before"), lit(seqLen)).cast("long").as("seq_offset"))
-    }),
+    "tx8_sequence_pack" -> ((s, dir) =>
+      packSequences(Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")))),
+
+    // tx8b: tx8's packing scheme re-based on REAL subword counts (tx3b's
+    // vocab-driven tokenizer) — the budget every pretraining batch actually
+    // consumes. Same per-shard window; the token counting stays map-side.
+    "tx8b_bpe_pack" -> ((s, dir) =>
+      packSequences(Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.bpeCount(col("text")).as("n_tokens")))),
 
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
@@ -323,8 +331,54 @@ object LlmQueries extends QueryModule {
     })
   )
 
+  /** tx8/tx8b concat-and-chunk packing: cumulative token count per shard
+    * (one window per `source` partition — shards pack independently, no
+    * global sort), sequence id by exact integer division. Input must carry
+    * (doc_id, source, n_tokens).
+    */
+  private def packSequences(d: org.apache.spark.sql.DataFrame,
+      seqLen: Long = 4096L): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        // integer division (`div`), not double `/`: the oracle's `//` is
+        // exact at all magnitudes, double division loses bits past 2^53
+        expr(s"tokens_before div $seqLen").as("seq_id"),
+        pmod(col("tokens_before"), lit(seqLen)).cast("long").as("seq_offset"))
+  }
+
   private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+  /** tx3b/tx8b oracle core: the greedy longest-match scan as a recursive
+    * CTE — per step, consume the longest vocab token at the cursor (LEFT
+    * JOIN on prefix match, MAX(length)) or one character; terminal rows
+    * (pos = word length) carry the word's token count. Words dedup per doc
+    * before recursing (identical words tokenize identically). The vocab
+    * VALUES body renders from the same Scala list the Spark expression
+    * uses — the two sides cannot drift.
+    */
+  private val BPE_CTES =
+    s"""vocab(tok) AS (VALUES ${graft.text.Bpe.sqlVocabValues}),
+       |bwords AS (
+       |  SELECT doc_id, w, COUNT(*) AS n
+       |  FROM (SELECT doc_id, unnest($TOKS_RAW) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY doc_id, w),
+       |bsteps AS (
+       |  SELECT doc_id, w, n, 0 AS pos, 0 AS cnt FROM bwords
+       |  UNION ALL
+       |  SELECT s.doc_id, s.w, s.n,
+       |         s.pos + COALESCE(MAX(length(v.tok)), 1) AS pos, s.cnt + 1 AS cnt
+       |  FROM bsteps s LEFT JOIN vocab v
+       |    ON substr(s.w, s.pos + 1, length(v.tok)) = v.tok
+       |  WHERE s.pos < length(s.w)
+       |  GROUP BY s.doc_id, s.w, s.n, s.pos, s.cnt),
+       |bpe AS (
+       |  SELECT d.doc_id, CAST(COALESCE(SUM(s.n * s.cnt), 0) AS BIGINT) AS n_bpe
+       |  FROM documents d LEFT JOIN bsteps s
+       |    ON d.doc_id = s.doc_id AND s.pos >= length(s.w)
+       |  GROUP BY d.doc_id)""".stripMargin
   // 3-gram shingles of TOKS, deduped — mirrors Dedup.shingles(k=3)
   private val GRAMS = "list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
     "i -> array_to_string(toks[i+1:i+3], ' ')))"
@@ -462,6 +516,19 @@ object LlmQueries extends QueryModule {
          |FROM r""".stripMargin,
     "tx8_sequence_pack" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS_RAW) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |CAST(tb // 4096 AS BIGINT) AS seq_id,
+         |CAST(tb % 4096 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+    "tx3b_bpe_tokens" ->
+      s"""WITH RECURSIVE $BPE_CTES
+         |SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe""".stripMargin,
+    "tx8b_bpe_pack" ->
+      s"""WITH RECURSIVE $BPE_CTES,
+         |d AS (SELECT doc.doc_id, doc.source, b.n_bpe AS n_tokens
+         |      FROM documents doc JOIN bpe b ON doc.doc_id = b.doc_id),
          |c AS (SELECT doc_id, source, n_tokens,
          |COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb FROM d)

@@ -14,12 +14,23 @@ object TextOps {
   /** Whitespace tokenization. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** A BPE-ish subword count: word-piece heuristic counting ~4 chars per
-    * token plus word boundaries (a cheap, deterministic stand-in for a real
-    * tokenizer at scan speed).
+  /** FALLBACK subword estimate (~4 chars per token plus word boundaries) for
+    * when no merges vocab is available. Superseded by [[bpeCount]] — the real
+    * vocab-driven tokenizer — for every budget decision (tx8 packing, sp4
+    * mixing); kept because a chars/4 estimate needs zero configuration.
     */
   def approxBpeCount(text: Column): Column =
     (size(tokens(text)) + ceil(length(text).cast("double") / 4.0).cast("int")).cast("long")
+
+  /** Real subword token count (tx3b): greedy longest-match merging against
+    * the [[Bpe.mergesDefault]] vocab, fused into one codegen'd per-row loop
+    * ([[graft.functions.BpeTokenCount]]) — no explode, no shuffle, ≤ maxLen
+    * hash probes per consumed token at scan speed.
+    */
+  def bpeCount(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.BpeTokenCount(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), Bpe.mergesDefault))
 
   /** Per-language stopword heads (tiny, embedded; a real pipeline would
     * broadcast a lexicon table instead — same plan shape).
