@@ -77,8 +77,15 @@ object Sampling {
     * shuffle.
     */
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String, targetRows: Long,
-      salt: String = ""): DataFrame = {
-    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      salt: String = "", weightCol: Option[String] = None): DataFrame = {
+    // weightCol rebases the mixture from row budgets to weighted budgets —
+    // e.g. real token counts (tx3b), the unit every pretraining-mix decision
+    // is actually made in: n_s = Σ tokens of source s, target = token budget,
+    // and each doc keeps rate = min(1, target·w_s/(Σw·n_s)) so the source's
+    // EXPECTED sampled tokens hit its temperature share. Weighted sums of
+    // longs stay exact, so cross-engine bit-identity is unchanged.
+    val counts = df.groupBy(col(sourceCol))
+      .agg(weightCol.map(c => sum(col(c))).getOrElse(count(lit(1))).as("__n"))
       .withColumn("__w", sqrt(col("__n").cast("double")).cast(graft.ops.Exact.D6))
     val total = counts.agg(sum(col("__w")).cast("double").as("__tw"))
     val rates = counts.crossJoin(broadcast(total))

@@ -217,6 +217,24 @@ object LlmQueries extends QueryModule {
         .select(col("doc_id"), col("dup_line_ratio"), col("dup_para_ratio"),
           col("dup_line_ok"), col("dup_para_ok"), col("repetition_pass"))),
 
+    // tx7b: the Gopher n-gram repetition rules (Rae et al. §A1.1 Table A1)
+    // tx7 doesn't cover — top-2/3/4-gram char fraction and duplicate-
+    // 5..10-gram char fraction — all nine from ONE fused per-row pass
+    // (functions.GopherNgramStats, integer numerators → bit-exact ratios),
+    // plus the COMBINED Gopher gate: format rules (tx6) AND line/para
+    // repetition (tx7) AND n-gram repetition.
+    "tx7b_ngram_repetition" -> ((s, dir) => {
+      val base = TextOps.repetitionFlags(
+        TextOps.gopherFlags(Tables.documents(s, dir), "text"), "text")
+      val ngramCols = TextOps.ngramThresholds.flatMap { case (f, _) =>
+        Seq(col(s"${f}_ratio"), col(s"${f}_ok")) }
+      TextOps.ngramRepetitionFlags(base, "text")
+        .withColumn("gopher_full_pass",
+          col("gopher_pass") && col("repetition_pass") && col("ngram_pass"))
+        .select((col("doc_id") +: ngramCols) ++ Seq(col("ngram_pass"),
+          col("gopher_pass"), col("repetition_pass"), col("gopher_full_pass")): _*)
+    }),
+
     // tx8: sequence packing — assign each document a (pack shard, sequence
     // id, token offset) for fixed-window pretraining batches via the
     // concat-and-chunk scheme: documents concatenate in deterministic order
@@ -233,6 +251,17 @@ object LlmQueries extends QueryModule {
     "tx8b_bpe_pack" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir).select(col("doc_id"), col("source"),
         TextOps.bpeCount(col("text")).as("n_tokens")))),
+
+    // sp4b: temperature mixture sampling re-based on REAL token budgets —
+    // source weights from Σ bpe tokens (not doc counts), target in tokens:
+    // the unit a pretraining mix is actually specified in. Same √-temperature
+    // arithmetic and exact decimal weight sum as sp4; the per-source token
+    // sums are exact long sums, so cross-engine bit-identity carries over.
+    "sp4b_token_budget_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+        Tables.documents(s, dir).withColumn("__tok", TextOps.bpeCount(col("text"))),
+        "doc_id", "source", targetRows = 30000, weightCol = Some("__tok"))
+        .select(col("doc_id"), col("source"), col("lang"))),
 
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
@@ -351,6 +380,69 @@ object LlmQueries extends QueryModule {
 
   private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** tx6's metric/ratio CTEs and keep-predicate, shared with tx7b's combined
+    * gate so the two oracles cannot drift apart.
+    */
+  private val GOPHER_BASE: String =
+    s"""m AS (SELECT doc_id,
+       |CAST(len($TOKS_RAW) AS BIGINT) AS n_words,
+       |CAST(greatest(len($TOKS_RAW), 1) AS DOUBLE) AS nw,
+       |CAST(list_sum(list_transform($TOKS_RAW, t -> length(t))) AS DOUBLE) AS char_sum,
+       |CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+       |  + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS sym_cnt,
+       |CAST(len(list_filter($TOKS_RAW, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
+       |CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE) AS nl,
+       |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullet_cnt,
+       |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ell_cnt
+       |FROM documents),
+       |r AS (SELECT doc_id, n_words, char_sum / nw AS mean_word_len,
+       |CAST(sym_cnt AS DOUBLE) / nw AS symbol_ratio,
+       |CAST(alpha_cnt AS DOUBLE) / nw AS alpha_word_ratio,
+       |CAST(bullet_cnt AS DOUBLE) / nl AS bullet_line_ratio,
+       |CAST(ell_cnt AS DOUBLE) / nl AS ellipsis_line_ratio FROM m)""".stripMargin
+
+  private val GOPHER_PASS: String =
+    "(n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)" +
+      " AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8" +
+      " AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3"
+
+  /** tx7b n-gram oracle: per n, unnest the word n-grams, count occurrences
+    * and covered (non-space) chars per gram, then MAX for the top-gram legs
+    * (n = 2..4) and a count≥2-filtered SUM for the duplicate legs
+    * (n = 5..10) — the same integer numerators GopherNgramStats computes in
+    * one fused pass. Words drop empty strings so both sides split
+    * identically; thresholds render from TextOps.ngramThresholds (one
+    * source).
+    */
+  private val NGRAM_CTES: String = {
+    def leg(n: Int): String = {
+      val agg = if (n < 5) "MAX(cov)" else "COALESCE(SUM(cov) FILTER (WHERE c >= 2), 0)"
+      s"""g$n AS (SELECT doc_id, g, COUNT(*) AS c, SUM(length(replace(g, ' ', ''))) AS cov
+         |FROM (SELECT doc_id, unnest(list_transform(range(0, greatest(len(words) - $n + 1, 0)),
+         |      i -> array_to_string(words[i+1:i+$n], ' '))) AS g FROM tokd)
+         |GROUP BY doc_id, g),
+         |a$n AS (SELECT doc_id, $agg AS v FROM g$n GROUP BY doc_id)""".stripMargin
+    }
+    def fld(n: Int) = if (n < 5) s"top$n" else s"dup$n"
+    val joins = (2 to 10).map(n => s"LEFT JOIN a$n ON t.doc_id = a$n.doc_id").mkString(" ")
+    val fields = (2 to 10).map(n => s"COALESCE(a$n.v, 0) AS ${fld(n)}").mkString(", ")
+    val ratios = TextOps.ngramThresholds.map { case (f, th) =>
+      s"CAST($f AS DOUBLE) / tc AS ${f}_ratio, CAST($f AS DOUBLE) / tc <= $th AS ${f}_ok"
+    }.mkString(",\n")
+    val pass = TextOps.ngramThresholds
+      .map { case (f, th) => s"CAST($f AS DOUBLE) / tc <= $th" }.mkString(" AND ")
+    s"""tokd AS (SELECT doc_id, list_filter($TOKS_RAW, t -> length(t) > 0) AS words FROM documents),
+       |${(2 to 10).map(leg).mkString(",\n")},
+       |ng AS (SELECT t.doc_id,
+       |CAST(greatest(COALESCE(list_sum(list_transform(t.words, x -> length(x))), 0), 1) AS DOUBLE) AS tc,
+       |$fields
+       |FROM tokd t $joins),
+       |nr AS (SELECT doc_id,
+       |$ratios,
+       |$pass AS ngram_pass
+       |FROM ng)""".stripMargin
+  }
   /** tx3b/tx8b oracle core: the greedy longest-match scan as a recursive
     * CTE — per step, consume the longest vocab token at the cursor (LEFT
     * JOIN on prefix match, MAX(length)) or one character; terminal rows
@@ -525,6 +617,18 @@ object LlmQueries extends QueryModule {
     "tx3b_bpe_tokens" ->
       s"""WITH RECURSIVE $BPE_CTES
          |SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe""".stripMargin,
+    "sp4b_token_budget_mix" ->
+      s"""WITH RECURSIVE $BPE_CTES,
+         |c AS (SELECT d.source, SUM(b.n_bpe) AS n,
+         |CAST(sqrt(CAST(SUM(b.n_bpe) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id GROUP BY d.source),
+         |t AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM c),
+         |r AS (SELECT source,
+         |least(1.0, 30000.0 * (CAST(w AS DOUBLE) / tw) / CAST(n AS DOUBLE)) AS rate
+         |FROM c, t)
+         |SELECT d.doc_id, d.source, d.lang FROM documents d
+         |JOIN r ON d.source = r.source
+         |WHERE ${QueryModule.duckUnitHash} < r.rate""".stripMargin,
     "tx8b_bpe_pack" ->
       s"""WITH RECURSIVE $BPE_CTES,
          |d AS (SELECT doc.doc_id, doc.source, b.n_bpe AS n_tokens
@@ -536,22 +640,7 @@ object LlmQueries extends QueryModule {
          |CAST(tb // 4096 AS BIGINT) AS seq_id,
          |CAST(tb % 4096 AS BIGINT) AS seq_offset FROM c""".stripMargin,
     "tx6_gopher_rules" ->
-      s"""WITH m AS (SELECT doc_id,
-         |CAST(len($TOKS_RAW) AS BIGINT) AS n_words,
-         |CAST(greatest(len($TOKS_RAW), 1) AS DOUBLE) AS nw,
-         |CAST(list_sum(list_transform($TOKS_RAW, t -> length(t))) AS DOUBLE) AS char_sum,
-         |CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-         |  + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS sym_cnt,
-         |CAST(len(list_filter($TOKS_RAW, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_cnt,
-         |CAST(greatest(len(string_split(text, chr(10))), 1) AS DOUBLE) AS nl,
-         |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullet_cnt,
-         |CAST(len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ell_cnt
-         |FROM documents),
-         |r AS (SELECT doc_id, n_words, char_sum / nw AS mean_word_len,
-         |CAST(sym_cnt AS DOUBLE) / nw AS symbol_ratio,
-         |CAST(alpha_cnt AS DOUBLE) / nw AS alpha_word_ratio,
-         |CAST(bullet_cnt AS DOUBLE) / nl AS bullet_line_ratio,
-         |CAST(ell_cnt AS DOUBLE) / nl AS ellipsis_line_ratio FROM m)
+      s"""WITH $GOPHER_BASE
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
          |bullet_line_ratio, ellipsis_line_ratio,
          |n_words >= 50 AND n_words <= 100000 AS word_count_ok,
@@ -560,10 +649,23 @@ object LlmQueries extends QueryModule {
          |alpha_word_ratio >= 0.8 AS alpha_ok,
          |bullet_line_ratio <= 0.9 AS bullet_ok,
          |ellipsis_line_ratio <= 0.3 AS ellipsis_ok,
-         |(n_words >= 50 AND n_words <= 100000) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-         |AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
-         |AND bullet_line_ratio <= 0.9 AND ellipsis_line_ratio <= 0.3 AS gopher_pass
+         |$GOPHER_PASS AS gopher_pass
          |FROM r""".stripMargin,
+    "tx7b_ngram_repetition" ->
+      s"""WITH $GOPHER_BASE,
+         |repm AS (SELECT doc_id,
+         |string_split(text, chr(10)) AS l,
+         |string_split(text, chr(10) || chr(10)) AS p FROM documents),
+         |rep AS (SELECT doc_id,
+         |CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / CAST(greatest(len(l), 1) AS DOUBLE) AS dup_line_ratio,
+         |CAST(len(p) - len(list_distinct(p)) AS DOUBLE) / CAST(greatest(len(p), 1) AS DOUBLE) AS dup_para_ratio
+         |FROM repm),
+         |$NGRAM_CTES
+         |SELECT nr.*, $GOPHER_PASS AS gopher_pass,
+         |rep.dup_line_ratio <= 0.3 AND rep.dup_para_ratio <= 0.3 AS repetition_pass,
+         |($GOPHER_PASS) AND (rep.dup_line_ratio <= 0.3 AND rep.dup_para_ratio <= 0.3)
+         |  AND nr.ngram_pass AS gopher_full_pass
+         |FROM nr JOIN r ON nr.doc_id = r.doc_id JOIN rep ON nr.doc_id = rep.doc_id""".stripMargin,
     "dd4_ngram_jaccard" ->
       s"""WITH g AS (SELECT doc_id, lang, source, $GRAMS AS grams
          |FROM (SELECT doc_id, lang, source, $TOKS AS toks FROM documents)),

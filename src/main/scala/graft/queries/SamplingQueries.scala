@@ -12,9 +12,8 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries extends QueryModule {
 
-  // DuckDB twin of Sampling.unitHash (no salt): first 60 bits of md5 / 2^60.
-  private val duckUnitHash =
-    "(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0)"
+  // DuckDB twin of Sampling.unitHash (no salt) — shared via QueryModule.
+  private val duckUnitHash = QueryModule.duckUnitHash
 
   val defs: Map[String, Q] = Map(
     // SP1: reproducible train/val/test split — literal cuts 0.8/0.9, so

@@ -140,6 +140,37 @@ object TextOps {
       .withColumn("repetition_pass", col("dup_line_ok") && col("dup_para_ok"))
   }
 
+  /** tx7b thresholds (Rae et al. 2021 §A1.1, Table A1): top-n-gram char
+    * fraction caps for n = 2..4 and duplicate-n-gram char fraction caps for
+    * n = 5..10 — the published Gopher keep-gates.
+    */
+  val ngramThresholds: Seq[(String, Double)] = Seq(
+    "top2" -> 0.20, "top3" -> 0.18, "top4" -> 0.16,
+    "dup5" -> 0.15, "dup6" -> 0.14, "dup7" -> 0.13,
+    "dup8" -> 0.12, "dup9" -> 0.11, "dup10" -> 0.10)
+
+  /** Gopher n-gram repetition rules (tx7b): per-document top-n-gram and
+    * duplicate-n-gram character fractions vs the published thresholds. All
+    * nine statistics come from ONE fused pass per row
+    * ([[graft.functions.GopherNgramStats]] — integer numerators, exact
+    * cross-engine ratios), map-side, no shuffle.
+    */
+  def ngramRepetitionFlags(df: DataFrame, textCol: String): DataFrame = {
+    val stats = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.GopherNgramStats(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(textCol))))
+    val withG = df.withColumn("__g", stats)
+    val tc = greatest(col("__g.total_chars"), lit(1L)).cast("double")
+    val withRatios = ngramThresholds.foldLeft(withG) { case (d, (f, th)) =>
+      d.withColumn(s"${f}_ratio", col(s"__g.$f").cast("double") / tc)
+        .withColumn(s"${f}_ok", col(s"${f}_ratio") <= th)
+    }
+    withRatios
+      .withColumn("ngram_pass",
+        ngramThresholds.map { case (f, _) => col(s"${f}_ok") }.reduce(_ && _))
+      .drop("__g")
+  }
+
   /** Document fingerprint: md5 of the normalized token stream — the exact
     * dedup key (hash-groupBy dedup shuffles only (fingerprint, doc_id)).
     */
