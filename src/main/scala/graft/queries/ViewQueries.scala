@@ -128,16 +128,24 @@ object ViewQueries extends QueryModule {
       // frames once — the Spark analog of the reference materializing its
       // views as tables before monitoring reads them.
       val te = graft.views.DomainViews.timeEntryDedupCleanup(
-        graft.sources.FixtureGen.timeEntries(s)).localCheckpoint(true)
+        graft.sources.FixtureGen.timeEntries(s))
       val details = graft.sources.FixtureGen.workItemDetails(s)
-        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE").localCheckpoint(true)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
+      // a localCheckpoint is a PRUNING BARRIER: checkpointing the full v4
+      // materializes every windowed measure the report never reads. Project
+      // to the three columns Monitoring.report consumes FIRST so Catalyst
+      // prunes the unused column compute out of the v4 DAG, then checkpoint
+      // the narrow frame (driver r6 flagged this query 2.4→3.7 s; the wide
+      // checkpoint was the cost).
       val v4 = graft.views.DomainViews.v4(details, te,
         graft.sources.FixtureGen.productivityRepeats(s),
         graft.sources.FixtureGen.clientGroupDimension(s),
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s)).localCheckpoint(true)
+        graft.sources.FixtureGen.userDimension(s))
+        .select(col("WORK_ITEM_ID"), col("REPORTING_DATE"), col("CLIENT_ID"))
+        .localCheckpoint(true)
       graft.quality.Monitoring.report(details, te, v4)
     }),
 
@@ -151,10 +159,16 @@ object ViewQueries extends QueryModule {
       // DAG. Checkpoint each level once; the library functions stay lazy and
       // callers choose where to materialize, like the reference's
       // verification corpus reading materialized view tables.
+      // eager checkpoints are SEQUENTIAL jobs — each one pays scheduling +
+      // materialization wall-clock before the next starts. Only the two
+      // frames multiple expensive checks re-aggregate (corrected, v5) earn
+      // that cost; te/details are cheap windows that re-execute in parallel
+      // inside the one final job (profiled: checkpointing them cost ~2x the
+      // whole query — see PERF_NOTES.md round 7).
       val te = graft.views.DomainViews.timeEntryDedupCleanup(
-        graft.sources.FixtureGen.timeEntries(s)).localCheckpoint(true)
+        graft.sources.FixtureGen.timeEntries(s))
       val details = graft.sources.FixtureGen.workItemDetails(s)
-        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE").localCheckpoint(true)
+        .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
       val corrected = graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s), details).localCheckpoint(true)
       val v5 = graft.views.DomainViews.v5(te, details, corrected,
