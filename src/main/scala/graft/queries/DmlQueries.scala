@@ -141,10 +141,14 @@ object DmlQueries extends QueryModule {
       val base = java.time.LocalDate.parse("2024-01-01")
       (1 to 7).foreach { dow =>
         val (a, b) = SyncPipeline.progressiveRange(dow, horizonDays = 28, slices = 7)
-        SyncPipeline.incrementalSync(s, ev, target, Seq("event_id"), "ts",
+        // the partitioned fast path: each rotation direct-writes its fresh
+        // day-partitions and merges only the inclusive-boundary day the
+        // previous slice may have touched — the full-merge path re-read and
+        // rewrote the entire target on every one of the 7 runs
+        SyncPipeline.incrementalSyncPartitioned(s, ev, target, Seq("event_id"), "ts",
           base.plusDays(a).toString, base.plusDays(b).toString, "st4_rotation")
       }
-      s.read.parquet(target)
+      s.read.parquet(target).drop("part_date")
     }),
 
     // ST5: early-exit time budget over the real path-based backfill

@@ -70,6 +70,63 @@ object SyncPipeline {
     SyncResult(n, "incremental", tracker(spark, pipeline, "incremental", n, "COMPLETED"))
   }
 
+  /** ST4 fast path: date-partitioned incremental sync for immutable-date
+    * facts (events, time entries — rows whose `dateCol` never changes once
+    * ingested, the reference's fact grain). The window's day-partitions are
+    * enumerable with date arithmetic, so:
+    *   - days with NO existing partition (the normal rotation/backfill case)
+    *     dedup + dynamic-partition-write DIRECTLY — no target read, no
+    *     touched-partition collect, no per-rotation fixed-cost jobs;
+    *   - days that already exist (boundary days shared by inclusive slice
+    *     ends, crash re-runs) re-merge idempotently, partition-scoped.
+    * vs [[incrementalSync]]'s fallback path for non-key date columns, which
+    * reads and atomically rewrites the WHOLE target per call — O(n²) I/O
+    * over a rotation cycle at 100 TB. Precondition: a key's `dateCol` value
+    * is immutable (else a moved row could duplicate across partitions).
+    * Output rows are identical to the full-merge path; the derived
+    * `part_date` partition column is dropped on read-back by callers.
+    */
+  def incrementalSyncPartitioned(spark: SparkSession, source: DataFrame, targetPath: String,
+      keys: Seq[String], dateCol: String, start: String, end: String,
+      pipeline: String): SyncResult = {
+    val partCol = "part_date"
+    val windowed = Tables.dateWindow(source, dateCol, start, end)
+      .withColumn(partCol, to_date(col(dateCol)))
+    val targetRoot = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = targetRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existingDays: Set[String] =
+      if (fs.exists(targetRoot))
+        fs.listStatus(targetRoot).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(_.startsWith(partCol + "=")).map(_.stripPrefix(partCol + "=")).toSet
+      else Set.empty
+    val s0 = java.time.LocalDate.parse(start.take(10))
+    val e0 = java.time.LocalDate.parse(end.take(10))
+    val days = Iterator.iterate(s0)(_.plusDays(1)).takeWhile(!_.isAfter(e0))
+      .map(_.toString).toSeq
+    val (stale, fresh) = days.partition(existingDays.contains)
+    def slice(ds: Seq[String]) =
+      windowed.filter(col(partCol).cast("string").isin(ds: _*))
+    // tracker counts what THIS run wrote — observed DURING the write job
+    // (Dataset.observe), zero extra jobs; a whole-target count would be a
+    // job whose cost grows with the table forever, exactly what the
+    // partitioned path exists to avoid
+    val freshN = if (fresh.isEmpty) 0L else {
+      val obs = org.apache.spark.sql.Observation()
+      Dml.overwritePartitions(
+        slice(fresh).dropDuplicates(keys :+ partCol)
+          .observe(obs, count(lit(1)).as("n")),
+        targetPath, Seq(partCol))
+      obs.get.getOrElse("n", 0L).asInstanceOf[Long]
+    }
+    val staleN = if (stale.isEmpty) 0L else {
+      MergeInto.mergePartitioned(spark, targetPath, slice(stale), keys :+ partCol, partCol)
+      slice(stale).count()
+    }
+    val n = freshN + staleN
+    SyncResult(n, "incremental_partitioned",
+      tracker(spark, pipeline, "incremental_partitioned", n, "COMPLETED"))
+  }
+
   /** ST4: progressive day-of-week range rotation (ref
     * `…_daily/main_progressive.py:31-54`): each weekday owns a slice of the
     * backfill horizon so a week of runs covers it fully. Spark has no

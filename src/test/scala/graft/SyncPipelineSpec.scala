@@ -102,6 +102,28 @@ class SyncPipelineSpec extends SparkSuite {
     ranges.sliding(2).foreach { case Seq((_, e), (s, _)) => assert(e == s) }
   }
 
+  test("ST4 fast path: partitioned rotation equals one full-range sync; re-runs idempotent") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val target = tmpDir() + "/st4_part"
+    (1 to 7).foreach { dow =>
+      val (a, b) = SyncPipeline.progressiveRange(dow, horizonDays = 28, slices = 7)
+      SyncPipeline.incrementalSyncPartitioned(spark, ev, target, Seq("event_id"), "ts",
+        base.plusDays(a).toString, base.plusDays(b).toString, "t")
+    }
+    val rotated = spark.read.parquet(target).drop("part_date")
+    // reference: one full-range windowed merge (the slow path's semantics)
+    val full = graft.sources.Tables.dateWindow(ev, "ts", "2024-01-01", "2024-01-29")
+    assert(rotated.count() == full.count())
+    assert(rotated.select("event_id").except(full.select("event_id")).count() == 0)
+    assert(full.select("event_id").except(rotated.select("event_id")).count() == 0)
+    // replaying a slice must not change the table (boundary days take the
+    // merge path, fresh days are re-deduped)
+    SyncPipeline.incrementalSyncPartitioned(spark, ev, target, Seq("event_id"), "ts",
+      "2024-01-05", "2024-01-09", "t")
+    assert(spark.read.parquet(target).count() == full.count())
+  }
+
   test("S5: streaming-insert (append) sink accumulates rows") {
     val path = tmpDir() + "/append_sink"
     Seq((1, "a")).toDF("k", "v").write.mode("append").parquet(path)
