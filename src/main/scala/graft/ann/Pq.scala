@@ -1,0 +1,138 @@
+package graft.ann
+
+import graft.ops.Sampling
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ann4: IVF + product quantization (Jégou et al. 2011, "Product
+  * Quantization for Nearest Neighbor Search") — the 100 TB-standard step
+  * past hyperplane LSH. The vector splits into `m` subspaces; each subspace
+  * gets a `k`-centroid codebook (Lloyd iterations on a deterministic
+  * sample); a corpus vector is stored as `m` small codes; and search ranks
+  * candidates by ADC (asymmetric distance computation): the query builds an
+  * `m × k` lookup table once, then each candidate costs `m` array lookups
+  * instead of a full d-dimensional scan.
+  *
+  * Scale shape: candidates come from the IVF block (like [[Ann.ivfTopK]]),
+  * and the candidate join carries only `(vec_id, block, m codes)` — the PQ
+  * compression story: at 64 dims and m=4, the shuffled payload drops from
+  * 256 bytes of floats to 4 bytes of codes per row. The codebook trains on
+  * a hash-deterministic sample (control-plane-sized at any corpus scale,
+  * the standard PQ practice), driver-fit like
+  * [[graft.quality.IsolationForestModel]], and rides the plan as literals.
+  *
+  * Cross-engine exactness (full DuckDB oracle, no rows-only caveat):
+  * embeddings quantize to integer micros (`round(v·10⁶)`), Lloyd runs in
+  * integer arithmetic with `floor(sum/count)` centroid updates and
+  * smallest-index tie-breaks, and ADC distances are integer sums — every
+  * step reproduces bit-for-bit in any engine.
+  */
+object Pq {
+
+  /** Integer micro-quantization of a float embedding. */
+  def quantize(emb: Column): Column =
+    transform(emb, v => round(v.cast("double") * 1000000d).cast("long"))
+
+  /** codebooks(m)(j) = centroid j of subspace m, in quantized micros. */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+      codebooks: Array[Array[Array[Long]]]) extends Serializable
+
+  private def sqDist(a: Array[Long], off: Int, c: Array[Long]): Long = {
+    var d = 0L; var i = 0
+    while (i < c.length) { val t = a(off + i) - c(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Train per-subspace codebooks on the hash-selected sample (collected —
+    * control-plane by design), with the exact arithmetic the oracle
+    * replays: seeds are the `k` smallest-(hash, vec_id) sample vectors,
+    * `iters` Lloyd rounds, integer distances, argmin ties to the smallest
+    * centroid index, `floor(sum/count)` updates, empty clusters keep their
+    * previous centroid.
+    */
+  def train(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
+      sampleRate: Double = 0.5): PqModel = {
+    val sample = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("e"),
+        Sampling.unitHash(col("vec_id")).as("h"))
+      .filter(col("h") < sampleRate)
+      .orderBy(col("h"), col("vec_id"))
+      .collect()
+    require(sample.length >= k, s"PQ sample too small: ${sample.length} < $k")
+    val vecs: Array[Array[Long]] = sample.map(_.getSeq[Long](1).toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { mi =>
+      val off = mi * subDim
+      var cents: Array[Array[Long]] =
+        Array.tabulate(k)(j => vecs(j).slice(off, off + subDim))
+      var t = 0
+      while (t < iters) {
+        val sums = Array.fill(k, subDim)(0L)
+        val cnts = Array.fill(k)(0L)
+        vecs.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue; var j = 0
+          while (j < k) {
+            val d = sqDist(v, off, cents(j))
+            if (d < bestD) { bestD = d; best = j } // strict: ties keep smaller j
+            j += 1
+          }
+          cnts(best) += 1
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(off + i); i += 1 }
+        }
+        cents = Array.tabulate(k) { j =>
+          if (cnts(j) == 0L) cents(j) // empty cluster keeps its centroid
+          else Array.tabulate(subDim)(i =>
+            math.floor(sums(j)(i).toDouble / cnts(j)).toLong)
+        }
+        t += 1
+      }
+      cents
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  private def centLit(model: PqModel, mi: Int, j: Int): Column =
+    array(model.codebooks(mi)(j).toIndexedSeq.map(lit): _*)
+
+  private def subVec(e: Column, model: PqModel, mi: Int): Column =
+    slice(e, mi * model.subDim + 1, model.subDim)
+
+  private def intDist(a: Column, c: Column): Column =
+    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  private def subDists(e: Column, model: PqModel, mi: Int): Column =
+    array((0 until model.k).map(j => intDist(subVec(e, model, mi), centLit(model, mi, j))): _*)
+
+  /** IVF + PQ approximate top-k: candidates share the query's IVF block;
+    * ranking is integer ADC ascending (ties by neighbor id). The corpus
+    * side of the join carries codes only.
+    */
+  def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel): DataFrame = {
+    val e = quantize(col("embedding"))
+    // corpus: m argmin codes per vector (0-based; array_position returns the
+    // FIRST minimum — the smallest-index tie rule the trainer and oracle use)
+    val codeCols = (0 until model.m).map { mi =>
+      val d = subDists(e, model, mi)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
+    }
+    val corpus = emb.select(
+      (col("vec_id").as("neighbor_id") +: col(blockCol).as("block") +: codeCols): _*)
+    // queries: the flat m×k ADC lookup table, computed ONCE per query row
+    val lut = array((for (mi <- 0 until model.m; j <- 0 until model.k)
+      yield intDist(subVec(e, model, mi), centLit(model, mi, j))): _*)
+    val queries = emb.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
+      lut.as("__lut"))
+    val adc = (0 until model.m)
+      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
+      .reduce(_ + _)
+    val scored = queries.join(corpus, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

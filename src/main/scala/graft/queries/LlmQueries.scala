@@ -167,6 +167,18 @@ object LlmQueries extends QueryModule {
       Ann.ivfTopK(Tables.embeddings(s, dir), "label", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("block"), col("cosine"), col("rank"))),
 
+    // ann4: IVF + product quantization (Jégou et al. 2011) — codebooks
+    // trained on a hash-deterministic sample (driver-fit, integer Lloyd),
+    // corpus stored as m 1-byte codes, candidates ranked by integer ADC.
+    // Fully oracle-checked: the DuckDB side replays the SAME training
+    // (seeds, Lloyd rounds, floor updates, tie rules) in generated SQL.
+    "ann4_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
     // tx1: n-gram-heuristic language id (stopword-ratio argmax).
     "tx1_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -478,7 +490,64 @@ object LlmQueries extends QueryModule {
     s"CAST(len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)" +
       " / CAST(greatest(len(toks), 1) AS DOUBLE)"
 
+  /** ann4 oracle: the ENTIRE IVF+PQ pipeline — sample selection, seeded
+    * integer Lloyd training, encoding, ADC ranking — replayed in generated
+    * DuckDB SQL with the exact arithmetic Pq.train/ivfPqTopK use (micro
+    * quantization, floor(sum/count) centroid updates, smallest-index
+    * argmin ties). Cross-validated against an independent reference
+    * implementation before registration.
+    */
+  private val ANN4_ORACLE: String = {
+    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val TOPK = 3; val RATE = "0.5"
+    val hash = "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
+      " / 1152921504606846976.0)"
+    def dist(vec: String, cent: String, mi: Int): String = {
+      val lo = mi * SUB
+      s"list_sum(list_transform(range(1, ${SUB + 1}), " +
+        s"i -> ($vec[$lo + i] - $cent[i]) * ($vec[$lo + i] - $cent[i])))"
+    }
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
+      s"samp AS (SELECT vec_id, e, $hash AS h FROM e WHERE $hash < $RATE)")
+    (0 until M).foreach { mi =>
+      val lo = mi * SUB
+      ctes += s"s${mi}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
+        s"e[${lo + 1}:${lo + SUB}] AS c FROM samp " +
+        s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $K)"
+      (1 to ITERS).foreach { t =>
+        ctes += s"a${mi}t$t AS (SELECT vec_id, s, j FROM (" +
+          s"SELECT sa.vec_id AS vec_id, sa.e[${lo + 1}:${lo + SUB}] AS s, c.j AS j, " +
+          s"${dist("sa.e", "c.c", mi)} AS d FROM samp sa CROSS JOIN s${mi}i${t - 1} c) " +
+          "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) = 1)"
+        ctes += s"u${mi}t$t AS (SELECT j, list(cv ORDER BY i) AS c FROM (" +
+          "SELECT j, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv " +
+          s"FROM (SELECT j, unnest(s) AS v, unnest(range(1, ${SUB + 1})) AS i FROM a${mi}t$t) " +
+          "GROUP BY j, i) GROUP BY j)"
+        ctes += s"s${mi}i$t AS (SELECT p.j, COALESCE(u.c, p.c) AS c FROM s${mi}i${t - 1} p " +
+          s"LEFT JOIN u${mi}t$t u ON p.j = u.j)"
+      }
+      ctes += s"cm$mi AS (SELECT list(c ORDER BY j) AS cs FROM s${mi}i$ITERS)"
+    }
+    val crossj = (0 until M).map(mi => s"CROSS JOIN cm$mi").mkString(" ")
+    def dlist(mi: Int) = s"list_transform(cm$mi.cs, cc -> ${dist("e.e", "cc", mi)})"
+    val codes = (0 until M)
+      .map(mi => s"(list_position(${dlist(mi)}, list_min(${dlist(mi)})) - 1) AS c$mi")
+      .mkString(", ")
+    ctes += s"enc AS (SELECT e.vec_id, e.label, $codes FROM e $crossj)"
+    val ds = (0 until M).map(mi => s"${dlist(mi)} AS d$mi").mkString(", ")
+    ctes += s"q AS (SELECT e.vec_id, e.label, $ds FROM e $crossj)"
+    val adc = (0 until M).map(mi => s"q.d$mi[n.c$mi + 1]").mkString(" + ")
+    ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+      s"q.label AS block, CAST($adc AS BIGINT) AS adc " +
+      "FROM q JOIN enc n ON q.label = n.label AND q.vec_id <> n.vec_id)"
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT query_id, neighbor_id, block, adc, rank FROM (SELECT *, ROW_NUMBER() OVER " +
+      s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored) WHERE rank <= $TOPK"
+  }
+
   val oracles: Map[String, String] = Map(
+    "ann4_ivfpq_topk" -> ANN4_ORACLE,
     // mm1/mm3: the image fixture is a pure function of doc_id (width =
     // 8 + id%16, height = 8 + id%12, RGB), so the oracle recomputes the
     // dimensions ImageIO must recover from the actual PNG bytes.

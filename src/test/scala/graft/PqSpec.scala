@@ -1,0 +1,61 @@
+package graft
+
+import graft.ann.Pq
+import org.apache.spark.sql.functions._
+
+/** ann4: IVF+PQ. Training determinism, the ADC lower-bound property on
+  * planted duplicates, and the compression contract (codes in [0, k)).
+  */
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def emb = sf("embeddings")
+
+  test("training is deterministic and codebooks are well-formed") {
+    val m1 = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val m2 = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    assert(m1.codebooks.flatten.flatten.toSeq === m2.codebooks.flatten.flatten.toSeq)
+    assert(m1.codebooks.length === 4)
+    assert(m1.codebooks.forall(_.length === 8))
+    assert(m1.codebooks.forall(_.forall(_.length === m1.subDim)))
+  }
+
+  test("planted exact duplicates achieve the minimal ADC and are recalled") {
+    // a duplicate shares the query's codes, so its ADC equals the query's
+    // own quantization residual — the minimum any candidate can achieve
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val model = Pq.train(corpus, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val top = Pq.ivfPqTopK(corpus, "label", k = 3, model)
+    val hits = top.filter(col("neighbor_id") === col("query_id") + 100000)
+      .select("query_id").distinct().count()
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    assert(hits.toDouble / nPlanted >= 0.8,
+      s"duplicate recall ${hits.toDouble / nPlanted} < 0.8")
+    // ranking sanity: ranks dense from 1, adc non-negative
+    val r = top.groupBy("query_id").agg(min(col("rank").cast("long")).as("mn"),
+      min(col("adc")).as("minadc")).collect()
+    assert(r.forall(_.getLong(1) == 1L))
+    assert(r.forall(_.getLong(2) >= 0L))
+  }
+
+  test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
+    out.collect() // finalize the adaptive plan, then read each Exchange's input
+    val formatted = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = formatted.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex
+      .filter { case (l, _) => l.matches(""".*\(\d+\) (Broadcast)?Exchange.*""") }
+      .map { case (_, i) =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+    assert(exchangeInputs.nonEmpty, formatted.take(800))
+    exchangeInputs.foreach { in =>
+      assert(!in.contains("embedding"), s"embedding crossed an exchange: $in")
+    }
+  }
+}
