@@ -107,25 +107,46 @@ object Pq {
   private def subDists(e: Column, model: PqModel, mi: Int): Column =
     array((0 until model.k).map(j => intDist(subVec(e, model, mi), centLit(model, mi, j))): _*)
 
+  /** Repartition iff plan statistics say the scan cannot feed all cores —
+    * same rationale and formula as the dedup module's starved-scan spread
+    * (a single-row-group parquet file is unsplittable and AQE never widens
+    * a scan; at real scale sizeInBytes dwarfs the threshold and this is a
+    * no-op, so no shuffle is added to the scan-once design).
+    */
+  private def spreadIfStarved(projected: DataFrame): DataFrame = {
+    val conf = projected.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
+    val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
+    if (approxScanParts >= target) projected else projected.repartition(target)
+  }
+
   /** IVF + PQ approximate top-k: candidates share the query's IVF block;
     * ranking is integer ADC ascending (ties by neighbor id). The corpus
     * side of the join carries codes only.
+    *
+    * The per-subspace distance arrays materialize once per row as
+    * intermediate columns: higher-order-function expressions run
+    * interpreted (outside whole-stage codegen), so no CSE would otherwise
+    * save the duplicate inside `array_position(d, array_min(d))` — and the
+    * query LUT is exactly the concatenation of the same arrays.
     */
   def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel): DataFrame = {
-    val e = quantize(col("embedding"))
+    val base = spreadIfStarved(emb.select(col("vec_id"), col(blockCol), col("embedding")))
+      .withColumn("__e", quantize(col("embedding")))
+    val withD = (0 until model.m).foldLeft(base) { (d, mi) =>
+      d.withColumn(s"__d$mi", subDists(col("__e"), model, mi))
+    }
     // corpus: m argmin codes per vector (0-based; array_position returns the
     // FIRST minimum — the smallest-index tie rule the trainer and oracle use)
     val codeCols = (0 until model.m).map { mi =>
-      val d = subDists(e, model, mi)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
+      (array_position(col(s"__d$mi"), array_min(col(s"__d$mi"))) - 1).cast("int").as(s"__c$mi")
     }
-    val corpus = emb.select(
+    val corpus = withD.select(
       (col("vec_id").as("neighbor_id") +: col(blockCol).as("block") +: codeCols): _*)
-    // queries: the flat m×k ADC lookup table, computed ONCE per query row
-    val lut = array((for (mi <- 0 until model.m; j <- 0 until model.k)
-      yield intDist(subVec(e, model, mi), centLit(model, mi, j))): _*)
-    val queries = emb.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
-      lut.as("__lut"))
+    // queries: the flat m×k ADC lookup table IS the m arrays concatenated
+    val queries = withD.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
+      concat((0 until model.m).map(mi => col(s"__d$mi")): _*).as("__lut"))
     val adc = (0 until model.m)
       .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
       .reduce(_ + _)

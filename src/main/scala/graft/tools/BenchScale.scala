@@ -29,6 +29,12 @@ object BenchScale {
   private val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
     "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
 
+  /** LLM-pipeline queries whose scale behavior the plan audit claims —
+    * measured on the replicated documents/embeddings corpus.
+    */
+  private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "tx3b_bpe_tokens",
+    "tx7b_ngram_repetition", "ann4_ivfpq_topk")
+
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
     if (done.exists()) { System.err.println(s"[scale] corpus at $outDir reused"); return }
@@ -49,16 +55,32 @@ object BenchScale {
     Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
+    // documents: copy i appends a per-copy suffix to EVERY word — within a
+    // copy the dup/shingle structure is byte-for-byte the original's, but no
+    // 3-gram shingle matches across copies, so near-dup candidate pairs grow
+    // exactly 10x (plain duplication would instead make every doc a 10-way
+    // near-dup group and measure a quadratic pair explosion the real corpus
+    // doesn't have). doc_id stride 10M keeps dd2's +100000 mutation ids
+    // collision-free.
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
+    }.reduce(_ unionAll _).repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    shifted("embeddings", "vec_id", 8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     done.createNewFile()
-    System.err.println(s"[scale] corpus built at $outDir (${copies}x facts, 1x dims)")
+    System.err.println(s"[scale] corpus built at $outDir (${copies}x facts+docs, 1x dims)")
   }
 
-  private def measure(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+  private def measure(spark: SparkSession, dir: String,
+      names: Seq[String]): Seq[(String, Double)] = {
     def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache(); System.gc()
     }
-    headline.map { name =>
+    names.map { name =>
       val fn = SparkEntry.queries(name)
       // untimed warm-up (codegen + JIT), then median-of-3 — Bench.scala policy
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -90,18 +112,23 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildCorpus(spark, srcDir, scaleDir, copies)
-    val at1 = measure(spark, srcDir)
-    val at10 = measure(spark, scaleDir)
+    val at1 = measure(spark, srcDir, headline)
+    val at10 = measure(spark, scaleDir, headline)
+    val llm1 = measure(spark, srcDir, llm)
+    val llm10 = measure(spark, scaleDir, llm)
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val ratio = headline.map { n =>
-      val a = at1.toMap.apply(n); val b = at10.toMap.apply(n); n -> b / a
-    }
+    def ratios(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
+      a.map { case (n, v) => n -> b.toMap.apply(n) / v }
     def obj(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     val c1 = at1.map(_._2).sum; val c10 = at10.map(_._2).sum
+    val l1 = llm1.map(_._2).sum; val l10 = llm10.map(_._2).sum
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
       s""""unit":"x","copies":$copies,"composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
-      s""""sf1":${obj(at1)},"sf10":${obj(at10)},"ratio":${obj(ratio)}}"""
+      s""""sf1":${obj(at1)},"sf10":${obj(at10)},"ratio":${obj(ratios(at1, at10))},""" +
+      s""""llm_composite_sf1":${f3(l1)},"llm_composite_sf10":${f3(l10)},""" +
+      s""""llm_composite_ratio":${f3(l10 / l1)},""" +
+      s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))}}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }

@@ -50,6 +50,12 @@ class PqSpec extends SparkSuite {
     val lines = formatted.linesIterator.toVector
     val exchangeInputs = lines.zipWithIndex
       .filter { case (l, _) => l.matches(""".*\(\d+\) (Broadcast)?Exchange.*""") }
+      .filterNot { case (_, i) =>
+        // the starved-scan spread (test-scale-only, stats-gated no-op at
+        // real scale) round-robins the raw rows by design — exempt it; the
+        // claim under test is about the CANDIDATE JOIN's exchanges
+        lines.drop(i + 1).take(3).exists(_.contains("RoundRobinPartitioning"))
+      }
       .map { case (_, i) =>
         lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
       }
