@@ -95,17 +95,16 @@ object Pq {
     PqModel(m, k, subDim, codebooks)
   }
 
-  private def centLit(model: PqModel, mi: Int, j: Int): Column =
-    array(model.codebooks(mi)(j).toIndexedSeq.map(lit): _*)
-
-  private def subVec(e: Column, model: PqModel, mi: Int): Column =
-    slice(e, mi * model.subDim + 1, model.subDim)
-
-  private def intDist(a: Column, c: Column): Column =
-    aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
-
-  private def subDists(e: Column, model: PqModel, mi: Int): Column =
-    array((0 until model.k).map(j => intDist(subVec(e, model, mi), centLit(model, mi, j))): _*)
+  /** The flat m×k ADC lookup table as ONE native fused loop per row
+    * ([[graft.functions.PqDistances]]) — quantization and all subspace
+    * distances inside whole-stage codegen, no interpreted lambdas.
+    */
+  private def lutColumn(emb: Column, model: PqModel): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.PqDistances(
+      ColumnBridge.expression(emb), model.m, model.k, model.subDim,
+      model.codebooks.flatten.flatten.toIndexedSeq))
+  }
 
   /** Repartition iff plan statistics say the scan cannot feed all cores —
     * same rationale and formula as the dedup module's starved-scan spread
@@ -125,28 +124,23 @@ object Pq {
     * ranking is integer ADC ascending (ties by neighbor id). The corpus
     * side of the join carries codes only.
     *
-    * The per-subspace distance arrays materialize once per row as
-    * intermediate columns: higher-order-function expressions run
-    * interpreted (outside whole-stage codegen), so no CSE would otherwise
-    * save the duplicate inside `array_position(d, array_min(d))` — and the
-    * query LUT is exactly the concatenation of the same arrays.
+    * Both sides derive from ONE per-row native LUT ([[lutColumn]]): the
+    * corpus takes per-subspace argmins over 8-element slices (cheap
+    * codegen'd array ops), the query side ships the LUT itself.
     */
   def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel): DataFrame = {
     val base = spreadIfStarved(emb.select(col("vec_id"), col(blockCol), col("embedding")))
-      .withColumn("__e", quantize(col("embedding")))
-    val withD = (0 until model.m).foldLeft(base) { (d, mi) =>
-      d.withColumn(s"__d$mi", subDists(col("__e"), model, mi))
-    }
+      .withColumn("__lut", lutColumn(col("embedding"), model))
     // corpus: m argmin codes per vector (0-based; array_position returns the
     // FIRST minimum — the smallest-index tie rule the trainer and oracle use)
     val codeCols = (0 until model.m).map { mi =>
-      (array_position(col(s"__d$mi"), array_min(col(s"__d$mi"))) - 1).cast("int").as(s"__c$mi")
+      val d = slice(col("__lut"), mi * model.k + 1, model.k)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
     }
-    val corpus = withD.select(
+    val corpus = base.select(
       (col("vec_id").as("neighbor_id") +: col(blockCol).as("block") +: codeCols): _*)
-    // queries: the flat m×k ADC lookup table IS the m arrays concatenated
-    val queries = withD.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
-      concat((0 until model.m).map(mi => col(s"__d$mi")): _*).as("__lut"))
+    val queries = base.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
+      col("__lut"))
     val adc = (0 until model.m)
       .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
       .reduce(_ + _)

@@ -41,6 +41,28 @@ class PqSpec extends SparkSuite {
     assert(r.forall(_.getLong(2) >= 0L))
   }
 
+  test("native LUT equals a naive recomputation (quantize + all m x k distances)") {
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val rows = emb.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.PqDistances(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          model.m, model.k, model.subDim,
+          model.codebooks.flatten.flatten.toIndexedSeq)).as("lut"),
+        col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](2).map(v =>
+        java.math.BigDecimal.valueOf(v.toDouble * 1000000d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray
+      val expected = for (mi <- 0 until model.m; j <- 0 until model.k) yield
+        (0 until model.subDim).map { t =>
+          val d = e(mi * model.subDim + t) - model.codebooks(mi)(j)(t); d * d
+        }.sum
+      assert(r.getSeq[Long](1) === expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
