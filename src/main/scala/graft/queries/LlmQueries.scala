@@ -275,6 +275,16 @@ object LlmQueries extends QueryModule {
         "doc_id", "source", targetRows = 30000, weightCol = Some("__tok"))
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // tx9: benchmark decontamination — flag corpus docs sharing ≥ 3
+    // distinct 5-grams with the (deterministic, every-50th-doc) eval set.
+    // The eval gram set broadcasts; corpus grams join map-side.
+    "tx9_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.Decontaminate.flag(docs,
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text",
+        k = 5, minHits = 3L)
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -548,6 +558,16 @@ object LlmQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
+    "tx9_decontaminate" ->
+      s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
+         |      i -> array_to_string(toks[i+1:i+5], ' '))) AS grams FROM tokd),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |h AS (SELECT cg.doc_id, COUNT(*) AS c FROM cg JOIN bg ON cg.gram = bg.gram GROUP BY cg.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
+         |COALESCE(h.c, 0) >= 3 AS is_contaminated
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     // mm1/mm3: the image fixture is a pure function of doc_id (width =
     // 8 + id%16, height = 8 + id%12, RGB), so the oracle recomputes the
     // dimensions ImageIO must recover from the actual PNG bytes.
