@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0); val outDir = args(1)
+    // Optional third arg (dev only; the driver passes two): a comma-separated
+    // allowlist of query names — dump/compare just those while iterating.
+    val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +40,9 @@ object Verify {
           .parquet(s"${graft.queries.DomainOracles.FixturesDir}/$name")
       }
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

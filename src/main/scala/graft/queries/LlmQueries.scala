@@ -285,6 +285,18 @@ object LlmQueries extends QueryModule {
         k = 5, minHits = 3L)
     }),
 
+    // tx10: CCNet-style cross-document line dedup. The synthetic corpus is
+    // single-line, so the query deterministically reconstructs the shape the
+    // operator exists for — a per-source boilerplate header line prepended to
+    // every doc (the oracle replays the same construction): 25 copies of each
+    // header collapse to the first doc per source, bodies all survive.
+    "tx10_line_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("text", concat(lit("HEADER for "), col("source"), lit("\n"), col("text")))
+      graft.text.LineDedup.dropDuplicateLines(docs, "doc_id", "text",
+        scopeCols = Seq("source"))
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -568,6 +580,21 @@ object LlmQueries extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "tx10_line_dedup" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, 'HEADER for ' || source || chr(10) || text AS text FROM documents),
+        |l AS (
+        |  SELECT doc_id, source,
+        |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+        |         unnest(string_split(text, chr(10))) AS line
+        |  FROM src),
+        |k AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source, line ORDER BY doc_id, pos) AS rn FROM l)
+        |SELECT doc_id, source,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE rn = 1), '') AS text_clean,
+        |  COUNT(*) FILTER (WHERE rn = 1) AS lines_kept,
+        |  COUNT(*) FILTER (WHERE rn > 1) AS lines_dropped
+        |FROM k GROUP BY doc_id, source""".stripMargin,
     // mm1/mm3: the image fixture is a pure function of doc_id (width =
     // 8 + id%16, height = 8 + id%12, RGB), so the oracle recomputes the
     // dimensions ImageIO must recover from the actual PNG bytes.
