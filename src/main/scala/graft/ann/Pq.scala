@@ -150,4 +150,32 @@ object Pq {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** ann5: two-stage retrieval — the standard production ANN shape (Jégou
+    * et al. 2011 §V: ADC shortlist, exact re-rank). Stage 1 ranks by
+    * compressed-code ADC ([[ivfPqTopK]] with `shortlist` ≫ `k`); stage 2
+    * recomputes EXACT integer squared L2 on the quantized vectors for the
+    * shortlist only and keeps the true top `k`.
+    *
+    * Scale shape: full vectors are only ever joined against the shortlist
+    * (queries × shortlist rows), never the corpus-wide candidate set — the
+    * expensive exact math is bounded by the shortlist budget, and the two
+    * vector-fetch joins shuffle (id, vector) pairs at shortlist cardinality.
+    * Integer arithmetic end-to-end: micros ≤ 2²¹, so a 64-dim squared
+    * distance is ≤ 2⁴⁸ — exact in a long, bit-identical in any engine.
+    */
+  def ivfPqRerankTopK(emb: DataFrame, blockCol: String, k: Int, shortlist: Int,
+      model: PqModel): DataFrame = {
+    val cands = ivfPqTopK(emb, blockCol, shortlist, model)
+      .select(col("query_id"), col("neighbor_id"), col("block"))
+    val q = emb.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("__qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
+    val d2 = aggregate(
+      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    cands.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

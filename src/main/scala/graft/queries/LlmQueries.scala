@@ -179,6 +179,15 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann5: two-stage retrieval — ADC shortlist (10 per query), exact
+    // integer-L2 re-rank on the quantized vectors for the final top-3.
+    "ann5_pq_rerank_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      graft.ann.Pq.ivfPqRerankTopK(emb, "label", k = 3, shortlist = 10, model)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("d2"), col("rank"))
+    }),
+
     // tx1: n-gram-heuristic language id (stopword-ratio argmax).
     "tx1_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -519,8 +528,8 @@ object LlmQueries extends QueryModule {
     * argmin ties). Cross-validated against an independent reference
     * implementation before registration.
     */
-  private val ANN4_ORACLE: String = {
-    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val TOPK = 3; val RATE = "0.5"
+  private def pqOracle(topK: Int, rerankK: Option[Int]): String = {
+    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val RATE = "0.5"
     val hash = "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
       " / 1152921504606846976.0)"
     def dist(vec: String, cent: String, mi: Int): String = {
@@ -563,13 +572,33 @@ object LlmQueries extends QueryModule {
     ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
       s"q.label AS block, CAST($adc AS BIGINT) AS adc " +
       "FROM q JOIN enc n ON q.label = n.label AND q.vec_id <> n.vec_id)"
-    "WITH " + ctes.mkString(",\n") +
-      "\nSELECT query_id, neighbor_id, block, adc, rank FROM (SELECT *, ROW_NUMBER() OVER " +
-      s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored) WHERE rank <= $TOPK"
+    rerankK match {
+      case None =>
+        "WITH " + ctes.mkString(",\n") +
+          "\nSELECT query_id, neighbor_id, block, adc, rank FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored) WHERE rank <= $topK"
+      case Some(rk) =>
+        // ann5: ADC shortlist of topK, then exact integer squared L2 on the
+        // quantized vectors (same `e` CTE the training reads) for the final rk.
+        ctes += "short AS (SELECT query_id, neighbor_id, block FROM (SELECT *, " +
+          "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS prank " +
+          s"FROM scored) WHERE prank <= $topK)"
+        ctes += s"rr AS (SELECT s.query_id, s.neighbor_id, s.block, " +
+          s"CAST(list_sum(list_transform(range(1, ${M * SUB + 1}), " +
+          "i -> (qe.e[i] - ne.e[i]) * (qe.e[i] - ne.e[i]))) AS BIGINT) AS d2 " +
+          "FROM short s JOIN e qe ON s.query_id = qe.vec_id " +
+          "JOIN e ne ON s.neighbor_id = ne.vec_id)"
+        "WITH " + ctes.mkString(",\n") +
+          "\nSELECT query_id, neighbor_id, block, d2, rank FROM (SELECT *, ROW_NUMBER() OVER " +
+          s"(PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank FROM rr) WHERE rank <= $rk"
+    }
   }
+  private val ANN4_ORACLE: String = pqOracle(3, None)
+  private val ANN5_ORACLE: String = pqOracle(10, Some(3))
 
   val oracles: Map[String, String] = Map(
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
+    "ann5_pq_rerank_topk" -> ANN5_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),

@@ -63,6 +63,42 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("ann5 re-rank: planted exact duplicates score d2 = 0 at rank 1") {
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val model = Pq.train(corpus, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val out = Pq.ivfPqRerankTopK(corpus, "label", k = 3, shortlist = 10, model)
+    val dup = out.filter(col("neighbor_id") === col("query_id") + 100000)
+    assert(dup.count() > 0)
+    // an exact duplicate quantizes identically -> exact distance 0 -> and
+    // 0 is the global minimum, so re-ranking must place it first
+    assert(dup.filter(col("d2") =!= 0L || col("rank") =!= 1).count() === 0)
+  }
+
+  test("ann5 d2 is the exact integer L2 of the quantized pair, ranks dense") {
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val out = Pq.ivfPqRerankTopK(emb, "label", k = 3, shortlist = 10, model).collect()
+    assert(out.nonEmpty)
+    val vecs: Map[Long, Array[Long]] = emb.select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(v =>
+          java.math.BigDecimal.valueOf(v.toDouble * 1000000d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray
+      }.toMap
+    out.foreach { r =>
+      val (q, n) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val expected = q.zip(n).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getLong(3) === expected, s"pair ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+    val byQuery = out.groupBy(_.getLong(0)).values
+    byQuery.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(4))
+      assert(sorted.map(_.getInt(4)).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getLong(3)).toSeq === sorted.map(_.getLong(3)).sorted.toSeq)
+    }
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
