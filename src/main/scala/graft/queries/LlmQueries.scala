@@ -385,6 +385,21 @@ object LlmQueries extends QueryModule {
       graft.quality.AnomalyDetection.score(
         graft.quality.AnomalyDetection.dailyFeatures(Tables.events(s, dir)))),
 
+    // dq3: per-source corpus health report — the one-scan summary a corpus
+    // owner reads before a training run: volume (docs/tokens/chars),
+    // language spread, exact-dup pressure, and the Gopher quality-gate pass
+    // count, all per source. Single scan + one small (source) aggregation;
+    // every metric is an integer so the report hashes bit-identically.
+    "dq3_corpus_report" -> ((s, dir) =>
+      TextOps.gopherFlags(Tables.documents(s, dir), "text")
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_texts"),
+          count_if(col("gopher_pass")).as("n_gopher_pass"))),
+
     // dq1: data-quality agent checks — freshness/row-floor/null%/dup% flags
     // (`data_quality_agent.py:29-211`).
     "dq1_quality_checks" -> ((s, dir) => {
@@ -784,6 +799,18 @@ object LlmQueries extends QueryModule {
          |SELECT doc_id, source, n_tokens,
          |CAST(tb // 4096 AS BIGINT) AS seq_id,
          |CAST(tb % 4096 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+    "dq3_corpus_report" ->
+      s"""WITH $GOPHER_BASE,
+         |gp AS (SELECT doc_id, $GOPHER_PASS AS p FROM r)
+         |SELECT d.source,
+         |CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |CAST(SUM(len($TOKS_RAW)) AS BIGINT) AS n_tokens,
+         |CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total,
+         |CAST(COUNT(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         |CAST(COUNT(*) - COUNT(DISTINCT d.text) AS BIGINT) AS n_dup_texts,
+         |CAST(COUNT(*) FILTER (WHERE gp.p) AS BIGINT) AS n_gopher_pass
+         |FROM documents d JOIN gp ON d.doc_id = gp.doc_id
+         |GROUP BY d.source""".stripMargin,
     "tx6_gopher_rules" ->
       s"""WITH $GOPHER_BASE
          |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,

@@ -83,4 +83,25 @@ class QualitySpec extends SparkSuite {
     val top = scored.orderBy(col("anomaly_score").desc).select("event_date").head().getDate(0)
     assert(top.toString == "2024-03-01")
   }
+
+  test("dq3 corpus report: one row per source, internally consistent counts") {
+    val docs = sf("documents")
+    val out = graft.text.TextOps.gopherFlags(docs, "text")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(graft.text.TextOps.tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_texts"),
+        count_if(col("gopher_pass")).as("n_gopher_pass"))
+    val rows = out.collect()
+    assert(rows.length === docs.select("source").distinct().count())
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0) // tokens, chars
+      assert(r.getLong(4) >= 1) // langs
+      assert(r.getLong(5) >= 0 && r.getLong(5) < r.getLong(1)) // dups
+      assert(r.getLong(6) >= 0 && r.getLong(6) <= r.getLong(1)) // gopher pass
+    }
+  }
 }
