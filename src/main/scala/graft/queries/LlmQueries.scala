@@ -306,6 +306,12 @@ object LlmQueries extends QueryModule {
         scopeCols = Seq("source"))
     }),
 
+    // tx11: overlapping token-window chunking (16-token windows, stride 12
+    // — 4-token overlap) — the retrieval/embedding prep step.
+    "tx11_chunking" -> ((s, dir) =>
+      TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
+        winLen = 16, stride = 12)),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -624,6 +630,14 @@ object LlmQueries extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "tx11_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS_RAW AS toks FROM documents),
+         |m AS (SELECT doc_id, toks, (greatest(len(toks) - 16, 0) + 11) // 12 AS mx FROM t),
+         |c AS (SELECT doc_id, unnest(range(0, mx + 1)) AS chunk_id, toks FROM m)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text,
+         |CAST(len(toks[chunk_id*12 + 1 : chunk_id*12 + 16]) AS BIGINT) AS chunk_tokens
+         |FROM c""".stripMargin,
     "tx10_line_dedup" ->
       """WITH src AS (
         |  SELECT doc_id, source, 'HEADER for ' || source || chr(10) || text AS text FROM documents),

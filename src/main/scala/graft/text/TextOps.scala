@@ -81,6 +81,32 @@ object TextOps {
           4))
   }
 
+  /** tx11: overlapping token-window chunking — the retrieval/embedding prep
+    * step that splits a document into windows of `winLen` tokens advancing
+    * by `stride` (< winLen ⇒ consecutive chunks overlap by winLen − stride
+    * tokens, so no boundary context is lost). Chunk count is
+    * 1 + ⌈max(n − winLen, 0) / stride⌉ — every token is covered and only
+    * the last chunk may run short. Pure per-row transform + posexplode: no
+    * shuffle, output row count ≈ n/stride per doc. All-integer offset
+    * arithmetic (`div`, not double division) so the layout reproduces
+    * bit-for-bit in any engine at any document length.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      winLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && winLen >= stride, "need 0 < stride <= winLen")
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("__ov", greatest(size(col("__toks")) - winLen, lit(0)) + lit(stride - 1))
+      .withColumn("__mx", expr(s"__ov div $stride"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__mx")),
+          g => concat_ws(" ", slice(col("__toks"), g * stride + 1, lit(winLen)))))
+          .as(Seq("__pos", "chunk_text")))
+      .select(col(idCol), col("__pos").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        size(tokens(col("chunk_text"))).cast("long").as("chunk_tokens"))
+  }
+
   /** Gopher-rule document filters (Rae et al. 2021 §A1.1 — the standard
     * pre-dedup format/repetition heuristics of a pretraining corpus
     * pipeline): word-count window, mean word length window, symbol-to-word
