@@ -114,22 +114,20 @@ object LlmQueries extends QueryModule {
     // dd6: connected components over verified near-dup pairs → dedup groups.
     // Three-generation mutation families (doc → +suffix → +longer tail) give
     // a transitive structure the pairwise view alone can't collapse.
-    "dd6_dup_groups" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val fam = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
-      val m1 = fam.select((col("doc_id") + 200000).as("doc_id"),
-        concat(col("text"), lit(" chain hop one extra suffix")).as("text"))
-      val m2 = fam.select((col("doc_id") + 400000).as("doc_id"),
-        concat(col("text"),
-          lit(" chain hop one extra suffix and then a second longer tail of filler tokens"))
-          .as("text"))
-      val all = docs.unionByName(m1).unionByName(m2)
-      val base = fam.select(col("doc_id").as("i"))
-      val cand = base.select(col("i").as("id_a"), (col("i") + 200000).as("id_b"))
-        .unionByName(base.select(col("i").as("id_a"), (col("i") + 400000).as("id_b")))
-        .unionByName(base.select((col("i") + 200000).as("id_a"), (col("i") + 400000).as("id_b")))
-      val pairs = Dedup.ngramJaccard(cand, all, "doc_id", "text").filter(col("jaccard") >= 0.45)
-      Dedup.dupGroups(pairs)
+    "dd6_dup_groups" -> ((s, dir) => dd6Groups(s, dir)._2),
+
+    // dd7: the deduplicated corpus itself — the step a pipeline actually
+    // ships: canonical survivor (min doc_id) per dup group, singletons kept
+    // as their own group. One left join of corpus ids against the (small)
+    // group membership, then a per-group min/count.
+    "dd7_dedup_corpus" -> ((s, dir) => {
+      val (all, groups) = dd6Groups(s, dir)
+      all.select(col("doc_id"))
+        .join(groups, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+        .groupBy(col("group_id"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+        .select(col("doc_id"), col("group_id"), col("group_size"))
     }),
 
     // dd5: embedding near-dups — exact cosine within a coarse block.
@@ -424,6 +422,29 @@ object LlmQueries extends QueryModule {
     })
   )
 
+  /** dd6/dd7 shared corpus + dup-group construction: the mutated
+    * three-generation corpus and its connected-component groups. Returns
+    * (full corpus, (doc_id, group_id) membership of dup-pair members).
+    */
+  private def dd6Groups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val fam = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+    val m1 = fam.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" chain hop one extra suffix")).as("text"))
+    val m2 = fam.select((col("doc_id") + 400000).as("doc_id"),
+      concat(col("text"),
+        lit(" chain hop one extra suffix and then a second longer tail of filler tokens"))
+        .as("text"))
+    val all = docs.unionByName(m1).unionByName(m2)
+    val base = fam.select(col("doc_id").as("i"))
+    val cand = base.select(col("i").as("id_a"), (col("i") + 200000).as("id_b"))
+      .unionByName(base.select(col("i").as("id_a"), (col("i") + 400000).as("id_b")))
+      .unionByName(base.select((col("i") + 200000).as("id_a"), (col("i") + 400000).as("id_b")))
+    val pairs = Dedup.ngramJaccard(cand, all, "doc_id", "text").filter(col("jaccard") >= 0.45)
+    (all, Dedup.dupGroups(pairs))
+  }
+
   /** tx8/tx8b concat-and-chunk packing: cumulative token count per shard
     * (one window per `source` partition — shards pack independently, no
     * global sort), sequence id by exact integer division. Input must carry
@@ -616,6 +637,28 @@ object LlmQueries extends QueryModule {
   }
   private val ANN4_ORACLE: String = pqOracle(3, None)
   private val ANN5_ORACLE: String = pqOracle(10, Some(3))
+
+  /** dd6/dd7 shared oracle CTEs: mutated corpus, candidate pairs, Jaccard
+    * scoring, and the recursive connected-component reachability — everything
+    * up to (and including) `reach`. Mirrors [[dd6Groups]].
+    */
+  private val DD6_CTES: String =
+    s"""fam AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
+       |all_docs AS (
+       |SELECT doc_id, text FROM documents
+       |UNION ALL SELECT doc_id + 200000, text || ' chain hop one extra suffix' FROM fam
+       |UNION ALL SELECT doc_id + 400000, text || ' chain hop one extra suffix and then a second longer tail of filler tokens' FROM fam),
+       |g AS (SELECT doc_id, $GRAMS AS grams FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
+       |cand AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM fam
+       |UNION ALL SELECT doc_id, doc_id + 400000 FROM fam
+       |UNION ALL SELECT doc_id + 200000, doc_id + 400000 FROM fam),
+       |scored AS (SELECT id_a, id_b FROM cand
+       |JOIN g a ON a.doc_id = id_a JOIN g b ON b.doc_id = id_b
+       |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       | / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.45),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM scored UNION SELECT id_b, id_a FROM scored),
+       |reach(id, label) AS (SELECT src, src FROM edges
+       |UNION SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
@@ -915,24 +958,16 @@ object LlmQueries extends QueryModule {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
     },
     "dd6_dup_groups" ->
-      s"""WITH RECURSIVE
-         |fam AS (SELECT doc_id, text FROM documents WHERE doc_id % 9 = 0),
-         |all_docs AS (
-         |SELECT doc_id, text FROM documents
-         |UNION ALL SELECT doc_id + 200000, text || ' chain hop one extra suffix' FROM fam
-         |UNION ALL SELECT doc_id + 400000, text || ' chain hop one extra suffix and then a second longer tail of filler tokens' FROM fam),
-         |g AS (SELECT doc_id, $GRAMS AS grams FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
-         |cand AS (SELECT doc_id AS id_a, doc_id + 200000 AS id_b FROM fam
-         |UNION ALL SELECT doc_id, doc_id + 400000 FROM fam
-         |UNION ALL SELECT doc_id + 200000, doc_id + 400000 FROM fam),
-         |scored AS (SELECT id_a, id_b FROM cand
-         |JOIN g a ON a.doc_id = id_a JOIN g b ON b.doc_id = id_b
-         |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         | / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE) >= 0.45),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM scored UNION SELECT id_b, id_a FROM scored),
-         |reach(id, label) AS (SELECT src, src FROM edges
-         |UNION SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+      s"""WITH RECURSIVE $DD6_CTES
          |SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id""".stripMargin,
+    "dd7_dedup_corpus" ->
+      s"""WITH RECURSIVE $DD6_CTES,
+         |grp AS (SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id),
+         |tagged AS (SELECT a.doc_id, COALESCE(g.group_id, a.doc_id) AS group_id
+         |FROM all_docs a LEFT JOIN grp g ON a.doc_id = g.doc_id)
+         |SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(group_id AS BIGINT) AS group_id,
+         |CAST(COUNT(*) AS BIGINT) AS group_size
+         |FROM tagged GROUP BY group_id""".stripMargin,
     "dd5_embedding_dups" ->
       """WITH all_e AS (
         |SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings

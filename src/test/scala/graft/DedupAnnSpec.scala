@@ -270,4 +270,30 @@ class DedupAnnSpec extends SparkSuite {
     assert(!out("dup_lines").getAs[Boolean]("dup_line_ok")) // 9/10 duplicate lines
     assert(!out("dup_paras").getAs[Boolean]("dup_para_ok")) // 2/4 duplicate paras
   }
+
+  test("dd7 dedup corpus: min-id canonical per group, sizes partition the corpus") {
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val fam = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+    val m1 = fam.select((col("doc_id") + 200000).as("doc_id"),
+      concat(col("text"), lit(" near dup tail")).as("text"))
+    val all = docs.unionByName(m1)
+    val cand = fam.select(col("doc_id").as("id_a"), (col("doc_id") + 200000).as("id_b"))
+    val pairs = graft.dedup.Dedup.ngramJaccard(cand, all, "doc_id", "text")
+      .filter(col("jaccard") >= 0.45)
+    val groups = graft.dedup.Dedup.dupGroups(pairs)
+    val kept = all.select(col("doc_id"))
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .groupBy(col("group_id"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+    val rows = kept.collect()
+    // group sizes partition the corpus: every input doc is in exactly one group
+    assert(rows.map(_.getLong(2)).sum === all.count())
+    // the canonical is its group's label (labels are min ids by construction)
+    assert(rows.forall(r => r.getLong(1) === r.getLong(0)))
+    // every matched family collapsed: its mutant is not a canonical survivor
+    val matched = pairs.select(col("id_a")).distinct().count()
+    assert(matched > 0)
+    assert(rows.count(_.getLong(2) === 2L) === matched)
+  }
 }
