@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSuite {
     assert(out.select("fingerprint").as[String].collect().toSet == Set("fpA", "fpB", "fpC"))
   }
 
+  test("ST9: the Gopher quality gate runs unchanged on a stream and equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-row stateless ops (tx6 gate) must compose with readStream as-is —
+    // same Column expressions, no unsupported-operation fallbacks
+    val rows = sf("documents").select(col("doc_id"), col("text"))
+      .limit(50).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    input.addData(rows)
+    val q = graft.text.TextOps.gopherFlags(docs, "text")
+      .filter(col("gopher_pass")).select("doc_id")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gate_out").as[Long].collect().toSet
+    val batch = graft.text.TextOps.gopherFlags(
+        rows.toDF("doc_id", "text"), "text")
+      .filter(col("gopher_pass")).select("doc_id").as[Long].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty && batch.size < rows.size) // the gate actually splits
+  }
+
   test("ST7: streamed sessionization equals the batch session_window twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
