@@ -189,10 +189,36 @@ object JoinQueries extends QueryModule {
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate")),
         "l_orderkey", "o_orderkey", salts = 8,
-        saltFrom = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")))
+        saltFrom = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))),
+
+    // J15: as-of join — each click gets the user's latest view at-or-before
+    // it. Union-tag single-window formulation: one shuffle, no range
+    // explosion (see ops/AsofJoin). DuckDB verifies with its native
+    // ASOF LEFT JOIN.
+    "j15_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.asofJoin(clicks, views, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts",
+          rightVals = Seq("event_id", "value"), tieBreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_event_id"), col("asof_value"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "j15_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view') WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |r.event_id AS asof_event_id, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "j1_star_left_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus AS order_status,
         |c_name AS client_name, cn.n_name AS client_nation, r_name AS client_region,
