@@ -27,6 +27,29 @@ object AggQueries extends QueryModule {
           min(col("l_shipdate").cast("date")).as("first_ship"),
           max(col("l_shipdate").cast("date")).as("last_ship"))),
 
+    // A16: CUBE + grouping_id — all four grouping-set combinations of the
+    // A1 rollup in one pass (Spark expands the sets map-side; one shuffle).
+    "a16_cube_grouping" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          Exact.sum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("cnt"))),
+
+    // A17: exact interpolated percentiles per group — both engines use the
+    // same index = p·(n−1) linear interpolation on sorted doubles, so the
+    // quartiles compare bit-for-bit.
+    "a17_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"),
+          count(lit(1)).as("cnt"))),
+
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -162,6 +185,18 @@ object AggQueries extends QueryModule {
          |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
          |MIN(CAST(l_shipdate AS DATE)) AS first_ship, MAX(CAST(l_shipdate AS DATE)) AS last_ship
          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "a16_cube_grouping" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |${S("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "a17_percentiles" ->
+      """SELECT l_returnflag,
+        |quantile_cont(l_quantity, 0.25) AS q25,
+        |quantile_cont(l_quantity, 0.5) AS q50,
+        |quantile_cont(l_quantity, 0.75) AS q75,
+        |COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a2_conditional_agg" ->
       """SELECT l_suppkey AS user_id,
         |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2))

@@ -29,6 +29,21 @@ object SinkQueries extends QueryModule {
       s.read.parquet(path)
     }),
 
+    // S11: JSONL sink roundtrip — the training-data interchange format
+    // (one JSON object per line). Write the documents table as JSONL
+    // (line-delimited text, map-side, no shuffle), read it back with an
+    // explicit schema, and prove the roundtrip is lossless. At scale this is
+    // the standard corpus export: shard-per-partition line files.
+    "s11_jsonl_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s11") + "/t"
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .json(path)
+    }),
+
     // S6: bulk-load sink — atomic overwrite then read back
     // (`work_item_budget_vs_actual_…_sync_daily/main.py:262-288`; Spark is
     // always bulk, the 100-row strategy switch disappears).
@@ -133,6 +148,7 @@ object SinkQueries extends QueryModule {
       """SELECT * FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s7_staging_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
