@@ -51,6 +51,25 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.getLong(0) === 9L)
   }
 
+  test("the as-of join compiles to union+window: no join operator, key-only shuffles") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val out = AsofJoin.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // no pair-materializing operator anywhere — the "join" is union+window
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan.take(800))
+    // every exchange hash-partitions on the key (one per union branch; each
+    // row crosses the wire exactly once)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toVector
+    assert(exchanges.nonEmpty && exchanges.forall(_.contains("hashpartitioning(user_id")),
+      exchanges.mkString("\n"))
+  }
+
   test("union-tag result equals the naive range-join formulation on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
