@@ -97,12 +97,72 @@ object WindowQueries extends QueryModule {
           sum(Exact.d2(col("l_quantity"))).over(trail).cast("double") /
             Exact.nullIfZero(count(col("l_quantity")).over(trail)))
           .otherwise(col("l_quantity")).as("trend_value"))
+    }),
+
+    // W7: gaps-and-islands — consecutive-active-day streaks per user (the
+    // classic island id: day minus row_number is constant within a run).
+    // Two keyed windows + one aggregation, all on (user_id): one shuffle.
+    "w7_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("d")))
+      days.withColumn("__island", date_sub(col("d"), rn))
+        .groupBy(col("user_id"), col("__island"))
+        .agg(min(col("d")).as("streak_start"), max(col("d")).as("streak_end"),
+          count(lit(1)).as("streak_days"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+          col("streak_days"))
+    }),
+
+    // O5: the full rank family over one deterministic total order —
+    // row_number / rank / dense_rank / percent_rank / cume_dist / ntile.
+    // percent_rank and cume_dist are exact rationals (k/n) so the doubles
+    // compare bit-for-bit cross-engine.
+    "o5_rank_family" -> ((s, dir) => {
+      // deterministic functions (row_number, ntile) use the unique total
+      // order; tie-stable ones (rank, dense_rank, percent_rank, cume_dist)
+      // rank by quantity alone so tie semantics are actually exercised.
+      // Same partitioning for both windows: one shuffle, two sorts.
+      val wU = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"))
+      val wQ = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      Tables.lineitem(s, dir).select(
+        col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        row_number().over(wU).as("rn"),
+        ntile(4).over(wU).as("quartile"),
+        rank().over(wQ).as("rnk"),
+        dense_rank().over(wQ).as("drnk"),
+        percent_rank().over(wQ).as("prnk"),
+        cume_dist().over(wQ).as("cd"))
     })
   )
 
   private val liCols = "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
 
   val oracles: Map[String, String] = Map(
+    "w7_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |i AS (SELECT user_id, d,
+        |  d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        |  FROM days)
+        |SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+        |COUNT(*) AS streak_days
+        |FROM i GROUP BY user_id, island""".stripMargin,
+    "o5_rank_family" ->
+      """SELECT l_returnflag, l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |CAST(ROW_NUMBER() OVER wu AS INTEGER) AS rn,
+        |CAST(NTILE(4) OVER wu AS INTEGER) AS quartile,
+        |CAST(RANK() OVER wq AS INTEGER) AS rnk,
+        |CAST(DENSE_RANK() OVER wq AS INTEGER) AS drnk,
+        |PERCENT_RANK() OVER wq AS prnk,
+        |CUME_DIST() OVER wq AS cd
+        |FROM lineitem
+        |WINDOW wu AS (PARTITION BY l_returnflag
+        |  ORDER BY l_quantity, l_orderkey, l_partkey, l_suppkey, l_linenumber),
+        |wq AS (PARTITION BY l_returnflag ORDER BY l_quantity)""".stripMargin,
     "w1_window_dedup" ->
       s"""SELECT $liCols FROM (
          |SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
