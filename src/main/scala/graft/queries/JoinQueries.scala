@@ -206,6 +206,21 @@ object JoinQueries extends QueryModule {
           rightVals = Seq("event_id", "value"), tieBreak = Some("event_id"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("asof_event_id"), col("asof_value"))
+    }),
+
+    // J16: point-in-interval join, bucketized to an equi join (see
+    // ops/IntervalJoin) — events against overlapping 7-day report windows,
+    // aggregated per window.
+    "j16_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("date").as("d"))
+      val win = s.range(12).select(col("id").as("window_id"),
+          date_add(to_date(lit("2024-01-01")), (col("id") * 3).cast("int")).as("w_start"))
+        .withColumn("w_end", date_add(col("w_start"), 6))
+      graft.ops.IntervalJoin.pointInInterval(ev, "d", win, "w_start", "w_end",
+          bucketDays = 7)
+        .groupBy(col("window_id"), col("w_start"), col("w_end"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
     })
   )
 
@@ -219,6 +234,16 @@ object JoinQueries extends QueryModule {
         |SELECT l.event_id, l.user_id, l.ts, l.value,
         |r.event_id AS asof_event_id, r.value AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "j16_interval_join" ->
+      """WITH win AS (SELECT k AS window_id,
+        |  DATE '2024-01-01' + CAST(k*3 AS INTEGER) AS w_start,
+        |  DATE '2024-01-01' + CAST(k*3 + 6 AS INTEGER) AS w_end
+        |  FROM (SELECT unnest(range(0, 12)) AS k)),
+        |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT window_id, w_start, w_end, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN win ON d BETWEEN w_start AND w_end
+        |GROUP BY window_id, w_start, w_end""".stripMargin,
     "j1_star_left_join" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_orderstatus AS order_status,
         |c_name AS client_name, cn.n_name AS client_nation, r_name AS client_region,
