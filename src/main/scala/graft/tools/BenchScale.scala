@@ -32,8 +32,16 @@ object BenchScale {
   /** LLM-pipeline queries whose scale behavior the plan audit claims —
     * measured on the replicated documents/embeddings corpus.
     */
+  /** tx9/tx10: per-copy word suffixes keep gram matches within a copy, so
+    * decontamination hits and boilerplate-header groups grow linearly (the
+    * shared per-source headers dedup ACROSS copies — 10x-deeper groups, the
+    * realistic boilerplate shape). j15: event_id shifts but user_id doesn't,
+    * so the as-of window sees 10x-longer per-user histories — the realistic
+    * growth axis for a time-series lookup.
+    */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "tx3b_bpe_tokens",
-    "tx7b_ngram_repetition", "ann4_ivfpq_topk")
+    "tx7b_ngram_repetition", "ann4_ivfpq_topk", "tx9_decontaminate",
+    "tx10_line_dedup", "j15_asof_join")
 
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
