@@ -153,10 +153,21 @@ object ScanProjQueries extends QueryModule {
     "f6_generated_ids" -> ((s, dir) =>
       Tables.orders(s, dir).select(
         col("o_orderkey"),
-        uuidShaped(md5(col("o_orderkey").cast("string"))).as("row_uuid")))
+        uuidShaped(md5(col("o_orderkey").cast("string"))).as("row_uuid"))),
+
+    // F7: semi-structured schema-on-read — JSON path extraction from the
+    // events props payload (per-row, codegen'd, no shuffle).
+    "f7_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .withColumn("k_decile", expr("k div 10")))
   )
 
   val oracles: Map[String, String] = Map(
+    "f7_json_extract" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k,
+        |CAST(props->>'k' AS BIGINT) // 10 AS k_decile FROM events""".stripMargin,
     "s1_keyset_page" ->
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber LIMIT 500 OFFSET 1000",
     "s2_date_window" ->
