@@ -310,6 +310,22 @@ object LlmQueries extends QueryModule {
       TextOps.chunk(Tables.documents(s, dir), "doc_id", "text",
         winLen = 16, stride = 12)),
 
+    // tx12: Unicode NFC normalization (native expression). The ASCII corpus
+    // is augmented deterministically: every 3rd doc gets a DECOMPOSED suffix
+    // (e + combining acute), the next a precomposed one — NFC must collapse
+    // the former onto the latter's byte form. The oracle replays the same
+    // construction with chr().
+    "tx12_nfc_normalize" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" cafe\u0301")))
+          .when(pmod(col("doc_id"), lit(3)) === 1, concat(col("text"), lit(" caf\u00e9")))
+          .otherwise(col("text")).as("raw"))
+      aug.select(col("doc_id"), TextOps.nfc(col("raw")).as("text_nfc"),
+        (TextOps.nfc(col("raw")) =!= col("raw")).as("was_denormalized"),
+        (length(col("raw")) - length(TextOps.nfc(col("raw")))).cast("long")
+          .as("chars_saved"))
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -673,6 +689,15 @@ object LlmQueries extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "tx12_nfc_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' caf' || chr(101) || chr(769)
+        |       WHEN doc_id % 3 = 1 THEN text || ' caf' || chr(233)
+        |       ELSE text END AS raw FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS text_nfc,
+        |nfc_normalize(raw) <> raw AS was_denormalized,
+        |CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS chars_saved
+        |FROM aug""".stripMargin,
     "tx11_chunking" ->
       s"""WITH t AS (SELECT doc_id, $TOKS_RAW AS toks FROM documents),
          |m AS (SELECT doc_id, toks, (greatest(len(toks) - 16, 0) + 11) // 12 AS mx FROM t),

@@ -81,6 +81,15 @@ object TextOps {
           4))
   }
 
+  /** tx12: Unicode NFC canonicalization via the native codegen'd
+    * [[graft.functions.NfcNormalize]] — one byte form per grapheme before
+    * hashing/dedup/tokenization. Per-row, no shuffle, no UDF.
+    */
+  def nfc(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.NfcNormalize(ColumnBridge.expression(c)))
+  }
+
   /** tx11: overlapping token-window chunking — the retrieval/embedding prep
     * step that splits a document into windows of `winLen` tokens advancing
     * by `stride` (< winLen ⇒ consecutive chunks overlap by winLen − stride
