@@ -70,6 +70,39 @@ class AsofJoinSpec extends SparkSuite {
       exchanges.mkString("\n"))
   }
 
+  test("property: union-tag equals the naive range join on random keyed series") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small key/time domains force heavy collisions: same-instant matches,
+    // multiple rights per left, keys with no rights at all
+    val genSide = Gen.listOfN(25, for {
+      key <- Gen.choose(0, 3); t <- Gen.choose(0, 9); v <- Gen.choose(0, 99)
+    } yield (key, t, v))
+    val p = Prop.forAll(genSide, genSide) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, t, v), i) => (i.toLong, k, t.toLong, v.toDouble) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val right = r.zipWithIndex
+        .map { case ((k, t, v), i) => (1000L + i, k, t.toLong, v.toDouble) }
+        .toDF("event_id", "user_id", "ts", "value")
+      val fast = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+          Seq("event_id", "value"), tieBreak = Some("event_id"))
+        .select(col("event_id"), col("asof_event_id"), col("asof_value"))
+      val naive = left.as("l")
+        .join(right.as("r"),
+          col("l.user_id") === col("r.user_id") && col("l.ts") >= col("r.ts"), "left")
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l.event_id"))
+            .orderBy(col("r.ts").desc_nulls_last, col("r.event_id").desc_nulls_last)))
+        .filter(col("__rn") === 1)
+        .select(col("l.event_id"), col("r.event_id").as("asof_event_id"),
+          col("r.value").as("asof_value"))
+      fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("union-tag result equals the naive range-join formulation on real events") {
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
