@@ -44,6 +44,34 @@ object SinkQueries extends QueryModule {
         .json(path)
     }),
 
+    // S12: CSV sink roundtrip — header + explicit read schema; doubles
+    // survive because Spark writes shortest-representation decimals.
+    "s12_csv_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s12") + "/t"
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE").csv(path)
+    }),
+
+    // S13: schema evolution — two parquet batches with different column
+    // sets under one root; mergeSchema unions the footers and nulls the
+    // columns each batch lacks (the additive-column migration every
+    // long-lived sync target goes through).
+    "s13_merge_schema" -> ((s, dir) => {
+      val root = tmp("graft_s13") + "/t"
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    }),
+
     // S6: bulk-load sink — atomic overwrite then read back
     // (`work_item_budget_vs_actual_…_sync_daily/main.py:262-288`; Spark is
     // always bulk, the 100-row strategy switch disappears).
@@ -149,6 +177,13 @@ object SinkQueries extends QueryModule {
         |UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
+    "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "s13_merge_schema" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, CAST(NULL AS VARCHAR), o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "s7_staging_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_cents
