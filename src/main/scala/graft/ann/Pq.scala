@@ -106,19 +106,9 @@ object Pq {
       model.codebooks.flatten.flatten.toIndexedSeq))
   }
 
-  /** Repartition iff plan statistics say the scan cannot feed all cores —
-    * same rationale and formula as the dedup module's starved-scan spread
-    * (a single-row-group parquet file is unsplittable and AQE never widens
-    * a scan; at real scale sizeInBytes dwarfs the threshold and this is a
-    * no-op, so no shuffle is added to the scan-once design).
-    */
-  private def spreadIfStarved(projected: DataFrame): DataFrame = {
-    val conf = projected.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
-    val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
-    val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
-    if (approxScanParts >= target) projected else projected.repartition(target)
-  }
+  /** See [[graft.ops.Scan.spreadIfStarved]]. */
+  private def spreadIfStarved(projected: DataFrame): DataFrame =
+    graft.ops.Scan.spreadIfStarved(projected)
 
   /** IVF + PQ approximate top-k: candidates share the query's IVF block;
     * ranking is integer ADC ascending (ties by neighbor id). The corpus

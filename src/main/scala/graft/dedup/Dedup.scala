@@ -93,23 +93,11 @@ object Dedup {
     }
   }
 
-  /** Repartition a projected input iff its logical-plan byte size says the
-    * scan cannot feed all cores (e.g. a single-row-group parquet file is
-    * unsplittable, and AQE never widens a scan). Decided from statistics,
-    * never by touching `.rdd` — on a plan with upstream shuffles,
-    * materializing the RDD executes every upstream stage eagerly and the
-    * real pass then re-runs them. bytes / maxPartitionBytes bounds the
-    * scan's split count from above, so "estimate < target" means cores
-    * would starve; at real scale sizeInBytes dwarfs the threshold and no
-    * repartition happens.
+  /** See [[graft.ops.Scan.spreadIfStarved]] (stats-gated, never touches
+    * `.rdd` — materializing the RDD would eagerly execute upstream stages).
     */
-  private def spreadIfStarved(projected: DataFrame): DataFrame = {
-    val conf = projected.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
-    val maxSplit = math.max(conf.filesMaxPartitionBytes, 1L)
-    val approxScanParts = projected.queryExecution.optimizedPlan.stats.sizeInBytes / maxSplit
-    if (approxScanParts >= target) projected else projected.repartition(target)
-  }
+  private def spreadIfStarved(projected: DataFrame): DataFrame =
+    graft.ops.Scan.spreadIfStarved(projected)
 
   /** MinHash + LSH near-dup pairs over `df(idCol, textCol)`.
     * bands × rowsPerBand = numHashes; two docs collide when any band of

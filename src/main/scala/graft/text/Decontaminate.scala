@@ -28,7 +28,11 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(array_distinct(Dedup.shingles(col(textCol), k))).as("gram"))
       .distinct()
-    val corpusGrams = corpus
+    // the gram explode + broadcast probe is compute-dense and map-side —
+    // spread a starved single-split scan so it parallelizes (stats-gated
+    // no-op at real scale)
+    val corpusGrams = graft.ops.Scan
+      .spreadIfStarved(corpus.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(array_distinct(Dedup.shingles(col(textCol), k))).as("gram"))
     val hits = corpusGrams.join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
