@@ -87,6 +87,32 @@ class StreamingSpec extends SparkSuite {
     assert(batch.nonEmpty && batch.size < rows.size) // the gate actually splits
   }
 
+  test("ST10: stream-static broadcast enrichment equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming side of every dimension enrichment: a micro-batch joined
+    // against a static (broadcastable) dim — same Column code as batch
+    val dim = Seq(("src0", "tier-a"), ("src1", "tier-b"), ("src2", "tier-c"))
+      .toDF("source", "tier")
+    val rows = sf("documents").select(col("doc_id"), col("source"))
+      .limit(60).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(rows)
+    val q = input.toDF().toDF("doc_id", "source")
+      .join(broadcast(dim), Seq("source"), "left")
+      .select(col("doc_id"), coalesce(col("tier"), lit("untiered")).as("tier"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_out").as[(Long, String)].collect().toSet
+    val batch = rows.toDF("doc_id", "source")
+      .join(broadcast(dim), Seq("source"), "left")
+      .select(col("doc_id"), coalesce(col("tier"), lit("untiered")).as("tier"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.map(_._2).contains("untiered") && batch.map(_._2).exists(_ != "untiered"))
+  }
+
   test("ST7: streamed sessionization equals the batch session_window twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String, Double)]
