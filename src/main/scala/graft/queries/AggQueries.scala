@@ -50,6 +50,19 @@ object AggQueries extends QueryModule {
           percentile(col("l_quantity"), lit(0.75)).as("q75"),
           count(lit(1)).as("cnt"))),
 
+    // A18: UNPIVOT — the inverse of A3's pivot: melt a wide per-year
+    // aggregate back to long form (the report-export reshape). Spark 3.4+
+    // `DataFrame.unpivot` keeps null cells, matching the UNION ALL oracle.
+    "a18_unpivot" -> ((s, dir) => {
+      val wide = Tables.lineitem(s, dir)
+        .withColumn("yr", year(col("l_shipdate").cast("date")))
+        .filter(col("yr").between(1996, 1998))
+        .groupBy(col("l_suppkey")).pivot("yr", Seq(1996, 1997, 1998))
+        .agg(Exact.sum2(col("l_quantity")))
+      wide.unpivot(Array(col("l_suppkey")),
+        Array(col("1996"), col("1997"), col("1998")), "yr", "sum_qty")
+    }),
+
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -197,6 +210,17 @@ object AggQueries extends QueryModule {
         |quantile_cont(l_quantity, 0.75) AS q75,
         |COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "a18_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT l_suppkey,
+         |  ${S("CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996 THEN l_quantity END")} AS y1996,
+         |  ${S("CASE WHEN year(CAST(l_shipdate AS DATE)) = 1997 THEN l_quantity END")} AS y1997,
+         |  ${S("CASE WHEN year(CAST(l_shipdate AS DATE)) = 1998 THEN l_quantity END")} AS y1998
+         |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) BETWEEN 1996 AND 1998
+         |  GROUP BY l_suppkey)
+         |SELECT l_suppkey, '1996' AS yr, y1996 AS sum_qty FROM wide
+         |UNION ALL SELECT l_suppkey, '1997', y1997 FROM wide
+         |UNION ALL SELECT l_suppkey, '1998', y1998 FROM wide""".stripMargin,
     "a2_conditional_agg" ->
       """SELECT l_suppkey AS user_id,
         |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2))
