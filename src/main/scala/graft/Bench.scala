@@ -63,13 +63,34 @@ object Bench {
     // reads should be steady-state, not first-compile.
     // Bisection runs warm only the queries they measure: warming the full
     // headline list on a filtered subset pays ~30 s for queries that never run.
+    // Headliners warm UNTIL STABLE, not just once: on a fresh JVM one untimed
+    // pass does not outlast C2 tier-up, and the compile tail then lands inside
+    // the first timed pass (round-7 driver run: v5_individual 27.8 s measured
+    // vs 9-12 s steady state in every standalone profile). Repeat untimed
+    // passes — bounded at 5 — until two consecutive passes agree within 20%,
+    // with the same block cleanup the timed loop performs, so measurement
+    // starts from the steady state it claims to report.
     (Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number") ++ headline)
       .filter(w => filter.forall(_.exists(w.startsWith))).foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        System.err.println(f"[warmup] $w: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val maxPasses = if (headline.contains(w)) 5 else 1
+        var prev = Double.NaN
+        var pass = 0
+        var stable = false
+        while (pass < maxPasses && !stable) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          pass += 1
+          stable = !prev.isNaN && math.max(dt, prev) / math.min(dt, prev) <= 1.2
+          prev = dt
+          System.err.println(f"[warmup] $w pass $pass: $dt%.2f s" +
+            (if (stable) " (stable)" else ""))
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          spark.sqlContext.clearCache()
+          System.gc()
+        }
       }
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

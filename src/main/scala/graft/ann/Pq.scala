@@ -50,14 +50,22 @@ object Pq {
     * `iters` Lloyd rounds, integer distances, argmin ties to the smallest
     * centroid index, `floor(sum/count)` updates, empty clusters keep their
     * previous centroid.
+    *
+    * The driver collect is bounded by COUNT, not rate: a rate-only sample
+    * grows linearly with the corpus (a driver OOM at 100×), so the
+    * `sampleRate` pre-filter is followed by `orderBy(h, vec_id).limit
+    * (maxSample)` — Spark plans it as TakeOrdered (no global sort), the
+    * (hash, id) order keeps the selection deterministic at any scale, and
+    * the oracle replays the identical cap.
     */
   def train(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 2,
-      sampleRate: Double = 0.5): PqModel = {
+      sampleRate: Double = 0.5, maxSample: Int = 4096): PqModel = {
     val sample = emb
       .select(col("vec_id"), quantize(col("embedding")).as("e"),
         Sampling.unitHash(col("vec_id")).as("h"))
       .filter(col("h") < sampleRate)
       .orderBy(col("h"), col("vec_id"))
+      .limit(maxSample)
       .collect()
     require(sample.length >= k, s"PQ sample too small: ${sample.length} < $k")
     val vecs: Array[Array[Long]] = sample.map(_.getSeq[Long](1).toArray)
@@ -165,6 +173,26 @@ object Pq {
       lit(0L), (acc, v) => acc + v)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
     cands.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Exact integer-L2 top-k within the IVF block — the ground truth for
+    * recall measurement (ann6), NOT a serving path: the block self-join is
+    * brute force by design, the same baseline role [[Ann.bruteForceTopK]]
+    * plays for cosine. Block-scoped, so cost is Σ_blocks n_b², never global
+    * n²; run it on a sampled query set when blocks are large.
+    */
+  def exactL2TopK(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
+      quantize(col("embedding")).as("__qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col(blockCol).as("block"),
+      quantize(col("embedding")).as("__ne"))
+    val d2 = aggregate(
+      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    q.join(n, Seq("block")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -99,13 +99,48 @@ object Dedup {
   private def spreadIfStarved(projected: DataFrame): DataFrame =
     graft.ops.Scan.spreadIfStarved(projected)
 
+  /** Sub-partition LSH band buckets above `maxBucket` members. The candidate
+    * self-join emits O(n²) pairs per n-doc bucket; a templated/boilerplate
+    * near-dup cluster of millions of docs — exactly what 100 TB corpora
+    * contain — would turn one hot bucket into a 10¹²-row skew stage. Docs in
+    * an oversize bucket are split deterministically (by doc-id hash) into
+    * ⌈n/maxBucket⌉ sub-buckets and pairs form within a sub-bucket only:
+    * per-bucket work is bounded by ~n·maxBucket instead of n², every doc
+    * still participates (nothing is silently dropped — unlike a cap-and-drop
+    * guard), and the recall cost is only the cross-sub-bucket pairs of
+    * already-pathological buckets. Normal buckets (n ≤ maxBucket) are
+    * untouched, so the cross-engine oracles — which don't model the guard —
+    * stay bit-exact at any SF where no bucket overflows; the skewed-fixture
+    * spec in DedupAnnSpec proves the bound. The count window reuses the
+    * existing (bucket-key) exchange, and the `observe` metric surfaces how
+    * many (doc, bucket) rows were sub-partitioned per the no-silent-caps
+    * rule (readable via QueryExecutionListener / Observation).
+    */
+  private def subPartitionBuckets(banded: DataFrame, bucketCols: Seq[String],
+      maxBucket: Int, portableHash: Boolean, obsName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    val docHash =
+      if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("doc"))
+    banded
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("sub",
+        when(col("__n") <= maxBucket, lit(0L))
+          .otherwise(pmod(docHash, ceil(col("__n") / lit(maxBucket)).cast("long"))))
+      .observe(obsName,
+        sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L))).as("subpartitioned_rows"))
+      .drop("__n")
+  }
+
   /** MinHash + LSH near-dup pairs over `df(idCol, textCol)`.
     * bands × rowsPerBand = numHashes; two docs collide when any band of
     * their signatures matches exactly. Returns (id_a, id_b, est_jaccard)
     * with id_a < id_b and estimated Jaccard ≥ `threshold`.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5, portableHash: Boolean = false): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.5, portableHash: Boolean = false,
+      maxBucket: Int = 1024): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     // One explicit exchange of the COMPACT signatures (numHashes longs per
@@ -121,13 +156,15 @@ object Dedup {
     // of 78 MB read at bench SF was duplicated sig payload). At 100 TB this
     // is the difference between shuffling ids and shuffling the corpus'
     // signatures 16 times over.
-    val banded = sigs.select(col("doc"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-      .repartition(col("band"), col("band_hash"))
-    val a = banded.select(col("doc").as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col("doc").as("id_b"), col("band"), col("band_hash"))
+    val banded = subPartitionBuckets(
+      sigs.select(col("doc"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+        .repartition(col("band"), col("band_hash")),
+      Seq("band", "band_hash"), maxBucket, portableHash, "dd2_lsh_bucket_guard")
+    val a = banded.select(col("doc").as("id_a"), col("band"), col("band_hash"), col("sub"))
+    val b = banded.select(col("doc").as("id_b"), col("band"), col("band_hash"), col("sub"))
     // Dedup colliding pairs BEFORE touching signatures (a near-dup pair
     // collides in up to `bands` bands; the zip comparison should run once
     // per unique pair, not once per collision), then re-attach signatures.
@@ -137,7 +174,7 @@ object Dedup {
     // sigs side is corpus-sized: a sort streams and spills, a per-partition
     // hash build of every signature does not; sigs is already partitioned
     // by doc so only the small deduped pair set moves.
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    val pairs = a.join(b, Seq("band", "band_hash", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val sa = sigs.select(col("doc").as("id_a"), col("sig").as("sig_a")).hint("merge")
@@ -187,19 +224,24 @@ object Dedup {
     * xor).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
-      portableHash: Boolean = false): DataFrame = {
+      portableHash: Boolean = false, maxBucket: Int = 1024): DataFrame = {
     val bandBits = if (portableHash) 15 else 16
     val mask = (1 << bandBits) - 1
     val sigs = simhashSignatures(df, idCol, textCol, portableHash)
-    // same ReusedExchange anchor as minhashLsh: one computation, one shuffle
-    val banded = sigs.select(col("doc"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * $bandBits) & $mask)")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-      .repartition(col("band"), col("band_bits"))
-    val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"), col("band_bits"))
-    val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"), col("band_bits"))
-    a.join(b, Seq("band", "band_bits"))
+    // same ReusedExchange anchor as minhashLsh: one computation, one shuffle;
+    // same oversize-bucket sub-partition guard (see subPartitionBuckets)
+    val banded = subPartitionBuckets(
+      sigs.select(col("doc"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, 3), b -> shiftrightunsigned(sig, b * $bandBits) & $mask)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+        .repartition(col("band"), col("band_bits")),
+      Seq("band", "band_bits"), maxBucket, portableHash, "dd3_simhash_bucket_guard")
+    val a = banded.select(col("doc").as("id_a"), col("sig").as("sig_a"), col("band"),
+      col("band_bits"), col("sub"))
+    val b = banded.select(col("doc").as("id_b"), col("sig").as("sig_b"), col("band"),
+      col("band_bits"), col("sub"))
+    a.join(b, Seq("band", "band_bits", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

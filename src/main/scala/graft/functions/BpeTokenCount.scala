@@ -26,10 +26,13 @@ class BpeMatcher(val vocab: Array[String]) extends Serializable {
     vocab.foreach(s.add); s
   }
 
-  // the 6 ASCII whitespace chars of regex \s — the split contract the
-  // whitespace tokenizer and the oracle's regexp_split_to_array share
+  // The explicit engine-portable whitespace class [\t\n\f\r ]: RE2 (DuckDB's
+  // regexp engine) excludes vertical tab (\u000B) from \s while Java includes
+  // it, so the split contract is pinned to the intersection rather than either
+  // engine's \s. Must stay in lockstep with TextOps.tokens and the oracle's
+  // regexp_split_to_array('\s+') (RE2 semantics).
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   def countTokens(utf8: UTF8String): Long = {
     val text = utf8.toString

@@ -63,8 +63,10 @@ object GopherNgramStats {
   val schema: StructType =
     StructType(fieldNames.map(f => StructField(f, LongType, nullable = false)))
 
+  // engine-portable whitespace class — see BpeMatcher.isWs for why vertical
+  // tab (\u000B) is excluded
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   /** All 10 statistics in one pass over the words. Word splitting matches
     * the regex-\s+ contract of the whitespace tokenizer and the oracle.

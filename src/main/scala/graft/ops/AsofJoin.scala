@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * left). The right side must be unique per (keys, rightTs); pass
   * `tieBreak` to resolve duplicates deterministically (max tieBreak wins) —
   * otherwise which same-instant right row carries is plan-dependent.
+  *
+  * The right payload rides the window as ONE struct, not per-column
+  * `last(ignoreNulls)` calls: a struct literal is non-null for every right
+  * row even when its fields are null, so the carried values are always the
+  * fields of the single most recent right row — per-column carry would
+  * substitute stale values for a matched row's legitimate NULLs and could
+  * mix fields from different right rows (true ASOF attach is row-atomic).
   */
 object AsofJoin {
 
@@ -38,30 +45,29 @@ object AsofJoin {
         right.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
     }
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)).toArray)
     val l = left.select(
       keys.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        leftPayload.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"$outPrefix$c")): _*)
+        Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+          lit(null).cast(rvType).as("__rv")) ++
+        leftPayload.map(col): _*)
     val r = rightDedup.select(
       keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(c => col(c).as(s"$outPrefix$c")): _*)
+        Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+          struct(rightVals.map(col): _*).as("__rv")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .select(
         (keys.map(col) :+ col("__ts") :+ col("__side")) ++
-          leftPayload.map(col) ++
-          rightVals.map(c =>
-            last(col(s"$outPrefix$c"), ignoreNulls = true).over(w)
-              .as(s"$outPrefix$c")): _*)
+          leftPayload.map(col) :+
+          last(col("__rv"), ignoreNulls = true).over(w).as("__rv"): _*)
       .filter(col("__side") === 1)
       .select(
         keys.map(col) ++ Seq(col("__ts").as(leftTs)) ++ leftPayload.map(col) ++
-          rightVals.map(c => col(s"$outPrefix$c")): _*)
+          rightVals.map(c => col("__rv").getField(c).as(s"$outPrefix$c")): _*)
   }
 }

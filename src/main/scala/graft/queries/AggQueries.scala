@@ -63,6 +63,67 @@ object AggQueries extends QueryModule {
         Array(col("1996"), col("1997"), col("1998")), "yr", "sum_qty")
     }),
 
+    // A19: explicit GROUPING SETS — the report shape between A1's flat
+    // group-by and A16's full cube: per-(flag,status) detail plus per-flag
+    // subtotals plus one grand total, computed in ONE pass (Catalyst expands
+    // to a single Expand + hash-agg; three separate group-bys would scan the
+    // fact three times).
+    "a19_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          Exact.sum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("cnt"))),
+
+    // X5: HLL sketch distinct-count with RE-AGGREGATION — the 100 TB
+    // distinct-count pattern: per-month sketches (map-side partial, fixed
+    // ~KB state per group) are UNIONED up to quarters without touching the
+    // fact again, then estimated. The oracle-checked contract is the
+    // tolerance gate: the estimate must land within 5% of the exact count
+    // (lgConfigK=12 → ~1.6% RSE, so 5% is a >3σ deterministic margin), plus
+    // the exact count itself; the sketch bytes are engine-native and stay
+    // internal. At scale the exact COUNT(DISTINCT) leg disappears and only
+    // the sketch path runs — it exists here to power the gate.
+    "x5_sketch_distinct" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .withColumn("mo", date_trunc("month", col("o_orderdate").cast("date")))
+        .groupBy(col("mo"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"))
+      val quarterly = monthly
+        .withColumn("qtr", date_trunc("quarter", col("mo")).cast("date"))
+        .groupBy(col("qtr"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      Tables.orders(s, dir)
+        .withColumn("qtr", date_trunc("quarter", col("o_orderdate").cast("date")).cast("date"))
+        .groupBy(col("qtr"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+        .join(quarterly, Seq("qtr"))
+        .select(col("qtr"), col("exact_cnt"),
+          (abs(col("est") - col("exact_cnt")) <= col("exact_cnt") * lit(0.05))
+            .as("within_tol"))
+    }),
+
+    // X6: approximate percentile with the same tolerance-gate contract as
+    // X5 — percentile_approx (Greenwald-Khanna, mergeable partial state,
+    // never a global sort) must land within 1% of A17's exact interpolated
+    // median. The exact leg exists to power the gate; at 100 TB only the
+    // sketch runs.
+    "x6_approx_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("exact_p50"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap"),
+          count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_p50"), col("cnt"),
+          (abs(col("ap") - col("exact_p50")) <= abs(col("exact_p50")) * lit(0.01))
+            .as("within_tol"))),
+
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -221,6 +282,20 @@ object AggQueries extends QueryModule {
          |SELECT l_suppkey, '1996' AS yr, y1996 AS sum_qty FROM wide
          |UNION ALL SELECT l_suppkey, '1997', y1997 FROM wide
          |UNION ALL SELECT l_suppkey, '1998', y1998 FROM wide""".stripMargin,
+    "a19_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |${S("l_quantity")} AS sum_qty, COUNT(*) AS cnt
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "x5_sketch_distinct" ->
+      """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
+        |COUNT(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_tol
+        |FROM orders GROUP BY 1""".stripMargin,
+    "x6_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+        |COUNT(*) AS cnt, TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "a2_conditional_agg" ->
       """SELECT l_suppkey AS user_id,
         |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2))

@@ -51,6 +51,49 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
+    // st9: tx6's continuous twin — the Gopher gate is stateless per-row
+    // Column code, so the SAME expressions run unchanged under readStream
+    // (no unsupported-operation fallback, no state). The driver row proves
+    // the micro-batch output equals the batch gate over the same corpus.
+    "st9_stream_gopher_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_st9").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      TextOps.gopherFlags(s.readStream.schema(schema).parquet(s"$base/src"), "text")
+        .filter(col("gopher_pass"))
+        .select(col("doc_id"), col("n_words"), col("symbol_ratio"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
+    // st10: stream-static broadcast enrichment — each micro-batch left-joins
+    // a static broadcast dim (the streaming half of every dimension
+    // enrichment); rows off the dim get a deterministic default. At scale
+    // the dim rides the broadcast, the stream never shuffles.
+    "st10_stream_static_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_st10").toString
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val dim = Seq(("src0", "tier-a"), ("src1", "tier-b"), ("src2", "tier-c"))
+        .toDF("source", "tier")
+      s.readStream.schema(schema).parquet(s"$base/src")
+        .join(broadcast(dim), Seq("source"), "left")
+        .select(col("doc_id"), coalesce(col("tier"), lit("untiered")).as("tier"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
     // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
     // (the scale path - fastest codegen'd hash), which no other engine
@@ -175,6 +218,27 @@ object LlmQueries extends QueryModule {
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
       graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model)
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
+    // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
+    // in the same block — the measurement every ANN deployment ships beside
+    // the index (is the compression hurting retrieval?). Per-query hit
+    // counts, queries with zero hits kept. Fully oracled: the DuckDB side
+    // replays training + ADC (pqOracle) AND the exact baseline.
+    "ann6_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val approx = graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = graft.ann.Pq.exactL2TopK(emb, "label", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
     }),
 
     // ann5: two-stage retrieval — ADC shortlist (10 per query), exact
@@ -586,8 +650,11 @@ object LlmQueries extends QueryModule {
     * argmin ties). Cross-validated against an independent reference
     * implementation before registration.
     */
-  private def pqOracle(topK: Int, rerankK: Option[Int]): String = {
-    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val RATE = "0.5"
+  private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false): String = {
+    // MAXS mirrors Pq.train's maxSample count cap (the rate filter alone
+    // would make the driver collect O(corpus); the oracle replays the same
+    // orderBy(h, vec_id).limit cap so the selected sample is identical).
+    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val RATE = "0.5"; val MAXS = 4096
     val hash = "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
       " / 1152921504606846976.0)"
     def dist(vec: String, cent: String, mi: Int): String = {
@@ -598,7 +665,8 @@ object LlmQueries extends QueryModule {
     val ctes = scala.collection.mutable.ArrayBuffer[String](
       "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
         "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
-      s"samp AS (SELECT vec_id, e, $hash AS h FROM e WHERE $hash < $RATE)")
+      s"samp AS (SELECT vec_id, e, h FROM (SELECT vec_id, e, $hash AS h FROM e " +
+        s"WHERE $hash < $RATE) QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $MAXS)")
     (0 until M).foreach { mi =>
       val lo = mi * SUB
       ctes += s"s${mi}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
@@ -630,6 +698,24 @@ object LlmQueries extends QueryModule {
     ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
       s"q.label AS block, CAST($adc AS BIGINT) AS adc " +
       "FROM q JOIN enc n ON q.label = n.label AND q.vec_id <> n.vec_id)"
+    if (recall) {
+      // ann6: ADC top-k vs the exact integer-L2 top-k on the same `e`
+      // vectors within the block; per-query hit count and recall fraction.
+      ctes += "appr AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER " +
+        s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored) WHERE rank <= $topK)"
+      ctes += "ex AS (SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id " +
+        "FROM e qe JOIN e ne ON qe.label = ne.label AND qe.vec_id <> ne.vec_id " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY " +
+        s"list_sum(list_transform(range(1, ${M * SUB + 1}), " +
+        s"i -> (qe.e[i] - ne.e[i]) * (qe.e[i] - ne.e[i]))), ne.vec_id) <= $topK)"
+      ctes += "h AS (SELECT a.query_id, COUNT(*) AS n_hits FROM appr a " +
+        "JOIN ex x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id " +
+        "GROUP BY a.query_id)"
+      return "WITH " + ctes.mkString(",\n") +
+        "\nSELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        s"CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $topK.0 AS recall_at_$topK " +
+        "FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN h ON q.query_id = h.query_id"
+    }
     rerankK match {
       case None =>
         "WITH " + ctes.mkString(",\n") +
@@ -653,6 +739,7 @@ object LlmQueries extends QueryModule {
   }
   private val ANN4_ORACLE: String = pqOracle(3, None)
   private val ANN5_ORACLE: String = pqOracle(10, Some(3))
+  private val ANN6_ORACLE: String = pqOracle(3, None, recall = true)
 
   /** dd6/dd7 shared oracle CTEs: mutated corpus, candidate pairs, Jaccard
     * scoring, and the recursive connected-component reachability — everything
@@ -679,6 +766,7 @@ object LlmQueries extends QueryModule {
   val oracles: Map[String, String] = Map(
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
     "ann5_pq_rerank_topk" -> ANN5_ORACLE,
+    "ann6_recall" -> ANN6_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),
@@ -804,6 +892,18 @@ object LlmQueries extends QueryModule {
          |UNION ALL
          |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0)
          |SELECT DISTINCT md5(array_to_string($TOKS, ' ')) AS fingerprint FROM all_docs""".stripMargin,
+    // st9: the micro-batch Gopher gate must equal the batch gate — same
+    // GOPHER_BASE CTEs as tx6, filtered to the pass set.
+    "st9_stream_gopher_gate" ->
+      s"""WITH $GOPHER_BASE
+         |SELECT doc_id, n_words, symbol_ratio FROM r WHERE $GOPHER_PASS""".stripMargin,
+    // st10: stream-static broadcast enrichment ≡ a plain left join against
+    // the same inline dim with the same untiered default.
+    "st10_stream_static_enrich" ->
+      """SELECT d.doc_id, COALESCE(t.tier, 'untiered') AS tier
+        |FROM documents d
+        |LEFT JOIN (VALUES ('src0', 'tier-a'), ('src1', 'tier-b'), ('src2', 'tier-c'))
+        |  AS t(source, tier) ON d.source = t.source""".stripMargin,
     "dd1_exact_dedup" ->
       s"""WITH all_docs AS (
          |SELECT * FROM documents

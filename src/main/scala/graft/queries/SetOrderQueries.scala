@@ -87,7 +87,17 @@ object SetOrderQueries extends QueryModule {
           when(col("o_orderstatus") === "P", lit(null).cast("double"))
             .otherwise(col("o_totalprice")).as("maybe_price"))
         .orderBy(col("maybe_price").desc_nulls_last, col("o_orderkey"))
-        .limit(100))
+        .limit(100)),
+
+    // O4: deterministic LIMIT/OFFSET pagination (`snowflake_bq_sync Time
+    // details/main.py:118-119`) — DataFrame.offset directly (Spark ≥3.4);
+    // the unique sort key makes the page well-defined. Exists for semantic
+    // parity: at scale pagination is replaced by partitioned scans
+    // (Tables.page documents the same).
+    "o4_offset_page" -> ((s, dir) =>
+      Tables.page(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq("o_orderkey"), 2500, 100))
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +138,9 @@ object SetOrderQueries extends QueryModule {
         |FROM lineitem GROUP BY l_suppkey ORDER BY revenue DESC, l_suppkey LIMIT 15""".stripMargin,
     "o3_desc_nulls_last" ->
       """SELECT o_orderkey, CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
-        |FROM orders ORDER BY maybe_price DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin
+        |FROM orders ORDER BY maybe_price DESC NULLS LAST, o_orderkey LIMIT 100""".stripMargin,
+    "o4_offset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 2500""".stripMargin
   )
 }

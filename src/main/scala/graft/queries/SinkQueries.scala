@@ -55,6 +55,19 @@ object SinkQueries extends QueryModule {
         .schema("c_custkey LONG, c_name STRING, c_acctbal DOUBLE").csv(path)
     }),
 
+    // S14: ORC sink roundtrip — the second columnar format Spark ships
+    // natively (vectorized reader, predicate pushdown, zlib default). The
+    // roundtrip proves type fidelity incl. DATE; the oracle reads the same
+    // projection straight from parquet, so any ORC coercion would mismatch.
+    "s14_orc_roundtrip" -> ((s, dir) => {
+      val path = tmp("graft_s14") + "/t"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    }),
+
     // S13: schema evolution — two parquet batches with different column
     // sets under one root; mergeSchema unions the footers and nulls the
     // columns each batch lacks (the additive-column migration every
@@ -178,6 +191,8 @@ object SinkQueries extends QueryModule {
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "s14_orc_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(o_orderdate AS DATE) AS o_date FROM orders",
     "s13_merge_schema" ->
       """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
         |FROM orders WHERE o_orderstatus = 'F'

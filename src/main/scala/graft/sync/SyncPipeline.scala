@@ -22,6 +22,35 @@ object SyncPipeline {
 
   final case class SyncResult(rowsSynced: Long, mode: String, tracker: DataFrame)
 
+  /** Whole-run retry with fixed backoff, the reference's
+    * `retry_on_timeout(max_retries=3, delay=30)` decorator
+    * (`work_item_details_pipeline/work_item_details_sync_daily/main.py:51-68`):
+    * attempt the body up to `maxAttempts` times, sleeping `delayMs` between
+    * attempts, rethrowing the final failure. Spark's task retries cover task
+    * failures; this covers the reference's RUN-level semantics (a sync whose
+    * driver-side step died is re-attempted from the top). Safe to wrap every
+    * pipeline in this file: each is idempotent — full sync atomically
+    * overwrites, incremental/backfill merge-upsert on keys, so a crashed
+    * partial run re-applied converges to the single-run output (proved by the
+    * failure-injection spec). `sleep` is injectable so tests don't wait.
+    */
+  def withRetry[T](maxAttempts: Int = 3, delayMs: Long = 30000L,
+      sleep: Long => Unit = Thread.sleep)(body: () => T): T = {
+    require(maxAttempts >= 1)
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      attempt += 1
+      try out = Some(body())
+      catch {
+        case e: Throwable if scala.util.control.NonFatal(e) =>
+          if (attempt >= maxAttempts) throw e
+          sleep(delayMs)
+      }
+    }
+    out.get
+  }
+
   private def tracker(spark: SparkSession, pipeline: String, mode: String, rows: Long,
       status: String): DataFrame = {
     import spark.implicits._
@@ -120,7 +149,11 @@ object SyncPipeline {
     }
     val staleN = if (stale.isEmpty) 0L else {
       MergeInto.mergePartitioned(spark, targetPath, slice(stale), keys :+ partCol, partCol)
-      slice(stale).count()
+      // count POST-dedup rows, matching the fresh leg's semantics — a raw
+      // slice count would report duplicate source keys as extra rows on one
+      // path but not the other (the scan is bounded to the stale-day slice,
+      // typically the 1-2 boundary days of a rotation window)
+      slice(stale).dropDuplicates(keys :+ partCol).count()
     }
     val n = freshN + staleN
     SyncResult(n, "incremental_partitioned",

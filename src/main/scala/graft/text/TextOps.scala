@@ -11,8 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization. The split class is the explicit
+    * [ \t\n\f\r] rather than \s: Java's \s includes vertical tab while
+    * RE2's (DuckDB's regexp_split_to_array) does not, so an explicit class
+    * is the only split contract that is bit-exact on every engine. Must
+    * stay in lockstep with BpeMatcher.isWs / GopherNgramStats.isWs.
+    */
+  def tokens(text: Column): Column = split(trim(text), "[ \\t\\n\\f\\r]+")
 
   /** FALLBACK subword estimate (~4 chars per token plus word boundaries) for
     * when no merges vocab is available. Superseded by [[bpeCount]] — the real
@@ -135,8 +140,9 @@ object TextOps {
     val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
     val lines = split(t, "\n")
     val nLines = greatest(size(lines), lit(1)).cast("double")
-    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
-    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    // explicit whitespace class (not \s) for RE2/Java parity — see tokens()
+    val bulletLines = size(filter(lines, l => l.rlike("^[ \\t\\n\\f\\r]*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.[ \\t\\n\\f\\r]*$"))).cast("long")
     df.withColumn("n_words", size(toks).cast("long"))
       .withColumn("mean_word_len", charSum / nWords)
       .withColumn("symbol_ratio", (hashCount + ellipsisCount).cast("double") / nWords)

@@ -109,8 +109,12 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_10x")
-    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // Headline is measured on a CURVE of scale points (default 1x, 10x, 30x)
+    // so the linearity claim rests on a fit, not a single ratio; the LLM leg
+    // stays at the first point to bound run time. A point's corpus lives at
+    // /tmp/graft_scale_{n}x and is reused across runs via the done-marker.
+    val points = sys.env.getOrElse("SPARK_GRAFT_SCALE_POINTS", "10,30")
+      .split(",").map(_.trim.toInt).toSeq
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -119,20 +123,29 @@ object BenchScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    buildCorpus(spark, srcDir, scaleDir, copies)
-    val at1 = measure(spark, srcDir, headline)
-    val at10 = measure(spark, scaleDir, headline)
+    val dirs: Seq[(Int, String)] = (1, srcDir) +: points.map { n =>
+      val d = s"/tmp/graft_scale_${n}x"
+      buildCorpus(spark, srcDir, d, n); (n, d)
+    }
+    val headlineAt: Seq[(Int, Seq[(String, Double)])] =
+      dirs.map { case (n, d) => (n, measure(spark, d, headline)) }
     val llm1 = measure(spark, srcDir, llm)
-    val llm10 = measure(spark, scaleDir, llm)
+    val llm10 = measure(spark, dirs(1)._2, llm)
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def ratios(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
       a.map { case (n, v) => n -> b.toMap.apply(n) / v }
     def obj(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    val at1 = headlineAt.head._2; val at10 = headlineAt(1)._2
     val c1 = at1.map(_._2).sum; val c10 = at10.map(_._2).sum
     val l1 = llm1.map(_._2).sum; val l10 = llm10.map(_._2).sum
+    val curve = headlineAt.map { case (n, xs) =>
+      s""""${n}":{"composite":${f3(xs.map(_._2).sum)},"queries":${obj(xs)},""" +
+        s""""ratio_vs_1x":${f3(xs.map(_._2).sum / c1)}}"""
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
-      s""""unit":"x","copies":$copies,"composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
+      s""""unit":"x","copies":${points.head},"points":$curve,""" +
+      s""""composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
       s""""sf1":${obj(at1)},"sf10":${obj(at10)},"ratio":${obj(ratios(at1, at10))},""" +
       s""""llm_composite_sf1":${f3(l1)},"llm_composite_sf10":${f3(l10)},""" +
       s""""llm_composite_ratio":${f3(l10 / l1)},""" +

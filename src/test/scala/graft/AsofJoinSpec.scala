@@ -37,6 +37,22 @@ class AsofJoinSpec extends SparkSuite {
     assert(out(4L) === ((None, None)))            // no prior -> nulls
   }
 
+  test("a matched right row's NULL payload stays NULL — attach is row-atomic, no stale carry") {
+    val left = Seq((1L, "u", ts("2024-01-01 12:00:00"), 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    // the LATEST right row (event 8) legitimately carries a NULL value; a
+    // per-column ignoreNulls carry would smuggle 1.0 in from event 7 and
+    // emit the impossible row (asof_event_id=8, asof_value=1.0)
+    val right = Seq(
+      (7L, "u", ts("2024-01-01 09:00:00"), Some(1.0)),
+      (8L, "u", ts("2024-01-01 11:00:00"), None: Option[Double]))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("event_id", "value")).select("asof_event_id", "asof_value").collect().head
+    assert(out.getLong(0) === 8L)
+    assert(out.isNullAt(1), s"expected NULL asof_value, got ${out.get(1)}")
+  }
+
   test("same-instant right duplicates resolve to the max tie-break row") {
     val left = Seq((1L, "u", ts("2024-01-01 10:00:00"), 0.0))
       .toDF("event_id", "user_id", "ts", "value")
@@ -73,16 +89,20 @@ class AsofJoinSpec extends SparkSuite {
   test("property: union-tag equals the naive range join on random keyed series") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // small key/time domains force heavy collisions: same-instant matches,
-    // multiple rights per left, keys with no rights at all
+    // multiple rights per left, keys with no rights at all; ~1/4 of right
+    // payload values are NULL so row-atomic attach (a matched row's NULL must
+    // not be papered over by a stale earlier value) is exercised too
     val genSide = Gen.listOfN(25, for {
-      key <- Gen.choose(0, 3); t <- Gen.choose(0, 9); v <- Gen.choose(0, 99)
+      key <- Gen.choose(0, 3); t <- Gen.choose(0, 9)
+      v <- Gen.frequency(3 -> Gen.choose(0, 99).map(x => Some(x): Option[Int]),
+        1 -> Gen.const(None: Option[Int]))
     } yield (key, t, v))
     val p = Prop.forAll(genSide, genSide) { (l, r) =>
       val left = l.zipWithIndex
-        .map { case ((k, t, v), i) => (i.toLong, k, t.toLong, v.toDouble) }
+        .map { case ((k, t, v), i) => (i.toLong, k, t.toLong, v.map(_.toDouble)) }
         .toDF("event_id", "user_id", "ts", "value")
       val right = r.zipWithIndex
-        .map { case ((k, t, v), i) => (1000L + i, k, t.toLong, v.toDouble) }
+        .map { case ((k, t, v), i) => (1000L + i, k, t.toLong, v.map(_.toDouble)) }
         .toDF("event_id", "user_id", "ts", "value")
       val fast = AsofJoin.asofJoin(left, right, Seq("user_id"), "ts", "ts",
           Seq("event_id", "value"), tieBreak = Some("event_id"))

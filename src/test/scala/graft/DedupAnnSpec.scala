@@ -296,4 +296,48 @@ class DedupAnnSpec extends SparkSuite {
     assert(matched > 0)
     assert(rows.count(_.getLong(2) === 2L) === matched)
   }
+
+  test("LSH bucket guard: a 5K-doc template cluster stays sub-quadratic, every doc participates") {
+    // Worst-case hot bucket: 5000 docs with IDENTICAL text — every doc lands
+    // in the same (band, band_hash) bucket in all 16 bands. Unguarded, the
+    // candidate self-join would emit 16 × C(5000,2) ≈ 200M pre-distinct rows;
+    // the sub-partition guard bounds it to ~n·maxBucket per band.
+    val n = 5000L
+    val maxBucket = 100
+    val cluster = spark.range(n).select(
+      (col("id") + 100000L).as("doc_id"),
+      lit("the same boilerplate template text repeated across every shard of the corpus")
+        .as("text"))
+    val pairs = Dedup.minhashLsh(cluster, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, maxBucket = maxBucket)
+      .select("id_a", "id_b").cache()
+    val cnt = pairs.count()
+    // sub-quadratic bound: Σ_sub C(size,2) ≤ n · maxBucket ≪ C(n,2) = 12.5M
+    assert(cnt > 0 && cnt <= n * maxBucket,
+      s"pair count $cnt outside (0, ${n * maxBucket}] — guard not bounding the bucket")
+    // sub-partitioning (unlike cap-and-drop) keeps every doc in play
+    val participants = pairs.select(explode(array(col("id_a"), col("id_b")))).distinct().count()
+    assert(participants == n, s"only $participants of $n docs appear in a pair")
+    pairs.unpersist()
+    // same guard on the simhash banding path
+    val sh = Dedup.simhashPairs(cluster, "doc_id", "text", maxHamming = 3,
+      maxBucket = maxBucket).cache()
+    val shCnt = sh.count()
+    assert(shCnt > 0 && shCnt <= n * maxBucket,
+      s"simhash pair count $shCnt outside (0, ${n * maxBucket}]")
+    assert(sh.filter(col("hamming") =!= 0).isEmpty) // identical docs: hamming 0
+    sh.unpersist()
+  }
+
+  test("LSH bucket guard is a no-op below maxBucket: pairs identical with and without headroom") {
+    val mutated = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" tiny suffix")).as("text"))
+    val all = docs.unionByName(mutated)
+    val guarded = Dedup.minhashLsh(all, "doc_id", "text", maxBucket = 1024)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val loose = Dedup.minhashLsh(all, "doc_id", "text", maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == loose)
+  }
 }

@@ -137,4 +137,46 @@ class SyncPipelineSpec extends SparkSuite {
     val out = MergeInto.merge(target, source, Seq("k"), Some("seq"), Seq(col("v")))
     assert(out.count() == 1 && out.select("v").as[String].head() == "s2")
   }
+
+  test("withRetry: run-level retry-with-backoff; a crashed partial sync re-applied converges") {
+    // reference retry_on_timeout(max_retries=3, delay): N-1 sleeps then success
+    val slept = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val got = SyncPipeline.withRetry(maxAttempts = 3, delayMs = 10L, sleep = slept.+=(_)) { () =>
+      calls += 1
+      if (calls < 3) sys.error(s"transient failure $calls")
+      "ok"
+    }
+    assert(got == "ok" && calls == 3 && slept.toSeq == Seq(10L, 10L))
+    // exhausted attempts rethrow the last failure, after maxAttempts-1 sleeps
+    slept.clear()
+    val ex = intercept[RuntimeException] {
+      SyncPipeline.withRetry(maxAttempts = 2, delayMs = 5L, sleep = slept.+=(_)) { () =>
+        sys.error("permanent")
+      }
+    }
+    assert(ex.getMessage == "permanent" && slept.toSeq == Seq(5L))
+
+    // failure injection mid-sync: attempt 1 commits the merge, then dies
+    // before reporting; the retried whole run must converge to exactly the
+    // single-run output (merge-upsert idempotence), not double-apply
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("d", col("ts").cast("date"))
+    val crashy = tmpDir() + "/retry_fact"
+    var attempts = 0
+    val res = SyncPipeline.withRetry(maxAttempts = 3, delayMs = 0L, sleep = _ => ()) { () =>
+      attempts += 1
+      val r = SyncPipeline.incrementalSync(spark, ev, crashy, Seq("event_id", "d"), "d",
+        "2024-01-01", "2024-01-07", "ev_sync")
+      if (attempts == 1) sys.error("died after commit, before tracker delivery")
+      r
+    }
+    val clean = tmpDir() + "/retry_fact_clean"
+    val single = SyncPipeline.incrementalSync(spark, ev, clean, Seq("event_id", "d"), "d",
+      "2024-01-01", "2024-01-07", "ev_sync")
+    assert(attempts == 2 && res.rowsSynced == single.rowsSynced)
+    val a = spark.read.parquet(crashy).select("event_id").as[Long].collect().toSet
+    val b = spark.read.parquet(clean).select("event_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
