@@ -124,6 +124,33 @@ object AggQueries extends QueryModule {
           (abs(col("ap") - col("exact_p50")) <= abs(col("exact_p50")) * lit(0.01))
             .as("within_tol"))),
 
+    // X7: distribution-drift detection (PSI) between two periods — the
+    // monitoring op a pipeline runs before trusting an incremental batch:
+    // fixed-width buckets, Laplace-smoothed rates, population stability
+    // index Σ (p−q)·ln(p/q). One scan + one 10-row window; bucket counts
+    // are exact cross-engine, psi is rounded to 6 dp (ln is not
+    // IEEE-correctly-rounded, engines may differ in the last ulp) and the
+    // drift verdict thresholds at the conventional 0.2.
+    "x7_drift_psi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val buckets = Tables.orders(s, dir)
+        .withColumn("yr", year(col("o_orderdate").cast("date")))
+        .filter(col("yr").isin(1996, 1997))
+        .withColumn("bucket",
+          least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("n_curr"))
+      val w = Window.partitionBy(lit(1))
+      val p = (col("n_base") + 1).cast("double") / sum((col("n_base") + 1).cast("double")).over(w)
+      val q = (col("n_curr") + 1).cast("double") / sum((col("n_curr") + 1).cast("double")).over(w)
+      buckets
+        .withColumn("psi", round(sum((p - q) * log(p / q)).over(w), 6))
+        .select(col("bucket"), col("n_base"), col("n_curr"), col("psi"),
+          (col("psi") > 0.2).as("drift_detected"))
+    }),
+
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -296,6 +323,26 @@ object AggQueries extends QueryModule {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
         |COUNT(*) AS cnt, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "x7_drift_psi" ->
+      """WITH b AS (
+        |  SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+        |         EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS yr
+        |  FROM orders
+        |  WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)),
+        |c AS (SELECT bucket,
+        |  CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |  CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+        |  FROM b GROUP BY bucket),
+        |t AS (SELECT CAST(SUM(n_base + 1) AS DOUBLE) AS tb,
+        |             CAST(SUM(n_curr + 1) AS DOUBLE) AS tc FROM c)
+        |SELECT bucket, n_base, n_curr,
+        |  round(SUM((CAST(n_base + 1 AS DOUBLE) / tb - CAST(n_curr + 1 AS DOUBLE) / tc)
+        |    * ln((CAST(n_base + 1 AS DOUBLE) / tb) / (CAST(n_curr + 1 AS DOUBLE) / tc)))
+        |    OVER (), 6) AS psi,
+        |  round(SUM((CAST(n_base + 1 AS DOUBLE) / tb - CAST(n_curr + 1 AS DOUBLE) / tc)
+        |    * ln((CAST(n_base + 1 AS DOUBLE) / tb) / (CAST(n_curr + 1 AS DOUBLE) / tc)))
+        |    OVER (), 6) > 0.2 AS drift_detected
+        |FROM c CROSS JOIN t""".stripMargin,
     "a2_conditional_agg" ->
       """SELECT l_suppkey AS user_id,
         |CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2))

@@ -390,6 +390,24 @@ object LlmQueries extends QueryModule {
           .as("chars_saved"))
     }),
 
+    // tx13: control-character stripping — the first pass of every corpus
+    // cleaner (C0 controls except \t\n\r, plus DEL, are tokenizer poison
+    // and break downstream line protocols). Scan-speed regexp_replace with
+    // an explicit hex class (portable across Java regex and RE2). The
+    // corpus is clean, so contamination is injected deterministically —
+    // both engines construct and strip the same bytes.
+    "tx13_control_strip" -> ((s, dir) => {
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("\u0001\u0002"), col("text"), lit("\u0000end\u007F")))
+          .when(pmod(col("doc_id"), lit(4)) === 1,
+            concat(col("text"), lit("\u000Bmid\u001Ftail")))
+          .otherwise(col("text")).as("raw"))
+      val clean = TextOps.stripControls(col("raw"))
+      aug.select(col("doc_id"), clean.as("text_clean"),
+        (length(col("raw")) - length(clean)).cast("long").as("n_ctrl"))
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -777,6 +795,15 @@ object LlmQueries extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "tx13_control_strip" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) || text || chr(0) || 'end' || chr(127)
+        |       WHEN doc_id % 4 = 1 THEN text || chr(11) || 'mid' || chr(31) || 'tail'
+        |       ELSE text END AS raw FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS text_clean,
+        |  CAST(length(raw) - length(regexp_replace(raw, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_ctrl
+        |FROM aug""".stripMargin,
     "tx12_nfc_normalize" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN text || ' caf' || chr(101) || chr(769)

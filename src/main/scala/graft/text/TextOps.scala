@@ -234,4 +234,12 @@ object TextOps {
   /** Count of PII hits before redaction (audit metric). */
   def piiCount(text: Column): Column =
     (size(split(text, EmailRe, -1)) - 1 + (size(split(text, PhoneRe, -1)) - 1)).cast("long")
+
+  /** Strip C0 control characters (except \t \n \r) and DEL — the first pass
+    * of every corpus cleaner. Explicit hex class (not \p{Cntrl}, whose
+    * membership varies by engine) so Java regex and RE2 strip identical
+    * bytes.
+    */
+  def stripControls(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 }

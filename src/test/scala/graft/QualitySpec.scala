@@ -84,6 +84,18 @@ class QualitySpec extends SparkSuite {
     assert(top.toString == "2024-03-01")
   }
 
+  test("stripControls removes C0+DEL but keeps tab/newline/CR and printable text") {
+    val df = Seq(
+      ("a\u0001b\u0000c", "abc"),                   // SOH + NUL stripped
+      ("keep\tthis\nand\rthat", "keep\tthis\nand\rthat"), // allowed whitespace survives
+      ("vt\u000Bff\u000Cdel\u007F", "vtffdel"),     // VT, FF, DEL stripped
+      ("plain text!", "plain text!"))
+      .toDF("raw", "expected")
+    val out = df.select(graft.text.TextOps.stripControls(col("raw")).as("got"),
+      col("expected")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("dq3 corpus report: one row per source, internally consistent counts") {
     val docs = sf("documents")
     val out = graft.text.TextOps.gopherFlags(docs, "text")
