@@ -183,16 +183,24 @@ object Pq {
     * plays for cosine. Block-scoped, so cost is Σ_blocks n_b², never global
     * n²; run it on a sampled query set when blocks are large.
     */
-  def exactL2TopK(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
+  def exactL2TopK(emb: DataFrame, blockCol: String, k: Int, fanout: Int = 16): DataFrame = {
+    // A bare join on `block` parallelizes only to the number of blocks (IVF
+    // lists are few by design — profiled: the whole distance compute landed
+    // on ONE task). Salt-replicate instead: queries carry salt =
+    // query_id mod fanout, neighbors are replicated once per salt, the join
+    // keys on (block, salt) — fanout× parallelism, every (q, n) pair formed
+    // exactly once, result set unchanged.
     val q = emb.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
       quantize(col("embedding")).as("__qe"))
+      .withColumn("__salt", pmod(col("query_id"), lit(fanout.toLong)))
     val n = emb.select(col("vec_id").as("neighbor_id"), col(blockCol).as("block"),
       quantize(col("embedding")).as("__ne"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(fanout.toLong - 1))))
     val d2 = aggregate(
       zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
-    q.join(n, Seq("block")).filter(col("query_id") =!= col("neighbor_id"))
+    q.join(n, Seq("block", "__salt")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
