@@ -94,6 +94,37 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
+    // st11: streaming tumbling-window aggregation WITH WATERMARK in append
+    // mode — the semantics every streaming metric pipeline runs on: a
+    // window emits exactly once, when the watermark (max event time − 2
+    // days) passes its end; trailing windows stay in state. The oracle is
+    // the batch window agg filtered by the SAME finalization predicate, so
+    // the row proves the emission rule, not just the arithmetic. State is
+    // bounded by the watermark horizon — the scale story vs an ever-growing
+    // running agg.
+    "st11_stream_windowed_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_st11").toString
+      // watermarks require TIMESTAMP_LTZ; the session runs UTC so the
+      // ntz→ltz cast (and the ntz cast back on output) is instant-preserving
+      Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      s.readStream.schema(schema).parquet(s"$base/src")
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.ops.Exact.sum2(col("value")).as("sum_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
     // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
     // (the scale path - fastest codegen'd hash), which no other engine
@@ -919,6 +950,19 @@ object LlmQueries extends QueryModule {
          |UNION ALL
          |SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 5 = 0)
          |SELECT DISTINCT md5(array_to_string($TOKS, ' ')) AS fingerprint FROM all_docs""".stripMargin,
+    // st11: batch windows restricted to the ones streaming finalizes —
+    // window_end <= watermark, where the terminal watermark is
+    // max(ts) − 2 days (AvailableNow's trailing no-data batch advances the
+    // watermark once more, emitting every window it passes).
+    "st11_stream_windowed_agg" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events)
+        |SELECT date_trunc('day', ts) AS win_start, event_type,
+        |COUNT(*) AS cnt,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN mx
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+        |GROUP BY 1, 2""".stripMargin,
+
     // st9: the micro-batch Gopher gate must equal the batch gate — same
     // GOPHER_BASE CTEs as tx6, filtered to the pass set.
     "st9_stream_gopher_gate" ->

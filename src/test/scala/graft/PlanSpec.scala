@@ -116,4 +116,27 @@ class PlanSpec extends SparkSuite {
     assert("HashAggregate".r.findAllIn(portable).length >= 2,
       "portable minhash must partial-aggregate map-side")
   }
+
+  test("a19 grouping sets: one Expand over one scan, not three group-bys") {
+    val p = plan(graft.queries.AggQueries.defs("a19_grouping_sets")(spark, dir))
+    assert("Expand".r.findAllIn(p).length == 1, s"expected exactly one Expand:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"grouping sets must not rescan the fact:\n$p")
+  }
+
+  test("x5 HLL sketches: partial sketch agg map-side; quarter re-agg never rescans the fact") {
+    val p = plan(graft.queries.AggQueries.defs("x5_sketch_distinct")(spark, dir))
+    // sketch leg + exact COUNT(DISTINCT) gate leg each scan once; the
+    // month→quarter UNION re-aggregation must come from the sketch column,
+    // not a third scan
+    assert("Scan parquet".r.findAllIn(p).length <= 2, s"quarter rollup rescanned the fact:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"HLL sketch agg must run partial then merge:\n$p")
+  }
+
+  test("ann6 recall: every join is equi (no cartesian / nested-loop)") {
+    val p = plan(graft.queries.LlmQueries.defs("ann6_recall")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"recall measurement must stay equi-join only:\n$p")
+  }
 }
