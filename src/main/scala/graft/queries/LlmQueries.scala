@@ -125,6 +125,77 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
+    // st12: stream-stream inner join with event-time range — attribution
+    // (purchase ← clicks by the same user in the preceding hour) as both
+    // sides flow. Watermarks on BOTH streams plus the time-range bound the
+    // join state to the horizon (the property that makes stream-stream
+    // joins feasible at all at scale); inner join + AvailableNow emits the
+    // complete match set, so the batch join is the exact oracle.
+    "st12_stream_stream_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_st12").toString
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      def src = s.readStream.schema(schema).parquet(s"$base/src")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 day")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+      purchases.join(clicks,
+          col("user_id") === col("click_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+            .as("secs_after_click"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
+    // st13: custom streaming state (flatMapGroupsWithState) as a driver
+    // row — the sync-tracker state machine runs over a real file stream and
+    // emits one tracker row per sync id. AvailableNow on a single source
+    // directory processes all files in ONE micro-batch, so the emitted
+    // state (rows summed, batches=1, failure count, status) is
+    // deterministic and the batch aggregate is the exact oracle; the
+    // multi-batch increment path is property-tested in StreamingSpec with
+    // MemoryStream.
+    "st13_stream_tracker_state" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_st13").toString
+      Tables.events(s, dir)
+        .select(concat(lit("sync"), pmod(col("user_id"), lit(5L))).as("sync_id"),
+          pmod(col("user_id"), lit(97L)).as("rows"),
+          (col("event_type") === "error").as("failed"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      val events = s.readStream.schema(schema).parquet(s"$base/src")
+        .as[graft.streaming.Streaming.TrackerEvent]
+      // update-mode operator → parquet via foreachBatch (FileSink is
+      // append-only); each micro-batch appends its refreshed tracker rows
+      graft.streaming.Streaming.trackerState(events)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
+            b.write.mode("append").parquet(s"$base/out")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
     // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
     // (the scale path - fastest codegen'd hash), which no other engine
@@ -962,6 +1033,27 @@ object LlmQueries extends QueryModule {
         |FROM events CROSS JOIN mx
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
         |GROUP BY 1, 2""".stripMargin,
+
+    // st12: inner stream-stream join + AvailableNow emits the complete
+    // match set — the plain batch join IS the oracle (second-level diff via
+    // boundary counting matches unix_timestamp truncation).
+    "st12_stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_after_click
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // st13: single AvailableNow batch → final state per sync id equals the
+    // batch aggregate (batches=1); status FAILED iff any failure seen.
+    "st13_stream_tracker_state" ->
+      """SELECT 'sync' || CAST(user_id % 5 AS VARCHAR) AS sync_id,
+        |CAST(SUM(user_id % 97) AS BIGINT) AS rows_processed,
+        |CAST(1 AS BIGINT) AS batches,
+        |CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS failures,
+        |CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error') > 0
+        |     THEN 'FAILED' ELSE 'PROCESSING' END AS status
+        |FROM events GROUP BY user_id % 5""".stripMargin,
 
     // st9: the micro-batch Gopher gate must equal the batch gate — same
     // GOPHER_BASE CTEs as tx6, filtered to the pass set.
