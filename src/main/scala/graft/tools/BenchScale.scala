@@ -129,8 +129,10 @@ object BenchScale {
     }
     val headlineAt: Seq[(Int, Seq[(String, Double)])] =
       dirs.map { case (n, d) => (n, measure(spark, d, headline)) }
-    val llm1 = measure(spark, srcDir, llm)
-    val llm10 = measure(spark, dirs(1)._2, llm)
+    val llmAt: Seq[(Int, Seq[(String, Double)])] =
+      dirs.map { case (n, d) => (n, measure(spark, d, llm)) }
+    val llm1 = llmAt.head._2
+    val llm10 = llmAt(1)._2
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def ratios(a: Seq[(String, Double)], b: Seq[(String, Double)]) =
       a.map { case (n, v) => n -> b.toMap.apply(n) / v }
@@ -139,12 +141,15 @@ object BenchScale {
     val at1 = headlineAt.head._2; val at10 = headlineAt(1)._2
     val c1 = at1.map(_._2).sum; val c10 = at10.map(_._2).sum
     val l1 = llm1.map(_._2).sum; val l10 = llm10.map(_._2).sum
-    val curve = headlineAt.map { case (n, xs) =>
-      s""""${n}":{"composite":${f3(xs.map(_._2).sum)},"queries":${obj(xs)},""" +
-        s""""ratio_vs_1x":${f3(xs.map(_._2).sum / c1)}}"""
-    }.mkString("{", ",", "}")
+    def curveOf(at: Seq[(Int, Seq[(String, Double)])], base: Double) =
+      at.map { case (n, xs) =>
+        s""""${n}":{"composite":${f3(xs.map(_._2).sum)},"queries":${obj(xs)},""" +
+          s""""ratio_vs_1x":${f3(xs.map(_._2).sum / base)}}"""
+      }.mkString("{", ",", "}")
+    val curve = curveOf(headlineAt, headlineAt.head._2.map(_._2).sum)
+    val llmCurve = curveOf(llmAt, llmAt.head._2.map(_._2).sum)
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
-      s""""unit":"x","copies":${points.head},"points":$curve,""" +
+      s""""unit":"x","copies":${points.head},"points":$curve,"llm_points":$llmCurve,""" +
       s""""composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
       s""""sf1":${obj(at1)},"sf10":${obj(at10)},"ratio":${obj(ratios(at1, at10))},""" +
       s""""llm_composite_sf1":${f3(l1)},"llm_composite_sf10":${f3(l10)},""" +
