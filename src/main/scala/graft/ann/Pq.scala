@@ -149,6 +149,79 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Learned coarse quantizer — true IVF (Jégou et al. 2011 §III): `nlist`
+    * centroids over the FULL vector. [[train]] with `m = 1, k = nlist` IS
+    * that trainer (one subspace spanning the whole dimension), so the
+    * sample selection, integer Lloyd arithmetic, tie rules, and the DuckDB
+    * oracle replay are all shared with the codebook path.
+    */
+  def coarseTrain(emb: DataFrame, nlist: Int, iters: Int = 2,
+      sampleRate: Double = 0.5, maxSample: Int = 4096): Array[Array[Long]] =
+    train(emb, m = 1, k = nlist, iters = iters, sampleRate = sampleRate,
+      maxSample = maxSample).codebooks(0)
+
+  /** nlist sized to the corpus (clamped): per-list depth targets
+    * ~`targetList` vectors. This is the property that keeps a self-search
+    * workload ~linear in corpus size — under a FIXED block column
+    * (ann4's `label`), per-block depth grows with the corpus and the
+    * scored-pair count grows quadratically (measured: ann4 4.0 s at 10x →
+    * 46.3 s at 30x on the scale curve); with nlist ∝ corpus, the pair
+    * count per query stays ~`targetList · nprobe` at any scale.
+    */
+  def adaptiveNlist(n: Long, targetList: Int = 32, maxNlist: Int = 1024): Int =
+    math.min(maxNlist.toLong, math.max(16L, (n + targetList - 1) / targetList)).toInt
+
+  /** Top-`nprobe` coarse lists, nearest first, as ONE native fused loop
+    * per row ([[graft.functions.CoarseProbes]]) — O(nlist·nprobe)
+    * selection inside whole-stage codegen, ties to the smaller list id.
+    */
+  private def probeColumn(emb: Column, cents: Array[Array[Long]], nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.CoarseProbes(
+      ColumnBridge.expression(emb), cents.length, cents.head.length, nprobe,
+      cents.flatten.toIndexedSeq))
+  }
+
+  /** ann7: IVF+PQ with the LEARNED coarse quantizer and multi-probe
+    * search. Corpus vectors store their single home list (nearest
+    * centroid) beside the m codes; a query probes its `nprobe` nearest
+    * lists (recovering the recall a learned partition loses at list
+    * boundaries) and ranks candidates by integer ADC exactly like
+    * [[ivfPqTopK]]. A neighbor lives in exactly one list, so probed
+    * candidate sets are disjoint and no pair is scored twice.
+    *
+    * Scale shape: the join carries codes + a home-list int on the corpus
+    * side and the LUT on the (nprobe-replicated) query side — never raw
+    * vectors — and with [[adaptiveNlist]] the per-query candidate count is
+    * ~targetList·nprobe regardless of corpus size.
+    */
+  def ivfPqTopKLearned(emb: DataFrame, k: Int, model: PqModel,
+      cents: Array[Array[Long]], nprobe: Int = 2): DataFrame = {
+    val base = spreadIfStarved(emb.select(col("vec_id"), col("embedding")))
+    val codeCols = (0 until model.m).map { mi =>
+      val d = slice(col("__lut"), mi * model.k + 1, model.k)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
+    }
+    val corpus = base
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+      .withColumn("__home", probeColumn(col("embedding"), cents, 1))
+      .select((col("vec_id").as("neighbor_id") +:
+        element_at(col("__home"), 1).as("block") +: codeCols): _*)
+    val queries = base
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+      .withColumn("__probes", probeColumn(col("embedding"), cents, nprobe))
+      .select(col("vec_id").as("query_id"), explode(col("__probes")).as("block"),
+        col("__lut"))
+    val adc = (0 until model.m)
+      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
+      .reduce(_ + _)
+    val scored = queries.join(corpus, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ann5: two-stage retrieval — the standard production ANN shape (Jégou
     * et al. 2011 §V: ADC shortlist, exact re-rank). Stage 1 ranks by
     * compressed-code ADC ([[ivfPqTopK]] with `shortlist` ≫ `k`); stage 2

@@ -322,6 +322,25 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann7: TRUE IVF — the coarse quantizer is LEARNED (nlist k-means
+    // centroids over the full vector, nlist sized to the corpus by
+    // Pq.adaptiveNlist) instead of borrowing the fixed-cardinality `label`
+    // column. This is the 100 TB shape: with nlist ∝ corpus size, per-list
+    // depth (and so a self-search's scored-pair count) stays bounded, where
+    // a fixed block column degrades quadratically — the scale curve
+    // measured ann4 at 4.0 s @10x → 46.3 s @30x for exactly this reason.
+    // Multi-probe (nprobe = 2) recovers the recall a learned partition
+    // loses at list boundaries. Fully oracled: DuckDB replays coarse
+    // training, home-list assignment, probing, and ADC ranking.
+    "ann7_ivf_learned" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
+      val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      graft.ann.Pq.ivfPqTopKLearned(emb, k = 3, model, coarse, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
     // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
     // in the same block — the measurement every ANN deployment ships beside
     // the index (is the compression hurting retrieval?). Per-query hit
@@ -770,54 +789,78 @@ object LlmQueries extends QueryModule {
     * argmin ties). Cross-validated against an independent reference
     * implementation before registration.
     */
-  private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false): String = {
+  private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
+      learned: Option[(Int, Int)] = None): String = {
     // MAXS mirrors Pq.train's maxSample count cap (the rate filter alone
     // would make the driver collect O(corpus); the oracle replays the same
     // orderBy(h, vec_id).limit cap so the selected sample is identical).
     val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val RATE = "0.5"; val MAXS = 4096
     val hash = "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
       " / 1152921504606846976.0)"
-    def dist(vec: String, cent: String, mi: Int): String = {
-      val lo = mi * SUB
-      s"list_sum(list_transform(range(1, ${SUB + 1}), " +
+    def dist(vec: String, cent: String, lo: Int, width: Int): String =
+      s"list_sum(list_transform(range(1, ${width + 1}), " +
         s"i -> ($vec[$lo + i] - $cent[i]) * ($vec[$lo + i] - $cent[i])))"
-    }
     val ctes = scala.collection.mutable.ArrayBuffer[String](
       "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
         "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
       s"samp AS (SELECT vec_id, e, h FROM (SELECT vec_id, e, $hash AS h FROM e " +
         s"WHERE $hash < $RATE) QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $MAXS)")
-    (0 until M).foreach { mi =>
-      val lo = mi * SUB
-      ctes += s"s${mi}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
-        s"e[${lo + 1}:${lo + SUB}] AS c FROM samp " +
-        s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $K)"
+    // One Lloyd-trained codebook (Pq.train's per-subspace loop): `kk` seeds
+    // from the ordered sample, ITERS rounds of assign (ties to smaller j) +
+    // floor(sum/count) update, empty clusters keep their centroid. Shared
+    // verbatim between the m subspace codebooks and the learned coarse
+    // quantizer (which is the same trainer at lo=0, width=dim, kk=nlist).
+    def codebookCtes(tag: String, lo: Int, width: Int, kk: Int): Unit = {
+      ctes += s"s${tag}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
+        s"e[${lo + 1}:${lo + width}] AS c FROM samp " +
+        s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $kk)"
       (1 to ITERS).foreach { t =>
-        ctes += s"a${mi}t$t AS (SELECT vec_id, s, j FROM (" +
-          s"SELECT sa.vec_id AS vec_id, sa.e[${lo + 1}:${lo + SUB}] AS s, c.j AS j, " +
-          s"${dist("sa.e", "c.c", mi)} AS d FROM samp sa CROSS JOIN s${mi}i${t - 1} c) " +
+        ctes += s"a${tag}t$t AS (SELECT vec_id, s, j FROM (" +
+          s"SELECT sa.vec_id AS vec_id, sa.e[${lo + 1}:${lo + width}] AS s, c.j AS j, " +
+          s"${dist("sa.e", "c.c", lo, width)} AS d FROM samp sa CROSS JOIN s${tag}i${t - 1} c) " +
           "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) = 1)"
-        ctes += s"u${mi}t$t AS (SELECT j, list(cv ORDER BY i) AS c FROM (" +
+        ctes += s"u${tag}t$t AS (SELECT j, list(cv ORDER BY i) AS c FROM (" +
           "SELECT j, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv " +
-          s"FROM (SELECT j, unnest(s) AS v, unnest(range(1, ${SUB + 1})) AS i FROM a${mi}t$t) " +
+          s"FROM (SELECT j, unnest(s) AS v, unnest(range(1, ${width + 1})) AS i FROM a${tag}t$t) " +
           "GROUP BY j, i) GROUP BY j)"
-        ctes += s"s${mi}i$t AS (SELECT p.j, COALESCE(u.c, p.c) AS c FROM s${mi}i${t - 1} p " +
-          s"LEFT JOIN u${mi}t$t u ON p.j = u.j)"
+        ctes += s"s${tag}i$t AS (SELECT p.j, COALESCE(u.c, p.c) AS c FROM s${tag}i${t - 1} p " +
+          s"LEFT JOIN u${tag}t$t u ON p.j = u.j)"
       }
-      ctes += s"cm$mi AS (SELECT list(c ORDER BY j) AS cs FROM s${mi}i$ITERS)"
+      ctes += s"cm$tag AS (SELECT list(c ORDER BY j) AS cs FROM s${tag}i$ITERS)"
     }
-    val crossj = (0 until M).map(mi => s"CROSS JOIN cm$mi").mkString(" ")
-    def dlist(mi: Int) = s"list_transform(cm$mi.cs, cc -> ${dist("e.e", "cc", mi)})"
+    (0 until M).foreach(mi => codebookCtes(mi.toString, mi * SUB, SUB, K))
+    learned.foreach { case (nl, _) => codebookCtes("c", 0, M * SUB, nl) }
+    val crossj = (learned.map(_ => "CROSS JOIN cmc").toSeq ++
+      (0 until M).map(mi => s"CROSS JOIN cm$mi")).mkString(" ")
+    def dlist(mi: Int) = s"list_transform(cm$mi.cs, cc -> ${dist("e.e", "cc", mi * SUB, SUB)})"
     val codes = (0 until M)
       .map(mi => s"(list_position(${dlist(mi)}, list_min(${dlist(mi)})) - 1) AS c$mi")
       .mkString(", ")
-    ctes += s"enc AS (SELECT e.vec_id, e.label, $codes FROM e $crossj)"
     val ds = (0 until M).map(mi => s"${dlist(mi)} AS d$mi").mkString(", ")
-    ctes += s"q AS (SELECT e.vec_id, e.label, $ds FROM e $crossj)"
     val adc = (0 until M).map(mi => s"q.d$mi[n.c$mi + 1]").mkString(" + ")
-    ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
-      s"q.label AS block, CAST($adc AS BIGINT) AS adc " +
-      "FROM q JOIN enc n ON q.label = n.label AND q.vec_id <> n.vec_id)"
+    learned match {
+      case Some((nl, np)) =>
+        // ann7: home list = argmin coarse distance (first-minimum tie, the
+        // trainer's rule); a query probes its np nearest lists by (d, id).
+        val dc = s"list_transform(cmc.cs, cc -> ${dist("e.e", "cc", 0, M * SUB)})"
+        ctes += s"enc AS (SELECT e.vec_id, " +
+          s"CAST(list_position($dc, list_min($dc)) - 1 AS INTEGER) AS block, " +
+          s"$codes FROM e $crossj)"
+        ctes += s"qd AS (SELECT e.vec_id, $dc AS dc, $ds FROM e $crossj)"
+        ctes += s"qp AS (SELECT vec_id, block FROM (SELECT vec_id, unnest(dc) AS d, " +
+          s"CAST(unnest(range(0, $nl)) AS INTEGER) AS block FROM qd) " +
+          s"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, block) <= $np)"
+        ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+          s"p.block AS block, CAST($adc AS BIGINT) AS adc " +
+          "FROM qp p JOIN qd q ON p.vec_id = q.vec_id " +
+          "JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id)"
+      case None =>
+        ctes += s"enc AS (SELECT e.vec_id, e.label, $codes FROM e $crossj)"
+        ctes += s"q AS (SELECT e.vec_id, e.label, $ds FROM e $crossj)"
+        ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+          s"q.label AS block, CAST($adc AS BIGINT) AS adc " +
+          "FROM q JOIN enc n ON q.label = n.label AND q.vec_id <> n.vec_id)"
+    }
     if (recall) {
       // ann6: ADC top-k vs the exact integer-L2 top-k on the same `e`
       // vectors within the block; per-query hit count and recall fraction.
@@ -860,6 +903,10 @@ object LlmQueries extends QueryModule {
   private val ANN4_ORACLE: String = pqOracle(3, None)
   private val ANN5_ORACLE: String = pqOracle(10, Some(3))
   private val ANN6_ORACLE: String = pqOracle(3, None, recall = true)
+  // nlist pinned to adaptiveNlist(500) = 16, the sf0.01 correctness corpus
+  // the driver runs the oracle on; the Scala side computes it from the
+  // corpus count at runtime (the scale-adaptive property under test).
+  private val ANN7_ORACLE: String = pqOracle(3, None, learned = Some((16, 2)))
 
   /** dd6/dd7 shared oracle CTEs: mutated corpus, candidate pairs, Jaccard
     * scoring, and the recursive connected-component reachability — everything
@@ -887,6 +934,7 @@ object LlmQueries extends QueryModule {
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
     "ann5_pq_rerank_topk" -> ANN5_ORACLE,
     "ann6_recall" -> ANN6_ORACLE,
+    "ann7_ivf_learned" -> ANN7_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),

@@ -39,9 +39,15 @@ object BenchScale {
     * so the as-of window sees 10x-longer per-user histories — the realistic
     * growth axis for a time-series lookup.
     */
+  /** ann4 vs ann7 is the curve's own A/B: ann4 blocks on the fixed `label`
+    * column (per-block depth grows with the corpus → scored pairs grow
+    * quadratically — measured 4.0 s @10x → 46.3 s @30x), ann7's learned
+    * coarse quantizer grows nlist with the corpus so per-list depth (and
+    * the pair count) stays bounded.
+    */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "tx3b_bpe_tokens",
-    "tx7b_ngram_repetition", "ann4_ivfpq_topk", "tx9_decontaminate",
-    "tx10_line_dedup", "j15_asof_join")
+    "tx7b_ngram_repetition", "ann4_ivfpq_topk", "ann7_ivf_learned",
+    "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")

@@ -99,6 +99,70 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("adaptiveNlist pins the oracle contract and clamps at both ends") {
+    // the ann7 DuckDB oracle hardcodes nlist = 16 for the sf0.01 corpus
+    // (500 vectors); this pin is what keeps the two sides in lockstep
+    assert(Pq.adaptiveNlist(500) === 16)
+    assert(Pq.adaptiveNlist(1) === 16) // floor
+    assert(Pq.adaptiveNlist(2000) === 63)
+    assert(Pq.adaptiveNlist(1000000) === 1024) // cap
+  }
+
+  test("CoarseProbes equals a naive recompute and orders probes by (d, id)") {
+    val cents = Pq.coarseTrain(emb, nlist = 16)
+    val nlist = cents.length
+    val dim = cents.head.length
+    val rows = emb.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.CoarseProbes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          nlist, dim, 3, cents.flatten.toIndexedSeq)).as("probes"),
+        col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](2).map(v =>
+        java.math.BigDecimal.valueOf(v.toDouble * 1000000d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray
+      val d = cents.map(c => c.indices.map { t =>
+        val df = e(t) - c(t); df * df
+      }.sum)
+      val expected = d.zipWithIndex.sortBy { case (dd, i) => (dd, i) }.take(3).map(_._2)
+      assert(r.getSeq[Int](1) === expected.toSeq, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("ann7 learned IVF: planted exact duplicates are recalled via the home list") {
+    // a duplicate quantizes identically -> same home list, same codes ->
+    // the query's first probe finds it at the minimal ADC
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val nlist = Pq.adaptiveNlist(corpus.count())
+    val cents = Pq.coarseTrain(corpus, nlist)
+    val model = Pq.train(corpus, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val top = Pq.ivfPqTopKLearned(corpus, k = 3, model, cents, nprobe = 2)
+    val hits = top.filter(col("neighbor_id") === col("query_id") + 100000)
+      .select("query_id").distinct().count()
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    assert(hits.toDouble / nPlanted >= 0.8,
+      s"duplicate recall ${hits.toDouble / nPlanted} < 0.8")
+    // blocks are learned list ids, not labels; every query appears
+    val blocks = top.select("block").distinct().collect().map(_.getInt(0))
+    assert(blocks.forall(b => b >= 0 && b < nlist))
+    assert(top.select("query_id").distinct().count() === corpus.count())
+  }
+
+  test("ann7: no pair is scored twice (a neighbor lives in exactly one list)") {
+    val nlist = Pq.adaptiveNlist(emb.count())
+    val cents = Pq.coarseTrain(emb, nlist)
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val top = Pq.ivfPqTopKLearned(emb, k = 1000000, model, cents, nprobe = 3)
+    val dups = top.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
