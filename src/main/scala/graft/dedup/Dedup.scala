@@ -347,6 +347,87 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 
+  /** dd8: exact substring duplicate spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" §4.1 ExactSubstr, adapted
+    * to fixed token windows): every k-token window whose text occurs in at
+    * least `minDocs` DISTINCT documents is duplicated, and
+    * overlapping/adjacent duplicated windows merge into maximal spans — the
+    * regions ExactSubstr would cut. Within-doc repetition is tx7's domain;
+    * this op flags cross-document verbatim reuse at word-position
+    * granularity, the step between doc-level dedup (dd1/dd2) and nothing.
+    *
+    * Output: (doc_id, span_start, span_end, span_words) — 0-based inclusive
+    * token positions of each maximal duplicated region.
+    *
+    * Scale shape: one shingle explode (k·corpus tokens), one groupBy on the
+    * shingle (map-side combine collapses per-partition repeats before the
+    * shuffle), one join of positions against the (small — boilerplate is
+    * rare relative to the corpus) duplicated-shingle set, then a per-doc
+    * window over marked positions only. At 100 TB, hash the shingle to 8
+    * bytes (xxhash64) before the groupBy — here the string key is kept so
+    * a cross-engine oracle reproduces the pipeline bit-for-bit.
+    * Merge rule: windows at positions p, q (p < q) cover contiguous text
+    * iff q - p <= k, so a gap strictly greater than k starts a new span.
+    */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(lower(col(textCol)))
+    // a doc with fewer than k tokens has no k-window (and can't carry a span)
+    val windows = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val shingled = docs
+      .select(col(idCol).as("doc_id"), posexplode(windows).as(Seq("pos", "shingle")))
+    val dup = shingled.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("shingle"))
+    val marked = shingled.join(dup, Seq("shingle")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    marked
+      .withColumn("__new", when(prev.isNull || col("pos") - prev > k, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1)).as("span_words"))
+  }
+
+  /** dd8b: the cleaned corpus — [[substringSpans]] regions excised from
+    * every document and the text rebuilt from the surviving tokens. Spans
+    * are removed from EVERY occurrence (C4-style boilerplate cut): Lee et
+    * al.'s cut-from-all-but-one needs an arbitrary global owner per
+    * region, which no two engines would pick identically; remove-everywhere
+    * is the deterministic, conservative choice. Output text is the
+    * whitespace-normalized lowercase rebuild (the working form at this
+    * pipeline stage) for every doc, span-less docs included.
+    *
+    * Scale shape: spans aggregate to one small per-doc array (broadcast-or
+    * shuffle at span cardinality, never token cardinality); the excision
+    * itself is a per-row HOF over the token array — no extra shuffle.
+    */
+  def exciseSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val spansArr = coalesce(col("__spans"),
+      array().cast("array<struct<span_start:int,span_end:int>>"))
+    val keptIdx = filter(sequence(lit(0), size(toks) - 1), i =>
+      !exists(spansArr, s =>
+        i >= s.getField("span_start") && i <= s.getField("span_end")))
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(transform(keptIdx, i => element_at(toks, i + 1)), " ")
+          .as("text_clean"),
+        (size(toks) - size(keptIdx)).as("n_removed"))
+  }
+
   /** Embedding near-dup pairs by exact cosine within a blocking key (the
     * IVF-style coarse partition; brute force within the block only).
     */

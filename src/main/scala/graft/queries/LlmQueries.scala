@@ -275,6 +275,39 @@ object LlmQueries extends QueryModule {
         .select(col("doc_id"), col("group_id"), col("group_size"))
     }),
 
+    // dd8: exact substring duplicate spans (Lee et al. 2022 ExactSubstr at
+    // k-token-window granularity) — maximal cross-document verbatim regions
+    // at word-position resolution, the step between doc-level dedup and
+    // nothing. Planted prefix-copy docs guarantee known spans on top of the
+    // corpus's organic boilerplate. Fully oracled (the shingle key stays a
+    // string for cross-engine bit-exactness; at 100 TB it would be
+    // xxhash64'd first — see Dedup.substringSpans).
+    "dd8_substring_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(
+            array_join(slice(TextOps.tokens(lower(col("text"))), 1, 16), " "),
+            lit(" planted unique tail "), col("doc_id")).as("text"))
+      Dedup.substringSpans(docs.unionByName(planted), "doc_id", "text", k = 8)
+    }),
+
+    // dd8b: the cleaned corpus — dd8's spans excised from every doc, text
+    // rebuilt from the surviving tokens (whitespace-normalized lowercase,
+    // the working form at this stage). The shippable ExactSubstr artifact,
+    // as dd7 is for dd6.
+    "dd8b_excised_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(
+            array_join(slice(TextOps.tokens(lower(col("text"))), 1, 16), " "),
+            lit(" planted unique tail "), col("doc_id")).as("text"))
+      val corpus = docs.unionByName(planted)
+      val spans = Dedup.substringSpans(corpus, "doc_id", "text", k = 8)
+      Dedup.exciseSpans(corpus, spans, "doc_id", "text")
+    }),
+
     // dd5: embedding near-dups — exact cosine within a coarse block.
     "dd5_embedding_dups" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -908,6 +941,30 @@ object LlmQueries extends QueryModule {
   // corpus count at runtime (the scale-adaptive property under test).
   private val ANN7_ORACLE: String = pqOracle(3, None, learned = Some((16, 2)))
 
+  /** dd8/dd8b shared oracle CTEs — mirrors [[graft.dedup.Dedup.substringSpans]]
+    * and the planted prefix-copy corpus: k=8 token windows with positions,
+    * windows in ≥2 distinct docs, per-doc gaps-and-islands merge (a gap
+    * strictly greater than k starts a new island).
+    */
+  private val DD8_CTES: String =
+    s"""all_docs AS (
+       |SELECT doc_id, text FROM documents
+       |UNION ALL
+       |SELECT doc_id + 300000,
+       | array_to_string(($TOKS)[1:16], ' ') || ' planted unique tail ' || CAST(doc_id AS VARCHAR)
+       |FROM documents WHERE doc_id % 13 = 0),
+       |tokd AS (SELECT doc_id, $TOKS AS toks FROM all_docs),
+       |sh AS (SELECT doc_id,
+       | CAST(unnest(range(0, greatest(len(toks) - 7, 0))) AS INTEGER) AS pos,
+       | unnest(list_transform(range(0, greatest(len(toks) - 7, 0)),
+       |  i -> array_to_string(toks[i+1:i+8], ' '))) AS shingle
+       |FROM tokd),
+       |dup AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2),
+       |m AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup USING (shingle)),
+       |lagd AS (SELECT doc_id, pos, LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       |isl AS (SELECT doc_id, pos, SUM(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+       | OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM lagd)""".stripMargin
+
   /** dd6/dd7 shared oracle CTEs: mutated corpus, candidate pairs, Jaccard
     * scoring, and the recursive connected-component reachability — everything
     * up to (and including) `reach`. Mirrors [[dd6Groups]].
@@ -1238,6 +1295,21 @@ object LlmQueries extends QueryModule {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    "dd8_substring_spans" ->
+      s"""WITH $DD8_CTES
+         |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+         | CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+         | CAST(MAX(pos) - MIN(pos) + 8 AS INTEGER) AS span_words
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "dd8b_excised_corpus" ->
+      s"""WITH $DD8_CTES,
+         |spg AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e FROM isl GROUP BY doc_id, island),
+         |spl AS (SELECT doc_id, list([s, e]) AS spans FROM spg GROUP BY doc_id),
+         |kept AS (SELECT t.doc_id, t.toks, list_filter(range(0, len(t.toks)),
+         |  i -> NOT COALESCE(len(list_filter(sp.spans, s -> i >= s[1] AND i <= s[2])) > 0, FALSE)) AS ki
+         |FROM tokd t LEFT JOIN spl sp ON t.doc_id = sp.doc_id)
+         |SELECT doc_id, array_to_string(list_transform(ki, i -> toks[i + 1]), ' ') AS text_clean,
+         | CAST(len(toks) - len(ki) AS INTEGER) AS n_removed FROM kept""".stripMargin,
     "dd2b_minhash_portable" -> {
       // seeds 2p-1 / 2p split the #p-salted digest's two 60-bit halves,
       // mirroring Dedup.minhashSignatures' portable path

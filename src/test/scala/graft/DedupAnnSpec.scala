@@ -297,6 +297,70 @@ class DedupAnnSpec extends SparkSuite {
     assert(rows.count(_.getLong(2) === 2L) === matched)
   }
 
+  test("dd8 substring spans: marks shared passages, merges overlaps, splits on gaps") {
+    val shared1 = (0 until 10).map(i => s"s$i").mkString(" ") // 10 shared words
+    val shared2 = (0 until 8).map(i => s"t$i").mkString(" ")  // exactly one k=8 window
+    val filler  = (0 until 9).map(i => s"f$i").mkString(" ")  // per-doc unique, > k gap
+    val fillerB = (0 until 9).map(i => s"g$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared1 $filler $shared2"),
+      (2L, s"$shared1 $fillerB $shared2"),
+      (3L, "totally unrelated words only here once upon a time and more pad")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", k = 8)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // windows crossing from shared1 into the fillers differ per doc, so the
+    // marked positions are 0..2 (span [0,9], 10 words) and 19 ([19,26], 8)
+    assert(out === Set(
+      (1L, 0, 9, 10), (1L, 19, 26, 8),
+      (2L, 0, 9, 10), (2L, 19, 26, 8)))
+  }
+
+  test("dd8: windows exactly k apart merge (contiguous coverage), k+1 apart split") {
+    val p1 = (0 until 8).map(i => s"p$i").mkString(" ")
+    val p2 = (0 until 8).map(i => s"q$i").mkString(" ")
+    val filler = (0 until 9).map(i => s"z$i").mkString(" ")
+    // A holds p1+p2 back-to-back; B holds them far apart in reverse order,
+    // so A's boundary-crossing windows (pos 1..7) match nothing in B
+    val df = Seq(
+      (1L, s"$p1 $p2"),
+      (2L, s"$p2 $filler $p1")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(df, "doc_id", "text", k = 8)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // A: marked 0 and 8 (gap = k) -> ONE span [0,15]; B: 0 and 17 -> two
+    assert(out === Set(
+      (1L, 0, 15, 16),
+      (2L, 0, 7, 8), (2L, 17, 24, 8)))
+  }
+
+  test("dd8b excision removes exactly the span tokens, passes clean docs through") {
+    val shared1 = (0 until 10).map(i => s"s$i").mkString(" ")
+    val shared2 = (0 until 8).map(i => s"t$i").mkString(" ")
+    val filler  = (0 until 9).map(i => s"f$i").mkString(" ")
+    val fillerB = (0 until 9).map(i => s"g$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$shared1 $filler $shared2"),
+      (2L, s"$shared1 $fillerB $shared2"),
+      (3L, "Totally  unrelated words only here once upon a time and more pad")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(df, "doc_id", "text", k = 8)
+    val out = Dedup.exciseSpans(df, spans, "doc_id", "text")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, filler, 18)))
+    assert(out(1) === ((2L, fillerB, 18)))
+    // span-less docs pass through as the normalized (lowercase, single-space)
+    // rebuild with nothing removed
+    assert(out(2) === ((3L,
+      "totally unrelated words only here once upon a time and more pad", 0)))
+  }
+
+  test("dd8: docs shorter than k windows produce no spans even when identical") {
+    val df = Seq((1L, "five words not enough here"), (2L, "five words not enough here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpans(df, "doc_id", "text", k = 8).isEmpty)
+  }
+
   test("LSH bucket guard: a 5K-doc template cluster stays sub-quadratic, every doc participates") {
     // Worst-case hot bucket: 5000 docs with IDENTICAL text — every doc lands
     // in the same (band, band_hash) bucket in all 16 bands. Unguarded, the
