@@ -1308,7 +1308,7 @@ object LlmQueries extends QueryModule {
          |kept AS (SELECT t.doc_id, t.toks, list_filter(range(0, len(t.toks)),
          |  i -> NOT COALESCE(len(list_filter(sp.spans, s -> i >= s[1] AND i <= s[2])) > 0, FALSE)) AS ki
          |FROM tokd t LEFT JOIN spl sp ON t.doc_id = sp.doc_id)
-         |SELECT doc_id, array_to_string(list_transform(ki, i -> toks[i + 1]), ' ') AS text_clean,
+         |SELECT doc_id, COALESCE(array_to_string(list_transform(ki, i -> toks[i + 1]), ' '), '') AS text_clean,
          | CAST(len(toks) - len(ki) AS INTEGER) AS n_removed FROM kept""".stripMargin,
     "dd2b_minhash_portable" -> {
       // seeds 2p-1 / 2p split the #p-salted digest's two 60-bit halves,

@@ -31,14 +31,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet carries INT64 TIMESTAMP(NANOS) which the vectorized
-    * reader rejects; read nanos as long and convert to microsecond
-    * TIMESTAMP_NTZ (truncating, the same coercion a serial engine applies).
+  /** events.parquet has shipped `ts` under two encodings: INT64
+    * TIMESTAMP(NANOS) (which the vectorized reader surfaces as LongType under
+    * `nanosAsLong`) and plain TIMESTAMP(MICROS). Branch on the observed type
+    * so both read to microsecond TIMESTAMP_NTZ — nanos truncate, the same
+    * coercion a serial engine applies.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = table(spark, dir, "events")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+      case _ =>
+        col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", tsExpr)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
