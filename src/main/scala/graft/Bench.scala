@@ -66,15 +66,19 @@ object Bench {
     // Headliners warm UNTIL STABLE, not just once: on a fresh JVM one untimed
     // pass does not outlast C2 tier-up, and the compile tail then lands inside
     // the first timed pass (round-7 driver run: v5_individual 27.8 s measured
-    // vs 9-12 s steady state in every standalone profile). Repeat untimed
-    // passes — bounded at 5 — until two consecutive passes agree within 20%,
-    // with the same block cleanup the timed loop performs, so measurement
-    // starts from the steady state it claims to report.
+    // vs 9-12 s steady state in every standalone profile). Stability is judged
+    // against the ROLLING MINIMUM, not the previous pass: two consecutive slow
+    // passes on a cold plateau agree with each other long before C2 finishes
+    // (round-8 driver run declared v5 "stable" at 26.6 s, 4x its steady
+    // state). A pass counts as stable only when it lands within 20% of the
+    // best pass seen AND at least 3 passes have run; bounded at 6 passes, with
+    // the same block cleanup the timed loop performs, so measurement starts
+    // from the steady state it claims to report.
     (Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number") ++ headline)
       .filter(w => filter.forall(_.exists(w.startsWith))).foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
-        val maxPasses = if (headline.contains(w)) 5 else 1
-        var prev = Double.NaN
+        val maxPasses = if (headline.contains(w)) 6 else 1
+        var best = Double.MaxValue
         var pass = 0
         var stable = false
         while (pass < maxPasses && !stable) {
@@ -83,9 +87,12 @@ object Bench {
           catch { case _: Throwable => () }
           val dt = (System.nanoTime() - t0) / 1e9
           pass += 1
-          stable = !prev.isNaN && math.max(dt, prev) / math.min(dt, prev) <= 1.2
-          prev = dt
-          System.err.println(f"[warmup] $w pass $pass: $dt%.2f s" +
+          // Converged = this pass agrees with the best PRIOR pass within 20%
+          // in BOTH directions: a pass that still improves the minimum by
+          // more than 20% is evidence warm-up hasn't finished, not stability.
+          stable = pass >= 3 && dt <= best * 1.2 && best <= dt * 1.2
+          best = math.min(best, dt)
+          System.err.println(f"[warmup] $w pass $pass: $dt%.2f s (best $best%.2f)" +
             (if (stable) " (stable)" else ""))
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
           spark.sqlContext.clearCache()
@@ -105,12 +112,17 @@ object Bench {
       // without cherry-picking the best case; non-headline queries stay
       // single-shot (their totals aren't compared against the baseline).
       val reps = if (headline.contains(name)) 3 else 1
+      var error: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: computes every output column (count() would let Catalyst
         // prune the projections being measured) without write overhead.
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          error = Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator
+            .take(1).mkString.take(200))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // Isolation between measurements: ~30 queries localCheckpoint eagerly,
         // and broadcast/checkpoint blocks are reaped only when the context
@@ -125,13 +137,24 @@ object Bench {
       }
       if (reps > 1)
         System.err.println(f"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      name -> times.sorted.apply(times.length / 2)
+      (name, times.sorted.apply(times.length / 2), error)
     }
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // A crashed query's elapsed time is an artifact, not a measurement
+    // (round-8's 20 fixture-broken queries read as 60-90 ms "speedups" in the
+    // committed snapshot). Failed queries are EXCLUDED from "queries" and the
+    // total and reported under "errors" so no consumer of this file can
+    // mistake a crash for a fast run.
+    val ok = results.collect { case (k, v, None) => k -> v }
+    val failed = results.collect { case (k, _, Some(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The driver captures only the stdout TAIL, front-truncating whatever came
     // earlier: a single 120-query JSON line arrived unparseable three rounds
     // running. So the full per-query line goes FIRST (plus a disk copy in
@@ -143,9 +166,9 @@ object Bench {
     if (filter.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    val hq = results.filter { case (k, _) => headline.contains(k) }
+    val hq = ok.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object LlmQueries extends QueryModule {
 
+  /** dd8/dd8b shared input: the documents corpus plus planted prefix-copy
+    * docs (guaranteed spans on top of the organic boilerplate). The span
+    * pipeline tokenizes+explodes this frame twice (dup-set pass +
+    * position-mark pass — recompute is the scale-correct choice, see
+    * [[graft.dedup.Dedup.substringSpans]]), and that work is CPU-dense; but
+    * at bench SF the fixture is one small parquet file that splits into ~2
+    * scan tasks, serializing the suite's most expensive query onto 2 of 32
+    * cores. Widen to the session's parallelism ONLY when the scan is
+    * under-partitioned — at production scale the file count dwarfs the core
+    * count, the branch never fires, and no full-corpus shuffle is added.
+    */
+  private def dd8Corpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(
+          array_join(slice(TextOps.tokens(lower(col("text"))), 1, 16), " "),
+          lit(" planted unique tail "), col("doc_id")).as("text"))
+    val corpus = docs.unionByName(planted)
+    val cores = s.sparkContext.defaultParallelism
+    if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores) else corpus
+  }
+
   val defs: Map[String, Q] = Map(
     // dd1: exact dedup via normalized-text fingerprint (hash-groupBy).
     "dd1_exact_dedup" -> ((s, dir) => {
@@ -283,13 +307,7 @@ object LlmQueries extends QueryModule {
     // string for cross-engine bit-exactness; at 100 TB it would be
     // xxhash64'd first — see Dedup.substringSpans).
     "dd8_substring_spans" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(
-            array_join(slice(TextOps.tokens(lower(col("text"))), 1, 16), " "),
-            lit(" planted unique tail "), col("doc_id")).as("text"))
-      Dedup.substringSpans(docs.unionByName(planted), "doc_id", "text", k = 8)
+      Dedup.substringSpans(dd8Corpus(s, dir), "doc_id", "text", k = 8)
     }),
 
     // dd8b: the cleaned corpus — dd8's spans excised from every doc, text
@@ -297,13 +315,7 @@ object LlmQueries extends QueryModule {
     // the working form at this stage). The shippable ExactSubstr artifact,
     // as dd7 is for dd6.
     "dd8b_excised_corpus" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val planted = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(
-            array_join(slice(TextOps.tokens(lower(col("text"))), 1, 16), " "),
-            lit(" planted unique tail "), col("doc_id")).as("text"))
-      val corpus = docs.unionByName(planted)
+      val corpus = dd8Corpus(s, dir)
       val spans = Dedup.substringSpans(corpus, "doc_id", "text", k = 8)
       Dedup.exciseSpans(corpus, spans, "doc_id", "text")
     }),

@@ -43,10 +43,13 @@ object BenchScale {
     * column (per-block depth grows with the corpus → scored pairs grow
     * quadratically — measured 4.0 s @10x → 46.3 s @30x), ann7's learned
     * coarse quantizer grows nlist with the corpus so per-list depth (and
-    * the pair count) stays bounded.
+    * the pair count) stays bounded. dd8 rides the curve because the per-copy
+    * word suffixes keep every k-token shingle within its copy, so the
+    * duplicated-shingle set and the marked positions both grow exactly
+    * linearly — the shape its plan audit claims.
     */
-  private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "tx3b_bpe_tokens",
-    "tx7b_ngram_repetition", "ann4_ivfpq_topk", "ann7_ivf_learned",
+  private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
+    "tx3b_bpe_tokens", "tx7b_ngram_repetition", "ann4_ivfpq_topk", "ann7_ivf_learned",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
@@ -59,9 +62,11 @@ object BenchScale {
       (0 until copies).map(i => base.withColumn(key, col(key) + lit(i * stride)))
         .reduce(_ unionAll _).repartition(parts)
     }
-    // events.parquet carries TIMESTAMP(NANOS); rewrite via the nanos-as-long
-    // raw reading so the written copy keeps the same long values (the bench
-    // queries re-read through Tables.events which reapplies the conversion)
+    // events.parquet has shipped ts as both INT64 TIMESTAMP(NANOS) and plain
+    // timestamp[us]; nanosAsLong makes the legacy encoding readable (long
+    // values copy through unchanged) and is a no-op on the native one. Either
+    // way the copy re-reads through Tables.events, which branches on the
+    // observed type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     shifted("lineitem", "l_orderkey", 32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     shifted("orders", "o_orderkey", 16).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
