@@ -110,4 +110,33 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** SP5: weighted sampling without replacement via priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): each row gets priority
+    * `q = w / u` with `u = unitHash(id)` uniform in (0,1), and the `n`
+    * highest-priority rows per stratum are kept — inclusion probability
+    * rises with weight, and the scheme supports unbiased subset-sum
+    * estimators via the (n+1)-th priority threshold.
+    *
+    * Chosen over Efraimidis–Spirakis (`u^(1/w)` keys) deliberately: E-S
+    * needs `pow`/`ln`, whose last-ulp behavior is libm-dependent, while a
+    * single double division is IEEE-exact — the same bits on every engine,
+    * so the selected SET is oracle-checkable, not just its size. Same
+    * determinism contract as the other samplers: stable membership across
+    * runs, engines and cluster sizes.
+    *
+    * 100 TB story: identical shape to [[reservoirPerKey]] — a scan-speed
+    * per-row priority projection, then one shuffle on the stratum for the
+    * windowed top-n; per-key state is the reservoir, never the group.
+    */
+  def prioritySamplePerKey(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, n: Int, salt: String = ""): DataFrame = {
+    val priority = col(weightCol).cast("double") / unitHash(col(idCol), salt)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(priority.desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -574,6 +574,16 @@ object LlmQueries extends QueryModule {
         (length(col("raw")) - length(clean)).cast("long").as("n_ctrl"))
     }),
 
+    // tx14: n-gram LM quality scoring (CCNet recipe, self-trained bigram
+    // model — see graft.text.LmScore). Mean conditional bigram probability
+    // per doc; fluent/templated text scores high, rare-transition gibberish
+    // low. All-rational arithmetic (no ln/pow) + exact decimal sums keep the
+    // score bit-identical across engines.
+    "tx14_lm_score" -> ((s, dir) =>
+      graft.text.LmScore.bigramScore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -1014,6 +1024,21 @@ object LlmQueries extends QueryModule {
          |SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS BIGINT) AS contaminated_grams,
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
+    "tx14_lm_score" ->
+      s"""WITH tokq AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+1])) AS prefix,
+         |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+2])) AS word
+         | FROM tokq),
+         |modelp AS (SELECT prefix, word,
+         |  CAST(CAST(COUNT(*) AS DOUBLE) /
+         |   CAST(SUM(COUNT(*)) OVER (PARTITION BY prefix) AS DOUBLE) AS DECIMAL(18,12)) AS p
+         | FROM bg GROUP BY prefix, word),
+         |sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(p) AS psum
+         |  FROM bg JOIN modelp USING (prefix, word) GROUP BY bg.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |  CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
     "tx13_control_strip" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) || text || chr(0) || 'end' || chr(127)

@@ -43,6 +43,16 @@ object SamplingQueries extends QueryModule {
         targetRows = 2000)
         .select(col("doc_id"), col("source"), col("lang"))),
 
+    // SP5: weighted sampling without replacement via priority sampling
+    // (Duffield-Lund-Thorup; priority = weight/u, top-30 per source) —
+    // longer docs proportionally likelier, selection set deterministic and
+    // engine-portable because the priority needs only one IEEE division
+    // (see Sampling.prioritySamplePerKey).
+    "sp5_priority_sample" -> ((s, dir) =>
+      Sampling.prioritySamplePerKey(Tables.documents(s, dir), "source", "doc_id",
+        "n_chars", n = 30)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+
     // TX5: PII redaction + audit count (per-row regexp_replace, scan-speed).
     "tx5_pii_redact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -76,6 +86,10 @@ object SamplingQueries extends QueryModule {
     "sp3_reservoir_per_key" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY $duckUnitHash, doc_id) <= 25""".stripMargin,
+    "sp5_priority_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+         |  ORDER BY CAST(n_chars AS DOUBLE) / ($duckUnitHash) DESC, doc_id) <= 30""".stripMargin,
     "tx5_pii_redact" ->
       """SELECT doc_id,
         |regexp_replace(regexp_replace(text,

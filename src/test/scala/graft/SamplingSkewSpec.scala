@@ -102,6 +102,48 @@ class SamplingSkewSpec extends SparkSuite {
     assert(mixed.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
   }
 
+  test("SP5: priority sample is deterministic, size-bounded, and weight-responsive") {
+    val docs = sf("documents")
+    val picked = Sampling.prioritySamplePerKey(docs, "source", "doc_id", "n_chars", n = 30)
+    // per-stratum size = min(30, stratum size)
+    val sizes = picked.groupBy("source").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (src, tot) =>
+      assert(sizes.getOrElse(src, 0L) == math.min(30L, tot),
+        s"stratum $src: picked ${sizes.getOrElse(src, 0L)} of $tot")
+    }
+    // deterministic: a second evaluation returns the identical set
+    val again = Sampling.prioritySamplePerKey(docs, "source", "doc_id", "n_chars", n = 30)
+    assert(picked.select("doc_id").exceptAll(again.select("doc_id")).isEmpty)
+    // weight-responsive: with a genuinely selective draw (n=5 — at this SF
+    // n=30 selects whole strata), selected docs skew long (P(select) rises
+    // with n_chars), so the selected mean length must exceed the corpus mean
+    val tight = Sampling.prioritySamplePerKey(docs, "source", "doc_id", "n_chars", n = 5)
+    val meanSel = tight.agg(avg("n_chars")).head.getDouble(0)
+    val meanAll = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(meanSel > meanAll, s"selected mean $meanSel <= corpus mean $meanAll")
+    // an unweighted draw (constant weight) differs: weight participates
+    val flat = Sampling.prioritySamplePerKey(
+      docs.withColumn("__w", lit(1)), "source", "doc_id", "__w", n = 5)
+    assert(tight.select("doc_id").exceptAll(flat.select("doc_id")).count() > 0)
+  }
+
+  test("TX14: bigram LM score matches hand-computed probabilities") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z q"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val out = graft.text.LmScore.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("lm_score").cast("double"))
+      .as[(Long, Long, Option[Double])].collect()
+    // model: p(b|a)=2/3, p(c|a)=1/3, p(a|b)=1, p(q|z)=1
+    // doc1 = mean(2/3, 1, 1/3) = 2/3; doc2 = p(b|a) = 2/3; doc3 = 1
+    assert(out(0)._2 == 3L && math.abs(out(0)._3.get - 2.0 / 3) < 1e-9)
+    assert(out(1)._2 == 1L && math.abs(out(1)._3.get - 2.0 / 3) < 1e-9)
+    assert(out(2)._2 == 1L && out(2)._3.contains(1.0))
+    // a single-token doc has no bigram evidence: count 0, score NULL
+    assert(out(3)._2 == 0L && out(3)._3.isEmpty)
+  }
+
   test("TX5: PII redaction masks emails and phones; the audit count matches") {
     val rows = Seq(
       ("contact me at jane.doe+x@example.co.uk today", 1L),
