@@ -182,6 +182,13 @@ object Pq {
       cents.flatten.toIndexedSeq))
   }
 
+  /** Home list of a vector under a learned coarse quantizer: the argmin
+    * centroid by integer L2, first-minimum tie (the trainer's rule) —
+    * shared by ann7 search and dd10 SemDeDup clustering.
+    */
+  def coarseAssign(embCol: Column, cents: Array[Array[Long]]): Column =
+    element_at(probeColumn(embCol, cents, 1), 1)
+
   /** ann7: IVF+PQ with the LEARNED coarse quantizer and multi-probe
     * search. Corpus vectors store their single home list (nearest
     * centroid) beside the m codes; a query probes its `nprobe` nearest

@@ -428,6 +428,62 @@ object Dedup {
         (size(toks) - size(keptIdx)).as("n_removed"))
   }
 
+  /** dd10: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") — duplicate MEANING, not
+    * duplicate bytes: cluster embeddings with a learned coarse quantizer
+    * (k-means, [[graft.ann.Pq.coarseTrain]] — the same trainer, tie rules
+    * and oracle replay ann7 uses), call two docs semantic duplicates when
+    * their within-cluster cosine ≥ `threshold`, connect duplicates into
+    * groups ([[dupGroups]]), and KEEP the group member FARTHEST from its
+    * cluster centroid — the paper's choice: the least-typical example
+    * carries the most training signal; the near-centroid copies are the
+    * redundant ones.
+    *
+    * Output: every input vector, tagged (block, group_id, group_size,
+    * kept). Filtering `kept` yields the pruned corpus.
+    *
+    * Scale shape: candidate pairs form within a coarse list only (never
+    * global all-pairs), and with `adaptiveNlist` per-list depth is bounded
+    * as the corpus grows — the ann7 property. Centroids join back as a
+    * BROADCAST table (nlist rows) for the centroid-distance rule, so no
+    * per-row expression grows with nlist. Components run at pair
+    * cardinality; the final tagging is one group-keyed window.
+    *
+    * Determinism: cluster assignment and centroid distances are integer
+    * arithmetic on quantized micros; cosine rounds to 1e-6 before the
+    * threshold (the dd5 rule) — every cut reproduces bit-for-bit in any
+    * engine.
+    */
+  def semDedup(emb: DataFrame, cents: Array[Array[Long]],
+      threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val homed = emb.select(col("vec_id"), col("embedding"),
+      graft.ann.Pq.coarseAssign(col("embedding"), cents).as("block"))
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("block", "__cent")
+    val d2c = aggregate(
+      zip_with(graft.ann.Pq.quantize(col("embedding")), col("__cent"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val withD = homed.join(broadcast(centDf), Seq("block"))
+      .select(col("vec_id"), col("block"), col("embedding"), d2c.as("__d2c"))
+    val pairs = embeddingNearDups(
+      withD.select(col("vec_id"), col("block"), col("embedding")), "block", threshold)
+    val groups = dupGroups(pairs.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("doc_id", "vec_id")
+    val labeled = withD.select(col("vec_id"), col("block"), col("__d2c"))
+      .join(groups, Seq("vec_id"), "left")
+      .withColumn("group_id", coalesce(col("group_id"), col("vec_id")))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("group_id"))
+    labeled
+      .withColumn("group_size", count(lit(1)).over(wg))
+      .withColumn("__rk",
+        row_number().over(wg.orderBy(col("__d2c").desc, col("vec_id"))))
+      .select(col("vec_id"), col("block"), col("group_id"), col("group_size"),
+        (col("__rk") === 1).as("kept"))
+  }
+
   /** Embedding near-dup pairs by exact cosine within a blocking key (the
     * IVF-style coarse partition; brute force within the block only).
     */

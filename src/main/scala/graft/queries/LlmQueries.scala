@@ -329,6 +329,20 @@ object LlmQueries extends QueryModule {
         col("label")), "label", threshold = 0.98)
     }),
 
+    // dd10: SemDeDup (Abbas et al. 2023) — semantic dedup: k-means-cluster
+    // the embeddings (the ann7 learned coarse quantizer, corpus-adaptive
+    // nlist), mark within-cluster pairs with cosine >= 0.96 as duplicate
+    // MEANING, connect into groups, keep the member farthest from its
+    // centroid (the least-typical example carries the most signal). Fully
+    // oracled: DuckDB replays clustering (shared Lloyd CTEs), pairing,
+    // recursive components, and the keep rule.
+    "dd10_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
+      val cents = graft.ann.Pq.coarseTrain(emb, nlist)
+      Dedup.semDedup(emb, cents, threshold = 0.96)
+    }),
+
     // ann1: brute-force cosine top-k (exact baseline; broadcast queries).
     "ann1_bruteforce_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -844,45 +858,60 @@ object LlmQueries extends QueryModule {
     * argmin ties). Cross-validated against an independent reference
     * implementation before registration.
     */
+  // MAXS mirrors Pq.train's maxSample count cap (the rate filter alone
+  // would make the driver collect O(corpus); the oracle replays the same
+  // orderBy(h, vec_id).limit cap so the selected sample is identical).
+  private val PQ_M = 4; private val PQ_K = 8; private val PQ_ITERS = 2
+  private val PQ_SUB = 16; private val PQ_RATE = "0.5"; private val PQ_MAXS = 4096
+  private val PQ_HASH =
+    "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
+      " / 1152921504606846976.0)"
+  private def pqDist(vec: String, cent: String, lo: Int, width: Int): String =
+    s"list_sum(list_transform(range(1, ${width + 1}), " +
+      s"i -> ($vec[$lo + i] - $cent[i]) * ($vec[$lo + i] - $cent[i])))"
+  /** The quantized-embedding and training-sample CTEs every Pq oracle
+    * starts from (Pq.quantize + Pq.train's sample selection).
+    */
+  private def pqBaseCtes: Seq[String] = Seq(
+    "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
+      "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
+    s"samp AS (SELECT vec_id, e, h FROM (SELECT vec_id, e, $PQ_HASH AS h FROM e " +
+      s"WHERE $PQ_HASH < $PQ_RATE) QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $PQ_MAXS)")
+  /** One Lloyd-trained codebook (Pq.train's per-subspace loop): `kk` seeds
+    * from the ordered sample, PQ_ITERS rounds of assign (ties to smaller j)
+    * + floor(sum/count) update, empty clusters keep their centroid. Shared
+    * verbatim between the m subspace codebooks, the learned coarse
+    * quantizer (the same trainer at lo=0, width=dim, kk=nlist), and dd10's
+    * SemDeDup clustering replay.
+    */
+  private def pqCodebookCtes(ctes: scala.collection.mutable.ArrayBuffer[String],
+      tag: String, lo: Int, width: Int, kk: Int): Unit = {
+    ctes += s"s${tag}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
+      s"e[${lo + 1}:${lo + width}] AS c FROM samp " +
+      s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $kk)"
+    (1 to PQ_ITERS).foreach { t =>
+      ctes += s"a${tag}t$t AS (SELECT vec_id, s, j FROM (" +
+        s"SELECT sa.vec_id AS vec_id, sa.e[${lo + 1}:${lo + width}] AS s, c.j AS j, " +
+        s"${pqDist("sa.e", "c.c", lo, width)} AS d FROM samp sa CROSS JOIN s${tag}i${t - 1} c) " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) = 1)"
+      ctes += s"u${tag}t$t AS (SELECT j, list(cv ORDER BY i) AS c FROM (" +
+        "SELECT j, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv " +
+        s"FROM (SELECT j, unnest(s) AS v, unnest(range(1, ${width + 1})) AS i FROM a${tag}t$t) " +
+        "GROUP BY j, i) GROUP BY j)"
+      ctes += s"s${tag}i$t AS (SELECT p.j, COALESCE(u.c, p.c) AS c FROM s${tag}i${t - 1} p " +
+        s"LEFT JOIN u${tag}t$t u ON p.j = u.j)"
+    }
+    ctes += s"cm$tag AS (SELECT list(c ORDER BY j) AS cs FROM s${tag}i$PQ_ITERS)"
+  }
+
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
       learned: Option[(Int, Int)] = None): String = {
-    // MAXS mirrors Pq.train's maxSample count cap (the rate filter alone
-    // would make the driver collect O(corpus); the oracle replays the same
-    // orderBy(h, vec_id).limit cap so the selected sample is identical).
-    val M = 4; val K = 8; val ITERS = 2; val SUB = 16; val RATE = "0.5"; val MAXS = 4096
-    val hash = "(CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)" +
-      " / 1152921504606846976.0)"
+    val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
-      s"list_sum(list_transform(range(1, ${width + 1}), " +
-        s"i -> ($vec[$lo + i] - $cent[i]) * ($vec[$lo + i] - $cent[i])))"
-    val ctes = scala.collection.mutable.ArrayBuffer[String](
-      "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
-        "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
-      s"samp AS (SELECT vec_id, e, h FROM (SELECT vec_id, e, $hash AS h FROM e " +
-        s"WHERE $hash < $RATE) QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $MAXS)")
-    // One Lloyd-trained codebook (Pq.train's per-subspace loop): `kk` seeds
-    // from the ordered sample, ITERS rounds of assign (ties to smaller j) +
-    // floor(sum/count) update, empty clusters keep their centroid. Shared
-    // verbatim between the m subspace codebooks and the learned coarse
-    // quantizer (which is the same trainer at lo=0, width=dim, kk=nlist).
-    def codebookCtes(tag: String, lo: Int, width: Int, kk: Int): Unit = {
-      ctes += s"s${tag}i0 AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS j, " +
-        s"e[${lo + 1}:${lo + width}] AS c FROM samp " +
-        s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $kk)"
-      (1 to ITERS).foreach { t =>
-        ctes += s"a${tag}t$t AS (SELECT vec_id, s, j FROM (" +
-          s"SELECT sa.vec_id AS vec_id, sa.e[${lo + 1}:${lo + width}] AS s, c.j AS j, " +
-          s"${dist("sa.e", "c.c", lo, width)} AS d FROM samp sa CROSS JOIN s${tag}i${t - 1} c) " +
-          "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) = 1)"
-        ctes += s"u${tag}t$t AS (SELECT j, list(cv ORDER BY i) AS c FROM (" +
-          "SELECT j, i, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv " +
-          s"FROM (SELECT j, unnest(s) AS v, unnest(range(1, ${width + 1})) AS i FROM a${tag}t$t) " +
-          "GROUP BY j, i) GROUP BY j)"
-        ctes += s"s${tag}i$t AS (SELECT p.j, COALESCE(u.c, p.c) AS c FROM s${tag}i${t - 1} p " +
-          s"LEFT JOIN u${tag}t$t u ON p.j = u.j)"
-      }
-      ctes += s"cm$tag AS (SELECT list(c ORDER BY j) AS cs FROM s${tag}i$ITERS)"
-    }
+      pqDist(vec, cent, lo, width)
+    val ctes = scala.collection.mutable.ArrayBuffer[String](pqBaseCtes: _*)
+    def codebookCtes(tag: String, lo: Int, width: Int, kk: Int): Unit =
+      pqCodebookCtes(ctes, tag, lo, width, kk)
     (0 until M).foreach(mi => codebookCtes(mi.toString, mi * SUB, SUB, K))
     learned.foreach { case (nl, _) => codebookCtes("c", 0, M * SUB, nl) }
     val crossj = (learned.map(_ => "CROSS JOIN cmc").toSeq ++
@@ -963,6 +992,39 @@ object LlmQueries extends QueryModule {
   // corpus count at runtime (the scale-adaptive property under test).
   private val ANN7_ORACLE: String = pqOracle(3, None, learned = Some((16, 2)))
 
+  /** dd10 oracle: replay coarse k-means (shared Lloyd CTEs), home
+    * assignment + integer centroid distance, within-cluster cosine pairing
+    * at 1e-6-rounded precision, recursive min-label components, and the
+    * keep-farthest-from-centroid rule. nlist pinned like ANN7_ORACLE.
+    */
+  private def semDedupOracle(nlist: Int, tau: Double): String = {
+    val dim = PQ_M * PQ_SUB
+    val ctes = scala.collection.mutable.ArrayBuffer[String](pqBaseCtes: _*)
+    pqCodebookCtes(ctes, "c", 0, dim, nlist)
+    val dc = s"list_transform(cmc.cs, cc -> ${pqDist("e.e", "cc", 0, dim)})"
+    ctes += "ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+    ctes += s"enc AS (SELECT e.vec_id, " +
+      s"CAST(list_position($dc, list_min($dc)) - 1 AS INTEGER) AS block, " +
+      s"CAST(list_min($dc) AS BIGINT) AS d2c FROM e CROSS JOIN cmc)"
+    ctes += "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b " +
+      "FROM enc a JOIN enc b ON a.block = b.block AND a.vec_id < b.vec_id " +
+      "JOIN ed ea ON ea.vec_id = a.vec_id JOIN ed eb ON eb.vec_id = b.vec_id " +
+      s"WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= $tau)"
+    ctes += "edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p)"
+    ctes += "reach(id, label) AS (SELECT src, src FROM edges " +
+      "UNION SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)"
+    ctes += "grp AS (SELECT id, MIN(label) AS group_id FROM reach GROUP BY id)"
+    ctes += "tagged AS (SELECT enc.vec_id, enc.block, enc.d2c, " +
+      "COALESCE(g.group_id, enc.vec_id) AS group_id " +
+      "FROM enc LEFT JOIN grp g ON enc.vec_id = g.id)"
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      "\nSELECT vec_id, block, group_id, " +
+      "COUNT(*) OVER (PARTITION BY group_id) AS group_size, " +
+      "(ROW_NUMBER() OVER (PARTITION BY group_id ORDER BY d2c DESC, vec_id) = 1) AS kept " +
+      "FROM tagged"
+  }
+  private val DD10_ORACLE: String = semDedupOracle(16, 0.96)
+
   /** dd8/dd8b shared oracle CTEs — mirrors [[graft.dedup.Dedup.substringSpans]]
     * and the planted prefix-copy corpus: k=8 token windows with positions,
     * windows in ≥2 distinct docs, per-doc gaps-and-islands merge (a gap
@@ -1014,6 +1076,7 @@ object LlmQueries extends QueryModule {
     "ann5_pq_rerank_topk" -> ANN5_ORACLE,
     "ann6_recall" -> ANN6_ORACLE,
     "ann7_ivf_learned" -> ANN7_ORACLE,
+    "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(toks) - 5, 0) + 1),

@@ -393,6 +393,32 @@ class DedupAnnSpec extends SparkSuite {
     sh.unpersist()
   }
 
+  test("dd10 SemDeDup: planted copies collapse to one kept member, singletons survive") {
+    val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+    // exact copies with new ids: cosine 1.0 within the same home list
+    val copies = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val all = emb.unionByName(copies)
+    val cents = graft.ann.Pq.coarseTrain(all, graft.ann.Pq.adaptiveNlist(all.count()))
+    val out = Dedup.semDedup(all, cents, threshold = 0.999).cache()
+    // every input row comes back exactly once, tagged
+    assert(out.count() == all.count())
+    // exactly one kept member per group
+    val badGroups = out.groupBy("group_id")
+      .agg(sum(when(col("kept"), 1).otherwise(0)).as("n_kept"))
+      .filter(col("n_kept") =!= 1)
+    assert(badGroups.isEmpty)
+    // each planted copy shares its source's group (identical vector ->
+    // same home list, cosine 1.0 >= threshold)
+    val pairsOff = out.select(col("vec_id"), col("group_id"))
+      .join(out.select((col("vec_id") + 100000).as("vec_id"),
+        col("group_id").as("g2")), Seq("vec_id"))
+    assert(pairsOff.count() > 0 && pairsOff.filter(col("group_id") =!= col("g2")).isEmpty)
+    // a copied pair keeps exactly one of its >= 2 members
+    assert(out.filter(col("group_size") >= 2).count() >= 2 * copies.count())
+    out.unpersist()
+  }
+
   test("LSH bucket guard is a no-op below maxBucket: pairs identical with and without headroom") {
     val mutated = docs.filter(col("doc_id") < 8)
       .select((col("doc_id") + 5000).as("doc_id"),
