@@ -122,6 +122,55 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** mm5: perceptual average-hash (aHash — the classic pHash-family
+    * baseline: downsample to an 8×8 grid, threshold each cell against the
+    * global mean, pack 64 bits). Computed on the RED channel with EXACT
+    * integer arithmetic: cell-vs-global mean comparison is cross-multiplied
+    * (`bs·tc > ts·bc`), so no float rounding exists anywhere and the hash
+    * is reproducible bit-for-bit — including by a SQL oracle replaying the
+    * fixture's closed-form pixels without any codec. The 64 bits ship as
+    * two unsigned 32-bit halves (`ahash_hi`/`ahash_lo`): bit 63 of a packed
+    * BIGINT would flip its sign, which engines shift/aggregate differently.
+    *
+    * Map-side like every codec stage: the payload is decoded where it is
+    * read and only (doc_id, 2 longs) ever shuffles.
+    */
+  def imageAHash(spark: SparkSession, images: Dataset[ImageRecord]): Dataset[ImageHash] = {
+    import spark.implicits._
+    images.mapPartitions { batch =>
+      batch.map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for doc ${r.doc_id}")
+        val w = img.getWidth; val h = img.getHeight
+        val bs = new Array[Long](64); val bc = new Array[Long](64)
+        var ts = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val red = (img.getRGB(x, y) >> 16) & 0xff
+            val b = (y * 8 / h) * 8 + (x * 8 / w)
+            bs(b) += red; bc(b) += 1; ts += red
+            x += 1
+          }
+          y += 1
+        }
+        val tc = (w * h).toLong
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (bs(i) * tc > ts * bc(i)) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        ImageHash(r.doc_id, hi, lo)
+      }
+    }
+  }
+
   // ---- real audio codec path (mm2) ----------------------------------------
   // RIFF/WAV PCM16 is both trivially writable (fixture) and parseable by the
   // JDK's javax.sound.sampled, so the audio pipeline needs no stub either.

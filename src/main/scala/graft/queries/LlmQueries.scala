@@ -656,6 +656,25 @@ object LlmQueries extends QueryModule {
       Multimodal.frameSample(s, Multimodal.videoTable(s, Tables.documents(s, dir)))
         .toDF()),
 
+    // mm5: perceptual-hash image dedup — the multimodal twin of dd1:
+    // aHash each PNG (8×8 block means vs global mean, exact integer
+    // compares), group identical hashes, keep the smallest doc id.
+    // Re-keyed byte-identical copies are planted like dd1's. FULLY oracled:
+    // the fixture's pixels are a closed-form function of the id, so DuckDB
+    // replays downsample → threshold → pack without any codec.
+    "mm5_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = Multimodal.imageTable(s, Tables.documents(s, dir).select(col("doc_id")))
+      val copies = imgs.filter(_.doc_id % 6 == 0)
+        .map(r => r.copy(doc_id = r.doc_id + 500000))
+      val hashed = Multimodal.imageAHash(s, imgs.union(copies)).toDF()
+      val groups = hashed.groupBy(col("ahash_hi"), col("ahash_lo"))
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("__keeper"))
+      hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
+        .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+          col("group_size"), (col("doc_id") === col("__keeper")).as("kept"))
+    }),
+
     // dq2: the quality-agent module over two tables with per-table
     // thresholds and a fixed as-of date (`data_quality_agent.py:29-48`).
     "dq2_quality_report" -> ((s, dir) => {
@@ -1156,6 +1175,33 @@ object LlmQueries extends QueryModule {
         |CAST((8 + doc_id % 16) // 2 AS INT) AS thumb_width,
         |CAST((8 + doc_id % 12) // 2 AS INT) AS thumb_height
         |FROM documents""".stripMargin,
+
+    // mm5: full aHash replay from the closed-form pixel formula
+    // v(x,y) = (img_id·31 + 7x + 13y) mod 256 on a (8+id%16)×(8+id%12)
+    // canvas — downsample cell = (8y div h)·8 + (8x div w), bit set iff
+    // cell_sum·total_cnt > total_sum·cell_cnt (the exact integer compare
+    // the Scala side uses), packed into two 32-bit halves.
+    "mm5_image_dedup" ->
+      """WITH base AS (SELECT doc_id, doc_id AS img_id FROM documents
+        |UNION ALL SELECT doc_id + 500000, doc_id FROM documents WHERE doc_id % 6 = 0),
+        |dims AS (SELECT doc_id, img_id, 8 + img_id % 16 AS w, 8 + img_id % 12 AS h FROM base),
+        |pix AS (SELECT doc_id, img_id, w, h,
+        | unnest(flatten(list_transform(range(0, w), xx ->
+        |   list_transform(range(0, h), yy -> [xx, yy])))) AS xy FROM dims),
+        |px AS (SELECT doc_id, ((img_id * 31 + xy[1] * 7 + xy[2] * 13) % 256) AS red,
+        | ((xy[2] * 8 // h) * 8 + (xy[1] * 8 // w)) AS b FROM pix),
+        |bsum AS (SELECT doc_id, b, SUM(red) AS bs, COUNT(*) AS bc FROM px GROUP BY doc_id, b),
+        |tot AS (SELECT doc_id, SUM(red) AS ts, COUNT(*) AS tc FROM px GROUP BY doc_id),
+        |bits AS (SELECT bsum.doc_id,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b >= 32
+        |   THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b < 32
+        |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS ahash_lo
+        | FROM bsum JOIN tot ON bsum.doc_id = tot.doc_id GROUP BY bsum.doc_id),
+        |g AS (SELECT ahash_hi, ahash_lo, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+        | FROM bits GROUP BY ahash_hi, ahash_lo)
+        |SELECT b.doc_id, b.ahash_hi, b.ahash_lo, g.group_size, (b.doc_id = g.keeper) AS kept
+        |FROM bits b JOIN g ON b.ahash_hi = g.ahash_hi AND b.ahash_lo = g.ahash_lo""".stripMargin,
 
     // mm2: the stats the codecs must recover, from the fixture formulas —
     // image pixels (8+id%16)·(8+id%12), audio samples 256+(id%128)·16, video

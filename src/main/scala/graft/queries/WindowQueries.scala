@@ -115,6 +115,33 @@ object WindowQueries extends QueryModule {
           col("streak_days"))
     }),
 
+    // W8: time-RANGE trailing window (beyond-reference) — 30-day revenue
+    // and order count per customer. w4/w5 are ROW frames; a RANGE frame
+    // aggregates every peer inside the trailing INTERVAL regardless of row
+    // count, which also makes it tie-robust: same-day orders are frame
+    // peers, so no tiebreak column is needed for determinism. The order key
+    // is an integer epoch-day, the frame is numeric (-29..0), and the sums
+    // go through decimal(18,4) — identical semantics in any engine.
+    "w8_range_window" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Exact.discounted(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("order_rev"))
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("order_date"))
+        .join(rev, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_custkey"), col("o_orderkey"), col("order_date"),
+          coalesce(col("order_rev"), lit(0.0)).as("order_rev"),
+          datediff(col("order_date"), lit("1970-01-01").cast("date")).as("__epoch_day"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("__epoch_day"))
+        .rangeBetween(-29, 0)
+      base.select(col("o_custkey"), col("o_orderkey"), col("order_date"),
+        col("order_rev"),
+        sum(Exact.d4(col("order_rev"))).over(w).cast("double").as("rev_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+    }),
+
     // O5: the full rank family over one deterministic total order —
     // row_number / rank / dense_rank / percent_rank / cume_dist / ntile.
     // percent_rank and cume_dist are exact rationals (k/n) so the doubles
@@ -187,6 +214,21 @@ object WindowQueries extends QueryModule {
         |AVG(l_quantity) OVER (PARTITION BY l_suppkey
         |ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_avg FROM lineitem""".stripMargin,
+    "w8_range_window" ->
+      """WITH rev AS (
+        |SELECT l_orderkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS order_rev
+        |FROM lineitem GROUP BY l_orderkey),
+        |base AS (
+        |SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |COALESCE(rev.order_rev, 0.0) AS order_rev,
+        |CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day
+        |FROM orders LEFT JOIN rev ON o_orderkey = rev.l_orderkey)
+        |SELECT o_custkey, o_orderkey, order_date, order_rev,
+        |CAST(SUM(CAST(order_rev AS DECIMAL(18,4))) OVER w AS DOUBLE) AS rev_30d,
+        |COUNT(*) OVER w AS n_orders_30d
+        |FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+        |RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
     "w5_rolling_client" ->
       """WITH rev AS (
         |SELECT l_orderkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

