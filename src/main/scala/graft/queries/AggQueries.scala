@@ -264,6 +264,49 @@ object AggQueries extends QueryModule {
           min(col("l_shipdate").cast("date")).as("min_ship"),
           max(col("l_shipdate").cast("date")).as("max_ship"))),
 
+    // X8: funnel analysis (beyond-reference) — the ordered-sequence query
+    // every event-analytics engine ships: of the users who VIEWed, who went
+    // on to CLICK after that view, and then PURCHASE after that click?
+    // Step k's timestamp = MIN(ts of step-k events strictly after step
+    // k-1's timestamp) — first-touch attribution, deterministic with no
+    // tiebreak (MIN over timestamps). Three filtered aggregations joined on
+    // user_id: each step's join key repartitioning is reused by the next,
+    // and no step ever scans more than its own event type.
+    "x8_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (lit(1) + when(col("t_click").isNotNull, 1).otherwise(0)
+            + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int").as("stage"))
+    }),
+
+    // X9: weekly retention cohorts (beyond-reference) — users bucketed by
+    // first-activity week, activity counted per week-of-age: the retention
+    // matrix. Week arithmetic is integer epoch-day division, so cohort and
+    // age keys are engine-exact; the matrix is two shuffles (first-touch
+    // agg + cohort agg) at any corpus size.
+    "x9_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+      val epochDays = (c: org.apache.spark.sql.Column) =>
+        datediff(c, lit("1970-01-01").cast("date"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(
+          floor(epochDays(col("first_day")) / 7).cast("int").as("cohort_week"),
+          floor(datediff(col("d"), col("first_day")) / 7).cast("int").as("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    }),
+
     // A11: partial/merge aggregation surfaced as its own driver row (the
     // map-side-combine physical shape every groupBy here gets from Catalyst;
     // PlanSpec asserts the partial_* + final HashAggregate pair on exactly
@@ -277,6 +320,28 @@ object AggQueries extends QueryModule {
   )
 
   val oracles: Map[String, String] = Map(
+    "x8_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        | JOIN s1 ON e.user_id = s1.user_id
+        | WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        | JOIN s2 ON e.user_id = s2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+        |CAST(1 + CASE WHEN s2.t_click IS NULL THEN 0 ELSE 1 END
+        | + CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+    "x9_retention_cohorts" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS first_day FROM d GROUP BY user_id)
+        |SELECT CAST((f.first_day - DATE '1970-01-01') // 7 AS INT) AS cohort_week,
+        |CAST((d.d - f.first_day) // 7 AS INT) AS age_weeks,
+        |COUNT(DISTINCT d.user_id) AS n_active
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "a11_partial_merge_agg" ->
       s"""SELECT l_linestatus, COUNT(*) AS line_cnt, ${S("l_extendedprice")} AS sum_price
          |FROM lineitem GROUP BY l_linestatus""".stripMargin,

@@ -73,4 +73,26 @@ class CoreOpsSpec extends SparkSuite {
     val c = df.coalesce(1).agg(Exact.sum2(col("l_extendedprice"))).head().getDouble(0)
     assert(a == b && b == c)
   }
+
+  test("x8 funnel: step order is strict — a click BEFORE the first view does not count") {
+    val rows = Seq(
+      // user 1: full ordered funnel -> stage 3
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      // user 2: click precedes the first view -> stage stops at 1
+      (2L, "click", "2024-01-01 09:00:00"), (2L, "view", "2024-01-01 10:00:00"),
+      // user 3: view then click, purchase before the click -> stage 2
+      (3L, "view", "2024-01-01 08:00:00"), (3L, "purchase", "2024-01-01 08:30:00"),
+      (3L, "click", "2024-01-01 09:00:00"),
+      // user 4: never viewed -> not in the funnel at all
+      (4L, "purchase", "2024-01-01 07:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"),
+        col("ts_s").cast("timestamp_ntz").as("ts"))
+    val dir = tmpDir()
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.AggQueries.defs("x8_funnel")(spark, dir)
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
 }
