@@ -142,6 +142,21 @@ object WindowQueries extends QueryModule {
         count(lit(1)).over(w).as("n_orders_30d"))
     }),
 
+    // W9: explicit LAG — inter-event think time per user in microseconds
+    // (beyond-reference; w7 uses lag internally, this surfaces the offset
+    // family as its own row). The (ts, event_id) order is total, so the
+    // previous-row reference is deterministic; the delta is integer
+    // microseconds via unix_micros (the session is pinned UTC, so the
+    // ntz→instant cast is engine-identical).
+    "w9_event_deltas" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("delta_us",
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")))
+    }),
+
     // O5: the full rank family over one deterministic total order —
     // row_number / rank / dense_rank / percent_rank / cume_dist / ntile.
     // percent_rank and cume_dist are exact rationals (k/n) so the doubles
@@ -214,6 +229,11 @@ object WindowQueries extends QueryModule {
         |AVG(l_quantity) OVER (PARTITION BY l_suppkey
         |ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
         |ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS trailing_avg FROM lineitem""".stripMargin,
+    "w9_event_deltas" ->
+      """SELECT user_id, event_id, ts,
+        |LAG(ts) OVER w AS prev_ts,
+        |CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS delta_us
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "w8_range_window" ->
       """WITH rev AS (
         |SELECT l_orderkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
