@@ -39,6 +39,9 @@ object Verify {
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"${graft.queries.DomainOracles.FixturesDir}/$name")
       }
+      // Oracle side-dumps for the xxhash64/driver-fit pipelines (dd2/dd3/
+      // ann2 signatures, x4b fitted forest) — see queries/OracleDumps.scala.
+      graft.queries.OracleDumps.writeAll(spark, sfDir)
     }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

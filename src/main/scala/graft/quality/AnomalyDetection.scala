@@ -37,25 +37,45 @@ object AnomalyDetection {
     * `is_anomaly` flags the top `contamination` fraction — the
     * IsolationForest contamination contract (`anomaly_detection_agent.py:139`).
     */
+  /** The feature-column order every consumer (fit, score, replay oracle)
+    * must agree on — the dumped trees' `feature` index points into this.
+    */
+  val FeatCols: Seq[String] =
+    Seq("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
+
+  /** Collect the daily frame once, date-sorted (so the seeded RNG stream
+    * maps onto the same rows regardless of partitioning), with the feature
+    * matrix extracted. A null feature (sum(decimal) over a day whose values
+    * are all null) imputes to 0.0 — the "no volume" reading.
+    */
+  private def collectWithFeatures(daily: DataFrame)
+      : (Array[org.apache.spark.sql.Row], IndexedSeq[Array[Double]]) = {
+    val schema = daily.schema
+    val idx = FeatCols.map(schema.fieldIndex)
+    val collected = daily.orderBy(col("event_date")).collect()
+    val feats: IndexedSeq[Array[Double]] = collected.toIndexedSeq.map { r =>
+      idx.map(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i)).toArray
+    }
+    (collected, feats)
+  }
+
+  /** The exact forest [[score]] fits — exposed so the replay oracle
+    * ([[graft.queries.OracleDumps]]) can dump the identical trees.
+    */
+  def fittedForest(daily: DataFrame, numTrees: Int = 100,
+      seed: Long = 42L): IsolationForestModel.Forest =
+    IsolationForestModel.fit(collectWithFeatures(daily)._2, numTrees, seed = seed)
+
   def score(daily: DataFrame, numTrees: Int = 100, contamination: Double = 0.1,
       seed: Long = 42L): DataFrame = {
-    val featCols = Seq("event_cnt", "active_users", "total_value", "error_pct", "active_hours")
     val spark = daily.sparkSession
     // One row per day = control-plane-small at any event volume: collect the
-    // full daily frame ONCE (sorted so the seeded RNG stream maps onto the
-    // same rows regardless of partitioning — scores are reproducible across
-    // cluster layouts) and assemble the scored result driver-side. The
+    // full daily frame ONCE and assemble the scored result driver-side. The
     // earlier cache+join version scanned once but pinned a cached frame per
     // call forever; this leaves nothing persisted and scans exactly once.
     val schema = daily.schema
     val dateIdx = schema.fieldIndex("event_date")
-    val idx = featCols.map(schema.fieldIndex)
-    val collected = daily.orderBy(col("event_date")).collect()
-    // a null feature (sum(decimal) over a day whose values are all null)
-    // imputes to 0.0 — the "no volume" reading — instead of NPE-ing
-    val feats: IndexedSeq[Array[Double]] = collected.toIndexedSeq.map { r =>
-      idx.map(i => if (r.isNullAt(i)) 0.0 else r.getDouble(i)).toArray
-    }
+    val (collected, feats) = collectWithFeatures(daily)
     val forest = IsolationForestModel.fit(feats, numTrees, seed = seed)
     val scores = feats.map(IsolationForestModel.score(forest, _))
     val n = collected.length

@@ -86,4 +86,37 @@ object IsolationForestModel {
     val meanPath = forest.trees.iterator.map(t => pathLength(t, x)).sum / forest.trees.size
     math.pow(2.0, -meanPath / math.max(c(forest.subsample.toDouble), 1e-12))
   }
+
+  /** One row per node of a fitted forest — the replay-oracle dump format.
+    * Node ids are preorder within a tree (root = 0); leaves carry
+    * `feature = -1`, `lo = hi = -1`. `psi` (the subsample size, constant
+    * across rows) rides along so the scoring side needs no second table.
+    */
+  final case class NodeRow(tree: Int, node: Int, is_leaf: Boolean, feature: Int,
+    split: Double, leaf_size: Int, lo: Int, hi: Int, psi: Int)
+
+  /** Flatten a fitted forest to [[NodeRow]]s so another engine can replay
+    * [[pathLength]]/[[score]] exactly: walk each day down the dumped split
+    * nodes, then apply `2^(-E[depth + c(leaf_size)]/c(psi))`.
+    */
+  def flatten(forest: Forest): Seq[NodeRow] = {
+    val out = Seq.newBuilder[NodeRow]
+    forest.trees.zipWithIndex.foreach { case (root, t) =>
+      var nextId = 0
+      def emit(n: Tree): Int = {
+        val id = nextId; nextId += 1
+        n match {
+          case Leaf(sz) =>
+            out += NodeRow(t, id, is_leaf = true, -1, 0.0, sz, -1, -1, forest.subsample)
+          case Split(f, v, lo, hi) =>
+            val loId = emit(lo)
+            val hiId = emit(hi)
+            out += NodeRow(t, id, is_leaf = false, f, v, 0, loId, hiId, forest.subsample)
+        }
+        id
+      }
+      emit(root)
+    }
+    out.result()
+  }
 }

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators (beyond the reference, per the
   * BASELINE north star): dedup (dd*), similarity search (ann*), text
-  * analysis (tx*), multimodal plumbing (mm*). Hash-based ops (xxhash64) have
-  * no cross-engine oracle — they get rows-only checks + ScalaTest invariants;
-  * md5/string ops get full DuckDB oracles.
+  * analysis (tx*), multimodal plumbing (mm*). Every query carries a DuckDB
+  * oracle: md5/string ops directly; xxhash64-default ops (dd2/dd3/ann2) via
+  * the [[OracleDumps]] signature side-dump (downstream replayed in SQL) plus
+  * an engine-portable md5 twin that pins the hash stage's algorithm.
   */
 object LlmQueries extends QueryModule {
 
@@ -37,6 +38,30 @@ object LlmQueries extends QueryModule {
     val corpus = docs.unionByName(planted)
     val cores = s.sparkContext.defaultParallelism
     if (corpus.rdd.getNumPartitions < cores) corpus.repartition(cores) else corpus
+  }
+
+  /** dd2/dd2b shared input: the corpus plus near-dup mutations (suffix-token
+    * variants of every 7th doc under fresh ids). Shared with
+    * [[OracleDumps]] so the xxhash64 signature side-dump is computed over
+    * exactly the frame the registered query hashes.
+    */
+  private[queries] def dd2Corpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" trailing mutation token")).as("text"))
+    docs.unionByName(mutated)
+  }
+
+  /** dd3/dd3b shared input (short-suffix mutations — SimHash's regime). */
+  private[queries] def dd3Corpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    docs.unionByName(mutated)
   }
 
   val defs: Map[String, Q] = Map(
@@ -220,53 +245,39 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
-    // dd2: MinHash + LSH banded near-dup pairs (never all-pairs). Driver
-    // check is rows-only BY DESIGN: the signatures use Spark's xxhash64
-    // (the scale path - fastest codegen'd hash), which no other engine
-    // reproduces; the bit-exact cross-engine oracle for this exact pipeline
-    // is its md5 twin dd2b below, which differs ONLY in the hash function.
-    "dd2_minhash_lsh" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" trailing mutation token")).as("text"))
-      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", "text", numHashes = 64, bands = 16,
-        threshold = 0.5)
-    }),
+    // dd2: MinHash + LSH banded near-dup pairs (never all-pairs), on the
+    // scale-default xxhash64 signatures. Oracled via the signature
+    // side-dump ([[OracleDumps]]): DuckDB replays banding → bucket
+    // collision → jaccard estimate → threshold from the dumped signatures
+    // (band buckets grouped by the raw 4-long slice — collision-free, so a
+    // real xxhash64 band collision in Spark would surface as a diff). The
+    // signature computation itself is pinned by the md5 twin dd2b below
+    // (same pipeline, engine-portable hash) and by DedupAnnSpec's
+    // native-vs-agg bit-identity test.
+    "dd2_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(dd2Corpus(s, dir), "doc_id", "text", numHashes = 64, bands = 16,
+        threshold = 0.5)),
 
     // dd2b: the SAME MinHash+LSH pipeline on the portable (md5-derived)
     // hash, which a cross-engine oracle can reproduce end-to-end — banding,
     // bucket collision and jaccard estimate all verified exactly.
-    "dd2b_minhash_portable" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" trailing mutation token")).as("text"))
-      Dedup.minhashLsh(docs.unionByName(mutated), "doc_id", "text", numHashes = 16,
-        bands = 4, threshold = 0.5, portableHash = true)
-    }),
+    "dd2b_minhash_portable" -> ((s, dir) =>
+      Dedup.minhashLsh(dd2Corpus(s, dir), "doc_id", "text", numHashes = 16,
+        bands = 4, threshold = 0.5, portableHash = true)),
 
-    // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify).
-    // Rows-only BY DESIGN (xxhash64 signatures); the oracle-checked twin is
-    // dd3b below, same pipeline on the portable md5 hash.
-    "dd3_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text"))
-      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxHamming = 3)
-    }),
+    // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify)
+    // on xxhash64 signatures. Oracled via the signature side-dump
+    // ([[OracleDumps]]): banding, bucket pairing and the hamming cut are
+    // pure bit arithmetic DuckDB replays from the dumped 64-bit signatures.
+    // The signature computation is pinned by the md5 twin dd3b below.
+    "dd3_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(dd3Corpus(s, dir), "doc_id", "text", maxHamming = 3)),
 
     // dd3b: the SAME SimHash pipeline on the portable 60-bit md5 hash —
     // votes, bit packing, banding and hamming verify all oracle-checked.
-    "dd3b_simhash_portable" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val mutated = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
-          concat(col("text"), lit(" zz")).as("text"))
-      Dedup.simhashPairs(docs.unionByName(mutated), "doc_id", "text", maxHamming = 3,
-        portableHash = true)
-    }),
+    "dd3b_simhash_portable" -> ((s, dir) =>
+      Dedup.simhashPairs(dd3Corpus(s, dir), "doc_id", "text", maxHamming = 3,
+        portableHash = true)),
 
     // dd4: exact n-gram Jaccard verification on blocked candidate pairs.
     "dd4_ngram_jaccard" -> ((s, dir) => {
@@ -350,9 +361,11 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
-    // ann2: random-hyperplane LSH bucketed approximate top-k (scale path).
-    // Rows-only BY DESIGN (xxhash64-seeded planes); ann2b below is the same
-    // operator on md5-parity planes with a full DuckDB oracle, and
+    // ann2: random-hyperplane LSH bucketed approximate top-k (scale path,
+    // xxhash64-seeded planes). Oracled via the bucket side-dump
+    // ([[OracleDumps]]): DuckDB takes Spark's bucket assignment as given and
+    // replays candidate generation, cosine scoring and ranking. The plane
+    // projection itself is pinned by the md5-parity twin ann2b below, and
     // DedupAnnSpec asserts planted-neighbor recall@1 >= 0.8 with probes.
     "ann2_lsh_topk" -> ((s, dir) =>
       Ann.lshTopK(Tables.embeddings(s, dir), k = 5, planes = 8)
@@ -691,10 +704,17 @@ object LlmQueries extends QueryModule {
 
     // x4b: ML anomaly scoring — isolation forest over daily metrics (the
     // reference's exact model family, pure-Scala `IsolationForestModel`;
-    // the earlier KMeans substitution is gone). Rows-only + QualitySpec.
+    // the earlier KMeans substitution is gone). Fully oracled by replay:
+    // [[OracleDumps]] dumps the fitted trees' split nodes to parquet and
+    // the DuckDB oracle re-scores every day through them (recursive-CTE
+    // tree walk + the paper's 2^(-E[h]/c(ψ)) formula). The score is rounded
+    // to 1e-6 because the 100-tree mean sums floats in engine-specific
+    // order; ulp-level divergence is far below any meaningful score
+    // difference.
     "x4b_ml_anomaly" -> ((s, dir) =>
       graft.quality.AnomalyDetection.score(
-        graft.quality.AnomalyDetection.dailyFeatures(Tables.events(s, dir)))),
+          graft.quality.AnomalyDetection.dailyFeatures(Tables.events(s, dir)))
+        .withColumn("anomaly_score", round(col("anomaly_score"), 6))),
 
     // dq3: per-source corpus health report — the one-scan summary a corpus
     // owner reads before a training run: volume (docs/tokens/chars),
@@ -769,6 +789,10 @@ object LlmQueries extends QueryModule {
         expr(s"tokens_before div $seqLen").as("seq_id"),
         pmod(col("tokens_before"), lit(seqLen)).cast("long").as("seq_offset"))
   }
+
+  /** Oracle-side reader for a Spark side-dump (see [[OracleDumps]]). */
+  private def dump(t: String) =
+    s"read_parquet('${DomainOracles.FixturesDir}/$t/*.parquet')"
 
   private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
@@ -1456,6 +1480,21 @@ object LlmQueries extends QueryModule {
          |FROM tokd t LEFT JOIN spl sp ON t.doc_id = sp.doc_id)
          |SELECT doc_id, COALESCE(array_to_string(list_transform(ki, i -> toks[i + 1]), ' '), '') AS text_clean,
          | CAST(len(toks) - len(ki) AS INTEGER) AS n_removed FROM kept""".stripMargin,
+    // dd2: the default xxhash64 path, verified from the signature side-dump
+    // (OracleDumps). Banding groups by the RAW 4-long band slice instead of
+    // the band hash — the collision-free equivalent, so an actual xxhash64
+    // band collision in Spark would show up as an extra pair here.
+    "dd2_minhash_lsh" ->
+      s"""WITH sigs AS (SELECT doc, sig FROM ${dump("dd2_sigs")}),
+         |banded AS (SELECT doc, sig, b AS band, sig[b*4+1:b*4+4] AS band_key
+         |FROM sigs CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bs)
+         |SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+         |CAST(list_sum(list_transform(range(1, 65),
+         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 AS est_jaccard
+         |FROM banded a JOIN banded b
+         |ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+         |WHERE CAST(list_sum(list_transform(range(1, 65),
+         |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 64 >= 0.5""".stripMargin,
     "dd2b_minhash_portable" -> {
       // seeds 2p-1 / 2p split the #p-salted digest's two 60-bit halves,
       // mirroring Dedup.minhashSignatures' portable path
@@ -1488,6 +1527,18 @@ object LlmQueries extends QueryModule {
          |WHERE CAST(list_sum(list_transform(range(1, 17),
          |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5""".stripMargin
     },
+    // dd3: default xxhash64 path from the signature side-dump — banding,
+    // bucket pairing and the hamming cut are pure bit arithmetic replayed
+    // on the dumped 64-bit signatures.
+    "dd3_simhash" ->
+      s"""WITH sigs AS (SELECT doc, sig FROM ${dump("dd3_sigs")}),
+         |banded AS (SELECT doc, sig, b AS band, (sig >> (b * 16)) & 65535 AS band_bits
+         |FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs)
+         |SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+         |bit_count(xor(a.sig, b.sig)) AS hamming
+         |FROM banded a JOIN banded b
+         |ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc < b.doc
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "dd3b_simhash_portable" -> {
       val votes = (0 until 60).map(j =>
         s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -1541,6 +1592,20 @@ object LlmQueries extends QueryModule {
         |ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, neighbor_id) AS rank
         |FROM q, c WHERE query_id <> neighbor_id)
         |WHERE rank <= 5""".stripMargin,
+    // ann2: default xxhash64-seeded planes — bucket assignment comes from
+    // the side-dump; candidate generation, cosine scoring and ranking are
+    // re-derived here (same downstream as the ann2b twin).
+    "ann2_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT e.vec_id, e.emb, d.bucket
+         |FROM e JOIN ${dump("ann2_buckets")} d USING (vec_id))
+         |SELECT query_id, neighbor_id, bucket, cosine, rank FROM (
+         |SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, a.bucket,
+         |round(list_cosine_similarity(a.emb, c.emb), 6) AS cosine,
+         |ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |ORDER BY round(list_cosine_similarity(a.emb, c.emb), 6) DESC, c.vec_id) AS rank
+         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin,
     "ann2b_lsh_portable" -> {
       val sign = (p: Int) =>
         s"CASE WHEN CAST(('0x' || substr(md5('plane${p}_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1 " +
@@ -1581,6 +1646,56 @@ object LlmQueries extends QueryModule {
          |WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
          |WHEN s_en >= s_de THEN 'en'
          |ELSE 'de' END AS detected_lang FROM s""".stripMargin,
+    // x4b: isolation-forest replay — daily features re-derived from events,
+    // each day walked down the DUMPED fitted trees (recursive CTE; node 0 is
+    // every tree's root, leaves stop the recursion), path length
+    // depth + c(leaf_size), score 2^(-mean/c(psi)). Feature list order must
+    // match AnomalyDetection.FeatCols (the trees' feature index points into
+    // it); total_value imputes NULL→0.0 for scoring only, as the Scala fit
+    // does. Score rounded to 1e-6 on both sides (float sum order).
+    "x4b_ml_anomaly" -> {
+      val cOf = (m: String) => s"CASE WHEN $m <= 1 THEN 0.0 ELSE " +
+        s"2.0 * (ln($m - 1.0) + 0.5772156649015329) - 2.0 * ($m - 1.0) / $m END"
+      s"""WITH RECURSIVE daily AS (
+         |SELECT CAST(ts AS DATE) AS event_date,
+         |CAST(COUNT(*) AS DOUBLE) AS event_cnt,
+         |CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS active_users,
+         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |COUNT(*) FILTER (WHERE event_type = 'error') * 100.0 / COUNT(*) AS error_pct,
+         |CAST(COUNT(DISTINCT EXTRACT(hour FROM ts)) AS DOUBLE) AS active_hours
+         |FROM events GROUP BY CAST(ts AS DATE)),
+         |nodes AS (SELECT * FROM ${dump("x4b_forest")}),
+         |walk AS (
+         |SELECT d.event_date, n.tree, n.is_leaf, n.leaf_size, n.lo, n.hi,
+         |n.feature, n.split, 0 AS depth,
+         |[d.event_cnt, d.active_users, COALESCE(d.total_value, 0.0),
+         | d.error_pct, d.active_hours] AS x
+         |FROM daily d JOIN nodes n ON n.node = 0
+         |UNION ALL
+         |SELECT w.event_date, n.tree, n.is_leaf, n.leaf_size, n.lo, n.hi,
+         |n.feature, n.split, w.depth + 1, w.x
+         |FROM walk w JOIN nodes n ON n.tree = w.tree
+         |AND n.node = CASE WHEN w.x[w.feature + 1] < w.split THEN w.lo ELSE w.hi END
+         |WHERE NOT w.is_leaf),
+         |paths AS (
+         |SELECT event_date,
+         |depth + ${cOf("leaf_size")} AS plen
+         |FROM walk WHERE is_leaf),
+         |psi_t AS (SELECT MAX(psi) AS psi FROM nodes),
+         |scores AS (
+         |SELECT event_date,
+         |pow(2.0, -(SUM(plen) / COUNT(*)) / GREATEST(${cOf("psi")}, 1e-12)) AS raw_score
+         |FROM paths CROSS JOIN psi_t GROUP BY event_date, psi),
+         |ranked AS (
+         |SELECT d.*, s.raw_score,
+         |ROW_NUMBER() OVER (ORDER BY s.raw_score DESC, d.event_date ASC NULLS FIRST) AS rk,
+         |COUNT(*) OVER () AS n
+         |FROM daily d JOIN scores s ON d.event_date IS NOT DISTINCT FROM s.event_date)
+         |SELECT event_date, event_cnt, active_users, total_value, error_pct, active_hours,
+         |round(raw_score, 6) AS anomaly_score,
+         |rk <= GREATEST(1, CAST(round(n * 0.1) AS BIGINT)) AS is_anomaly
+         |FROM ranked""".stripMargin
+    },
     "dq1_quality_checks" ->
       """SELECT 'documents' AS table_name, row_cnt, null_text_cnt,
         |row_cnt - distinct_text_cnt AS dup_cnt,
