@@ -125,8 +125,30 @@ object Pq {
     * Both sides derive from ONE per-row native LUT ([[lutColumn]]): the
     * corpus takes per-subspace argmins over 8-element slices (cheap
     * codegen'd array ops), the query side ships the LUT itself.
+    *
+    * Scale guard: a FIXED block column is a quadratic trap — per-block depth
+    * grows with the corpus, so a self-search workload's scored-pair count
+    * grows as n²/nblocks (measured on the scale curve: 0.5 s @1x → 89 s
+    * @30x). When average block depth exceeds `maxAvgBlock`, the call routes
+    * through the LEARNED coarse quantizer ([[ivfPqTopKLearned]] with
+    * [[adaptiveNlist]] — per-list depth bounded at any corpus size; same
+    * output schema, `block` becomes the learned list id). The pre-flight
+    * count is one control-plane aggregate over (blockCol) — parquet-stat
+    * cheap next to the candidate join it guards. Pass `contrast = true` to
+    * pin the fixed-block path regardless of depth — the measured-contrast
+    * flag the ann4 bench row opts into; no default path reproduces the
+    * quadratic.
     */
-  def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel): DataFrame = {
+  def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel,
+      contrast: Boolean = false, maxAvgBlock: Int = 256): DataFrame = {
+    if (!contrast) {
+      val r = emb.agg(count(lit(1)), countDistinct(col(blockCol))).head()
+      val n = r.getLong(0); val nblocks = math.max(r.getLong(1), 1L)
+      if (n > maxAvgBlock.toLong * nblocks) {
+        val cents = coarseTrain(emb, adaptiveNlist(n))
+        return ivfPqTopKLearned(emb, k, model, cents, nprobe = 2)
+      }
+    }
     val base = spreadIfStarved(emb.select(col("vec_id"), col(blockCol), col("embedding")))
       .withColumn("__lut", lutColumn(col("embedding"), model))
     // corpus: m argmin codes per vector (0-based; array_position returns the

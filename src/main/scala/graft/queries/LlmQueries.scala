@@ -387,10 +387,13 @@ object LlmQueries extends QueryModule {
     // corpus stored as m 1-byte codes, candidates ranked by integer ADC.
     // Fully oracle-checked: the DuckDB side replays the SAME training
     // (seeds, Lloyd rounds, floor updates, tie rules) in generated SQL.
+    // `contrast = true` OPTS IN to the fixed-block path: this row is the
+    // scale curve's measured quadratic contrast for ann7 (the default API
+    // guards against it — see Pq.ivfPqTopK's scale guard).
     "ann4_ivfpq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
-      graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model)
+      graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model, contrast = true)
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
@@ -418,10 +421,14 @@ object LlmQueries extends QueryModule {
     // the index (is the compression hurting retrieval?). Per-query hit
     // counts, queries with zero hits kept. Fully oracled: the DuckDB side
     // replays training + ADC (pqOracle) AND the exact baseline.
+    // contrast = true: recall isolates PQ compression loss, so both legs
+    // must share the SAME block structure — letting the scale guard swap
+    // the approx leg onto learned lists would measure partition drift, not
+    // compression. (Both legs are measurement harness, not serving paths.)
     "ann6_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
-      val approx = graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model)
+      val approx = graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model, contrast = true)
         .select(col("query_id"), col("neighbor_id"))
       val exact = graft.ann.Pq.exactL2TopK(emb, "label", k = 3)
         .select(col("query_id"), col("neighbor_id"))

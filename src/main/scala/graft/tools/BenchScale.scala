@@ -43,7 +43,11 @@ object BenchScale {
     * column (per-block depth grows with the corpus → scored pairs grow
     * quadratically — measured 4.0 s @10x → 46.3 s @30x), ann7's learned
     * coarse quantizer grows nlist with the corpus so per-list depth (and
-    * the pair count) stays bounded. dd8 rides the curve because the per-copy
+    * the pair count) stays bounded. The ann4 row OPTS IN via
+    * `contrast = true`: since round 10 the default `Pq.ivfPqTopK` API
+    * self-guards (average block depth > 256 reroutes through the learned
+    * quantizer), so this measured quadratic exists only behind the explicit
+    * contrast flag. dd8 rides the curve because the per-copy
     * word suffixes keep every k-token shingle within its copy, so the
     * duplicated-shingle set and the marked positions both grow exactly
     * linearly — the shape its plan audit claims.

@@ -163,6 +163,25 @@ class PqSpec extends SparkSuite {
     assert(dups === 0L)
   }
 
+  test("scale guard: shallow blocks keep the fixed path; oversize ones reroute to learned IVF") {
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    // 500 vectors / 10 labels = avg depth 50, under the default 256 cap:
+    // the guarded default must equal the pinned fixed-block path exactly
+    val guardedDefault = Pq.ivfPqTopK(emb, "label", k = 3, model).collect().toSet
+    val pinned = Pq.ivfPqTopK(emb, "label", k = 3, model, contrast = true).collect().toSet
+    assert(guardedDefault === pinned)
+    // force the guard (any real block exceeds avg depth 1): the reroute must
+    // equal the learned-quantizer path with the same adaptive parameters —
+    // i.e. no default call can reach the fixed-block quadratic
+    val rerouted = Pq.ivfPqTopK(emb, "label", k = 3, model, maxAvgBlock = 1)
+      .collect().toSet
+    val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
+    val learned = Pq.ivfPqTopKLearned(emb, k = 3, model, cents, nprobe = 2)
+      .collect().toSet
+    assert(rerouted === learned)
+    assert(rerouted !== pinned) // the two routes are genuinely different plans
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
