@@ -245,6 +245,46 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
+    // st13b: MULTI-batch state evolution, driver-checked. The events split
+    // by date into two halves; each half is written to the source dir and
+    // drained by its own AvailableNow pass over one shared checkpoint, so
+    // the tracker state built in micro-batch 1 carries into micro-batch 2
+    // exactly as a restarted incremental sync resumes (ref:
+    // `main_paginated.py:78-99,177-184` — per-run tracker rows, cumulative
+    // totals). Output is the union of both passes' update rows: batch-1
+    // rows show each sync after one batch, batch-2 rows the cumulative
+    // rows/failures with batches=2 — the state-evolution trace itself is
+    // what the oracle pins, not just the final table.
+    "st13b_tracker_two_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_st13b").toString
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("d"),
+          concat(lit("sync"), pmod(col("user_id"), lit(5L))).as("sync_id"),
+          pmod(col("user_id"), lit(97L)).as("rows"),
+          (col("event_type") === "error").as("failed"))
+      val pivot = lit("2024-01-16").cast("date")
+      ev.filter(col("d") < pivot).drop("d").write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      def drainPass(): Unit =
+        graft.streaming.Streaming.trackerState(
+            s.readStream.schema(schema).parquet(s"$base/src")
+              .as[graft.streaming.Streaming.TrackerEvent])
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
+              b.write.mode("append").parquet(s"$base/out")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      drainPass()
+      ev.filter(col("d") >= pivot).drop("d").write.mode("append").parquet(s"$base/src")
+      drainPass()
+      s.read.parquet(s"$base/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs), on the
     // scale-default xxhash64 signatures. Oracled via the signature
     // side-dump ([[OracleDumps]]): DuckDB replays banding → bucket
@@ -1336,6 +1376,31 @@ object LlmQueries extends QueryModule {
         |CASE WHEN COUNT(*) FILTER (WHERE event_type = 'error') > 0
         |     THEN 'FAILED' ELSE 'PROCESSING' END AS status
         |FROM events GROUP BY user_id % 5""".stripMargin,
+
+    // st13b: the two-micro-batch state trace — batch-1 rows are the first
+    // half's per-sync aggregate (batches=1); batch-2 rows are CUMULATIVE
+    // rows/failures with batches=2 (or 1 for a sync first seen in half 2,
+    // matching flatMapGroupsWithState's per-appearance increment).
+    "st13b_tracker_two_batches" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d,
+        |'sync' || CAST(user_id % 5 AS VARCHAR) AS sync_id,
+        |user_id % 97 AS r, event_type = 'error' AS failed FROM events),
+        |b1 AS (SELECT sync_id, CAST(SUM(r) AS BIGINT) AS r,
+        |CAST(COUNT(*) FILTER (WHERE failed) AS BIGINT) AS f
+        |FROM ev WHERE d < DATE '2024-01-16' GROUP BY sync_id),
+        |b2 AS (SELECT sync_id, CAST(SUM(r) AS BIGINT) AS r,
+        |CAST(COUNT(*) FILTER (WHERE failed) AS BIGINT) AS f
+        |FROM ev WHERE d >= DATE '2024-01-16' GROUP BY sync_id)
+        |SELECT sync_id, r AS rows_processed, CAST(1 AS BIGINT) AS batches,
+        |f AS failures,
+        |CASE WHEN f > 0 THEN 'FAILED' ELSE 'PROCESSING' END AS status FROM b1
+        |UNION ALL
+        |SELECT b2.sync_id, COALESCE(b1.r, 0) + b2.r AS rows_processed,
+        |CAST(CASE WHEN b1.sync_id IS NULL THEN 1 ELSE 2 END AS BIGINT) AS batches,
+        |COALESCE(b1.f, 0) + b2.f AS failures,
+        |CASE WHEN COALESCE(b1.f, 0) + b2.f > 0
+        |     THEN 'FAILED' ELSE 'PROCESSING' END AS status
+        |FROM b2 LEFT JOIN b1 USING (sync_id)""".stripMargin,
 
     // st9: the micro-batch Gopher gate must equal the batch gate — same
     // GOPHER_BASE CTEs as tx6, filtered to the pass set.
