@@ -363,14 +363,23 @@ object Dedup {
     * shingle (map-side combine collapses per-partition repeats before the
     * shuffle), one join of positions against the (small — boilerplate is
     * rare relative to the corpus) duplicated-shingle set, then a per-doc
-    * window over marked positions only. At 100 TB, hash the shingle to 8
-    * bytes (xxhash64) before the groupBy — here the string key is kept so
-    * a cross-engine oracle reproduces the pipeline bit-for-bit.
+    * window over marked positions only.
+    *
+    * `hashedKey = true` is the 100 TB path: the k-word shingle string
+    * collapses to its xxhash64 BEFORE the groupBy/join, so both shuffles
+    * carry 8-byte longs instead of k words of text (at k = 8 and ~6 bytes
+    * per word, ~6× less shuffle payload on the pipeline's dominant
+    * exchanges). Output is bit-identical to the string-key run unless two
+    * DISTINCT shingles collide in 64 bits (~n²/2⁶⁵ for n distinct shingles
+    * — at a trillion shingles, odds ~3%, and a collision only ever
+    * over-marks a window as duplicated, never drops a real span). The
+    * string-key run (`hashedKey = false`, default) is the cross-engine
+    * oracle twin — same rows, oracle-reproducible key.
     * Merge rule: windows at positions p, q (p < q) cover contiguous text
     * iff q - p <= k, so a gap strictly greater than k starts a new span.
     */
   def substringSpans(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashedKey: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(lower(col(textCol)))
     // a doc with fewer than k tokens has no k-window (and can't carry a span)
@@ -378,8 +387,13 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array().cast("array<string>"))
+    val keyed = if (hashedKey) {
+      // hash inside the same projection as the explode so the raw string
+      // never reaches an exchange
+      transform(windows, w => xxhash64(w))
+    } else windows
     val shingled = docs
-      .select(col(idCol).as("doc_id"), posexplode(windows).as(Seq("pos", "shingle")))
+      .select(col(idCol).as("doc_id"), posexplode(keyed).as(Seq("pos", "shingle")))
     val dup = shingled.groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") >= minDocs)

@@ -354,11 +354,21 @@ object LlmQueries extends QueryModule {
     // k-token-window granularity) — maximal cross-document verbatim regions
     // at word-position resolution, the step between doc-level dedup and
     // nothing. Planted prefix-copy docs guarantee known spans on top of the
-    // corpus's organic boilerplate. Fully oracled (the shingle key stays a
-    // string for cross-engine bit-exactness; at 100 TB it would be
-    // xxhash64'd first — see Dedup.substringSpans).
+    // corpus's organic boilerplate. Fully oracled; this string-key run is
+    // the oracle twin for the xxhash64-keyed production variant dd8h below.
     "dd8_substring_spans" -> ((s, dir) => {
       Dedup.substringSpans(dd8Corpus(s, dir), "doc_id", "text", k = 8)
+    }),
+
+    // dd8h: the production-key ExactSubstr variant — every k-word shingle
+    // collapses to its xxhash64 before the dup-count groupBy and the
+    // position-mark join, so the pipeline's two dominant shuffles carry
+    // 8-byte longs instead of 8-word strings (see Dedup.substringSpans'
+    // hashedKey note). Output is identical to dd8 barring a 64-bit
+    // collision, so the string-key oracle verifies this path in full —
+    // the dd2/dd2b twin pattern with both twins sharing one oracle.
+    "dd8h_spans_hashed" -> ((s, dir) => {
+      Dedup.substringSpans(dd8Corpus(s, dir), "doc_id", "text", k = 8, hashedKey = true)
     }),
 
     // dd8b: the cleaned corpus — dd8's spans excised from every doc, text
@@ -1538,6 +1548,14 @@ object LlmQueries extends QueryModule {
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
     "dd8_substring_spans" ->
+      s"""WITH $DD8_CTES
+         |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+         | CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+         | CAST(MAX(pos) - MIN(pos) + 8 AS INTEGER) AS span_words
+         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // dd8h emits the same spans as dd8 (hashed keys change shuffle payload,
+    // not results) — one oracle covers both twins.
+    "dd8h_spans_hashed" ->
       s"""WITH $DD8_CTES
          |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
          | CAST(MAX(pos) + 7 AS INTEGER) AS span_end,

@@ -316,6 +316,18 @@ class DedupAnnSpec extends SparkSuite {
       (2L, 0, 9, 10), (2L, 19, 26, 8)))
   }
 
+  test("dd8h: hashed shingle keys produce bit-identical spans to string keys") {
+    // the production path (xxhash64'd keys — smaller shuffles) must agree
+    // with the oracle twin on the full fixture corpus, not just toy rows
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val str = Dedup.substringSpans(docs, "doc_id", "text", k = 8)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    val hashed = Dedup.substringSpans(docs, "doc_id", "text", k = 8, hashedKey = true)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(str === hashed)
+    assert(str.nonEmpty) // the corpus's organic boilerplate guarantees spans
+  }
+
   test("dd8: windows exactly k apart merge (contiguous coverage), k+1 apart split") {
     val p1 = (0 until 8).map(i => s"p$i").mkString(" ")
     val p2 = (0 until 8).map(i => s"q$i").mkString(" ")
