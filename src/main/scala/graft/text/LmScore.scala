@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * filtering is what matters for a quality gate, not the log scale.
   *
   * 100 TB story: training is one groupBy over exploded bigrams (map-side
-  * combine collapses repeats before the shuffle); the per-prefix
-  * continuation total reuses the SAME (prefix,word)-grouped exchange via a
-  * prefix-partitioned window — no second aggregation over the corpus.
+  * combine collapses repeats before the shuffle — the only corpus-sized
+  * exchange); the per-prefix continuation total is a window over the
+  * AGGREGATED model, whose prefix re-shuffle carries distinct bigrams
+  * only — model-sized, never the corpus. (Pre-partitioning the groupBy by
+  * prefix would let the window reuse the exchange, but would also push the
+  * partial aggregation above the shuffle — trading a model-sized exchange
+  * for a corpus-sized one. Deliberately not done.)
   * Scoring joins exploded bigrams to the model on (prefix, word): every
   * probe row matches exactly one model row, so a hot bigram ("of the")
   * skews a probe partition but never fans out. Docs with <2 tokens carry
@@ -48,10 +52,11 @@ object LmScore {
               element_at(col("__toks"), i + 2).as("word"))))
           .otherwise(array().cast("array<struct<prefix:string,word:string>>"))))
       .select(col("doc_id"), col("col.prefix").as("prefix"), col("col.word").as("word"))
-    // model: c2(prefix,word) by groupBy; c1(prefix) = Σ c2 over the prefix
-    // via a window on the already-(prefix,word)-grouped frame — the window's
-    // prefix partitioning is a strict coarsening of the groupBy exchange, so
-    // no second pass over the corpus
+    // model: c2(prefix,word) by groupBy; c1(prefix) = Σ c2 via a window on
+    // the aggregated frame. HashPartitioning(prefix,word) does NOT satisfy
+    // the window's ClusteredDistribution(prefix), so Spark inserts one more
+    // exchange here — over the distinct-bigram model, not the corpus (see
+    // the scale note above for why that's the right side to re-shuffle)
     val model = pairs.groupBy(col("prefix"), col("word"))
       .agg(count(lit(1)).as("__c2"))
       .withColumn("__c1", sum(col("__c2")).over(Window.partitionBy(col("prefix"))))

@@ -136,6 +136,9 @@ object BenchScale {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // UTC pin, as in Verify/Bench: keeps ts-cast plans and values
+      // host-timezone independent
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,6 +23,8 @@ object ProfileOne {
       // map-side codec/signature stages use all cores (no shuffle added)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.codegen.maxFields", sys.env.getOrElse("SPARK_GRAFT_MAXFIELDS", "100"))
+      // UTC pin, as in Verify/Bench: profiled plans must match verified ones
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_EXTRA="k=v;k=v": arbitrary conf overrides for experiments
     val withExtra = sys.env.get("SPARK_GRAFT_EXTRA").map(_.split(";").toSeq).getOrElse(Nil)

@@ -140,19 +140,25 @@ class PlanSpec extends SparkSuite {
       s"recall measurement must stay equi-join only:\n$p")
   }
 
-  test("tx14 LM score: per-prefix totals reuse the bigram groupBy exchange") {
+  test("tx14 LM score: one corpus-sized shuffle, map-side combined; window re-shuffle is model-sized") {
     val df = graft.queries.LlmQueries.defs("tx14_lm_score")(spark, dir)
     val p = plan(df)
-    // the model = one aggregate on (prefix, word) + a window on prefix; the
-    // window's prefix partitioning is a coarsening of the groupBy exchange,
-    // so model building adds NO extra shuffle over the bigram frame. Plan
-    // shape: the corpus is scanned for pairs and for the model (2) plus the
-    // doc-id spine for the left join (1) — never more.
+    // Plan shape: the corpus is scanned for pairs and for the model (2) plus
+    // the doc-id spine for the left join (1) — never more.
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans <= 3, s"tx14 rescans the corpus ($scans):\n$p")
-    // prefix window must sit directly on the (prefix, word) agg without an
-    // Exchange between them: count exchanges on the model subtree by
-    // asserting total exchange count stays at the irreducible set
+    // The bigram groupBy must partial-aggregate BEFORE its exchange (the
+    // only corpus-sized shuffle is map-side combined); the window's prefix
+    // exchange then sits on the aggregated model — Spark inserts it because
+    // HashPartitioning(prefix, word) doesn't satisfy the window's
+    // ClusteredDistribution(prefix), and that's the model-sized side.
+    // Assert the structural pair: a partial-mode aggregate exists (the
+    // map-side combine feeding the (prefix, word) exchange) AND the
+    // (prefix, word) exchange itself exists.
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"bigram groupBy lost its map-side combine:\n$p")
+    assert(p.matches("(?s).*Exchange hashpartitioning\\(prefix[^,)]*, word.*"),
+      s"missing the (prefix, word) model exchange:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
