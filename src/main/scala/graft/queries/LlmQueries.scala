@@ -491,6 +491,32 @@ object LlmQueries extends QueryModule {
           (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
     }),
 
+    // ann6b: SAMPLED recall — the scale-honest form of ann6. Recall
+    // measurement re-runs the exact baseline for every query vector; at
+    // 100 TB you sample the query side (the estimate's variance falls as
+    // 1/sqrt(sampled queries), and the exact leg's cost falls linearly).
+    // Both legs pre-filter queries by the engine-portable md5 unit hash
+    // (< 0.25); Catalyst pushes the query_id predicate below the window
+    // and into the query-side scan of both joins, so the pruning actually
+    // reaches the expensive exact self-join. Fully oracled with the same
+    // sampled query set.
+    "ann6b_recall_sampled" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val keep = graft.ops.Sampling.unitHash(col("query_id")) < 0.25
+      val approx = graft.ann.Pq.ivfPqTopK(emb, "label", k = 3, model, contrast = true)
+        .filter(keep).select(col("query_id"), col("neighbor_id"))
+      val exact = graft.ann.Pq.exactL2TopK(emb, "label", k = 3)
+        .filter(keep).select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
+    }),
+
     // ann5: two-stage retrieval — ADC shortlist (10 per query), exact
     // integer-L2 re-rank on the quantized vectors for the final top-3.
     "ann5_pq_rerank_topk" -> ((s, dir) => {
@@ -1005,7 +1031,7 @@ object LlmQueries extends QueryModule {
   }
 
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
-      learned: Option[(Int, Int)] = None): String = {
+      learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None): String = {
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
@@ -1048,10 +1074,17 @@ object LlmQueries extends QueryModule {
     if (recall) {
       // ann6: ADC top-k vs the exact integer-L2 top-k on the same `e`
       // vectors within the block; per-query hit count and recall fraction.
+      // ann6b: recallFraction samples the QUERY side of both legs by the
+      // same md5 unit-hash the Spark side uses (Sampling.unitHash) — the
+      // scale-honest measurement (the exact leg is the expensive one).
+      def uh(c: String) =
+        s"(CAST('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0)"
+      val apprWhere = recallFraction.map(f => s" WHERE ${uh("query_id")} < $f").getOrElse("")
+      val exPred = recallFraction.map(f => s" AND ${uh("qe.vec_id")} < $f").getOrElse("")
       ctes += "appr AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER " +
-        s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored) WHERE rank <= $topK)"
+        s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored$apprWhere) WHERE rank <= $topK)"
       ctes += "ex AS (SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id " +
-        "FROM e qe JOIN e ne ON qe.label = ne.label AND qe.vec_id <> ne.vec_id " +
+        s"FROM e qe JOIN e ne ON qe.label = ne.label AND qe.vec_id <> ne.vec_id$exPred " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY " +
         s"list_sum(list_transform(range(1, ${M * SUB + 1}), " +
         s"i -> (qe.e[i] - ne.e[i]) * (qe.e[i] - ne.e[i]))), ne.vec_id) <= $topK)"
@@ -1087,6 +1120,8 @@ object LlmQueries extends QueryModule {
   private val ANN4_ORACLE: String = pqOracle(3, None)
   private val ANN5_ORACLE: String = pqOracle(10, Some(3))
   private val ANN6_ORACLE: String = pqOracle(3, None, recall = true)
+  private val ANN6B_ORACLE: String =
+    pqOracle(3, None, recall = true, recallFraction = Some(0.25))
   // nlist pinned to adaptiveNlist(500) = 16, the sf0.01 correctness corpus
   // the driver runs the oracle on; the Scala side computes it from the
   // corpus count at runtime (the scale-adaptive property under test).
@@ -1175,6 +1210,7 @@ object LlmQueries extends QueryModule {
     "ann4_ivfpq_topk" -> ANN4_ORACLE,
     "ann5_pq_rerank_topk" -> ANN5_ORACLE,
     "ann6_recall" -> ANN6_ORACLE,
+    "ann6b_recall_sampled" -> ANN6B_ORACLE,
     "ann7_ivf_learned" -> ANN7_ORACLE,
     "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->

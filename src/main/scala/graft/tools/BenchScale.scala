@@ -57,6 +57,34 @@ object BenchScale {
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
+  /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
+    * measured on uniform fixtures everywhere else; this leg re-keys the
+    * 10x events corpus zipf-style — user 1 holds ~50% of all events,
+    * user 2 ~20%, user 3 ~10%, the tail keeps its original key — and
+    * measures the same queries on both corpora. A per-user window cannot
+    * be salted without breaking its sequential semantics (lag/as-of need
+    * every row of a key in order), so the honest claim is a BOUND, not
+    * immunity: per-key cost is the sort's O(n_k log n_k) — never
+    * quadratic — and the wall-clock ratio published here is what a 50%%
+    * hot key actually costs end-to-end.
+    */
+  private val skewQueries = Seq("w9_event_deltas", "j15_asof_join", "x9_retention_cohorts")
+
+  def buildSkewCorpus(spark: SparkSession, tenXDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
+    if (done.exists()) { System.err.println(s"[scale] skew corpus at $outDir reused"); return }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$tenXDir/events.parquet")
+    // hash-deterministic head: 50/20/10% on three hot keys, tail unchanged
+    val u = pmod(xxhash64(col("event_id")), lit(100L))
+    ev.withColumn("user_id",
+        when(u < 50, lit(1L)).when(u < 70, lit(2L)).when(u < 80, lit(3L))
+          .otherwise(col("user_id")))
+      .repartition(16).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    done.createNewFile()
+    System.err.println(s"[scale] skew corpus built at $outDir (50/20/10% hot keys)")
+  }
+
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
     if (done.exists()) { System.err.println(s"[scale] corpus at $outDir reused"); return }
@@ -150,6 +178,12 @@ object BenchScale {
       dirs.map { case (n, d) => (n, measure(spark, d, headline)) }
     val llmAt: Seq[(Int, Seq[(String, Double)])] =
       dirs.map { case (n, d) => (n, measure(spark, d, llm)) }
+    // skew leg: same queries, same volume (first scale point), zipf keys
+    val skewBase = dirs(1)
+    val skewDir = s"/tmp/graft_scale_skew${skewBase._1}x"
+    buildSkewCorpus(spark, skewBase._2, skewDir)
+    val skewUniform = measure(spark, skewBase._2, skewQueries)
+    val skewZipf = measure(spark, skewDir, skewQueries)
     val llm1 = llmAt.head._2
     val llm10 = llmAt(1)._2
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -173,7 +207,10 @@ object BenchScale {
       s""""sf1":${obj(at1)},"sf10":${obj(at10)},"ratio":${obj(ratios(at1, at10))},""" +
       s""""llm_composite_sf1":${f3(l1)},"llm_composite_sf10":${f3(l10)},""" +
       s""""llm_composite_ratio":${f3(l10 / l1)},""" +
-      s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))}}"""
+      s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))},""" +
+      s""""skew":{"copies":${skewBase._1},"hot_shares":[0.5,0.2,0.1],""" +
+      s""""uniform":${obj(skewUniform)},"zipf":${obj(skewZipf)},""" +
+      s""""ratio":${obj(ratios(skewUniform, skewZipf))}}}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }
