@@ -517,6 +517,30 @@ object LlmQueries extends QueryModule {
           (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
     }),
 
+    // tx15: PII scrub (RefinedWeb/Pile recipe) — emails, IPv4s and
+    // phone-like numbers detected and replaced with typed tags in one
+    // map-side projection (text/Pii.scala). The fixture corpus carries no
+    // PII, so known instances are PLANTED deterministically (every 7th doc
+    // an email, 11th an IP, 13th a phone — the dd2-mutation pattern);
+    // counts and the redacted text both hash-compare, so tag placement is
+    // verified byte-for-byte cross-engine.
+    "tx15_pii_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(lit(" from 10.2."), pmod(col("doc_id"), lit(200)), lit(".7 logged")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" call +1 555 01"),
+              lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"), lit(" today")))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Pii.redact(planted, "doc_id", "text")
+    }),
+
     // ann5: two-stage retrieval — ADC shortlist (10 per query), exact
     // integer-L2 re-rank on the quantized vectors for the final top-3.
     "ann5_pq_rerank_topk" -> ((s, dir) => {
@@ -1211,6 +1235,26 @@ object LlmQueries extends QueryModule {
     "ann5_pq_rerank_topk" -> ANN5_ORACLE,
     "ann6_recall" -> ANN6_ORACLE,
     "ann6b_recall_sampled" -> ANN6B_ORACLE,
+    // tx15: same planted PII, same regex families (syntax chosen for
+    // identical Java-regex/RE2 semantics — see text/Pii.scala), same
+    // email → IP → phone pass order.
+    "tx15_pii_redact" -> {
+      import graft.text.Pii
+      s"""WITH pl AS (SELECT doc_id, text ||
+         |CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+         |CASE WHEN doc_id % 11 = 0 THEN ' from 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.7 logged' ELSE '' END ||
+         |CASE WHEN doc_id % 13 = 0 THEN ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today' ELSE '' END AS t
+         |FROM documents),
+         |s2 AS (SELECT doc_id, t,
+         |regexp_replace(regexp_replace(t, '${Pii.EmailRe}', '<EMAIL>', 'g'), '${Pii.Ipv4Re}', '<IP>', 'g') AS t2
+         |FROM pl)
+         |SELECT doc_id,
+         |regexp_replace(t2, '${Pii.PhoneRe}', '<PHONE>', 'g') AS text_redacted,
+         |CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS INTEGER) AS n_emails,
+         |CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS INTEGER) AS n_ips,
+         |CAST(len(regexp_extract_all(t2, '${Pii.PhoneRe}')) AS INTEGER) AS n_phones
+         |FROM s2""".stripMargin
+    },
     "ann7_ivf_learned" -> ANN7_ORACLE,
     "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->
