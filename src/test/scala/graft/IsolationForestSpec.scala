@@ -25,6 +25,33 @@ class IsolationForestSpec extends AnyFunSuite {
     assert(outlierScore > 0.6 && inlierMax < 0.6)
   }
 
+  test("flatten round-trip: re-scoring through the node table equals score()") {
+    // the x4b replay oracle walks the FLATTENED trees; a lo/hi swap or an
+    // id-numbering bug in flatten would silently re-score every day wrong
+    val data = cluster :+ outlier
+    val forest = IsolationForestModel.fit(data, numTrees = 50, seed = 42L)
+    val nodes = IsolationForestModel.flatten(forest)
+    val byTree = nodes.groupBy(_.tree).map { case (t, ns) =>
+      t -> ns.map(n => n.node -> n).toMap
+    }
+    assert(byTree.size === 50)
+    assert(nodes.forall(_.psi === forest.subsample))
+    def walk(t: Int, x: Array[Double]): Double = {
+      var n = byTree(t)(0); var depth = 0
+      while (!n.is_leaf) {
+        n = byTree(t)(if (x(n.feature) < n.split) n.lo else n.hi)
+        depth += 1
+      }
+      depth + IsolationForestModel.c(n.leaf_size.toDouble)
+    }
+    data.foreach { x =>
+      val mean = (0 until 50).map(walk(_, x)).sum / 50.0
+      val replayed = math.pow(2.0,
+        -mean / math.max(IsolationForestModel.c(forest.subsample.toDouble), 1e-12))
+      assert(replayed === IsolationForestModel.score(forest, x))
+    }
+  }
+
   test("scores are deterministic under a fixed seed and fall in (0, 1]") {
     val data = cluster :+ outlier
     val s1 = {
