@@ -132,7 +132,8 @@ object MergeInto {
       }
       AtomicWriter.overwrite(merged, targetPath, Seq(partitionCol))
     } else {
-      val touched = source.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      val touched = source.select(col(partitionCol)).distinct().collect()
+        .map(_.get(0)).toIndexedSeq
       val nonNull = touched.filter(_ != null)
       val target = spark.read.parquet(targetPath)
       val pruned = target.filter(

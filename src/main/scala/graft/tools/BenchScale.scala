@@ -91,7 +91,7 @@ object BenchScale {
     def shifted(table: String, key: String, parts: Int): DataFrame = {
       val base = spark.read.parquet(s"$srcDir/$table.parquet")
       // one offset stride for all copies, past any key in the source
-      val stride = base.agg(max(col(key))).head.getLong(0) + 1L
+      val stride = base.agg(max(col(key))).head().getLong(0) + 1L
       (0 until copies).map(i => base.withColumn(key, col(key) + lit(i * stride)))
         .reduce(_ unionAll _).repartition(parts)
     }
