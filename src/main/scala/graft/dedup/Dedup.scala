@@ -186,6 +186,87 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Incremental MinHash+LSH dedup: match a NEW batch of documents against
+    * an EXISTING corpus without re-pairing the corpus with itself. This is
+    * the shape a production ingestion pipeline actually runs — the corpus
+    * was deduplicated once; every arriving batch only needs inc→base
+    * candidate pairs, never base→base (already resolved) and never
+    * inc→inc at corpus cost.
+    *
+    * Returns one row per increment doc: (doc_id, matched_base, est_jaccard,
+    * is_dup) where matched_base is the best base match (highest estimated
+    * Jaccard ≥ `threshold`, ties broken to the smallest base id) or NULL.
+    *
+    * 100 TB story: the base corpus contributes its banded signature index —
+    * `bands` rows of (doc, band, band_hash) per doc, the artifact a real
+    * pipeline persists and reuses across batches — while the batch-sized
+    * increment is the only side that computes fresh signatures per run. The
+    * band join is equi on (band, band_hash), so work is proportional to
+    * bucket collisions, never |base|×|inc|. Skew guard: base buckets larger
+    * than `maxBucket` are sub-partitioned by doc-id hash (as in
+    * [[minhashLsh]]) and the increment row REPLICATES to each sub-bucket —
+    * a bounded ⌈n/maxBucket⌉ fan-out on the small side that keeps per-task
+    * pair counts ~n·maxBucket without dropping any candidate (exactness
+    * preserved, unlike the self-join guard's within-sub-bucket restriction).
+    * The bucket-size map join doubles as a semi-join: increment bands whose
+    * bucket has no base member carry no candidates and are pruned before
+    * the pair stage.
+    */
+  def incrementalLsh(base: DataFrame, inc: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+    val rows = numHashes / bands
+    val bandHashFn = if (portableHash) "md5" else "xxhash64"
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("doc"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val sigB = minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash)
+      .repartition(col("doc"))
+    val sigI = minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
+      .repartition(col("doc"))
+    val docHash =
+      if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
+      else xxhash64(col("doc"))
+    // base side: bucket sizes once, rows into ⌈n/maxBucket⌉ sub-buckets
+    val bandedB = banded(sigB)
+      .withColumn("__nsub",
+        greatest(ceil(count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))) / lit(maxBucket)).cast("long"), lit(1L)))
+      .withColumn("sub", pmod(docHash, col("__nsub")))
+    // bucket → nsub map (distinct buckets only — index-sized, not corpus-sized)
+    val bucketMap = bandedB.select(col("band"), col("band_hash"), col("__nsub")).distinct()
+    // inc side: inner join prunes bucket-misses, explode replicates to subs
+    val bandedI = banded(sigI).join(bucketMap, Seq("band", "band_hash"))
+      .select(col("doc"), col("band"), col("band_hash"),
+        explode(sequence(lit(0L), col("__nsub") - 1)).as("sub"))
+    val pairs = bandedI.select(col("doc").as("id_inc"), col("band"), col("band_hash"), col("sub"))
+      .join(bandedB.select(col("doc").as("id_base"), col("band"), col("band_hash"), col("sub")),
+        Seq("band", "band_hash", "sub"))
+      .select(col("id_inc"), col("id_base")).distinct()
+    // verify on full signatures (merge hints: see minhashLsh — a broadcast
+    // subtree would recompute the signature stage per join)
+    val si = sigI.select(col("doc").as("id_inc"), col("sig").as("sig_i")).hint("merge")
+    val sb = sigB.select(col("doc").as("id_base"), col("sig").as("sig_b")).hint("merge")
+    val verified = pairs.join(si, Seq("id_inc")).join(sb, Seq("id_base"))
+      .select(col("id_inc"), col("id_base"),
+        (size(filter(zip_with(col("sig_i"), col("sig_b"), (x, y) => when(x === y, lit(1))),
+          v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    // best base match per increment doc: highest jaccard, ties → min base id
+    val best = verified
+      .groupBy(col("id_inc"))
+      .agg(max(struct(col("est_jaccard"), (-col("id_base")).as("__negid"))).as("__best"))
+      .select(col("id_inc").as("doc"),
+        (-col("__best.__negid")).as("matched_base"),
+        col("__best.est_jaccard").as("est_jaccard"))
+    sigI.select(col("doc"))
+      .join(best, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("matched_base"), col("est_jaccard"),
+        col("matched_base").isNotNull.as("is_dup"))
+  }
+
   /** SimHash signatures: explode tokens, per-bit ±1 vote sums with
     * map-side combine, pack the sign bits into a bigint. Same scale shape as
     * [[minhashSignatures]]: the shuffle carries one int per bit per doc.

@@ -1,0 +1,56 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** dq4: embedding-space health / outlier report — the sanity gate a
+  * pipeline runs over a fresh embedding batch before letting it near
+  * dedup (dd5/dd10) or retrieval (ann*): vectors far from their group's
+  * centroid are suspect (encoder regressions, corrupt inputs, mislabeled
+  * groups). Flags every vector whose squared distance to its label
+  * centroid exceeds `ratio`× the label's mean squared distance.
+  *
+  * Exactness (full DuckDB oracle): embeddings quantize to integer micros
+  * ([[graft.ann.Pq.quantize]]'s convention), centroids are per-dimension
+  * floor(sum/count) in pure integer arithmetic (the `(s − pmod(s, n)) / n`
+  * form, identical in any engine regardless of negative-division
+  * semantics), distances are integer sums, and the outlier cut is the
+  * cross-multiplied compare `n·d2 > ratio·Σd2` — no division, no doubles,
+  * no rounding anywhere.
+  *
+  * 100 TB story: centroids come from one explode + (label, dim) groupBy
+  * whose result is labels×dims rows — control-plane-sized — and broadcast
+  * back; per-vector distance is one map-side zip_with fold; the per-label
+  * Σd2 is a second small aggregate broadcast back for the flag. Two passes
+  * over the vectors (centroid fit, then score) — the same shape as any
+  * fit-then-apply step — with only dim-level and label-level rows ever
+  * shuffled.
+  */
+object EmbeddingHealth {
+
+  def outlierReport(emb: DataFrame, idCol: String, embCol: String,
+      labelCol: String, ratio: Int = 2): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      graft.ann.Pq.quantize(col(embCol)).as("e"))
+    // per-(label, dim) integer sums → floor-mean centroid, rebuilt into an
+    // ordered array (array_sort on (pos, c) structs — deterministic)
+    val cent = q
+      .select(col("label"), posexplode(col("e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        expr("(s - ((s % n + n) % n)) DIV n").as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("ce"))
+    val scored = q.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("e"), col("ce"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val stats = scored.groupBy(col("label"))
+      .agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n_label"))
+    scored.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), col("d2"),
+        (col("d2") * col("n_label") > lit(ratio.toLong) * col("sum_d2")).as("is_outlier"))
+  }
+}

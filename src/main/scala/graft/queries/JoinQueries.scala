@@ -221,10 +221,34 @@ object JoinQueries extends QueryModule {
           bucketDays = 7)
         .groupBy(col("window_id"), col("w_start"), col("w_end"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // j17: bloom-filter semi-join reduction (ops/BloomPrune.scala) — the
+    // fact side is pre-filtered by a bloom over the selective dim's keys
+    // BEFORE the join exchange. No false negatives + exact final join ⇒
+    // output is bit-identical to the plain join, which is what the oracle
+    // states. The merge hint forces the shuffle join the operator exists
+    // for (with a broadcastable dim the prune would be moot locally — at
+    // scale the filtered dim outgrows the broadcast threshold first).
+    "j17_bloom_prune" -> ((s, dir) => {
+      val fact = Tables.lineitem(s, dir)
+      val dim = Tables.part(s, dir).filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_brand"), col("p_size")).hint("merge")
+      graft.ops.BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey",
+          expectedItems = 10000L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("p_brand"), col("p_size"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // j17: the bloom pre-filter admits every true match (no false
+    // negatives) and the exact join removes false positives, so the plain
+    // join IS the oracle.
+    "j17_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, p_brand, p_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5""".stripMargin,
     "j15_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
         |r AS (SELECT user_id, ts, event_id, value FROM (

@@ -305,6 +305,27 @@ object LlmQueries extends QueryModule {
       Dedup.minhashLsh(dd2Corpus(s, dir), "doc_id", "text", numHashes = 16,
         bands = 4, threshold = 0.5, portableHash = true)),
 
+    // dd11: incremental dedup — a new batch matched against the existing
+    // corpus (inc→base candidates only; the corpus never re-pairs with
+    // itself). The increment plants two populations: near-dup mutations of
+    // every 9th base doc (must match their source) and token-reversed
+    // copies of every (9th+1) doc (3-shingle sets disjoint from the source
+    // → must NOT match it). Portable md5 hashing end-to-end, so banding,
+    // bucket pruning, jaccard verify and best-match selection all replay in
+    // the oracle.
+    "dd11_incremental_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val inc = base.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" incremental tail drift")).as("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(9)) === 1)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat_ws(" ", reverse(graft.text.TextOps.tokens(lower(col("text")))))
+              .as("text")))
+      Dedup.incrementalLsh(base, inc, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+    }),
+
     // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify)
     // on xxhash64 signatures. Oracled via the signature side-dump
     // ([[OracleDumps]]): banding, bucket pairing and the hamming cut are
@@ -718,6 +739,42 @@ object LlmQueries extends QueryModule {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text")),
 
+    // tx16: CCNet perplexity bucketing — head/middle/tail thirds from
+    // sample-derived thresholds (no corpus-wide sort; see LmScore.pplBuckets'
+    // scale note). Buckets assigned map-side against the broadcast cut
+    // points; the 25% threshold sample is hash-deterministic so the oracle
+    // draws the identical line.
+    "tx16_ppl_buckets" -> ((s, dir) =>
+      graft.text.LmScore.pplBuckets(
+        graft.text.LmScore.bigramScore(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text"),
+        sampleFraction = 0.25)),
+
+    // tx18: Moore-Lewis contrastive domain selection — in-domain LM from
+    // the (lang='en', source='src0') seed vs the general corpus LM; keep
+    // where the in-domain model explains the doc better (see
+    // LmScore.contrastiveSelect).
+    "tx18_contrastive_select" -> ((s, dir) =>
+      graft.text.LmScore.contrastiveSelect(
+        Tables.documents(s, dir),
+        col("lang") === "en" && col("source") === "src0",
+        "doc_id", "text")),
+
+    // tx17: BM25 retrieval (rational-idf variant — see text/Bm25.scala) of
+    // the top 10 docs for three fixed multi-term queries over corpus
+    // vocabulary. The broadcast query-term semi-join prunes the token
+    // explode before any shuffle; top-k is the two-stage salted rank.
+    "tx17_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "spark"), (1L, "window"), (1L, "shuffle"),
+        (2L, "customer"), (2L, "vector"),
+        (3L, "merge"), (3L, "stream"), (3L, "filter"))
+        .toDF("query_id", "term")
+      graft.text.Bm25.topK(Tables.documents(s, dir), q, "doc_id", "text", topK = 10)
+    }),
+
     // tx4: document fingerprinting + duplicate-group sizing.
     "tx4_fingerprint" -> ((s, dir) => {
       val fp = Tables.documents(s, dir)
@@ -825,6 +882,14 @@ object LlmQueries extends QueryModule {
 
     // dq3: per-source corpus health report — the one-scan summary a corpus
     // owner reads before a training run: volume (docs/tokens/chars),
+    // dq4: embedding-space outlier report (quality/EmbeddingHealth) —
+    // per-vector squared distance to the label centroid in pure integer
+    // arithmetic (micro-quantized), outlier cut by cross-multiplied
+    // compare; no doubles anywhere, hashes bit-identically.
+    "dq4_embedding_outliers" -> ((s, dir) =>
+      graft.quality.EmbeddingHealth.outlierReport(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", ratio = 2)),
+
     // language spread, exact-dup pressure, and the Gopher quality-gate pass
     // count, all per source. Single scan + one small (source) aggregation;
     // every metric is an integer so the report hashes bit-identically.
@@ -903,6 +968,26 @@ object LlmQueries extends QueryModule {
 
   private val TOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val TOKS_RAW = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** tx14's bigram-LM scoring pipeline as shared CTEs (tokens → bigrams →
+    * conditional-P model → per-doc mean-P), ending in `scored(doc_id,
+    * n_bigrams, lm_score)`. tx14 selects it directly; tx16 buckets it.
+    */
+  private val LM_CTES: String =
+    s"""tokq AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |bg AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+1])) AS prefix,
+       |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+2])) AS word
+       | FROM tokq),
+       |modelp AS (SELECT prefix, word,
+       |  CAST(CAST(COUNT(*) AS DOUBLE) /
+       |   CAST(SUM(COUNT(*)) OVER (PARTITION BY prefix) AS DOUBLE) AS DECIMAL(18,12)) AS p
+       | FROM bg GROUP BY prefix, word),
+       |sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(p) AS psum
+       |  FROM bg JOIN modelp USING (prefix, word) GROUP BY bg.doc_id),
+       |scored AS (SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |  CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)""".stripMargin
 
   /** tx6's metric/ratio CTEs and keep-predicate, shared with tx7b's combined
     * gate so the two oracles cannot drift apart.
@@ -1268,20 +1353,81 @@ object LlmQueries extends QueryModule {
          |COALESCE(h.c, 0) >= 3 AS is_contaminated
          |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin,
     "tx14_lm_score" ->
-      s"""WITH tokq AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |bg AS (SELECT doc_id,
+      s"""WITH $LM_CTES
+         |SELECT doc_id, n_bigrams, lm_score FROM scored""".stripMargin,
+    // tx16: tx14's scored frame + the sample-threshold bucketing
+    // (LmScore.pplBuckets): same salted unit hash, same integer cut ranks,
+    // same (score, doc_id) tuple compare — the oracle draws the same line.
+    "tx16_ppl_buckets" ->
+      s"""WITH $LM_CTES,
+         |samp AS (SELECT doc_id, lm_score FROM scored WHERE lm_score IS NOT NULL
+         |  AND (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ppl'), 1, 15)) AS BIGINT)
+         |       / 1152921504606846976.0) < 0.25),
+         |rk AS (SELECT doc_id, lm_score,
+         |  ROW_NUMBER() OVER (ORDER BY lm_score DESC, doc_id) AS rn,
+         |  COUNT(*) OVER () AS m FROM samp),
+         |th AS (SELECT
+         |  MAX(CASE WHEN rn = (m + 2) // 3 THEN lm_score END) AS t1s,
+         |  MAX(CASE WHEN rn = (m + 2) // 3 THEN doc_id END) AS t1d,
+         |  MAX(CASE WHEN rn = (2 * m + 2) // 3 THEN lm_score END) AS t2s,
+         |  MAX(CASE WHEN rn = (2 * m + 2) // 3 THEN doc_id END) AS t2d FROM rk)
+         |SELECT s.doc_id, s.n_bigrams, s.lm_score,
+         |  CASE WHEN s.lm_score IS NULL THEN 'no_evidence'
+         |       WHEN s.lm_score > th.t1s OR (s.lm_score = th.t1s AND s.doc_id <= th.t1d) THEN 'head'
+         |       WHEN s.lm_score > th.t2s OR (s.lm_score = th.t2s AND s.doc_id <= th.t2d) THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored s CROSS JOIN th""".stripMargin,
+    // tx18: the general model is LM_CTES' scored frame verbatim; the
+    // in-domain branch retrains modelp on the filtered seed and re-scores
+    // the SAME bg pairs (all docs) against it.
+    "tx18_contrastive_select" ->
+      s"""WITH $LM_CTES,
+         |tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en' AND source = 'src0'),
+         |mtok AS (SELECT doc_id, $TOKS AS toks FROM tgt),
+         |mbg AS (SELECT doc_id,
          |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+1])) AS prefix,
          |  unnest(list_transform(range(0, greatest(len(toks) - 1, 0)), i -> toks[i+2])) AS word
-         | FROM tokq),
-         |modelp AS (SELECT prefix, word,
+         | FROM mtok),
+         |imodelp AS (SELECT prefix, word,
          |  CAST(CAST(COUNT(*) AS DOUBLE) /
          |   CAST(SUM(COUNT(*)) OVER (PARTITION BY prefix) AS DOUBLE) AS DECIMAL(18,12)) AS p
-         | FROM bg GROUP BY prefix, word),
-         |sc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(p) AS psum
-         |  FROM bg JOIN modelp USING (prefix, word) GROUP BY bg.doc_id)
-         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-         |  CAST(sc.psum AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE) AS lm_score
-         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
+         | FROM mbg GROUP BY prefix, word),
+         |isc AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(p) AS psum
+         |  FROM bg JOIN imodelp USING (prefix, word) GROUP BY bg.doc_id),
+         |iscored AS (SELECT d.doc_id,
+         |  CAST(isc.psum AS DOUBLE) / CAST(isc.n_bigrams AS DOUBLE) AS score_in
+         |FROM documents d LEFT JOIN isc ON d.doc_id = isc.doc_id)
+         |SELECT s.doc_id, i.score_in, s.lm_score AS score_gen,
+         |  i.score_in - s.lm_score AS ml_diff,
+         |  COALESCE(i.score_in - s.lm_score > 0, FALSE) AS selected
+         |FROM scored s JOIN iscored i ON s.doc_id = i.doc_id""".stripMargin,
+    // tx17: BM25 with the rational idf (see text/Bm25.scala) — every factor
+    // in the same operand order, per-term quantize to DECIMAL(18,12), exact
+    // sum, one double conversion for the ranking key.
+    "tx17_bm25_topk" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'window'), (1, 'shuffle'),
+         |  (2, 'customer'), (2, 'vector'),
+         |  (3, 'merge'), (3, 'stream'), (3, 'filter')),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM tok
+         |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(len($TOKS)) AS total_tokens FROM documents),
+         |ts AS (SELECT q.query_id, tf.doc_id,
+         |  CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |        / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |    AS DECIMAL(18,12)) AS term_score
+         | FROM tf JOIN dfq USING (term) CROSS JOIN stats JOIN q ON q.term = tf.term),
+         |pd AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score,
+         |  COUNT(*) AS matched_terms FROM ts GROUP BY query_id, doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS "rank",
+         |  doc_id, score, matched_terms
+         |FROM pd QUALIFY "rank" <= 10""".stripMargin,
     "tx13_control_strip" ->
       """WITH aug AS (SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(2) || text || chr(0) || 'end' || chr(127)
@@ -1581,6 +1727,24 @@ object LlmQueries extends QueryModule {
          |SELECT doc_id, source, n_tokens,
          |CAST(tb // 4096 AS BIGINT) AS seq_id,
          |CAST(tb % 4096 AS BIGINT) AS seq_offset FROM c""".stripMargin,
+    // dq4: quantize → per-(label,dim) floor-mean centroid (exact integer
+    // pmod form — no float division) → integer d2 → cross-multiplied cut.
+    "dq4_embedding_outliers" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+        |  v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings),
+        |dv AS (SELECT label, j AS pos, e[j] AS v FROM q
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j)),
+        |cd AS (SELECT label, pos, SUM(v) AS s, COUNT(*) AS n FROM dv GROUP BY label, pos),
+        |cm AS (SELECT label, pos, (s - ((s % n + n) % n)) // n AS c FROM cd),
+        |ce AS (SELECT label, list(c ORDER BY pos) AS ce FROM cm GROUP BY label),
+        |sc AS (SELECT q.vec_id, q.label,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    j -> (q.e[j] - ce.ce[j]) * (q.e[j] - ce.ce[j]))) AS BIGINT) AS d2
+        | FROM q JOIN ce ON q.label = ce.label),
+        |st AS (SELECT label, SUM(d2) AS sum_d2, COUNT(*) AS n_label FROM sc GROUP BY label)
+        |SELECT sc.vec_id, sc.label, sc.d2,
+        |  sc.d2 * st.n_label > 2 * st.sum_d2 AS is_outlier
+        |FROM sc JOIN st ON sc.label = st.label""".stripMargin,
     "dq3_corpus_report" ->
       s"""WITH $GOPHER_BASE,
          |gp AS (SELECT doc_id, $GOPHER_PASS AS p FROM r)
@@ -1696,6 +1860,53 @@ object LlmQueries extends QueryModule {
          |ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
          |WHERE CAST(list_sum(list_transform(range(1, 17),
          |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5""".stripMargin
+    },
+    // dd11: the incremental pipeline replayed end-to-end — base and
+    // increment signatures, banding, the inc→base bucket join, jaccard
+    // verify and the best-match window (the oracle doesn't model the
+    // bucket-size guard, which is inactive below maxBucket — dd2's stance).
+    "dd11_incremental_dedup" -> {
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')))"
+      val simExpr = "CAST(list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN si.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |inc AS (
+         |SELECT doc_id + 300000 AS doc_id, text || ' incremental tail drift' AS text
+         |FROM base WHERE doc_id % 9 = 0
+         |UNION ALL
+         |SELECT doc_id + 400000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
+         |FROM base WHERE doc_id % 9 = 1),
+         |exb AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
+         |exi AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM inc)),
+         |sigb AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exb GROUP BY doc)),
+         |sigi AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exi GROUP BY doc)),
+         |bb AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |bi AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigi CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (SELECT DISTINCT x.doc AS id_inc, y.doc AS id_base
+         |  FROM bi x JOIN bb y ON x.band = y.band AND x.band_hash = y.band_hash),
+         |ver AS (SELECT c.id_inc, c.id_base, $simExpr AS est_jaccard
+         |  FROM cand c JOIN sigi si ON si.doc = c.id_inc JOIN sigb sb ON sb.doc = c.id_base
+         |  WHERE $simExpr >= 0.5),
+         |best AS (SELECT id_inc, id_base, est_jaccard,
+         |  ROW_NUMBER() OVER (PARTITION BY id_inc ORDER BY est_jaccard DESC, id_base) AS rn
+         |  FROM ver)
+         |SELECT i.doc_id, b.id_base AS matched_base, b.est_jaccard,
+         |  b.id_base IS NOT NULL AS is_dup
+         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.id_inc""".stripMargin
     },
     // dd3: default xxhash64 path from the signature side-dump — banding,
     // bucket pairing and the hamming cut are pure bit arithmetic replayed

@@ -157,6 +157,57 @@ object WindowQueries extends QueryModule {
             unix_micros(col("prev_ts").cast("timestamp")))
     }),
 
+    // W10: time-series gap-fill (beyond-reference) — the regularization step
+    // a metrics/feature pipeline runs before any rolling computation: one
+    // row per (user, day) across each user's observed span, last observation
+    // carried forward (LOCF) and linear interpolation between surrounding
+    // observations. Per-day observation = last event of the day by the
+    // (ts, event_id) total order.
+    //
+    // 100 TB story: the spine explode is per-user arithmetic (no join, no
+    // shuffle beyond the daily aggregate's); LOCF and the forward-looking
+    // next-observation window share ONE (user_id, day ASC) sort — same
+    // partitioning, same ordering, only the frames differ — so the whole
+    // fill costs one exchange + one sort. Interpolation arithmetic is two
+    // doubles and exact integer day distances: bit-identical cross-engine.
+    "w10_gap_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          col("ts"), col("event_id"), col("value"))
+      // per-day observation: last event of the day (total order)
+      val daily = ev
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("v_obs"))
+      // spine: every day in [min_day, max_day] per user
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        .select(col("user_id"),
+          explode(sequence(lit(0), datediff(col("__d1"), col("__d0")))).as("__i"),
+          col("__d0"))
+        .select(col("user_id"), date_add(col("__d0"), col("__i")).as("day"))
+      val wBack = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("locf", last(col("v_obs"), ignoreNulls = true).over(wBack))
+        .withColumn("__pd", last(when(col("v_obs").isNotNull, col("day")),
+          ignoreNulls = true).over(wBack))
+        .withColumn("__nv", first(col("v_obs"), ignoreNulls = true).over(wFwd))
+        .withColumn("__nd", first(when(col("v_obs").isNotNull, col("day")),
+          ignoreNulls = true).over(wFwd))
+        .select(col("user_id"), col("day"), col("v_obs"),
+          col("locf"),
+          when(col("v_obs").isNotNull, col("v_obs"))
+            .otherwise(col("locf") + (col("__nv") - col("locf")) *
+              (datediff(col("day"), col("__pd")).cast("double") /
+                datediff(col("__nd"), col("__pd")).cast("double"))).as("v_interp"),
+          col("v_obs").isNull.as("is_gap"))
+    }),
+
     // O5: the full rank family over one deterministic total order —
     // row_number / rank / dense_rank / percent_rank / cume_dist / ntile.
     // percent_rank and cume_dist are exact rationals (k/n) so the doubles
@@ -234,6 +285,34 @@ object WindowQueries extends QueryModule {
         |LAG(ts) OVER w AS prev_ts,
         |CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS BIGINT) AS delta_us
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // w10: the same spine arithmetic, LOCF/next-obs windows and
+    // interpolation formula — day distances via date_diff, both value
+    // operands bit-identical doubles.
+    "w10_gap_fill" ->
+      """WITH daily AS (SELECT user_id, d AS day, value AS v_obs FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS d, value, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1),
+        |sp AS (SELECT user_id, min_d,
+        |  unnest(range(0, CAST(date_diff('day', min_d, max_d) AS BIGINT) + 1)) AS i
+        |  FROM (SELECT user_id, MIN(day) AS min_d, MAX(day) AS max_d FROM daily GROUP BY user_id)),
+        |spine AS (SELECT user_id, min_d + CAST(i AS INTEGER) AS day FROM sp),
+        |f AS (SELECT s.user_id, s.day, d.v_obs,
+        |  last_value(d.v_obs IGNORE NULLS) OVER wb AS locf,
+        |  last_value(CASE WHEN d.v_obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER wb AS pd,
+        |  first_value(d.v_obs IGNORE NULLS) OVER wf AS nv,
+        |  first_value(CASE WHEN d.v_obs IS NOT NULL THEN s.day END IGNORE NULLS) OVER wf AS nd
+        | FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        | WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY s.user_id ORDER BY s.day
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, v_obs, locf,
+        | CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |      ELSE locf + (nv - locf) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+        |        / CAST(date_diff('day', pd, nd) AS DOUBLE)) END AS v_interp,
+        | v_obs IS NULL AS is_gap
+        |FROM f""".stripMargin,
     "w8_range_window" ->
       """WITH rev AS (
         |SELECT l_orderkey, CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *

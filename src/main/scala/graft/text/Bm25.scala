@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** tx17: BM25 retrieval over the corpus — the ranked-lookup primitive a
+  * curation pipeline uses for decontamination mining (find training docs
+  * matching eval-set queries), targeted quality audits, and hard-negative
+  * mining. Robertson/Sparck Jones BM25 (k1 = 1.2, b = 0.75) with one
+  * deliberate variant: the idf factor is the RATIONAL odds form
+  * `(N − df + 0.5) / (df + 0.5)` rather than its logarithm. ln reintroduces
+  * libm's engine-specific last-ulp behavior (the same reason
+  * [[LmScore]] reports mean-P, not perplexity); dropping the monotone log
+  * preserves each term's idf ORDERING exactly and keeps every arithmetic
+  * step reproducible bit-for-bit in any engine. Per-term scores are
+  * quantized to DECIMAL(18,12) before the order-independent exact sum, so
+  * shuffle nondeterminism cannot flip a ranking bit.
+  *
+  * 100 TB story, stage by stage:
+  *   - The query table (a handful of (query_id, term) rows) broadcasts;
+  *     the corpus-sized token explode is filtered by that broadcast
+  *     semi-join BEFORE any shuffle — only postings of query terms survive,
+  *     so the tf groupBy's exchange carries query-matched tokens, not the
+  *     corpus.
+  *   - df and the global (N, Σdl) statistics are aggregates over the
+  *     (already tiny) tf frame and the doc-length projection respectively;
+  *     both broadcast back as 1-row/term-count frames.
+  *   - Top-k per query is TWO-STAGE: a first row_number inside
+  *     (query, salt) sub-partitions keeps ≤ k candidates per salt, the
+  *     final rank orders ≤ k·`saltParts` rows per query — a hot query whose
+  *     term matches half the corpus never funnels that half into one
+  *     window task (the same bound [[graft.ops.Skew]] gives joins).
+  *     Exact because a global top-k row is top-k within its salt too.
+  */
+object Bm25 {
+
+  /** `docs(idCol, textCol)` scored against `queries(query_id, term)`;
+    * returns the top `topK` docs per query with rank, score, and the number
+    * of matched query terms. Terms are matched on whitespace tokens of
+    * `lower(text)`.
+    */
+  def topK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      topK: Int = 10, saltParts: Int = 32): DataFrame = {
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val posting = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+    // broadcast semi-join: corpus tokens → query-term postings only
+    val qterms = broadcast(queries.select(col("term")).distinct())
+    val tf = posting.join(qterms, Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df per query term (the tf frame is already query-term-scoped) and the
+    // global corpus stats; both control-plane-small, both broadcast
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("total_tokens"))
+    val scoredTerms = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        // every factor written in the exact operand order the oracle uses;
+        // constants pre-folded (k1+1 = 2.2, 1−b = 0.25, k1·b = shown as
+        // 1.2 * (0.25 + 0.75·dl/avgdl)) so both engines run the same ops
+        (((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") /
+              (col("total_tokens").cast("double") / col("n_docs").cast("double")))))
+          .cast("decimal(18,12)").as("term_score"))
+    // exact decimal sum, then ONE double conversion: the ranking key is the
+    // same IEEE double in any engine (summing doubles directly would expose
+    // shuffle-order-dependent rounding)
+    val perDoc = scoredTerms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("__ssum"), count(lit(1)).as("matched_terms"))
+      .select(col("query_id"), col("doc_id"),
+        col("__ssum").cast("double").as("score"), col("matched_terms"))
+    // two-stage top-k (see scale note): salt-local prune, then final rank
+    val salted = perDoc
+      .withColumn("__salt", pmod(col("doc_id"), lit(saltParts)))
+      .withColumn("__srn", row_number().over(Window
+        .partitionBy(col("query_id"), col("__salt"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("__srn") <= topK)
+    salted
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("matched_terms"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.BloomPrune
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Bloom semi-join reduction: the prune must be invisible in the result
+  * (no false negatives + exact final join) and visible in the plan
+  * (PlanSpec asserts the filter sits below the fact-side exchange).
+  */
+class BloomPruneSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pruneJoin output equals the plain join bit-for-bit") {
+    val fact = Tables.lineitem(spark, dir)
+    val dim = Tables.part(spark, dir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"), col("p_brand"))
+    val pruned = BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_brand"))
+    val plain = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_brand"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() === plain.count())
+  }
+
+  test("the filter admits every dim key (no false negatives)") {
+    val dim = Tables.part(spark, dir).select(col("p_partkey"))
+    val bf = BloomPrune.buildFilter(dim, col("p_partkey"))
+    val admitted = dim.filter(BloomPrune.mightContain(bf, col("p_partkey"))).count()
+    assert(admitted === dim.count())
+  }
+
+  test("the filter rejects most keys outside the dim (fpp is real)") {
+    val dim = Tables.part(spark, dir).select(col("p_partkey"))
+    val bf = BloomPrune.buildFilter(dim, col("p_partkey"), expectedItems = 10000L)
+    // keys far outside the dim's key space: nearly all must be rejected
+    val probes = spark.range(1000000, 1010000).select(col("id").as("k"))
+    val passed = probes.filter(BloomPrune.mightContain(bf, col("k"))).count()
+    assert(passed < 500, s"bloom passed $passed of 10000 non-member keys")
+  }
+}

@@ -442,4 +442,45 @@ class DedupAnnSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(guarded == loose)
   }
+
+  private def incBatch = {
+    val nearDups = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat(col("text"), lit(" tiny suffix")).as("text"))
+    val reversed = docs.filter(col("doc_id") >= 8 && col("doc_id") < 16)
+      .select((col("doc_id") + 6000).as("doc_id"),
+        concat_ws(" ", reverse(TextOps.tokens(lower(col("text"))))).as("text"))
+    nearDups.unionByName(reversed)
+  }
+
+  test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
+    val inc = incBatch
+    val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false).cache()
+    assert(out.count() === inc.count())
+    (0 until 8).foreach { i =>
+      val row = out.filter(col("doc_id") === (i + 5000)).head()
+      assert(row.getAs[Boolean]("is_dup"), s"planted near-dup ${i + 5000} not flagged")
+      assert(row.getAs[Long]("matched_base") === i.toLong,
+        s"best match for ${i + 5000} is ${row.getAs[Long]("matched_base")}, expected $i")
+    }
+    // token-reversed docs share vocabulary but no 3-shingles with their
+    // source — they must not match it
+    (8 until 16).foreach { i =>
+      val row = out.filter(col("doc_id") === (i + 6000)).head()
+      assert(row.isNullAt(row.fieldIndex("matched_base")) ||
+        row.getAs[Long]("matched_base") != i.toLong,
+        s"reversed doc ${i + 6000} matched its own source")
+    }
+    out.unpersist()
+  }
+
+  test("incrementalLsh bucket guard replicates, never restricts: output invariant to maxBucket") {
+    val inc = incBatch
+    def run(mb: Int) = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false, maxBucket = mb)
+    val roomy = run(1024)
+    val tight = run(2) // forces multi-sub-bucket replication on every band
+    assert(roomy.exceptAll(tight).isEmpty && tight.exceptAll(roomy).isEmpty)
+  }
 }

@@ -140,6 +140,26 @@ class PlanSpec extends SparkSuite {
       s"recall measurement must stay equi-join only:\n$p")
   }
 
+  test("j17 bloom prune: might_contain filters the fact scan below the join exchange") {
+    val df = JoinQueries.defs("j17_bloom_prune")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom filter missing from the plan:\n$p")
+    assert(p.contains("SortMergeJoin"), "the merge hint must keep the shuffle join")
+    // the bloom filter must evaluate directly over the fact scan — an
+    // exchange between them would mean we shuffled rows just to drop them
+    val filters = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, "no FilterExec carries the bloom predicate")
+    assert(filters.exists(_.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.isDefined), "bloom filter is not over a file scan")
+    assert(filters.forall(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty), "an exchange sits below the bloom filter")
+  }
+
   test("tx14 LM score: one corpus-sized shuffle, map-side combined; window re-shuffle is model-sized") {
     val df = graft.queries.LlmQueries.defs("tx14_lm_score")(spark, dir)
     val p = plan(df)

@@ -116,4 +116,59 @@ class QualitySpec extends SparkSuite {
       assert(r.getLong(6) >= 0 && r.getLong(6) <= r.getLong(1)) // gopher pass
     }
   }
+
+  test("dq4 embedding outliers: every vector scored, cut is the cross-multiplied mean ratio") {
+    import graft.quality.EmbeddingHealth
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = EmbeddingHealth.outlierReport(emb, "vec_id", "embedding", "label").cache()
+    assert(out.count() === emb.count())
+    assert(out.filter(col("d2") < 0).isEmpty)
+    // the cut implies outliers are a strict minority per label (Markov:
+    // at most half the mass can sit above 2× the mean)
+    val perLabel = out.groupBy(col("label")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_out")).collect()
+    perLabel.foreach { r =>
+      assert(r.getAs[Long]("n_out") * 2 < r.getAs[Long]("n"),
+        s"label ${r.get(0)}: ${r.getAs[Long]("n_out")} outliers of ${r.getAs[Long]("n")}")
+    }
+    // flag consistency: recompute the per-label stats from the output itself
+    val flagged = out.groupBy(col("label"))
+      .agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n_label"))
+    val bad = out.join(flagged, Seq("label"))
+      .filter(col("is_outlier") =!=
+        (col("d2") * col("n_label") > lit(2L) * col("sum_d2")))
+    assert(bad.isEmpty)
+    out.unpersist()
+  }
+
+  test("w10 gap fill: spine complete, LOCF total, interpolation bounded by its endpoints") {
+    val out = graft.queries.WindowQueries.defs("w10_gap_fill")(
+      spark, "/root/testdata/sf0.001").cache()
+    // spine covers every user's [min,max] day span exactly once
+    val spans = out.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      (datediff(max(col("day")), min(col("day"))) + 1).as("span"),
+      count(col("v_obs")).as("n_obs"))
+    assert(spans.filter(col("n") =!= col("span")).isEmpty)
+    // locf defined everywhere (spine starts at the first observation)
+    assert(out.filter(col("locf").isNull).isEmpty)
+    // observed days pass through; interp only fills gaps
+    assert(out.filter(col("v_obs").isNotNull &&
+      (col("v_interp") =!= col("v_obs") || col("is_gap"))).isEmpty)
+    // interpolated values sit between the surrounding observations
+    import org.apache.spark.sql.expressions.Window
+    val wB = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bounded = out
+      .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(wF))
+      .filter(col("is_gap") && col("v_interp").isNotNull)
+      .filter(!(col("v_interp") >= least(col("pv"), col("nv")) &&
+        col("v_interp") <= greatest(col("pv"), col("nv"))))
+    assert(bounded.isEmpty)
+    out.unpersist()
+  }
 }
