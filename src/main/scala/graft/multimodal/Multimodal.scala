@@ -137,35 +137,43 @@ object Multimodal {
     * Map-side like every codec stage: the payload is decoded where it is
     * read and only (doc_id, 2 longs) ever shuffles.
     */
+  /** The aHash core shared by [[imageAHash]] and [[frameAHash]]: 8×8 grid
+    * sums, cross-multiplied cell-vs-global mean compare, 2×32-bit pack.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val bs = new Array[Long](64); val bc = new Array[Long](64)
+    var ts = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val red = (img.getRGB(x, y) >> 16) & 0xff
+        val b = (y * 8 / h) * 8 + (x * 8 / w)
+        bs(b) += red; bc(b) += 1; ts += red
+        x += 1
+      }
+      y += 1
+    }
+    val tc = (w * h).toLong
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (bs(i) * tc > ts * bc(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   def imageAHash(spark: SparkSession, images: Dataset[ImageRecord]): Dataset[ImageHash] = {
     import spark.implicits._
     images.mapPartitions { batch =>
       batch.map { r =>
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         require(img != null, s"undecodable image payload for doc ${r.doc_id}")
-        val w = img.getWidth; val h = img.getHeight
-        val bs = new Array[Long](64); val bc = new Array[Long](64)
-        var ts = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val red = (img.getRGB(x, y) >> 16) & 0xff
-            val b = (y * 8 / h) * 8 + (x * 8 / w)
-            bs(b) += red; bc(b) += 1; ts += red
-            x += 1
-          }
-          y += 1
-        }
-        val tc = (w * h).toLong
-        var hi = 0L; var lo = 0L
-        var i = 0
-        while (i < 64) {
-          if (bs(i) * tc > ts * bc(i)) {
-            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-          }
-          i += 1
-        }
+        val (hi, lo) = aHashOf(img)
         ImageHash(r.doc_id, hi, lo)
       }
     }
@@ -345,6 +353,42 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.payload, start, len))
           require(img != null, s"undecodable frame $idx for doc ${r.doc_id}")
           SampledFrame(r.doc_id, j, idx, img.getWidth, img.getHeight)
+        }
+      }
+    }
+  }
+
+  case class FrameHash(doc_id: Long, frame_no: Int, frame_index: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** mm6 building block: [[frameSample]]'s demux-and-seek plus the
+    * [[imageAHash]] perceptual hash on each sampled frame — the per-frame
+    * fingerprint a cross-video dedup joins on. Map-side like every codec
+    * stage; only (doc_id, frame_no, frame_index, 2 longs) ever shuffles.
+    */
+  def frameAHash(spark: SparkSession, videos: Dataset[VideoRecord],
+      k: Int = 4): Dataset[FrameHash] = {
+    import spark.implicits._
+    videos.mapPartitions { batch =>
+      batch.flatMap { r =>
+        val bb = wrapContainer(r)
+        val fc = bb.getInt
+        val offsets = new Array[(Int, Int)](fc)
+        var i = 0
+        while (i < fc) {
+          val len = bb.getInt
+          offsets(i) = (bb.position(), len)
+          bb.position(bb.position() + len)
+          i += 1
+        }
+        (0 until math.min(k, fc)).iterator.map { j =>
+          val idx = if (fc <= k) j else (j * fc) / k
+          val (start, len) = offsets(idx)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload, start, len))
+          require(img != null, s"undecodable frame $idx for doc ${r.doc_id}")
+          val (hi, lo) = aHashOf(img)
+          FrameHash(r.doc_id, j, idx, hi, lo)
         }
       }
     }

@@ -102,6 +102,41 @@ object DmlQueries extends QueryModule {
       Dml.updateByKey(control, "sync_id", lit("R"), Map("status" -> lit("COMPLETED")))
     }),
 
+    // M9: SCD type-2 history builder (beyond-reference) — the versioned-
+    // dimension artifact a warehouse sync maintains: consecutive runs of the
+    // same state collapse into one validity interval with
+    // [valid_from, valid_to) bounds, version numbers, and an is_current
+    // flag. State = event_type per user over the (ts, event_id) total order.
+    //
+    // 100 TB story: ONE exchange (hash on user) carries all of it — the
+    // change-detect lag and position row_number on the event sort, then a
+    // filter keeps only run-START rows (no groupBy re-shuffle: a run's
+    // state and valid_from are its start row's values, and its event count
+    // is the rn distance to the next start), and the valid_to lead /
+    // version / is_current windows re-sort the already-co-located,
+    // runs-only frame. No self-join against the history table.
+    "m9_scd2_history" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      val wRun = Window.partitionBy(col("user_id")).orderBy(col("__rn"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__prev", lag(col("event_type"), 1).over(wSeq))
+        .withColumn("__rn", row_number().over(wSeq))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        .withColumn("__next_rn", lead(col("__rn"), 1).over(wRun))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wRun))
+        .withColumn("version", row_number().over(wRun))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          (coalesce(col("__next_rn"), col("__n") + 1) - col("__rn")).cast("long")
+            .as("n_events"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+
     // ST1: sliding date-window incremental pull merged into prior state
     // (`snowflake_bq_sync_daily Time Details/main.py:85-90`, ±window).
     "st1_incremental_merge" -> ((s, dir) => {
@@ -289,6 +324,24 @@ object DmlQueries extends QueryModule {
       """SELECT l_returnflag AS sync_id, COUNT(*) AS rows_synced,
         |CASE WHEN l_returnflag = 'R' THEN 'COMPLETED' ELSE 'PENDING' END AS status
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // m9: same run-start detection and neighbor-derived intervals.
+    "m9_scd2_history" ->
+      """WITH seqd AS (SELECT user_id, ts, event_id, event_type,
+        |  LAG(event_type) OVER w AS prev,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id) AS n
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |starts AS (SELECT * FROM seqd WHERE prev IS NULL OR prev <> event_type),
+        |runs AS (SELECT user_id, event_type, ts, rn, n,
+        |  LEAD(rn) OVER w2 AS next_rn,
+        |  LEAD(ts) OVER w2 AS valid_to,
+        |  ROW_NUMBER() OVER w2 AS version
+        | FROM starts WINDOW w2 AS (PARTITION BY user_id ORDER BY rn))
+        |SELECT user_id, CAST(version AS INTEGER) AS version, event_type AS state,
+        | ts AS valid_from, valid_to,
+        | CAST(COALESCE(next_rn, n + 1) - rn AS BIGINT) AS n_events,
+        | valid_to IS NULL AS is_current
+        |FROM runs""".stripMargin,
     "st1_incremental_merge" ->
       s"""WITH tgt AS (SELECT $evCols FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
          |src AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, props FROM events

@@ -255,6 +255,36 @@ object LlmQueries extends QueryModule {
     // rows show each sync after one batch, batch-2 rows the cumulative
     // rows/failures with batches=2 — the state-evolution trace itself is
     // what the oracle pins, not just the final table.
+    // st14: streaming SESSION windows (beyond-reference) — Spark's native
+    // session_window (dynamic-gap state merging in the streaming engine)
+    // rather than st7's batch gaps-and-islands. Watermark bounds session
+    // state; append mode emits a session once the watermark passes its end
+    // (= last event + gap). Session-merge semantics: an event starts a new
+    // session iff ts >= previous ts + gap — the oracle replays exactly that
+    // break rule plus the watermark emission cut.
+    "st14_stream_session_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = java.nio.file.Files.createTempDirectory("graft_st14").toString
+      Tables.events(s, dir)
+        .select(col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+        .write.parquet(s"$base/src")
+      val schema = s.read.parquet(s"$base/src").schema
+      s.readStream.schema(schema).parquet(s"$base/src")
+        .withWatermark("ts", "1 day")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.ops.Exact.sum2(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("session_window.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(s"$base/out")
+    }),
+
     "st13b_tracker_two_batches" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
@@ -751,6 +781,28 @@ object LlmQueries extends QueryModule {
           "doc_id", "text"),
         sampleFraction = 0.25)),
 
+    // tx19: URL filtering (RefinedWeb §3.1/3.2) — the corpus has no URL
+    // column, so one is synthesized deterministically from (source, lang,
+    // doc_id): varied TLDs, an optional cdn. subdomain, a path and a query
+    // string. Host/domain extraction and the blocklist decision are
+    // map-side regexp + literal membership; zero shuffle (see text/UrlOps).
+    "tx19_url_filter" -> ((s, dir) => {
+      val dom = concat(col("source"), lit("-"), pmod(col("doc_id"), lit(7)),
+        element_at(array(lit(".org"), lit(".net"), lit(".io")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      val hostSyn = when(pmod(col("doc_id"), lit(2)) === 0, concat(lit("cdn."), dom))
+        .otherwise(dom)
+      val url = concat(lit("https://"), hostSyn, lit("/docs/"), col("doc_id"),
+        lit("?l="), col("lang"))
+      val blocklist = Seq("src1-3.org", "src4-0.net", "src2-5.io", "src0-6.org")
+      val withUrl = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      val h = graft.text.UrlOps.host(col("url"))
+      withUrl.select(col("doc_id"), col("url"), h.as("host"),
+        graft.text.UrlOps.registrableDomain(h).as("domain"))
+        .withColumn("is_blocked",
+          graft.text.UrlOps.isBlocked(col("domain"), blocklist))
+    }),
+
     // tx18: Moore-Lewis contrastive domain selection — in-domain LM from
     // the (lang='en', source='src0') seed vs the general corpus LM; keep
     // where the in-domain model explains the doc better (see
@@ -850,6 +902,37 @@ object LlmQueries extends QueryModule {
       hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
           col("group_size"), (col("doc_id") === col("__keeper")).as("kept"))
+    }),
+
+    // mm6: cross-video frame-level dedup — sampled frames fingerprinted
+    // with the mm5 aHash (REAL demux + ImageIO decode per frame), video
+    // pairs ranked by shared-frame count. Every 13th doc gets a
+    // byte-identical planted copy (+700000), which must share all its
+    // sampled frames with the source. The join is equi on the 128-bit
+    // hash — candidate work is proportional to hash collisions, never
+    // |videos|²; a degenerate constant frame (black intros) would make a
+    // hot hash bucket, where dd2's sub-partition guard pattern applies.
+    // The oracle replays sampling indices, the closed-form frame pixels
+    // and the cross-multiplied aHash without any codec (mm5's stance).
+    "mm6_video_frame_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+      val withCopies = base.select(col("doc_id"), col("doc_id").as("src"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select((col("doc_id") + 700000).as("doc_id"), col("doc_id").as("src")))
+      val videos = withCopies.as[(Long, Long)].mapPartitions { it =>
+        it.map { case (vid, src) =>
+          val bytes = Multimodal.videoBytes(src)
+          Multimodal.VideoRecord(vid, bytes, bytes.length.toLong)
+        }
+      }
+      val fh = Multimodal.frameAHash(s, videos, k = 4).toDF()
+      val a = fh.select(col("doc_id").as("id_a"), col("ahash_hi"), col("ahash_lo"))
+      val b = fh.select(col("doc_id").as("id_b"), col("ahash_hi"), col("ahash_lo"))
+      a.join(b, Seq("ahash_hi", "ahash_lo"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_shared_frames"))
     }),
 
     // dq2: the quality-agent module over two tables with per-table
@@ -1377,6 +1460,22 @@ object LlmQueries extends QueryModule {
          |       WHEN s.lm_score > th.t2s OR (s.lm_score = th.t2s AND s.doc_id <= th.t2d) THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scored s CROSS JOIN th""".stripMargin,
+    // tx19: the same deterministic URL synthesis, the same two regexes.
+    "tx19_url_filter" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  source || '-' || (doc_id % 7) ||
+        |  (CASE doc_id % 3 WHEN 0 THEN '.org' WHEN 1 THEN '.net' ELSE '.io' END) AS dom
+        | FROM documents),
+        |w AS (SELECT doc_id,
+        |  'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'cdn.' || dom ELSE dom END)
+        |    || '/docs/' || doc_id || '?l=' || lang AS url FROM u),
+        |x AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host FROM w)
+        |SELECT doc_id, url, host,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |    IN ('src1-3.org', 'src4-0.net', 'src2-5.io', 'src0-6.org') AS is_blocked
+        |FROM x""".stripMargin,
     // tx18: the general model is LM_CTES' scored frame verbatim; the
     // in-domain branch retrains modelp on the filtered seed and re-scores
     // the SAME bg pairs (all docs) against it.
@@ -1510,6 +1609,38 @@ object LlmQueries extends QueryModule {
         |SELECT b.doc_id, b.ahash_hi, b.ahash_lo, g.group_size, (b.doc_id = g.keeper) AS kept
         |FROM bits b JOIN g ON b.ahash_hi = g.ahash_hi AND b.ahash_lo = g.ahash_lo""".stripMargin,
 
+    // mm6: sampling indices (j·fc/4 when fc>4, else all), closed-form frame
+    // dims/pixels, the mm5 aHash arithmetic, then the shared-hash pair count.
+    "mm6_video_frame_dedup" ->
+      """WITH vids AS (SELECT doc_id AS vid, doc_id AS src FROM documents
+        |UNION ALL SELECT doc_id + 700000, doc_id FROM documents WHERE doc_id % 13 = 0),
+        |fcs AS (SELECT vid, src, 2 + src % 5 AS fc FROM vids),
+        |fr AS (SELECT vid, src, fc, j AS frame_no,
+        |  CASE WHEN fc <= 4 THEN j ELSE (j * fc) // 4 END AS f
+        | FROM fcs CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js
+        | WHERE j < least(fc, 4)),
+        |dims AS (SELECT vid, frame_no, src, f,
+        |  4 + (src + f) % 8 AS w, 4 + (src + f) % 6 AS h FROM fr),
+        |pix AS (SELECT vid, frame_no, src, f, w, h,
+        | unnest(flatten(list_transform(range(0, w), xx ->
+        |   list_transform(range(0, h), yy -> [xx, yy])))) AS xy FROM dims),
+        |px AS (SELECT vid, frame_no,
+        | ((src * 37 + f * 11 + xy[1] * 5 + xy[2] * 3) % 256) AS red,
+        | ((xy[2] * 8 // h) * 8 + (xy[1] * 8 // w)) AS b FROM pix),
+        |bsum AS (SELECT vid, frame_no, b, SUM(red) AS bs, COUNT(*) AS bc
+        | FROM px GROUP BY vid, frame_no, b),
+        |tot AS (SELECT vid, frame_no, SUM(red) AS ts, COUNT(*) AS tc
+        | FROM px GROUP BY vid, frame_no),
+        |bits AS (SELECT bsum.vid, bsum.frame_no,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b >= 32
+        |   THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b < 32
+        |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+        | FROM bsum JOIN tot ON bsum.vid = tot.vid AND bsum.frame_no = tot.frame_no
+        | GROUP BY bsum.vid, bsum.frame_no)
+        |SELECT a.vid AS id_a, b.vid AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+        |FROM bits a JOIN bits b ON a.hi = b.hi AND a.lo = b.lo AND a.vid < b.vid
+        |GROUP BY a.vid, b.vid""".stripMargin,
     // mm2: the stats the codecs must recover, from the fixture formulas —
     // image pixels (8+id%16)·(8+id%12), audio samples 256+(id%128)·16, video
     // frames 2+id%5. CAST(SUM AS BIGINT): DuckDB SUM(int) is HUGEINT.
@@ -1583,6 +1714,25 @@ object LlmQueries extends QueryModule {
     // window_end <= watermark, where the terminal watermark is
     // max(ts) − 2 days (AvailableNow's trailing no-data batch advances the
     // watermark once more, emitting every window it passes).
+    // st14: the session break rule (new session iff ts >= prev + gap), the
+    // [min_ts, max_ts + gap) window, and the watermark emission cut.
+    "st14_stream_session_window" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+        |o AS (SELECT user_id, ts, value, event_id,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+        |sb AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN pts IS NULL OR ts >= pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |r AS (SELECT user_id, ts, value,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM sb),
+        |g AS (SELECT user_id, sid, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        | FROM r GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM g CROSS JOIN mx WHERE session_end <= wm""".stripMargin,
     "st11_stream_windowed_agg" ->
       """WITH mx AS (SELECT max(ts) - INTERVAL 2 DAY AS wm FROM events)
         |SELECT date_trunc('day', ts) AS win_start, event_type,

@@ -53,6 +53,40 @@ object SamplingQueries extends QueryModule {
         "n_chars", n = 30)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // SP6: exact-quota mixture fill (beyond-reference) — the "data mixing"
+    // step that hits target per-source proportions EXACTLY: seats allocated
+    // by the largest-remainder method in pure integer basis points (no
+    // float weights — 0.4·200 is not representable, 4000·200 DIV 10000 is),
+    // then each source fills its quota in hash order. A source smaller than
+    // its quota contributes everything it has — visible as its max
+    // mix_rank, never a silent cap.
+    //
+    // 100 TB story: the seat table is 5 rows of window arithmetic
+    // (control-plane) broadcast to the corpus; the per-source rank is one
+    // exchange on source. For quotas so large the rank matters, the
+    // hash-threshold form (quota/n as a rate, sp2's shape) replaces the
+    // window — same selection law, no rank.
+    "sp6_quota_mix" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val n = 200L
+      val weights = Seq(("src0", 4000L), ("src1", 2500L), ("src2", 2000L),
+        ("src3", 1000L), ("src4", 500L)).toDF("source", "bp")
+      val quotas = weights
+        .withColumn("base", expr(s"($n * bp) DIV 10000"))
+        .withColumn("rem", expr(s"($n * bp) % 10000"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+        .withColumn("leftover", lit(n) - sum(col("base")).over(Window.partitionBy(lit(1))))
+        .select(col("source"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("quota"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .withColumn("mix_rank", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(Sampling.unitHash(col("doc_id"), "#mix"), col("doc_id"))))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("mix_rank") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("mix_rank"))
+    }),
+
     // TX5: PII redaction + audit count (per-row regexp_replace, scan-speed).
     "tx5_pii_redact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -90,6 +124,21 @@ object SamplingQueries extends QueryModule {
       s"""SELECT doc_id, source, n_chars FROM documents
          |QUALIFY ROW_NUMBER() OVER (PARTITION BY source
          |  ORDER BY CAST(n_chars AS DOUBLE) / ($duckUnitHash) DESC, doc_id) <= 30""".stripMargin,
+    // sp6: same basis-point seat arithmetic, same salted-hash fill order.
+    "sp6_quota_mix" ->
+      """WITH wts(source, bp) AS (VALUES ('src0', 4000), ('src1', 2500),
+        |  ('src2', 2000), ('src3', 1000), ('src4', 500)),
+        |q0 AS (SELECT source, (200 * bp) // 10000 AS base, (200 * bp) % 10000 AS rem FROM wts),
+        |q1 AS (SELECT source, base, rem,
+        |  ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |  200 - SUM(base) OVER () AS leftover FROM q0),
+        |qt AS (SELECT source,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM q1),
+        |ranked AS (SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15)) AS BIGINT)
+        |    / 1152921504606846976.0), doc_id) AS rn FROM documents)
+        |SELECT r.source, r.doc_id, CAST(r.rn AS INTEGER) AS mix_rank
+        |FROM ranked r JOIN qt ON r.source = qt.source WHERE r.rn <= qt.quota""".stripMargin,
     "tx5_pii_redact" ->
       """SELECT doc_id,
         |regexp_replace(regexp_replace(text,
