@@ -483,6 +483,14 @@ object LlmQueries extends QueryModule {
       Ann.ivfTopK(Tables.embeddings(s, dir), "label", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("block"), col("cosine"), col("rank"))),
 
+    // ann8: scalar-quantization (SQ8) top-k — per-dim [min,max] affine
+    // 8-bit codes, integer code-space L2, block-scoped search (ann/Sq).
+    // The training-free compression step between raw floats and PQ.
+    "ann8_sq_topk" -> ((s, dir) =>
+      graft.ann.Sq.sqTopK(Tables.embeddings(s, dir), "label", k = 3)
+        .select(col("query_id"), col("neighbor_id"), col("block"),
+          col("d2"), col("rank"))),
+
     // ann4: IVF + product quantization (Jégou et al. 2011) — codebooks
     // trained on a hash-deterministic sample (driver-fit, integer Lloyd),
     // corpus stored as m 1-byte codes, candidates ranked by integer ADC.
@@ -780,6 +788,41 @@ object LlmQueries extends QueryModule {
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "doc_id", "text"),
         sampleFraction = 0.25)),
+
+    // tx20: the end-to-end curation GATE — the RefinedWeb/Gopher pipeline
+    // shape as ONE query: language id, Gopher quality rules, PII audit,
+    // token floor and exact-dup canonicalization feed a single keep/drop
+    // decision with an ordered drop_reasons trail. Each component is the
+    // already-oracled operator (tx1/tx6/tx5/tx3/tx4) — this row proves
+    // they COMPOSE: one corpus scan computes every per-row gate, the only
+    // shuffle is the fingerprint groupBy for dup canonicalization, and
+    // the decision is map-side against the broadcast keeper table.
+    "tx20_curation_gate" -> ((s, dir) => {
+      val flagged = TextOps.gopherFlags(Tables.documents(s, dir), "text")
+        .withColumn("detected_lang", TextOps.langId(col("text")))
+        .withColumn("lang_ok", col("detected_lang") === col("lang"))
+        .withColumn("pii_hits", TextOps.piiCount(col("text")))
+        .withColumn("pii_ok", col("pii_hits") === 0L)
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("token_ok", col("n_tokens") >= 10L)
+        .withColumn("fingerprint", TextOps.fingerprint(col("text")))
+      val canon = flagged.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("__keeper"))
+      flagged.join(broadcast(canon), Seq("fingerprint"))
+        .withColumn("dup_ok", col("doc_id") === col("__keeper"))
+        .withColumn("keep", col("lang_ok") && col("gopher_pass") &&
+          col("pii_ok") && col("token_ok") && col("dup_ok"))
+        .withColumn("drop_reasons", concat_ws(",",
+          when(!col("lang_ok"), lit("lang")),
+          when(!col("gopher_pass"), lit("gopher")),
+          when(!col("pii_ok"), lit("pii")),
+          when(!col("token_ok"), lit("tokens")),
+          when(!col("dup_ok"), lit("duplicate"))))
+        .select(col("doc_id"), col("detected_lang"), col("lang_ok"),
+          col("gopher_pass"), col("pii_hits"), col("pii_ok"),
+          col("n_tokens"), col("token_ok"), col("dup_ok"),
+          col("keep"), col("drop_reasons"))
+    }),
 
     // tx19: URL filtering (RefinedWeb §3.1/3.2) — the corpus has no URL
     // column, so one is synthesized deterministically from (source, lang,
@@ -1460,6 +1503,47 @@ object LlmQueries extends QueryModule {
          |       WHEN s.lm_score > th.t2s OR (s.lm_score = th.t2s AND s.doc_id <= th.t2d) THEN 'middle'
          |       ELSE 'tail' END AS bucket
          |FROM scored s CROSS JOIN th""".stripMargin,
+    // tx20: the component oracles composed — Gopher CTEs, the tx1 langid
+    // case chain, tx5's pii count, tx4's fingerprint — one final decision.
+    "tx20_curation_gate" ->
+      s"""WITH $GOPHER_BASE,
+         |lng AS (SELECT doc_id, lang,
+         |${ratio(graft.text.TextOps.stopwords("en"))} AS s_en,
+         |${ratio(graft.text.TextOps.stopwords("es"))} AS s_es,
+         |${ratio(graft.text.TextOps.stopwords("de"))} AS s_de,
+         |${ratio(graft.text.TextOps.stopwords("fr"))} AS s_fr
+         |FROM (SELECT doc_id, lang, $TOKS AS toks FROM documents)),
+         |det AS (SELECT doc_id, lang,
+         |CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+         |WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |WHEN s_en >= s_de THEN 'en'
+         |ELSE 'de' END AS detected_lang FROM lng),
+         |aux AS (SELECT doc_id,
+         |(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+         | + len(regexp_split_to_array(text, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) - 1) AS pii_hits,
+         |CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |md5(array_to_string($TOKS, ' ')) AS fingerprint FROM documents),
+         |canon AS (SELECT fingerprint, MIN(doc_id) AS keeper FROM aux GROUP BY fingerprint),
+         |gates AS (SELECT r.doc_id, det.detected_lang,
+         | det.detected_lang = det.lang AS lang_ok,
+         | $GOPHER_PASS AS gopher_pass,
+         | CAST(aux.pii_hits AS BIGINT) AS pii_hits, aux.pii_hits = 0 AS pii_ok,
+         | aux.n_tokens, aux.n_tokens >= 10 AS token_ok,
+         | aux.doc_id = canon.keeper AS dup_ok
+         |FROM r JOIN det ON r.doc_id = det.doc_id
+         |JOIN aux ON r.doc_id = aux.doc_id
+         |JOIN canon ON aux.fingerprint = canon.fingerprint)
+         |SELECT doc_id, detected_lang, lang_ok, gopher_pass, pii_hits, pii_ok,
+         | n_tokens, token_ok, dup_ok,
+         | lang_ok AND gopher_pass AND pii_ok AND token_ok AND dup_ok AS keep,
+         | concat_ws(',',
+         |  CASE WHEN NOT lang_ok THEN 'lang' END,
+         |  CASE WHEN NOT gopher_pass THEN 'gopher' END,
+         |  CASE WHEN NOT pii_ok THEN 'pii' END,
+         |  CASE WHEN NOT token_ok THEN 'tokens' END,
+         |  CASE WHEN NOT dup_ok THEN 'duplicate' END) AS drop_reasons
+         |FROM gates""".stripMargin,
     // tx19: the same deterministic URL synthesis, the same two regexes.
     "tx19_url_filter" ->
       """WITH u AS (SELECT doc_id, lang,
@@ -2155,6 +2239,26 @@ object LlmQueries extends QueryModule {
          |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id)
          |WHERE rank <= 5""".stripMargin
     },
+    // ann8: micro-quantize, per-dim integer [min,max], the same DIV code
+    // map (nonnegative operands — // and DIV agree), integer L2, rank.
+    "ann8_sq_topk" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+        |  v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings),
+        |dv AS (SELECT j AS pos, e[j] AS v FROM q
+        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j)),
+        |rg AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM dv GROUP BY pos),
+        |mm AS (SELECT list(lo ORDER BY pos) AS mn, list(hi ORDER BY pos) AS mx FROM rg),
+        |cd AS (SELECT vec_id, label,
+        |  list_transform(range(1, 65), i -> CASE WHEN mx[i] = mn[i] THEN 0
+        |    ELSE ((e[i] - mn[i]) * 255) // (mx[i] - mn[i]) END) AS code
+        | FROM q CROSS JOIN mm),
+        |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label AS block,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    i -> (a.code[i] - b.code[i]) * (a.code[i] - b.code[i]))) AS BIGINT) AS d2
+        | FROM cd a JOIN cd b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, block, d2, CAST(rank AS INTEGER) AS rank FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+        | FROM sc) WHERE rank <= 3""".stripMargin,
     "ann3_ivf_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
         |SELECT query_id, neighbor_id, block, cosine, rank FROM (

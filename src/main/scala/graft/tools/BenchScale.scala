@@ -53,8 +53,9 @@ object BenchScale {
     * linearly — the shape its plan audit claims.
     */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
-    "dd8h_spans_hashed", "dd10_semdedup", "tx3b_bpe_tokens", "tx7b_ngram_repetition",
-    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned",
+    "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
+    "tx3b_bpe_tokens", "tx7b_ngram_repetition",
+    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are

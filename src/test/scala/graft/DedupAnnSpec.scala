@@ -475,6 +475,19 @@ class DedupAnnSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("SQ8: a planted identical vector is its source's top neighbor at code distance 0") {
+    val emb = sf("embeddings")
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val out = graft.ann.Sq.sqTopK(emb.unionByName(copies), "label", k = 1)
+    (0 until 5).foreach { i =>
+      val row = out.filter(col("query_id") === (i + 100000)).head()
+      assert(row.getAs[Long]("neighbor_id") === i.toLong &&
+        row.getAs[Long]("d2") === 0L,
+        s"copy ${i + 100000}: got ${row.getAs[Long]("neighbor_id")} d2=${row.getAs[Long]("d2")}")
+    }
+  }
+
   test("incrementalLsh bucket guard replicates, never restricts: output invariant to maxBucket") {
     val inc = incBatch
     def run(mb: Int) = Dedup.incrementalLsh(docs, inc, "doc_id", "text",

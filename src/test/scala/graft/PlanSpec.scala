@@ -160,6 +160,42 @@ class PlanSpec extends SparkSuite {
     }.isEmpty), "an exchange sits below the bloom filter")
   }
 
+  test("m9 SCD2: the whole history builds on exactly one exchange") {
+    // string-matched because AQE wraps exchange-bearing plans
+    // (AdaptiveSparkPlanExec hides children from sparkPlan.collect)
+    val p = plan(graft.queries.DmlQueries.defs("m9_scd2_history")(spark, dir))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected 1 exchange (hash on user), got $n:\n$p")
+  }
+
+  test("w10 gap fill: LOCF and the forward window share one (user, day) sort") {
+    val p = plan(graft.queries.WindowQueries.defs("w10_gap_fill")(spark, dir))
+    // the fill sort is exactly [user_id, day] — the daily-observation window
+    // sorts by (user_id, day, ts DESC, ...) and must not be counted
+    val fillSorts =
+      """Sort \[user_id#\d+L? ASC NULLS FIRST, day#\d+ ASC NULLS FIRST\]""".r
+        .findAllIn(p).length
+    assert(fillSorts === 1,
+      s"the two fill windows must share one (user, day) sort, found $fillSorts:\n$p")
+  }
+
+  test("sp6 quota mix: seat table broadcasts; no sort-merge join") {
+    val p = plan(graft.queries.SamplingQueries.defs("sp6_quota_mix")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("tx17 BM25: query terms, df and stats all broadcast — the corpus never shuffles for a join") {
+    val p = plan(graft.queries.LlmQueries.defs("tx17_bm25_topk")(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ann8 SQ8: block search is equi-join; range table broadcasts") {
+    val p = plan(graft.queries.LlmQueries.defs("ann8_sq_topk")(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("tx14 LM score: one corpus-sized shuffle, map-side combined; window re-shuffle is model-sized") {
     val df = graft.queries.LlmQueries.defs("tx14_lm_score")(spark, dir)
     val p = plan(df)

@@ -142,6 +142,20 @@ class QualitySpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("tx20 curation gate: keep is the conjunction of its gates; reasons name exactly the failures") {
+    val out = graft.queries.LlmQueries.defs("tx20_curation_gate")(
+      spark, "/root/testdata/sf0.001").cache()
+    assert(out.count() === Tables.documents(spark, "/root/testdata/sf0.001").count())
+    assert(out.filter(col("keep") =!= (col("lang_ok") && col("gopher_pass") &&
+      col("pii_ok") && col("token_ok") && col("dup_ok"))).isEmpty)
+    // reasons empty exactly when kept, and each failed gate appears by name
+    assert(out.filter(col("keep") && col("drop_reasons") =!= "").isEmpty)
+    assert(out.filter(!col("keep") && col("drop_reasons") === "").isEmpty)
+    assert(out.filter(!col("lang_ok") && !col("drop_reasons").contains("lang")).isEmpty)
+    assert(out.filter(!col("dup_ok") && !col("drop_reasons").contains("duplicate")).isEmpty)
+    out.unpersist()
+  }
+
   test("w10 gap fill: spine complete, LOCF total, interpolation bounded by its endpoints") {
     val out = graft.queries.WindowQueries.defs("w10_gap_fill")(
       spark, "/root/testdata/sf0.001").cache()
