@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   * map-side; the search joins CODES (64 bytes/vector), not floats, inside
   * the label block like [[Ann.ivfTopK]] — the shuffled payload is ¼ the
   * float path's, which is the entire point of SQ at scale.
+  *
+  * Block-depth caveat (the ann4 lesson): [[sqTopK]] pairs within the
+  * given block column, so its cost is quadratic in PER-BLOCK depth —
+  * fine when blocks are a real coarse quantizer's lists, a scale hazard
+  * when they are a fixed low-cardinality label. At corpus scale, compose
+  * the SQ codes with [[Pq.coarseTrain]]'s learned lists (ann7), whose
+  * `adaptiveNlist` keeps depth bounded; SQ's contribution — code-sized
+  * shuffles and integer ADC — is orthogonal to how candidates are blocked.
   */
 object Sq {
 

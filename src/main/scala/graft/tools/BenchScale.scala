@@ -52,10 +52,17 @@ object BenchScale {
     * duplicated-shingle set and the marked positions both grow exactly
     * linearly — the shape its plan audit claims.
     */
+  /** ann8 is deliberately NOT on this list: its fixed-label block search
+    * has the same per-block-depth quadratic as the ann4 contrast row (the
+    * replicated corpus deepens every label 10/30x), and one measured
+    * quadratic on the curve is the lesson — ann4 carries it. ann8's scale
+    * path is SQ codes inside ann7's learned coarse lists (bounded depth);
+    * the SQ contribution itself — code-sized shuffles — is depth-blind.
+    */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
-    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
+    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
