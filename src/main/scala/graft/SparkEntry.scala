@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Query names carry SURVEY.md §2 operator ids (s*, p*, j*, a*, w*, o*, u*,
-  * f*, m*, st*, x*) plus the LLM-pipeline extensions (dd*, ann*, tx*, mm*)
-  * and the analytics view DAG (v_*).
+  * f*, m*, st*, x*) plus the LLM-pipeline extensions (dd*, ann*, tx*, mm*,
+  * sp*, dq*) and the analytics view DAG (v_*).
   */
 object SparkEntry {
 
