@@ -794,9 +794,12 @@ object LlmQueries extends QueryModule {
     // token floor and exact-dup canonicalization feed a single keep/drop
     // decision with an ordered drop_reasons trail. Each component is the
     // already-oracled operator (tx1/tx6/tx5/tx3/tx4) — this row proves
-    // they COMPOSE: one corpus scan computes every per-row gate, the only
-    // shuffle is the fingerprint groupBy for dup canonicalization, and
-    // the decision is map-side against the broadcast keeper table.
+    // they COMPOSE: one corpus scan computes every per-row gate, and the
+    // ONLY shuffle is the fingerprint exchange for dup canonicalization —
+    // the keeper is a min-over-fingerprint window on that same exchange,
+    // never a materialized keeper table (one row per distinct fingerprint
+    // is corpus-sized; broadcasting or re-joining it would be the scale
+    // mistake this query exists to avoid).
     "tx20_curation_gate" -> ((s, dir) => {
       val flagged = TextOps.gopherFlags(Tables.documents(s, dir), "text")
         .withColumn("detected_lang", TextOps.langId(col("text")))
@@ -806,9 +809,9 @@ object LlmQueries extends QueryModule {
         .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
         .withColumn("token_ok", col("n_tokens") >= 10L)
         .withColumn("fingerprint", TextOps.fingerprint(col("text")))
-      val canon = flagged.groupBy(col("fingerprint"))
-        .agg(min(col("doc_id")).as("__keeper"))
-      flagged.join(broadcast(canon), Seq("fingerprint"))
+      flagged
+        .withColumn("__keeper", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
         .withColumn("dup_ok", col("doc_id") === col("__keeper"))
         .withColumn("keep", col("lang_ok") && col("gopher_pass") &&
           col("pii_ok") && col("token_ok") && col("dup_ok"))
