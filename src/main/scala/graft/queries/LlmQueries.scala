@@ -356,6 +356,37 @@ object LlmQueries extends QueryModule {
         numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
     }),
 
+    // dd12: incremental EXACT dedup through a bloom pre-filter — the
+    // arriving batch probes a bloom built over the corpus' fingerprints
+    // (ops/BloomPrune; xxhash64 keys, no false negatives) and only the
+    // bloom-positive fraction enters the exact verify join. For the real
+    // case — a mostly-novel batch — almost nothing shuffles: fpp·|inc|
+    // false positives plus the true dups. Misses are new BY CONSTRUCTION,
+    // so the output is bit-identical to the plain membership test, which
+    // is the oracle. Planted increment: every 7th doc re-arrives verbatim
+    // (must flag dup), every (7th+1) arrives with a novel suffix (must
+    // flag new).
+    "dd12_bloom_incremental" -> ((s, dir) => {
+      val fp = TextOps.fingerprint(col("text"))
+      val base = Tables.documents(s, dir).select(col("doc_id"), fp.as("fingerprint"))
+      val docs = Tables.documents(s, dir)
+      val inc = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 800000).as("doc_id"), fp.as("fingerprint"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(7)) === 1)
+          .select((col("doc_id") + 900000).as("doc_id"),
+            TextOps.fingerprint(concat(col("text"), lit(" novel suffix")))
+              .as("fingerprint")))
+      val bf = graft.ops.BloomPrune.buildFilter(base, col("fingerprint"),
+        expectedItems = 100000L)
+      val dupIds = inc
+        .filter(graft.ops.BloomPrune.mightContain(bf, col("fingerprint")))
+        .join(base.select(col("fingerprint")), Seq("fingerprint"), "left_semi")
+        .select(col("doc_id")).withColumn("__dup", lit(true))
+      inc.join(dupIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("fingerprint"),
+          coalesce(col("__dup"), lit(false)).as("is_dup"))
+    }),
+
     // dd3: SimHash near-dup pairs (16-bit band bucketing + hamming verify)
     // on xxhash64 signatures. Oracled via the signature side-dump
     // ([[OracleDumps]]): banding, bucket pairing and the hamming cut are
@@ -2098,6 +2129,21 @@ object LlmQueries extends QueryModule {
          |WHERE CAST(list_sum(list_transform(range(1, 17),
          |  i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5""".stripMargin
     },
+    // dd12: the bloom is a pure pre-filter (no false negatives + exact
+    // verify), so plain fingerprint membership IS the oracle.
+    "dd12_bloom_incremental" ->
+      """WITH base AS (SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint FROM documents),
+        |inc AS (
+        |SELECT doc_id + 800000 AS doc_id,
+        |  md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fingerprint
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id + 900000 AS doc_id,
+        |  md5(array_to_string(regexp_split_to_array(trim(lower(text || ' novel suffix')), '\s+'), ' ')) AS fingerprint
+        |FROM documents WHERE doc_id % 7 = 1)
+        |SELECT doc_id, fingerprint,
+        |  fingerprint IN (SELECT fingerprint FROM base) AS is_dup
+        |FROM inc""".stripMargin,
     // dd11: the incremental pipeline replayed end-to-end — base and
     // increment signatures, banding, the inc→base bucket join, jaccard
     // verify and the best-match window (the oracle doesn't model the

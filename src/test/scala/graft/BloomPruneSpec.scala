@@ -31,6 +31,15 @@ class BloomPruneSpec extends SparkSuite {
     assert(admitted === dim.count())
   }
 
+  test("dd12: verbatim re-arrivals flag dup, suffixed arrivals flag new") {
+    val out = graft.queries.LlmQueries.defs("dd12_bloom_incremental")(
+      spark, "/root/testdata/sf0.001")
+    assert(out.filter(col("doc_id") >= 800000 && col("doc_id") < 900000 &&
+      !col("is_dup")).isEmpty, "a verbatim re-arrival escaped the dedup")
+    assert(out.filter(col("doc_id") >= 900000 && col("is_dup")).isEmpty,
+      "a novel doc was falsely deduped")
+  }
+
   test("the filter rejects most keys outside the dim (fpp is real)") {
     val dim = Tables.part(spark, dir).select(col("p_partkey"))
     val bf = BloomPrune.buildFilter(dim, col("p_partkey"), expectedItems = 10000L)
