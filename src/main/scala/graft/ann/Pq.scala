@@ -197,7 +197,7 @@ object Pq {
     * per row ([[graft.functions.CoarseProbes]]) — O(nlist·nprobe)
     * selection inside whole-stage codegen, ties to the smaller list id.
     */
-  private def probeColumn(emb: Column, cents: Array[Array[Long]], nprobe: Int): Column = {
+  private[ann] def probeColumn(emb: Column, cents: Array[Array[Long]], nprobe: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.functions.CoarseProbes(
       ColumnBridge.expression(emb), cents.length, cents.head.length, nprobe,

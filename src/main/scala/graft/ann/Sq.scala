@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   * the label block like [[Ann.ivfTopK]] — the shuffled payload is ¼ the
   * float path's, which is the entire point of SQ at scale.
   *
-  * Block-depth caveat (the ann4 lesson): [[sqTopK]] pairs within the
-  * given block column, so its cost is quadratic in PER-BLOCK depth —
-  * fine when blocks are a real coarse quantizer's lists, a scale hazard
-  * when they are a fixed low-cardinality label. At corpus scale, compose
-  * the SQ codes with [[Pq.coarseTrain]]'s learned lists (ann7), whose
-  * `adaptiveNlist` keeps depth bounded; SQ's contribution — code-sized
-  * shuffles and integer ADC — is orthogonal to how candidates are blocked.
+  * Block-depth guard (the ann4 lesson, now enforced — not just
+  * documented): a fixed block column's per-block depth grows with the
+  * corpus, so a self-search workload's scored-pair count grows as
+  * n²/nblocks. [[sqTopK]] pre-flights average block depth exactly like
+  * [[Pq.ivfPqTopK]]: above `maxAvgBlock` it reroutes candidate blocking
+  * through [[Pq.coarseTrain]]'s learned lists ([[sqTopKLearned]], sized by
+  * [[Pq.adaptiveNlist]] so per-list depth is bounded at any corpus size)
+  * while SQ codes stay the distance payload — blocking and code payload
+  * are orthogonal, which is why the reroute changes the candidate sets but
+  * not what crosses the wire (codes, never floats). `contrast = true` pins
+  * the fixed-block path for a labeled measured contrast, the only way to
+  * reach the quadratic.
   */
 object Sq {
 
@@ -56,19 +61,79 @@ object Sq {
         expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
           "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)").as("code"))
 
+  /** Integer code-space squared L2 between two 64-code arrays. */
+  private def codeDist(qc: Column, cc: Column): Column =
+    aggregate(zip_with(qc, cc, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Block-scoped SQ8 top-k: every vector queries its own block, ranked by
     * integer code-space squared L2 (ties to the smaller neighbor id).
+    *
+    * Self-guarded like [[Pq.ivfPqTopK]]: when average block depth exceeds
+    * `maxAvgBlock` (one control-plane aggregate — cheap next to the
+    * candidate join it guards), candidate blocking reroutes through the
+    * learned coarse quantizer ([[sqTopKLearned]]); `block` in the output
+    * becomes the learned list id. `contrast = true` pins the fixed-block
+    * path — the explicit opt-in a measured scale contrast uses; no default
+    * call reaches the per-block quadratic.
     */
-  def sqTopK(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
-    val codes = encode(emb, "vec_id", "embedding", blockCol)
+  def sqTopK(emb: DataFrame, blockCol: String, k: Int, contrast: Boolean = false,
+      maxAvgBlock: Int = 256, idCol: String = "vec_id",
+      embCol: String = "embedding", nprobe: Int = 2): DataFrame = {
+    if (!contrast) {
+      val r = emb.agg(count(lit(1)), countDistinct(col(blockCol))).head()
+      val n = r.getLong(0); val nblocks = math.max(r.getLong(1), 1L)
+      if (n > maxAvgBlock.toLong * nblocks) {
+        val cents = Pq.coarseTrain(
+          emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
+          Pq.adaptiveNlist(n))
+        return sqTopKLearned(emb, k, cents, nprobe, idCol, embCol)
+      }
+    }
+    val codes = encode(emb, idCol, embCol, blockCol)
     val a = codes.select(col("vec_id").as("query_id"), col("block"), col("code").as("qc"))
     val b = codes.select(col("vec_id").as("neighbor_id"), col("block"), col("code").as("cc"))
     val scored = a.join(b, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("block"),
-        aggregate(zip_with(col("qc"), col("cc"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v).as("d2"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        codeDist(col("qc"), col("cc")).as("d2"))
+    rankTopK(scored, k)
+  }
+
+  /** SQ8 search inside LEARNED coarse lists — ann7's blocking with ann8's
+    * payload. Corpus vectors carry (home list, 64 int codes); a query
+    * probes its `nprobe` nearest lists; candidates rank by integer code
+    * L2. Per-list depth is bounded by the [[Pq.adaptiveNlist]] contract, so
+    * the scored-pair count per query stays ~targetList·nprobe at any
+    * corpus size, and the join shuffles codes (¼ the float payload) plus
+    * one int — never embeddings. A neighbor lives in exactly one list, so
+    * no pair is scored twice (the [[Pq.ivfPqTopKLearned]] property).
+    */
+  def sqTopKLearned(emb: DataFrame, k: Int, cents: Array[Array[Long]],
+      nprobe: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val coded = emb
+      .select(col(idCol).as("vec_id"), col(embCol).as("__emb"),
+        Pq.quantize(col(embCol)).as("e"))
+      .crossJoin(broadcast(ranges(emb, embCol)))
+      .select(col("vec_id"), col("__emb"),
+        expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
+          "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)").as("code"))
+    val corpus = coded.select(col("vec_id").as("neighbor_id"),
+      element_at(Pq.probeColumn(col("__emb"), cents, 1), 1).as("block"),
+      col("code").as("cc"))
+    val queries = coded.select(col("vec_id").as("query_id"),
+      explode(Pq.probeColumn(col("__emb"), cents, nprobe)).as("block"),
+      col("code").as("qc"))
+    val scored = queries.join(corpus, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        codeDist(col("qc"), col("cc")).as("d2"))
+    rankTopK(scored, k)
   }
 }

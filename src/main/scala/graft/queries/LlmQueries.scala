@@ -516,7 +516,11 @@ object LlmQueries extends QueryModule {
 
     // ann8: scalar-quantization (SQ8) top-k — per-dim [min,max] affine
     // 8-bit codes, integer code-space L2, block-scoped search (ann/Sq).
-    // The training-free compression step between raw floats and PQ.
+    // The training-free compression step between raw floats and PQ. The
+    // default call is depth-guarded (Sq.sqTopK pre-flights avg block
+    // depth, rerouting through learned coarse lists above 256 — the
+    // ivfPqTopK guard); at verify SF depth is 50, so the fixed path runs
+    // and the oracle replays it exactly.
     "ann8_sq_topk" -> ((s, dir) =>
       graft.ann.Sq.sqTopK(Tables.embeddings(s, dir), "label", k = 3)
         .select(col("query_id"), col("neighbor_id"), col("block"),

@@ -52,17 +52,18 @@ object BenchScale {
     * duplicated-shingle set and the marked positions both grow exactly
     * linearly — the shape its plan audit claims.
     */
-  /** ann8 is deliberately NOT on this list: its fixed-label block search
-    * has the same per-block-depth quadratic as the ann4 contrast row (the
-    * replicated corpus deepens every label 10/30x), and one measured
-    * quadratic on the curve is the lesson — ann4 carries it. ann8's scale
-    * path is SQ codes inside ann7's learned coarse lists (bounded depth);
-    * the SQ contribution itself — code-sized shuffles — is depth-blind.
+  /** ann8 rides the curve since round 11: Sq.sqTopK now self-guards like
+    * ivfPqTopK (avg block depth > 256 reroutes SQ codes into the learned
+    * coarse lists), so at 10/30x — where the replicated corpus deepens
+    * every label past the cap — the measured row IS the learned-list
+    * reroute: bounded per-list depth, code-sized shuffles, expected
+    * ~linear. The fixed-block quadratic stays measured once, by the ann4
+    * contrast row, and is reachable only via contrast = true.
     */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
-    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned",
+    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
