@@ -134,11 +134,9 @@ object Multimodal {
     * two unsigned 32-bit halves (`ahash_hi`/`ahash_lo`): bit 63 of a packed
     * BIGINT would flip its sign, which engines shift/aggregate differently.
     *
-    * Map-side like every codec stage: the payload is decoded where it is
-    * read and only (doc_id, 2 longs) ever shuffles.
-    */
-  /** The aHash core shared by [[imageAHash]] and [[frameAHash]]: 8×8 grid
-    * sums, cross-multiplied cell-vs-global mean compare, 2×32-bit pack.
+    * See [[imageAHash]] for the shuffle story; this is the per-image core
+    * shared by [[imageAHash]] and [[frameAHash]]: 8×8 grid sums,
+    * cross-multiplied cell-vs-global mean compare, 2×32-bit pack.
     */
   private def aHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
     val w = img.getWidth; val h = img.getHeight
@@ -167,6 +165,9 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Map-side like every codec stage: the payload is decoded where it is
+    * read and only (doc_id, 2 longs) ever shuffles.
+    */
   def imageAHash(spark: SparkSession, images: Dataset[ImageRecord]): Dataset[ImageHash] = {
     import spark.implicits._
     images.mapPartitions { batch =>

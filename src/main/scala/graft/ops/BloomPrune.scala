@@ -47,10 +47,22 @@ object BloomPrune {
   /** Serialized bloom filter over `xxhash64(key)` for every row of `keys`.
     * One partial aggregate per partition, merged on the driver — the only
     * full pass over the dim, reusable across any number of fact joins.
+    *
+    * `expectedItems` ≤ 0 (the default) sizes the filter from a count of
+    * `keys` — one cheap aggregate over the (column-pruned) dim subtree,
+    * often satisfied by parquet row-group stats. A fixed constant that
+    * doesn't track scale factor SATURATES silently once the dim outgrows
+    * it: fpp drifts toward 1 and the prune degrades to a correct no-op
+    * with the stated shuffle reduction gone and no signal — exactly the
+    * no-silent-caps failure. Counting is an upper bound on distinct keys,
+    * so the derived size can only over-provision (fpp at or below design
+    * point); pass an explicit estimate only when the caller already knows
+    * the key count.
     */
-  def buildFilter(keys: DataFrame, key: Column, expectedItems: Long = 1000000L): Array[Byte] = {
+  def buildFilter(keys: DataFrame, key: Column, expectedItems: Long = 0L): Array[Byte] = {
+    val items = if (expectedItems > 0L) expectedItems else math.max(keys.count(), 64L)
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(key)), expectedItems).toAggregateExpression()
+      ColumnBridge.expression(xxhash64(key)), items).toAggregateExpression()
     keys.select(ColumnBridge.column(agg).as("bf")).head().getAs[Array[Byte]](0)
   }
 
@@ -60,16 +72,23 @@ object BloomPrune {
       Literal(filter, BinaryType), ColumnBridge.expression(xxhash64(key))))
 
   /** Equi-join `fact` to `dim` with the fact side bloom-pruned first.
-    * Output ≡ `fact.join(dim, fact(factKey) === dim(dimKey), joinType)` for
-    * inner/semi joins (no false negatives + exact final join). The dim is
-    * scanned twice (bloom build + join) — at scale the build pass is
-    * dim-sized and map-side-only, orders of magnitude under the fact
-    * shuffle bytes it saves.
+    * Output ≡ `fact.join(dim, fact(factKey) === dim(dimKey), joinType)` —
+    * the equivalence holds because the bloom has no false negatives and
+    * the exact join removes false positives, which is sound precisely for
+    * the match-preserving join types this method accepts: `inner` and
+    * `left_semi` (validated; an outer/anti join would need the DROPPED
+    * fact rows, which the pre-filter cannot preserve). The dim is scanned
+    * twice (bloom build + join) — at scale the build pass is dim-sized and
+    * map-side-only, orders of magnitude under the fact shuffle bytes it
+    * saves. `expectedItems` defaults to auto-sizing from the dim count
+    * (see [[buildFilter]]).
     */
   def pruneJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
-      expectedItems: Long = 1000000L): DataFrame = {
+      expectedItems: Long = 0L, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi").contains(joinType.toLowerCase),
+      s"pruneJoin supports inner/left_semi joins only, got $joinType")
     val bf = buildFilter(dim, col(dimKey), expectedItems)
     fact.filter(mightContain(bf, col(factKey)))
-      .join(dim, fact(factKey) === dim(dimKey))
+      .join(dim, fact(factKey) === dim(dimKey), joinType)
   }
 }

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * cross-multiplied compare `n·d2 > ratio·Σd2` — no division, no doubles,
   * no rounding anywhere.
   *
+  * Overflow discipline: a per-vector d2 is bounded by dims·(2·2²¹)² ≈
+  * 2⁴⁸·dims (exact in a long), but the per-label Σd2 and the
+  * cross-multiplied d2·n_label exceed 2⁶³ once a label holds a few
+  * million vectors — Spark (non-ANSI) would wrap silently while DuckDB
+  * promotes to HUGEINT. Both therefore accumulate/compare in
+  * decimal(38,0), which holds the products exactly to ~10³⁸ and matches
+  * the oracle's HUGEINT arithmetic bit-for-bit at any corpus scale. The
+  * per-dimension centroid sums stay long: |micro| ≤ 2²¹, so they are
+  * exact below ~2⁴¹ vectors per label — a bound 12 orders above the Σd2
+  * one, and keeping them integral preserves the engine-portable %/DIV
+  * floor-mean form.
+  *
   * 100 TB story: centroids come from one explode + (label, dim) groupBy
   * whose result is labels×dims rows — control-plane-sized — and broadcast
   * back; per-vector distance is one map-side zip_with fold; the per-label
@@ -48,9 +60,11 @@ object EmbeddingHealth {
         aggregate(zip_with(col("e"), col("ce"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, v) => acc + v).as("d2"))
     val stats = scored.groupBy(col("label"))
-      .agg(sum(col("d2")).as("sum_d2"), count(lit(1)).as("n_label"))
+      .agg(sum(col("d2").cast("decimal(38,0)")).as("sum_d2"),
+        count(lit(1)).as("n_label"))
     scored.join(broadcast(stats), Seq("label"))
       .select(col("vec_id"), col("label"), col("d2"),
-        (col("d2") * col("n_label") > lit(ratio.toLong) * col("sum_d2")).as("is_outlier"))
+        (col("d2").cast("decimal(38,0)") * col("n_label") >
+          lit(ratio.toLong) * col("sum_d2")).as("is_outlier"))
   }
 }

@@ -234,8 +234,10 @@ object JoinQueries extends QueryModule {
       val fact = Tables.lineitem(s, dir)
       val dim = Tables.part(s, dir).filter(col("p_size") <= 5)
         .select(col("p_partkey"), col("p_brand"), col("p_size")).hint("merge")
-      graft.ops.BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey",
-          expectedItems = 10000L)
+      // auto-sized bloom (counted from the filtered dim): a pinned
+      // expectedItems constant saturates silently at larger SF — see
+      // BloomPrune.buildFilter's no-silent-caps note
+      graft.ops.BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"), col("p_brand"), col("p_size"))
     })

@@ -376,8 +376,10 @@ object LlmQueries extends QueryModule {
           .select((col("doc_id") + 900000).as("doc_id"),
             TextOps.fingerprint(concat(col("text"), lit(" novel suffix")))
               .as("fingerprint")))
-      val bf = graft.ops.BloomPrune.buildFilter(base, col("fingerprint"),
-        expectedItems = 100000L)
+      // auto-sized from the corpus count (the fingerprint projection prunes
+      // away under count(), so the sizing pass is a metadata-cheap row
+      // count) — a pinned constant would saturate silently at larger SF
+      val bf = graft.ops.BloomPrune.buildFilter(base, col("fingerprint"))
       val dupIds = inc
         .filter(graft.ops.BloomPrune.mightContain(bf, col("fingerprint")))
         .join(base.select(col("fingerprint")), Seq("fingerprint"), "left_semi")

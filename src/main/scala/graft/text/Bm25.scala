@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * shuffle nondeterminism cannot flip a ranking bit.
   *
   * 100 TB story, stage by stage:
-  *   - The query table (a handful of (query_id, term) rows) broadcasts;
-  *     the corpus-sized token explode is filtered by that broadcast
-  *     semi-join BEFORE any shuffle — only postings of query terms survive,
-  *     so the tf groupBy's exchange carries query-matched tokens, not the
-  *     corpus.
+  *   - The corpus is tokenized EXACTLY ONCE: one projection computes
+  *     (doc_id, dl, query-matched tokens) — the query-term set is
+  *     control-plane-sized (the same bound that would let it broadcast),
+  *     so collected it becomes a map-side array filter — and that narrow
+  *     frame (an id, an int, and only matching tokens) persists
+  *     MEMORY_AND_DISK as the single source both consumers read. At 100 TB
+  *     tokenization is the dominant map-side cost; the previous shape paid
+  *     it twice (once for postings, once inside the Σdl aggregate).
+  *   - Postings explode from the persisted matched tokens, so the tf
+  *     groupBy's exchange carries query-matched tokens, not the corpus.
   *   - df and the global (N, Σdl) statistics are aggregates over the
-  *     (already tiny) tf frame and the doc-length projection respectively;
+  *     (already tiny) tf frame and the SAME persisted projection;
   *     both broadcast back as 1-row/term-count frames.
   *   - Top-k per query is TWO-STAGE: a first row_number inside
   *     (query, salt) sub-partitions keeps ≤ k candidates per salt, the
@@ -43,18 +48,23 @@ object Bm25 {
   def topK(docs: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       topK: Int = 10, saltParts: Int = 32): DataFrame = {
     val toks = TextOps.tokens(lower(col(textCol)))
-    val posting = docs
-      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
-    // broadcast semi-join: corpus tokens → query-term postings only
-    val qterms = broadcast(queries.select(col("term")).distinct())
-    val tf = posting.join(qterms, Seq("term"))
+    // single-tokenize projection (see scale note): dl + query-matched tokens
+    // in one pass, persisted narrow so stats and postings never re-tokenize
+    val termList = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val tokenized = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"),
+        filter(toks, t => t.isInCollection(termList)).as("__qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = tokenized
+      .select(col("doc_id"), col("dl"), explode(col("__qtoks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     // df per query term (the tf frame is already query-term-scoped) and the
     // global corpus stats; both control-plane-small, both broadcast
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(toks)).as("total_tokens"))
+    val stats = tokenized.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
     val scoredTerms = tf
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))

@@ -40,6 +40,35 @@ class BloomPruneSpec extends SparkSuite {
       "a novel doc was falsely deduped")
   }
 
+  test("left_semi pruneJoin equals the plain semi join; outer types are rejected") {
+    val fact = Tables.lineitem(spark, dir)
+    val dim = Tables.part(spark, dir).filter(col("p_size") <= 5)
+      .select(col("p_partkey"))
+    val pruned = BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey",
+        joinType = "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    val plain = fact.join(dim, fact("l_partkey") === dim("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // an outer join would need the fact rows the pre-filter drops
+    intercept[IllegalArgumentException] {
+      BloomPrune.pruneJoin(fact, "l_partkey", dim, "p_partkey", joinType = "left_outer")
+    }
+  }
+
+  test("auto-sizing keeps fpp at design point where a stale constant saturates") {
+    // 50k keys through a filter sized for 100 items: saturated, nearly
+    // everything passes; auto-sized from the same frame, fpp stays ~3%
+    val keys = spark.range(0, 50000).select((col("id") * 7919L).as("k"))
+    val probes = spark.range(10000000, 10010000).select(col("id").as("k"))
+    val saturated = BloomPrune.buildFilter(keys, col("k"), expectedItems = 100L)
+    val auto = BloomPrune.buildFilter(keys, col("k"))
+    val satPassed = probes.filter(BloomPrune.mightContain(saturated, col("k"))).count()
+    val autoPassed = probes.filter(BloomPrune.mightContain(auto, col("k"))).count()
+    assert(satPassed > 5000, s"expected a saturated filter to leak, passed $satPassed")
+    assert(autoPassed < 500, s"auto-sized filter passed $autoPassed of 10000 non-members")
+  }
+
   test("the filter rejects most keys outside the dim (fpp is real)") {
     val dim = Tables.part(spark, dir).select(col("p_partkey"))
     val bf = BloomPrune.buildFilter(dim, col("p_partkey"), expectedItems = 10000L)
