@@ -197,10 +197,11 @@ object Dedup {
     * is_dup) where matched_base is the best base match (highest estimated
     * Jaccard ≥ `threshold`, ties broken to the smallest base id) or NULL.
     *
-    * 100 TB story: the base corpus contributes its banded signature index —
-    * `bands` rows of (doc, band, band_hash) per doc, the artifact a real
-    * pipeline persists and reuses across batches — while the batch-sized
-    * increment is the only side that computes fresh signatures per run. The
+    * 100 TB story: the base corpus contributes only its signature index —
+    * the artifact a real pipeline persists once ([[writeLshIndex]]) and
+    * serves every batch from ([[incrementalLshFromIndex]], which never
+    * re-scans base text) — while the batch-sized increment is the only
+    * side that computes fresh signatures per run. The
     * band join is equi on (band, band_hash), so work is proportional to
     * bucket collisions, never |base|×|inc|. Skew guard: base buckets larger
     * than `maxBucket` are sub-partitioned by doc-id hash (as in
@@ -214,7 +215,47 @@ object Dedup {
     */
   def incrementalLsh(base: DataFrame, inc: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame =
+    incrementalLshOnSigs(
+      minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash),
+      inc, idCol, textCol, numHashes, bands, threshold, portableHash, maxBucket)
+
+  /** Persist the reusable base-side artifact of [[incrementalLsh]]: the
+    * MinHash signatures `(doc, sig)`, one row per base doc. This is the
+    * expensive stage — a full tokenize+shingle+hash pass over the corpus
+    * text — and the ONLY thing the incremental path needs from the base:
+    * banding is a map-side transform of `sig`, recomputed from the index
+    * at serve time for the cost of `bands` hashes per row. A pipeline
+    * writes this once per corpus version and serves every arriving batch
+    * from it via [[incrementalLshFromIndex]] without touching base text
+    * again — the resume economics the reference's tracker pattern gets
+    * from its chunk state (`snowflake_bq_sync_daily Time Details/
+    * main_paginated.py:101-139`).
+    */
+  def writeLshIndex(base: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 16, portableHash: Boolean = true): Unit =
+    minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash)
+      .write.mode("overwrite").parquet(path)
+
+  /** [[incrementalLsh]] served from a persisted signature index
+    * ([[writeLshIndex]]): identical output to the from-text path for the
+    * same base corpus (the signatures ARE the base's contribution), but
+    * the plan's base side reads `bands`+1 narrow columns of parquet and
+    * never scans base text. `numHashes`/`portableHash` must match the
+    * values the index was written with (sig width is checked at runtime by
+    * the slice arithmetic; hash family cannot be — document it at the
+    * write site).
+    */
+  def incrementalLshFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, inc: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame =
+    incrementalLshOnSigs(spark.read.parquet(indexPath), inc, idCol, textCol,
+      numHashes, bands, threshold, portableHash, maxBucket)
+
+  private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      threshold: Double, portableHash: Boolean, maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     def banded(sigs: DataFrame): DataFrame =
@@ -222,8 +263,7 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val sigB = minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash)
-      .repartition(col("doc"))
+    val sigB = baseSigs.repartition(col("doc"))
     val sigI = minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
       .repartition(col("doc"))
     val docHash =

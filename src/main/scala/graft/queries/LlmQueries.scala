@@ -356,6 +356,39 @@ object LlmQueries extends QueryModule {
         numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
     }),
 
+    // dd11b: the persisted-index serving path — the economics dd11's
+    // scaladoc claims, demonstrated: the base corpus' signature index is
+    // WRITTEN ONCE (Dedup.writeLshIndex) and TWO successive increments are
+    // served from it (Dedup.incrementalLshFromIndex); base text is never
+    // re-scanned at serve time (PlanSpec asserts the returned plan reads
+    // the index parquet and zero documents scans — the increments are
+    // eagerly checkpointed, standing in for batches that ARRIVE rather
+    // than derive from the corpus). Batch 1 is materialized and
+    // discarded; the registered/oracled output is batch 2's matches.
+    "dd11b_index_served" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_dd11b_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeLshIndex(base, "doc_id", "text", idx,
+        numHashes = 16, portableHash = true)
+      def serve(inc: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalLshFromIndex(s, idx, inc.localCheckpoint(true),
+          "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
+          portableHash = true)
+      val inc1 = base.filter(pmod(col("doc_id"), lit(9)) === 2)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" first batch drift")).as("text"))
+      serve(inc1).count() // batch 1: served and discarded — reuse, proven
+      val inc2 = base.filter(pmod(col("doc_id"), lit(9)) === 3)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" second batch tail")).as("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(9)) === 4)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat_ws(" ", reverse(graft.text.TextOps.tokens(lower(col("text")))))
+              .as("text")))
+      serve(inc2)
+    }),
+
     // dd12: incremental EXACT dedup through a bloom pre-filter — the
     // arriving batch probes a bloom built over the corpus' fingerprints
     // (ops/BloomPrune; xxhash64 keys, no false negatives) and only the
@@ -2175,6 +2208,54 @@ object LlmQueries extends QueryModule {
          |UNION ALL
          |SELECT doc_id + 400000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
          |FROM base WHERE doc_id % 9 = 1),
+         |exb AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
+         |exi AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM inc)),
+         |sigb AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exb GROUP BY doc)),
+         |sigi AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exi GROUP BY doc)),
+         |bb AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |bi AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigi CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |cand AS (SELECT DISTINCT x.doc AS id_inc, y.doc AS id_base
+         |  FROM bi x JOIN bb y ON x.band = y.band AND x.band_hash = y.band_hash),
+         |ver AS (SELECT c.id_inc, c.id_base, $simExpr AS est_jaccard
+         |  FROM cand c JOIN sigi si ON si.doc = c.id_inc JOIN sigb sb ON sb.doc = c.id_base
+         |  WHERE $simExpr >= 0.5),
+         |best AS (SELECT id_inc, id_base, est_jaccard,
+         |  ROW_NUMBER() OVER (PARTITION BY id_inc ORDER BY est_jaccard DESC, id_base) AS rn
+         |  FROM ver)
+         |SELECT i.doc_id, b.id_base AS matched_base, b.est_jaccard,
+         |  b.id_base IS NOT NULL AS is_dup
+         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.id_inc""".stripMargin
+    },
+    // dd11b: the index-served path computes the SAME pipeline as dd11 from
+    // persisted signatures, so the oracle is dd11's replay with batch 2's
+    // increment construction (the oracle recomputes base signatures from
+    // text — serve-time scan economics are a plan property, asserted in
+    // PlanSpec, not a value property).
+    "dd11b_index_served" -> {
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')))"
+      val simExpr = "CAST(list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN si.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |inc AS (
+         |SELECT doc_id + 600000 AS doc_id, text || ' second batch tail' AS text
+         |FROM base WHERE doc_id % 9 = 3
+         |UNION ALL
+         |SELECT doc_id + 700000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
+         |FROM base WHERE doc_id % 9 = 4),
          |exb AS (SELECT doc_id AS doc, $shingle AS shingle
          |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
          |exi AS (SELECT doc_id AS doc, $shingle AS shingle

@@ -453,6 +453,23 @@ class DedupAnnSpec extends SparkSuite {
     nearDups.unionByName(reversed)
   }
 
+  test("incrementalLshFromIndex: a persisted index serves two batches identically to from-text") {
+    val idx = tmpDir() + "/sig_index"
+    Dedup.writeLshIndex(docs, "doc_id", "text", idx, numHashes = 64, portableHash = false)
+    def fromIndex(inc: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalLshFromIndex(spark, idx, inc, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    def fromText(inc: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalLsh(docs, inc, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    // two successive batches off ONE index write; each equals the from-text path
+    Seq(incBatch, incBatch.withColumn("doc_id", col("doc_id") + 100)).foreach { inc =>
+      val a = fromIndex(inc); val b = fromText(inc)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      assert(a.count() === inc.count())
+    }
+  }
+
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
     val inc = incBatch
     val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",

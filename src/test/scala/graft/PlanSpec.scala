@@ -160,6 +160,21 @@ class PlanSpec extends SparkSuite {
     }.isEmpty), "an exchange sits below the bloom filter")
   }
 
+  test("dd11b index-served: the plan reads the signature index, never base text") {
+    val df = graft.queries.LlmQueries.defs("dd11b_index_served")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    assert(scans.exists(_.contains("graft_dd11b_idx")),
+      s"no scan of the persisted signature index:\n${scans.mkString("\n")}")
+    // the serve-time promise: base documents are NEVER re-scanned — every
+    // parquet scan in the served plan is the index (the increments arrive
+    // pre-materialized via eager checkpoint, as a real batch would)
+    assert(scans.forall(!_.contains("documents")),
+      s"base text re-scanned at serve time:\n${scans.mkString("\n")}")
+  }
+
   test("m9 SCD2: the whole history builds on exactly one exchange") {
     // string-matched because AQE wraps exchange-bearing plans
     // (AdaptiveSparkPlanExec hides children from sparkPlan.collect)
