@@ -203,6 +203,90 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("state boundedness MEASURED: watermark passage evicts agg, join, and session state") {
+    // st11/st12/st14 all CLAIM "state bounded by the watermark horizon";
+    // this measures it via StreamingQueryProgress.stateOperators: two
+    // AvailableNow passes over one checkpoint — pass 2 arrives 25 days
+    // after pass 1, dragging the watermark past every pass-1 window /
+    // session / join row — and numRowsTotal must DROP to the pass-2
+    // horizon, not accumulate. (An unbounded operator would show state
+    // growing monotonically with input — the 100 TB failure mode.)
+    def mk(rows: Seq[(String, Long, String, Double)]) =
+      rows.toDF("ts0", "user_id", "event_type", "value")
+        .select(col("ts0").cast("timestamp").as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    val pass1 = for { d <- 1 to 5; u <- 0L until 8L; r <- Seq(0, 1) } yield
+      (f"2024-01-0$d 10:${if (r == 0) "00" else "30"}:00", u,
+        if (r == 0) "click" else "purchase", 1.0)
+    val pass2 = (for { u <- 0L until 8L } yield
+      (s"2024-01-30 10:00:00", u, "click", 1.0)) ++
+      (for { u <- 0L until 4L } yield (s"2024-01-30 10:20:00", u, "purchase", 1.0))
+
+    def measure(name: String)(build: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): (Seq[Long], Seq[Long]) = {
+      val base = tmpDir()
+      val src = s"$base/src"
+      mk(pass1).write.mode("append").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      def pass(): Seq[Long] = {
+        val q = build(spark.readStream.schema(schema).parquet(src))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum)
+      }
+      val s1 = pass()
+      mk(pass2).write.mode("append").parquet(src)
+      val s2 = pass()
+      System.err.println(s"[state] $name pass1=${s1.mkString(",")} pass2=${s2.mkString(",")}")
+      (s1, s2)
+    }
+
+    // st11's shape: 1-day tumbling windows x event_type, 2-day watermark
+    val (a1, a2) = measure("windowed_agg")(
+      _.withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt")))
+    // st12's shape: purchase <- click within the preceding hour, 1-day marks
+    val (j1, j2) = measure("stream_stream_join") { src =>
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 day")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+      purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+    }
+    // st14's shape: 30-minute session windows per user, 1-day watermark
+    val (w1, w2) = measure("session_window")(
+      _.withWatermark("ts", "1 day")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("ss"),
+          col("n_events")))
+
+    Seq(("windowed_agg", a1, a2), ("stream_stream_join", j1, j2),
+        ("session_window", w1, w2)).foreach { case (name, s1, s2) =>
+      assert(s1.nonEmpty && s2.nonEmpty, s"$name: no state metrics reported")
+      val peak = (s1 ++ s2).max
+      assert(peak > 0, s"$name: state never held a row")
+      // the bounded-state claim itself: after the watermark passes pass-1's
+      // horizon, live state must be strictly below both the peak and the
+      // pass-1 resting level — eviction happened, nothing accumulated
+      assert(s2.last < s1.last,
+        s"$name: state did not drop after watermark passage " +
+          s"(pass1=${s1.mkString(",")} pass2=${s2.mkString(",")})")
+      assert(s2.last < peak,
+        s"$name: final state ${s2.last} not below peak $peak")
+    }
+  }
+
   test("ST1 window scan: events fixture reads with ntz timestamps and filters push down") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val window = ev.filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
