@@ -897,6 +897,45 @@ object LlmQueries extends QueryModule {
           col("keep"), col("drop_reasons"))
     }),
 
+    // tx20b: the curation gate at NEAR-DUP granularity — what a production
+    // pipeline actually runs: the dup leg is dd2b's portable MinHash+LSH
+    // pairs chained through dd6's connected components, so canonicalization
+    // collapses whole near-dup GROUPS (keeper = smallest doc id reachable
+    // through near-dup edges), not just byte-identical fingerprints. The
+    // other four gates are tx20's, computed in the same single corpus scan.
+    // Scale shape: the near-dup leg is the banded, skew-sub-partitioned dd2
+    // pipeline; the group map holds only docs that appear in some near-dup
+    // pair (≪ corpus), so the final left join broadcasts; min-label
+    // propagation is per-round one shuffle on vertex id (see dupGroups).
+    "tx20b_curation_gate_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val flagged = TextOps.gopherFlags(docs, "text")
+        .withColumn("detected_lang", TextOps.langId(col("text")))
+        .withColumn("lang_ok", col("detected_lang") === col("lang"))
+        .withColumn("pii_hits", TextOps.piiCount(col("text")))
+        .withColumn("pii_ok", col("pii_hits") === 0L)
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+        .withColumn("token_ok", col("n_tokens") >= 10L)
+      val pairs = Dedup.minhashLsh(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
+        portableHash = true)
+      val groups = Dedup.dupGroups(pairs)
+      flagged.join(groups.withColumnRenamed("group_id", "__grp"), Seq("doc_id"), "left")
+        .withColumn("dup_ok", col("doc_id") === coalesce(col("__grp"), col("doc_id")))
+        .withColumn("keep", col("lang_ok") && col("gopher_pass") &&
+          col("pii_ok") && col("token_ok") && col("dup_ok"))
+        .withColumn("drop_reasons", concat_ws(",",
+          when(!col("lang_ok"), lit("lang")),
+          when(!col("gopher_pass"), lit("gopher")),
+          when(!col("pii_ok"), lit("pii")),
+          when(!col("token_ok"), lit("tokens")),
+          when(!col("dup_ok"), lit("near_duplicate"))))
+        .select(col("doc_id"), col("detected_lang"), col("lang_ok"),
+          col("gopher_pass"), col("pii_hits"), col("pii_ok"),
+          col("n_tokens"), col("token_ok"), col("dup_ok"),
+          col("keep"), col("drop_reasons"))
+    }),
+
     // tx19: URL filtering (RefinedWeb §3.1/3.2) — the corpus has no URL
     // column, so one is synthesized deterministically from (source, lang,
     // doc_id): varied TLDs, an optional cdn. subdomain, a path and a query
@@ -1617,6 +1656,74 @@ object LlmQueries extends QueryModule {
          |  CASE WHEN NOT token_ok THEN 'tokens' END,
          |  CASE WHEN NOT dup_ok THEN 'duplicate' END) AS drop_reasons
          |FROM gates""".stripMargin,
+    // tx20b: tx20's gate oracle with the canon CTE replaced by the chained
+    // dd2b-portable MinHash CTEs (over plain documents) feeding dd6's
+    // recursive reachability — keeper = smallest doc id reachable through
+    // near-dup edges, singletons their own keeper.
+    "tx20b_curation_gate_neardup" -> {
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')))"
+      val sim = "CAST(list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+      s"""WITH RECURSIVE $GOPHER_BASE,
+         |lng AS (SELECT doc_id, lang,
+         |${ratio(graft.text.TextOps.stopwords("en"))} AS s_en,
+         |${ratio(graft.text.TextOps.stopwords("es"))} AS s_es,
+         |${ratio(graft.text.TextOps.stopwords("de"))} AS s_de,
+         |${ratio(graft.text.TextOps.stopwords("fr"))} AS s_fr
+         |FROM (SELECT doc_id, lang, $TOKS AS toks FROM documents)),
+         |det AS (SELECT doc_id, lang,
+         |CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+         |WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+         |WHEN s_en >= s_de THEN 'en'
+         |ELSE 'de' END AS detected_lang FROM lng),
+         |aux AS (SELECT doc_id,
+         |(len(regexp_split_to_array(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) - 1
+         | + len(regexp_split_to_array(text, '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) - 1) AS pii_hits,
+         |CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |ex AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+         |sigs AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM ex GROUP BY doc)),
+         |banded AS (SELECT doc, sig, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |prs AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+         |  WHERE $sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(id, label) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, r2.label FROM edges e JOIN reach r2 ON e.dst = r2.id),
+         |grp AS (SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id),
+         |gates AS (SELECT r.doc_id, det.detected_lang,
+         | det.detected_lang = det.lang AS lang_ok,
+         | $GOPHER_PASS AS gopher_pass,
+         | CAST(aux.pii_hits AS BIGINT) AS pii_hits, aux.pii_hits = 0 AS pii_ok,
+         | aux.n_tokens, aux.n_tokens >= 10 AS token_ok,
+         | r.doc_id = COALESCE(grp.group_id, r.doc_id) AS dup_ok
+         |FROM r JOIN det ON r.doc_id = det.doc_id
+         |JOIN aux ON r.doc_id = aux.doc_id
+         |LEFT JOIN grp ON r.doc_id = grp.doc_id)
+         |SELECT doc_id, detected_lang, lang_ok, gopher_pass, pii_hits, pii_ok,
+         | n_tokens, token_ok, dup_ok,
+         | lang_ok AND gopher_pass AND pii_ok AND token_ok AND dup_ok AS keep,
+         | concat_ws(',',
+         |  CASE WHEN NOT lang_ok THEN 'lang' END,
+         |  CASE WHEN NOT gopher_pass THEN 'gopher' END,
+         |  CASE WHEN NOT pii_ok THEN 'pii' END,
+         |  CASE WHEN NOT token_ok THEN 'tokens' END,
+         |  CASE WHEN NOT dup_ok THEN 'near_duplicate' END) AS drop_reasons
+         |FROM gates""".stripMargin
+    },
     // tx19: the same deterministic URL synthesis, the same two regexes.
     "tx19_url_filter" ->
       """WITH u AS (SELECT doc_id, lang,
