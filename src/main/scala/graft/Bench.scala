@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +109,38 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     spark.sqlContext.clearCache()
     System.gc()
+    // Ambient-noise calibration probe: a FIXED synthetic write→read→shuffle→
+    // agg pipeline (code-constant across rounds, independent of SF and of
+    // any registered query) measured median-of-3 right before the suite.
+    // PERF_NOTES documents a 2-3x intermittent host I/O factor that has
+    // repeatedly forced narrative adjudication of round-over-round deltas;
+    // this row turns that into data: a round whose calibration median is
+    // 2x another round's was measured on a 2x-slower host, and per-query
+    // ratios can be read against it instead of against memory. ~20M rows,
+    // one parquet round-trip (~100 MB write + read), one hash exchange —
+    // touches exactly the resources the wobble lives in (page cache, local
+    // disk, shuffle spill paths).
+    val calibration: Seq[Double] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 20000000L, 1L, 32)
+          .select(col("id"), pmod(col("id") * 2654435761L, lit(1000000L)).as("k"),
+            (col("id") % 97).cast("double").as("v"))
+          .write.mode("overwrite").parquet(s"$dir/probe")
+        spark.read.parquet(s"$dir/probe")
+          .repartition(col("k"))
+          .groupBy("k")
+          .agg(sum("v").as("sv"), count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass() // untimed warm-up (JIT + codec paths), same policy as queries
+      val runs = (1 to 3).map(_ => pass())
+      spark.sqlContext.clearCache(); System.gc()
+      System.err.println(f"[bench] calibration probe: ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      runs
+    }
     val results = ordered.map { case (name, fn) =>
       // Headline composites are measured 3× and reported as the MEDIAN:
       // single-shot timings of warm queries still swing ±25% from one-off
@@ -174,7 +207,9 @@ object Bench {
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val calMedian = calibration.sorted.apply(calibration.length / 2)
+    val cal = s"""{"median":${f3(calMedian)},"runs":[${calibration.map(f3).mkString(",")}]}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     // The driver captures only the stdout TAIL, front-truncating whatever came
     // earlier: a single 120-query JSON line arrived unparseable three rounds
     // running. So the full per-query line goes FIRST (plus a disk copy in
@@ -188,7 +223,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     val hq = ok.filter { case (k, _) => headline.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
