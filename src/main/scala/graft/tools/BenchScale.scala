@@ -66,6 +66,17 @@ object BenchScale {
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
+  /** Deep leg: one more decade (default 100x) for the five most expensive
+    * LLM ops — the 10x→30x interval can hide superlinear creep that a
+    * 30x→100x interval exposes. Docs/embeddings corpus only (these five
+    * touch nothing else), so the 100x build cost is bounded by the text
+    * corpus, not 100x of lineitem. ann4's contrast row is deliberately
+    * excluded: its fixed-block quadratic at 100x would cost ~10 minutes to
+    * re-measure a lesson the 30x point already prices.
+    */
+  private val llmDeep = Seq("dd2_minhash_lsh", "dd6_dup_groups",
+    "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned")
+
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
     * measured on uniform fixtures everywhere else; this leg re-keys the
     * 10x events corpus zipf-style — user 1 holds ~50% of all events,
@@ -94,6 +105,41 @@ object BenchScale {
     System.err.println(s"[scale] skew corpus built at $outDir (50/20/10% hot keys)")
   }
 
+  /** documents + embeddings only — the subset [[llmDeep]] reads; shared by
+    * [[buildCorpus]] (full points) and the deep point's docs-only build.
+    */
+  def buildDocsCorpus(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
+    if (done.exists()) { System.err.println(s"[scale] docs corpus at $outDir reused"); return }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    writeDocsAndEmbeddings(spark, srcDir, outDir, copies)
+    done.createNewFile()
+    System.err.println(s"[scale] docs corpus built at $outDir (${copies}x docs+embeddings)")
+  }
+
+  private def writeDocsAndEmbeddings(spark: SparkSession, srcDir: String,
+      outDir: String, copies: Int): Unit = {
+    // documents: copy i appends a per-copy suffix to EVERY word — within a
+    // copy the dup/shingle structure is byte-for-byte the original's, but no
+    // 3-gram shingle matches across copies, so near-dup candidate pairs grow
+    // exactly `copies`x (plain duplication would instead make every doc a
+    // copies-way near-dup group and measure a quadratic pair explosion the
+    // real corpus doesn't have). doc_id stride 10M keeps dd2's +100000
+    // mutation ids collision-free.
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    (0 until copies).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
+    }.reduce(_ unionAll _).repartition(16)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val stride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    (0 until copies).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * stride)))
+      .reduce(_ unionAll _).repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
   def buildCorpus(spark: SparkSession, srcDir: String, outDir: String, copies: Int): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
     if (done.exists()) { System.err.println(s"[scale] corpus at $outDir reused"); return }
@@ -116,21 +162,7 @@ object BenchScale {
     Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet").write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
-    // documents: copy i appends a per-copy suffix to EVERY word — within a
-    // copy the dup/shingle structure is byte-for-byte the original's, but no
-    // 3-gram shingle matches across copies, so near-dup candidate pairs grow
-    // exactly 10x (plain duplication would instead make every doc a 10-way
-    // near-dup group and measure a quadratic pair explosion the real corpus
-    // doesn't have). doc_id stride 10M keeps dd2's +100000 mutation ids
-    // collision-free.
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    (0 until copies).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1c$i"))
-    }.reduce(_ unionAll _).repartition(16)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    shifted("embeddings", "vec_id", 8)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    writeDocsAndEmbeddings(spark, srcDir, outDir, copies)
     done.createNewFile()
     System.err.println(s"[scale] corpus built at $outDir (${copies}x facts+docs, 1x dims)")
   }
@@ -193,6 +225,15 @@ object BenchScale {
     buildSkewCorpus(spark, skewBase._2, skewDir)
     val skewUniform = measure(spark, skewBase._2, skewQueries)
     val skewZipf = measure(spark, skewDir, skewQueries)
+    // deep leg: one more decade for the top-5 LLM ops (see llmDeep);
+    // SPARK_GRAFT_DEEP_POINT=0 disables
+    val deepPoint = sys.env.getOrElse("SPARK_GRAFT_DEEP_POINT", "100").trim.toInt
+    val deepOpt: Option[(Int, Seq[(String, Double)])] =
+      if (deepPoint > points.max) {
+        val d = s"/tmp/graft_scale_${deepPoint}x_docs"
+        buildDocsCorpus(spark, srcDir, d, deepPoint)
+        Some((deepPoint, measure(spark, d, llmDeep)))
+      } else None
     val llm1 = llmAt.head._2
     val llm10 = llmAt(1)._2
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -210,6 +251,13 @@ object BenchScale {
       }.mkString("{", ",", "}")
     val curve = curveOf(headlineAt, headlineAt.head._2.map(_._2).sum)
     val llmCurve = curveOf(llmAt, llmAt.head._2.map(_._2).sum)
+    val deepJson = deepOpt.map { case (n, xs) =>
+      val (lastN, lastXs) = llmAt.last
+      val lastMap = lastXs.toMap
+      val r = xs.map { case (q, v) => q -> v / lastMap(q) }
+      s""","llm_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
+        s""""queries":${obj(xs)},"ratio_vs_${lastN}x":${obj(r)}}"""
+    }.getOrElse("")
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
       s""""unit":"x","copies":${points.head},"points":$curve,"llm_points":$llmCurve,""" +
       s""""composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
@@ -219,7 +267,7 @@ object BenchScale {
       s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))},""" +
       s""""skew":{"copies":${skewBase._1},"hot_shares":[0.5,0.2,0.1],""" +
       s""""uniform":${obj(skewUniform)},"zipf":${obj(skewZipf)},""" +
-      s""""ratio":${obj(ratios(skewUniform, skewZipf))}}}"""
+      s""""ratio":${obj(ratios(skewUniform, skewZipf))}}$deepJson}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }
