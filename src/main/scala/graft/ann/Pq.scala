@@ -251,6 +251,75 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ann9 (build half): persist the serving artifact of a production ANN
+    * system — the corpus codes `(vec_id, home list, m PQ codes)` plus the
+    * trained model itself (codebooks + coarse centroids, flattened into a
+    * one-row parquet). Building costs one full corpus pass (train sample +
+    * encode); after that, query batches are served by
+    * [[ivfPqTopKFromIndex]] without touching corpus embeddings OR
+    * retraining — the same persisted-artifact economics
+    * [[graft.dedup.Dedup.writeLshIndex]] gives incremental dedup. At
+    * 100 TB the codes table is ~(8 + 4 + m) bytes/vector (two orders under
+    * the float embeddings), and the model row is control-plane-sized.
+    */
+  def writeIvfIndex(emb: DataFrame, path: String, model: PqModel,
+      cents: Array[Array[Long]]): Unit = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+    val codeCols = (0 until model.m).map { mi =>
+      val d = slice(col("__lut"), mi * model.k + 1, model.k)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"c$mi")
+    }
+    base.select((col("vec_id") +:
+        element_at(probeColumn(col("embedding"), cents, 1), 1).as("block") +:
+        codeCols): _*)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((model.m, model.k, model.subDim,
+        model.codebooks.flatten.flatten.toSeq,
+        cents.length, cents.head.length, cents.flatten.toSeq))
+      .toDF("m", "k", "sub_dim", "codebooks", "nlist", "dim", "cents")
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** ann9 (serve half): answer a query batch from a persisted index
+    * ([[writeIvfIndex]]) — the model row is a control-plane collect, the
+    * query side computes its LUT + probe lists map-side, and the only
+    * corpus-sized input is the CODES parquet. Output is identical to
+    * [[ivfPqTopKLearned]] restricted to the query batch (candidate corpus,
+    * ADC arithmetic, probe selection and tie rules are all shared), which
+    * is what PqSpec asserts; the difference is the plan: serving never
+    * re-scans or re-trains on corpus embeddings.
+    */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val mr = spark.read.parquet(s"$path/model").head()
+    val (m, kk, subDim) = (mr.getAs[Int]("m"), mr.getAs[Int]("k"), mr.getAs[Int]("sub_dim"))
+    val flat = mr.getSeq[Long](mr.fieldIndex("codebooks")).toArray
+    val model = PqModel(m, kk, subDim,
+      Array.tabulate(m, kk)((mi, j) =>
+        flat.slice((mi * kk + j) * subDim, (mi * kk + j + 1) * subDim)))
+    val dim = mr.getAs[Int]("dim")
+    val centsFlat = mr.getSeq[Long](mr.fieldIndex("cents")).toArray
+    val cents = Array.tabulate(mr.getAs[Int]("nlist"))(j =>
+      centsFlat.slice(j * dim, (j + 1) * dim))
+    val corpus = spark.read.parquet(s"$path/codes")
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+        lutColumn(col("embedding"), model).as("__lut"),
+        probeColumn(col("embedding"), cents, nprobe).as("__probes"))
+      .select(col("query_id"), col("__lut"), explode(col("__probes")).as("block"))
+    val adc = (0 until model.m)
+      .map(mi => element_at(col("__lut"), col(s"c$mi") + lit(mi * model.k + 1)))
+      .reduce(_ + _)
+    val scored = q.join(corpus, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ann5: two-stage retrieval — the standard production ANN shape (Jégou
     * et al. 2011 §V: ADC shortlist, exact re-rank). Stage 1 ranks by
     * compressed-code ADC ([[ivfPqTopK]] with `shortlist` ≫ `k`); stage 2

@@ -595,6 +595,29 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann9: the index-build / query-serve SPLIT — dd11b's persisted-artifact
+    // economics applied to retrieval. Pq.writeIvfIndex persists the codes
+    // table AND the trained model (codebooks + centroids as a one-row
+    // parquet); Pq.ivfPqTopKFromIndex answers a query batch (every 7th
+    // vector, arriving pre-materialized via eager checkpoint) with NO
+    // corpus-embedding scan and NO retraining at serve time — PlanSpec
+    // asserts the served plan reads only the index. Values are identical
+    // to ann7 restricted to the batch (shared arithmetic/tie rules), which
+    // is exactly what the oracle replays.
+    "ann9_index_served" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
+      val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann9_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      graft.ann.Pq.writeIvfIndex(emb, idx, model, coarse)
+      val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      graft.ann.Pq.ivfPqTopKFromIndex(s, idx, queries, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
     // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
     // in the same block — the measurement every ANN deployment ships beside
     // the index (is the compression hurting retrieval?). Per-query hit
@@ -1378,7 +1401,8 @@ object LlmQueries extends QueryModule {
   }
 
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
-      learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None): String = {
+      learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None,
+      queryWhere: Option[String] = None): String = {
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
@@ -1403,7 +1427,8 @@ object LlmQueries extends QueryModule {
         ctes += s"enc AS (SELECT e.vec_id, " +
           s"CAST(list_position($dc, list_min($dc)) - 1 AS INTEGER) AS block, " +
           s"$codes FROM e $crossj)"
-        ctes += s"qd AS (SELECT e.vec_id, $dc AS dc, $ds FROM e $crossj)"
+        ctes += s"qd AS (SELECT e.vec_id, $dc AS dc, $ds FROM e $crossj" +
+          queryWhere.map(w => s" WHERE $w").getOrElse("") + ")"
         ctes += s"qp AS (SELECT vec_id, block FROM (SELECT vec_id, unnest(dc) AS d, " +
           s"CAST(unnest(range(0, $nl)) AS INTEGER) AS block FROM qd) " +
           s"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, block) <= $np)"
@@ -1473,6 +1498,11 @@ object LlmQueries extends QueryModule {
   // the driver runs the oracle on; the Scala side computes it from the
   // corpus count at runtime (the scale-adaptive property under test).
   private val ANN7_ORACLE: String = pqOracle(3, None, learned = Some((16, 2)))
+  // ann9 serves the SAME learned-IVF search from the persisted index for a
+  // query batch (every 7th vector); values replay identically — the index
+  // is a plan property (no corpus re-scan at serve time), not a value one.
+  private val ANN9_ORACLE: String =
+    pqOracle(3, None, learned = Some((16, 2)), queryWhere = Some("e.vec_id % 7 = 0"))
 
   /** dd10 oracle: replay coarse k-means (shared Lloyd CTEs), home
     * assignment + integer centroid distance, within-cluster cosine pairing
@@ -1579,6 +1609,7 @@ object LlmQueries extends QueryModule {
          |FROM s2""".stripMargin
     },
     "ann7_ivf_learned" -> ANN7_ORACLE,
+    "ann9_index_served" -> ANN9_ORACLE,
     "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),

@@ -175,6 +175,21 @@ class PlanSpec extends SparkSuite {
       s"base text re-scanned at serve time:\n${scans.mkString("\n")}")
   }
 
+  test("ann9 index-served: the plan reads the codes index, never corpus embeddings") {
+    val df = graft.queries.LlmQueries.defs("ann9_index_served")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString).mkString(",")
+    }
+    assert(scans.exists(_.contains("graft_ann9_idx")),
+      s"no scan of the persisted codes index:\n${scans.mkString("\n")}")
+    // serve-time promise: corpus embeddings are neither re-scanned nor
+    // retrained on (the model row was read before planning; queries arrive
+    // pre-materialized) — every scan in the served plan is the index
+    assert(scans.forall(!_.contains("embeddings")),
+      s"corpus embeddings re-scanned at serve time:\n${scans.mkString("\n")}")
+  }
+
   test("m9 SCD2: the whole history builds on exactly one exchange") {
     // string-matched because AQE wraps exchange-bearing plans
     // (AdaptiveSparkPlanExec hides children from sparkPlan.collect)

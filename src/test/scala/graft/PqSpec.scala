@@ -182,6 +182,24 @@ class PqSpec extends SparkSuite {
     assert(rerouted !== pinned) // the two routes are genuinely different plans
   }
 
+  test("ann9: a persisted index serves a query batch identically to the learned path") {
+    val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val idx = tmpDir() + "/ivf_index"
+    Pq.writeIvfIndex(emb, idx, model, cents)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val served = Pq.ivfPqTopKFromIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .collect().toSet
+    // the serve path shares candidate corpus, ADC arithmetic, probe
+    // selection and tie rules with the learned path — so restricting the
+    // learned output to the batch must reproduce it exactly
+    val learned = Pq.ivfPqTopKLearned(emb, k = 3, model, cents, nprobe = 2)
+      .filter(col("query_id") % 7 === 0).collect().toSet
+    assert(served.nonEmpty)
+    assert(served === learned)
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
