@@ -143,13 +143,20 @@ object Dedup {
       maxBucket: Int = 1024): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
-    // One explicit exchange of the COMPACT signatures (numHashes longs per
-    // doc — the minimal representation) anchors all three consumers below on
-    // the same computed-once stage via ReusedExchange: the banding explode
-    // and both sides of the signature re-attach. Signatures are the
-    // expensive stage; nothing may recompute them.
+    // The COMPACT signatures (numHashes longs per doc) feed three consumers:
+    // the banding explode and both sides of the verify re-attach. They are
+    // the expensive stage (tokenize + shingle + hash the corpus); nothing
+    // may recompute them. An explicit repartition anchor alone is NOT
+    // enough — round-11 profiling of the same pattern in incrementalLsh
+    // showed ReusedExchange failing to fire across the window/banding and
+    // merge-join consumers (the signature stage ran once per consumer, the
+    // dominant cost duplicated). persist() pins computed-once semantics at
+    // block level: signatures are ~(8 + 8·numHashes) B/doc — at any corpus
+    // scale two orders under the text they derive from, and exactly the
+    // artifact dd11b persists to parquet anyway.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
       .repartition(col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Banding carries ONLY (doc, band, band_hash): the old shape dragged the
     // full signature array through the 16-way explode — `bands`× the sig
     // bytes through the band shuffle and again through the self-join (39 MB
@@ -263,9 +270,20 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // persist both signature frames: each has two consumers (banding and
+    // the verify re-attach), and the round-11 100x profile measured the
+    // base signature stage running TWICE per query (~650 s CPU each at
+    // 500k docs — the dominant cost, duplicated) because ReusedExchange
+    // does not fire across the window/banding and merge-join consumers.
+    // Block-level persistence makes computed-once a guarantee instead of
+    // an optimizer outcome; the frames are signature-sized (see
+    // minhashLsh's note), and for the from-index path (dd11b) the base
+    // side is already a parquet read, so the persist costs one narrow copy.
     val sigB = baseSigs.repartition(col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigI = minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
       .repartition(col("doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docHash =
       if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
       else xxhash64(col("doc"))

@@ -162,10 +162,19 @@ class PlanSpec extends SparkSuite {
 
   test("dd11b index-served: the plan reads the signature index, never base text") {
     val df = graft.queries.LlmQueries.defs("dd11b_index_served")(spark, dir)
-    val scans = df.queryExecution.sparkPlan.collect {
+    // the signature frames are persisted (computed-once guarantee), so the
+    // index scan lives inside an InMemoryRelation — traverse into cached
+    // plans when collecting file scans
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.relation.location.rootPaths.map(_.toString).mkString(",")
-    }
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        fileScans(im.relation.cachedPlan)
+      // AdaptiveSparkPlanExec exposes no children to collect — unwrap it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+    }.flatten
+    val scans = fileScans(df.queryExecution.sparkPlan)
     assert(scans.exists(_.contains("graft_dd11b_idx")),
       s"no scan of the persisted signature index:\n${scans.mkString("\n")}")
     // the serve-time promise: base documents are NEVER re-scanned — every
