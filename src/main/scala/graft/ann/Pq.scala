@@ -251,6 +251,68 @@ object Pq {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IMI grid size: k per half, nlist = k². Targets ~`targetList` vectors
+    * per list like [[adaptiveNlist]], but the clamp moves two orders out:
+    * a flat quantizer caps at 1024 lists (its driver Lloyd cannot afford
+    * more centroids than the bounded training sample — the measured 100x
+    * knee: past the cap, per-list depth grows as n/1024 and a self-search's
+    * scored pairs turn quadratic), while k = 256 per HALF — still far under
+    * the sample bound — composes to 65 536 lists, pushing the knee from
+    * ~33k vectors to ~2M at the default target (and at 100 TB the coarse
+    * trainer is the thing to distribute, not the index shape).
+    */
+  def adaptiveImiK(n: Long, targetList: Int = 32, maxK: Int = 256): Int =
+    math.min(maxK,
+      math.max(4, math.ceil(math.sqrt(n.toDouble / targetList)).toInt))
+
+  private def imiProbeColumn(emb: Column, imi: PqModel, nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(imi.m == 2, s"an IMI quantizer has exactly 2 halves, got m = ${imi.m}")
+    ColumnBridge.column(graft.functions.ImiProbes(
+      ColumnBridge.expression(emb), imi.k, imi.subDim, nprobe,
+      imi.codebooks.flatten.flatten.toIndexedSeq))
+  }
+
+  /** ann10: IVF+PQ under an INVERTED MULTI-INDEX coarse quantizer (Babenko
+    * & Lempitsky 2012) — [[ivfPqTopKLearned]] with the flat nlist-centroid
+    * quantizer replaced by the product of two half-space quantizers:
+    * `imi = train(emb, m = 2, k)` IS the trainer (two subspaces spanning
+    * the halves — same sample selection, integer Lloyd, tie rules, oracle
+    * replay as every other codebook here), and list id = i·k + j. Search
+    * shape is ivfPqTopKLearned's exactly: corpus rows carry (home list,
+    * m codes), queries probe their `nprobe` nearest lists by composed
+    * distance d0(i)+d1(j) ([[graft.functions.ImiProbes]] — k·dim multiplies
+    * plus k² adds per row, fused in codegen), candidates rank by integer
+    * ADC, and a neighbor lives in exactly one list so no pair scores twice.
+    * What changes is the CEILING: see [[adaptiveImiK]].
+    */
+  def ivfPqTopKImi(emb: DataFrame, k: Int, model: PqModel, imi: PqModel,
+      nprobe: Int = 2): DataFrame = {
+    val base = spreadIfStarved(emb.select(col("vec_id"), col("embedding")))
+    val codeCols = (0 until model.m).map { mi =>
+      val d = slice(col("__lut"), mi * model.k + 1, model.k)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
+    }
+    val corpus = base
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+      .withColumn("__home", imiProbeColumn(col("embedding"), imi, 1))
+      .select((col("vec_id").as("neighbor_id") +:
+        element_at(col("__home"), 1).as("block") +: codeCols): _*)
+    val queries = base
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+      .withColumn("__probes", imiProbeColumn(col("embedding"), imi, nprobe))
+      .select(col("vec_id").as("query_id"), explode(col("__probes")).as("block"),
+        col("__lut"))
+    val adc = (0 until model.m)
+      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
+      .reduce(_ + _)
+    val scored = queries.join(corpus, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ann9 (build half): persist the serving artifact of a production ANN
     * system — the corpus codes `(vec_id, home list, m PQ codes)` plus the
     * trained model itself (codebooks + coarse centroids, flattened into a

@@ -595,6 +595,24 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann10: IVF+PQ under an INVERTED MULTI-INDEX coarse quantizer — the
+    // answer to the 100x knee the deep scale leg measured in ann7: a flat
+    // quantizer's nlist caps at 1024 (driver Lloyd is sample-bounded), so
+    // past ~33k vectors per-list depth grows as n/1024 and scored pairs
+    // turn quadratic. The IMI composes two half-space quantizers (trained
+    // by the SAME Pq.train, m = 2) into k² lists for k + k training cost —
+    // adaptiveImiK keeps per-list depth at target to ~2M vectors at the
+    // default clamp. Fully oracled: DuckDB replays both half trainings,
+    // the composed home assignment, grid probing, and ADC ranking.
+    "ann10_imi_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val imiK = graft.ann.Pq.adaptiveImiK(emb.count())
+      val imi = graft.ann.Pq.train(emb, m = 2, k = imiK, iters = 2, sampleRate = 0.5)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      graft.ann.Pq.ivfPqTopKImi(emb, k = 3, model, imi, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
     // ann9: the index-build / query-serve SPLIT — dd11b's persisted-artifact
     // economics applied to retrieval. Pq.writeIvfIndex persists the codes
     // table AND the trained model (codebooks + centroids as a one-row
@@ -1402,7 +1420,7 @@ object LlmQueries extends QueryModule {
 
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
       learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None,
-      queryWhere: Option[String] = None): String = {
+      queryWhere: Option[String] = None, imi: Option[(Int, Int)] = None): String = {
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
@@ -1411,7 +1429,14 @@ object LlmQueries extends QueryModule {
       pqCodebookCtes(ctes, tag, lo, width, kk)
     (0 until M).foreach(mi => codebookCtes(mi.toString, mi * SUB, SUB, K))
     learned.foreach { case (nl, _) => codebookCtes("c", 0, M * SUB, nl) }
+    // IMI (ann10): two half-space quantizers trained by the SAME Lloyd CTEs
+    // (Pq.train with m = 2 — subspaces spanning the halves)
+    imi.foreach { case (ik, _) =>
+      codebookCtes("i0", 0, M * SUB / 2, ik)
+      codebookCtes("i1", M * SUB / 2, M * SUB / 2, ik)
+    }
     val crossj = (learned.map(_ => "CROSS JOIN cmc").toSeq ++
+      imi.map(_ => "CROSS JOIN cmi0 CROSS JOIN cmi1").toSeq ++
       (0 until M).map(mi => s"CROSS JOIN cm$mi")).mkString(" ")
     def dlist(mi: Int) = s"list_transform(cm$mi.cs, cc -> ${dist("e.e", "cc", mi * SUB, SUB)})"
     val codes = (0 until M)
@@ -1419,8 +1444,32 @@ object LlmQueries extends QueryModule {
       .mkString(", ")
     val ds = (0 until M).map(mi => s"${dlist(mi)} AS d$mi").mkString(", ")
     val adc = (0 until M).map(mi => s"q.d$mi[n.c$mi + 1]").mkString(" + ")
-    learned match {
-      case Some((nl, np)) =>
+    (learned, imi) match {
+      case (None, Some((ik, np))) =>
+        // ann10: composed half distances — home list = (argmin0)·k + argmin1
+        // (L2 decomposes across the halves; lexicographic tie order matches
+        // the composed-id first-minimum rule), probes = top-np over the
+        // k × k grid of da[i] + db[j], ordered (d, block).
+        val half = M * SUB / 2
+        val da = s"list_transform(cmi0.cs, cc -> ${dist("e.e", "cc", 0, half)})"
+        val db = s"list_transform(cmi1.cs, cc -> ${dist("e.e", "cc", half, half)})"
+        ctes += s"enc AS (SELECT e.vec_id, " +
+          s"CAST((list_position($da, list_min($da)) - 1) * $ik + " +
+          s"(list_position($db, list_min($db)) - 1) AS INTEGER) AS block, " +
+          s"$codes FROM e $crossj)"
+        ctes += s"qd AS (SELECT e.vec_id, $da AS da, $db AS db, $ds FROM e $crossj" +
+          queryWhere.map(w => s" WHERE $w").getOrElse("") + ")"
+        ctes += s"qp AS (SELECT vec_id, block FROM (" +
+          s"SELECT vec_id, CAST(ga.g * $ik + gb.g AS INTEGER) AS block, " +
+          s"da[ga.g + 1] + db[gb.g + 1] AS d FROM qd " +
+          s"CROSS JOIN (SELECT unnest(range(0, $ik)) AS g) ga " +
+          s"CROSS JOIN (SELECT unnest(range(0, $ik)) AS g) gb) " +
+          s"QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, block) <= $np)"
+        ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
+          s"p.block AS block, CAST($adc AS BIGINT) AS adc " +
+          "FROM qp p JOIN qd q ON p.vec_id = q.vec_id " +
+          "JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id)"
+      case (Some((nl, np)), _) =>
         // ann7: home list = argmin coarse distance (first-minimum tie, the
         // trainer's rule); a query probes its np nearest lists by (d, id).
         val dc = s"list_transform(cmc.cs, cc -> ${dist("e.e", "cc", 0, M * SUB)})"
@@ -1436,7 +1485,7 @@ object LlmQueries extends QueryModule {
           s"p.block AS block, CAST($adc AS BIGINT) AS adc " +
           "FROM qp p JOIN qd q ON p.vec_id = q.vec_id " +
           "JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id)"
-      case None =>
+      case (None, None) =>
         ctes += s"enc AS (SELECT e.vec_id, e.label, $codes FROM e $crossj)"
         ctes += s"q AS (SELECT e.vec_id, e.label, $ds FROM e $crossj)"
         ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
@@ -1503,6 +1552,11 @@ object LlmQueries extends QueryModule {
   // is a plan property (no corpus re-scan at serve time), not a value one.
   private val ANN9_ORACLE: String =
     pqOracle(3, None, learned = Some((16, 2)), queryWhere = Some("e.vec_id % 7 = 0"))
+  // ann10: IMI grid k pinned to adaptiveImiK(500) = 4 (16 composed lists)
+  // for the sf0.01 correctness corpus, like ANN7's nlist pin; the Scala
+  // side computes k from the corpus count (the uncapped-scaling property
+  // under test).
+  private val ANN10_ORACLE: String = pqOracle(3, None, imi = Some((4, 2)))
 
   /** dd10 oracle: replay coarse k-means (shared Lloyd CTEs), home
     * assignment + integer centroid distance, within-cluster cosine pairing
@@ -1610,6 +1664,7 @@ object LlmQueries extends QueryModule {
     },
     "ann7_ivf_learned" -> ANN7_ORACLE,
     "ann9_index_served" -> ANN9_ORACLE,
+    "ann10_imi_topk" -> ANN10_ORACLE,
     "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),

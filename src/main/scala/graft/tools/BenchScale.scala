@@ -64,7 +64,7 @@ object BenchScale {
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
-    "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
+    "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
 
   /** Deep leg: one more decade (default 100x) for the five most expensive
     * LLM ops — the 10x→30x interval can hide superlinear creep that a
@@ -75,7 +75,8 @@ object BenchScale {
     * re-measure a lesson the 30x point already prices.
     */
   private val llmDeep = Seq("dd2_minhash_lsh", "dd6_dup_groups",
-    "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned")
+    "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned",
+    "ann10_imi_topk")
 
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
     * measured on uniform fixtures everywhere else; this leg re-keys the

@@ -182,6 +182,69 @@ class PqSpec extends SparkSuite {
     assert(rerouted !== pinned) // the two routes are genuinely different plans
   }
 
+  test("adaptiveImiK pins the oracle contract; the composed grid outgrows the flat cap") {
+    // the ann10 DuckDB oracle hardcodes k = 4 (16 lists) for the sf0.01
+    // corpus (500 vectors) — the pin that keeps the two sides in lockstep
+    assert(Pq.adaptiveImiK(500) === 4)
+    assert(Pq.adaptiveImiK(1) === 4) // floor
+    assert(Pq.adaptiveImiK(200000) === 80) // 6400 lists where flat clamps at 1024
+    assert(Pq.adaptiveImiK(100000000) === 256) // cap: 65536 lists
+    // the knee comparison the deep scale leg measured: at 200k vectors the
+    // flat quantizer is pinned at 1024 lists (depth ~195), the IMI is not
+    assert(Pq.adaptiveNlist(200000) === 1024)
+    assert(Pq.adaptiveImiK(200000) * Pq.adaptiveImiK(200000) > 4 * 1024)
+  }
+
+  test("ImiProbes equals a naive composed recompute and orders probes by (d, id)") {
+    val imi = Pq.train(emb, m = 2, k = 4, iters = 2, sampleRate = 0.5)
+    val rows = emb.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.ImiProbes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          imi.k, imi.subDim, 3, imi.codebooks.flatten.flatten.toIndexedSeq)).as("probes"),
+        col("embedding"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](2).map(v =>
+        java.math.BigDecimal.valueOf(v.toDouble * 1000000d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray
+      def half(h: Int, j: Int): Long = (0 until imi.subDim).map { t =>
+        val d = e(h * imi.subDim + t) - imi.codebooks(h)(j)(t); d * d
+      }.sum
+      val composed = for (i <- 0 until imi.k; j <- 0 until imi.k)
+        yield (half(0, i) + half(1, j), i * imi.k + j)
+      val expected = composed.sortBy(identity).take(3).map(_._2)
+      assert(r.getSeq[Int](1) === expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("ann10 IMI: planted exact duplicates are recalled via the composed home list") {
+    val planted = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 100000)
+    val corpus = emb.unionByName(planted)
+    val imiK = Pq.adaptiveImiK(corpus.count())
+    val imi = Pq.train(corpus, m = 2, k = imiK, iters = 2, sampleRate = 0.5)
+    val model = Pq.train(corpus, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val top = Pq.ivfPqTopKImi(corpus, k = 3, model, imi, nprobe = 2)
+    val hits = top.filter(col("neighbor_id") === col("query_id") + 100000)
+      .select("query_id").distinct().count()
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    assert(hits.toDouble / nPlanted >= 0.8,
+      s"duplicate recall ${hits.toDouble / nPlanted} < 0.8")
+    val blocks = top.select("block").distinct().collect().map(_.getInt(0))
+    assert(blocks.forall(b => b >= 0 && b < imiK * imiK))
+  }
+
+  test("ann10 IMI: no pair is scored twice (a neighbor lives in exactly one composed list)") {
+    val imi = Pq.train(emb, m = 2, k = 4, iters = 2, sampleRate = 0.5)
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val top = Pq.ivfPqTopKImi(emb, k = 1000000, model, imi, nprobe = 3)
+    val dups = top.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0L)
+  }
+
   test("ann9: a persisted index serves a query batch identically to the learned path") {
     val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
