@@ -138,14 +138,29 @@ object Pq {
     * pin the fixed-block path regardless of depth — the measured-contrast
     * flag the ann4 bench row opts into; no default path reproduces the
     * quadratic.
+    *
+    * The reroute itself TIERS (since round 11): a flat learned quantizer
+    * has its own knee — [[adaptiveNlist]] clamps at `maxNlist` lists, so
+    * past targetList·maxNlist vectors per-list depth resumes growing
+    * linearly (the measured ann7 100x creep). When the corpus is past that
+    * clamp ([[nlistClamped]]), the guard routes through the inverted
+    * multi-index instead ([[ivfPqTopKImi]] with [[adaptiveImiK]] — k² lists
+    * for k + k training cost), which moves the ceiling two orders out.
+    * `maxNlist` is exposed so specs and contrasts can force the deep tier
+    * at unit-test corpus sizes.
     */
   def ivfPqTopK(emb: DataFrame, blockCol: String, k: Int, model: PqModel,
-      contrast: Boolean = false, maxAvgBlock: Int = 256): DataFrame = {
+      contrast: Boolean = false, maxAvgBlock: Int = 256,
+      maxNlist: Int = 1024): DataFrame = {
     if (!contrast) {
       val r = emb.agg(count(lit(1)), countDistinct(col(blockCol))).head()
       val n = r.getLong(0); val nblocks = math.max(r.getLong(1), 1L)
       if (n > maxAvgBlock.toLong * nblocks) {
-        val cents = coarseTrain(emb, adaptiveNlist(n))
+        if (nlistClamped(n, maxNlist = maxNlist)) {
+          val imi = train(emb, m = 2, k = adaptiveImiK(n))
+          return ivfPqTopKImi(emb, k, model, imi, nprobe = 2)
+        }
+        val cents = coarseTrain(emb, adaptiveNlist(n, maxNlist = maxNlist))
         return ivfPqTopKLearned(emb, k, model, cents, nprobe = 2)
       }
     }
@@ -192,6 +207,15 @@ object Pq {
     */
   def adaptiveNlist(n: Long, targetList: Int = 32, maxNlist: Int = 1024): Int =
     math.min(maxNlist.toLong, math.max(16L, (n + targetList - 1) / targetList)).toInt
+
+  /** True iff [[adaptiveNlist]] would hit its clamp at `n` — the boundary
+    * past which a FLAT learned quantizer's per-list depth resumes growing
+    * (n/maxNlist) and a self-search's scored pairs turn quadratic again.
+    * The depth guards use this to tier their reroute: flat lists below the
+    * clamp, the inverted multi-index ([[ivfPqTopKImi]]) above it.
+    */
+  def nlistClamped(n: Long, targetList: Int = 32, maxNlist: Int = 1024): Boolean =
+    (n + targetList - 1) / targetList > maxNlist
 
   /** Top-`nprobe` coarse lists, nearest first, as ONE native fused loop
     * per row ([[graft.functions.CoarseProbes]]) — O(nlist·nprobe)
@@ -265,7 +289,7 @@ object Pq {
     math.min(maxK,
       math.max(4, math.ceil(math.sqrt(n.toDouble / targetList)).toInt))
 
-  private def imiProbeColumn(emb: Column, imi: PqModel, nprobe: Int): Column = {
+  private[ann] def imiProbeColumn(emb: Column, imi: PqModel, nprobe: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     require(imi.m == 2, s"an IMI quantizer has exactly 2 halves, got m = ${imi.m}")
     ColumnBridge.column(graft.functions.ImiProbes(

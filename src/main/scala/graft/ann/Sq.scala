@@ -29,13 +29,16 @@ import org.apache.spark.sql.functions._
   * corpus, so a self-search workload's scored-pair count grows as
   * n²/nblocks. [[sqTopK]] pre-flights average block depth exactly like
   * [[Pq.ivfPqTopK]]: above `maxAvgBlock` it reroutes candidate blocking
-  * through [[Pq.coarseTrain]]'s learned lists ([[sqTopKLearned]], sized by
-  * [[Pq.adaptiveNlist]] so per-list depth is bounded at any corpus size)
-  * while SQ codes stay the distance payload — blocking and code payload
-  * are orthogonal, which is why the reroute changes the candidate sets but
-  * not what crosses the wire (codes, never floats). `contrast = true` pins
-  * the fixed-block path for a labeled measured contrast, the only way to
-  * reach the quadratic.
+  * through a LEARNED quantizer while SQ codes stay the distance payload —
+  * blocking and code payload are orthogonal, which is why the reroute
+  * changes the candidate sets but not what crosses the wire (codes, never
+  * floats). The reroute tiers like ivfPqTopK's: flat coarse lists
+  * ([[sqTopKLearned]], [[Pq.adaptiveNlist]]) below the nlist clamp, the
+  * inverted multi-index ([[sqTopKImi]], [[Pq.adaptiveImiK]]) past it — so
+  * neither the fixed-block quadratic NOR the flat quantizer's own 100x
+  * knee is reachable by default. `contrast = true` pins the fixed-block
+  * path for a labeled measured contrast, the only way to reach the
+  * quadratic.
   */
 object Sq {
 
@@ -84,14 +87,21 @@ object Sq {
     */
   def sqTopK(emb: DataFrame, blockCol: String, k: Int, contrast: Boolean = false,
       maxAvgBlock: Int = 256, idCol: String = "vec_id",
-      embCol: String = "embedding", nprobe: Int = 2): DataFrame = {
+      embCol: String = "embedding", nprobe: Int = 2,
+      maxNlist: Int = 1024): DataFrame = {
     if (!contrast) {
       val r = emb.agg(count(lit(1)), countDistinct(col(blockCol))).head()
       val n = r.getLong(0); val nblocks = math.max(r.getLong(1), 1L)
       if (n > maxAvgBlock.toLong * nblocks) {
-        val cents = Pq.coarseTrain(
-          emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding")),
-          Pq.adaptiveNlist(n))
+        val std = emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
+        // tiered like Pq.ivfPqTopK: flat lists below the nlist clamp, the
+        // inverted multi-index past it (the ann7 100x knee does not come
+        // back through this reroute); maxNlist exposed for forced-tier specs
+        if (Pq.nlistClamped(n, maxNlist = maxNlist)) {
+          val imi = Pq.train(std, m = 2, k = Pq.adaptiveImiK(n))
+          return sqTopKImi(emb, k, imi, nprobe, idCol, embCol)
+        }
+        val cents = Pq.coarseTrain(std, Pq.adaptiveNlist(n, maxNlist = maxNlist))
         return sqTopKLearned(emb, k, cents, nprobe, idCol, embCol)
       }
     }
@@ -116,7 +126,28 @@ object Sq {
     */
   def sqTopKLearned(emb: DataFrame, k: Int, cents: Array[Array[Long]],
       nprobe: Int = 2, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    sqSearch(emb, k, (e, p) => Pq.probeColumn(e, cents, p), nprobe, idCol, embCol)
+
+  /** SQ8 search inside INVERTED MULTI-INDEX lists — ann10's blocking with
+    * ann8's payload. Identical to [[sqTopKLearned]] except home/probe
+    * selection composes two half-space quantizers (k² lists for k + k
+    * training cost — [[Pq.ivfPqTopKImi]]'s ceiling argument); the depth
+    * guard tiers into this path past the flat nlist clamp.
+    */
+  def sqTopKImi(emb: DataFrame, k: Int, imi: Pq.PqModel,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    sqSearch(emb, k, (e, p) => Pq.imiProbeColumn(e, imi, p), nprobe, idCol, embCol)
+
+  /** Shared learned-blocking SQ8 search: `probe(emb, nprobe)` yields the
+    * nearest list ids under whichever coarse quantizer blocks candidates
+    * (flat or IMI); everything else — codes-only join payload, integer L2,
+    * (d2, neighbor_id) tie rule — is common.
+    */
+  private def sqSearch(emb: DataFrame, k: Int,
+      probe: (Column, Int) => Column, nprobe: Int,
+      idCol: String, embCol: String): DataFrame = {
     val coded = emb
       .select(col(idCol).as("vec_id"), col(embCol).as("__emb"),
         Pq.quantize(col(embCol)).as("e"))
@@ -125,10 +156,10 @@ object Sq {
         expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
           "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)").as("code"))
     val corpus = coded.select(col("vec_id").as("neighbor_id"),
-      element_at(Pq.probeColumn(col("__emb"), cents, 1), 1).as("block"),
+      element_at(probe(col("__emb"), 1), 1).as("block"),
       col("code").as("cc"))
     val queries = coded.select(col("vec_id").as("query_id"),
-      explode(Pq.probeColumn(col("__emb"), cents, nprobe)).as("block"),
+      explode(probe(col("__emb"), nprobe)).as("block"),
       col("code").as("qc"))
     val scored = queries.join(corpus, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** x10: EXACT heavy hitters over a high-cardinality key via a two-pass
+  * Misra–Gries candidate sketch + exact verify — the classical answer to
+  * "top the vocabulary of a 100 TB corpus without shuffling the
+  * vocabulary".
+  *
+  * Why not a plain `groupBy(key).count.filter(cnt >= f)`: map-side partial
+  * aggregation still shuffles one row PER DISTINCT KEY per partition — for
+  * a token vocabulary at corpus scale that is the cardinality problem
+  * itself (billions of distinct shuffle rows to answer a question about a
+  * few hundred heads). The two-pass design bounds the shuffle by the
+  * sketch, not the vocabulary:
+  *
+  *   pass 1 — a mergeable Misra–Gries summary (Agarwal et al., "Mergeable
+  *   Summaries", PODS 2012) runs as a typed [[Aggregator]]: per-partition
+  *   partial state is a counter map bounded at `sketchSize` entries,
+  *   partials merge associatively (sum counts, then subtract the
+  *   (k+1)-largest count and drop non-positives — the merge that preserves
+  *   the MG deficit bound), so ONE bounded row per partition reaches the
+  *   driver. MG's guarantee: a key's undercount is ≤ n/(k+1), hence every
+  *   key with true frequency > n/(k+1) SURVIVES in the final summary —
+  *   the candidate set is a guaranteed superset of the heavy hitters.
+  *
+  *   pass 2 — exact counts restricted to the candidates: the ≤ sketchSize
+  *   candidate keys broadcast back, a semi-join prunes the corpus BEFORE
+  *   the count's exchange (only candidate-keyed rows shuffle), and the
+  *   `cnt >= minFreq` filter removes the sketch's false positives. The
+  *   output is therefore EXACT — independent of partition order, fully
+  *   SQL-oracle-able — while the sketch's only job is to make pass 2's
+  *   shuffle candidate-sized.
+  *
+  * No silent caps: the superset guarantee needs minFreq > n/(sketchSize+1);
+  * the call REFUSES (require) configurations where a true heavy hitter
+  * could be missed, instead of silently returning a subset.
+  *
+  * Reference analogue: the monitoring/summary side of the pipeline
+  * (top-N breakdowns in `pipeline_monitoring_report/main.py`) computes
+  * exact tops at warehouse scale; this operator is the shape that survives
+  * a vocabulary-sized key space.
+  */
+object HeavyHitters {
+
+  /** Bounded Misra–Gries counter map: reduce streams values, merge
+    * combines partition partials under the summed deficit bound.
+    */
+  private final class MgAggregator(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1L)
+        case None if b.size < k => b.updated(key, 1L)
+        case None =>
+          // classic MG decrement-all: charges every counter 1, amortized
+          // O(1) per stream item (at most n/(k+1) decrement rounds total)
+          b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val summed = b.foldLeft(a) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      if (summed.size <= k) summed
+      else {
+        // subtract the (k+1)-th largest count from everything, drop ≤ 0 —
+        // the mergeable-summaries step that keeps deficits additive
+        val cut = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(k)
+        summed.collect { case (key, c) if c > cut => key -> (c - cut) }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  /** Exact keys with frequency ≥ `minFreq` among the exploded values of
+    * `tokensCol` (an array column — the sketch consumes arrays so pass 1
+    * adds no exploded shuffle rows at all), as `(key, cnt)`. Refuses (at
+    * runtime, against the observed n) configurations where the sketch
+    * could miss a true heavy hitter.
+    */
+  def exactTopFreq(spark: SparkSession, df: DataFrame, tokensCol: Column,
+      minFreq: Long, sketchSize: Int = 4096): DataFrame = {
+    require(minFreq > 0L, s"minFreq must be positive, got $minFreq")
+    run(spark, df, tokensCol, sketchSize, _ => minFreq)
+  }
+
+  /** Exact keys covering MORE than `share` of all items (minFreq =
+    * ⌊n·share⌋ + 1) — the SF-independent form: `share > 1/(sketchSize+1)`
+    * makes the superset guarantee structural at ANY corpus size, so the
+    * same call is safe at sf0.01 and at 100 TB.
+    */
+  def exactTopShare(spark: SparkSession, df: DataFrame, tokensCol: Column,
+      share: Double, sketchSize: Int = 4096): DataFrame = {
+    require(share > 0d && share < 1d, s"share must be in (0, 1), got $share")
+    require(share > 1.0 / (sketchSize + 1),
+      s"share $share is under the sketch's guarantee floor 1/(k+1) = " +
+        s"${1.0 / (sketchSize + 1)}; raise sketchSize")
+    run(spark, df, tokensCol, sketchSize, n => math.floor(n * share).toLong + 1L)
+  }
+
+  private def run(spark: SparkSession, df: DataFrame, tokensCol: Column,
+      sketchSize: Int, minFreqOf: Long => Long): DataFrame = {
+    val mg = udaf(new MgAggregator(sketchSize))
+    // one pass: bounded MG partials per partition + the total item count
+    // (the guarantee check needs n; same aggregate, no extra scan)
+    val row = df
+      .select(explode(tokensCol).as("__k"))
+      .agg(mg(col("__k")).as("sketch"), count(lit(1)).as("n"))
+      .head()
+    val n = row.getLong(1)
+    val minFreq = minFreqOf(n)
+    require(minFreq.toDouble > n.toDouble / (sketchSize + 1),
+      s"sketchSize $sketchSize cannot guarantee the candidate superset at " +
+        s"minFreq $minFreq over $n items (need minFreq > n/(k+1) = " +
+        s"${n.toDouble / (sketchSize + 1)}); raise sketchSize")
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    import spark.implicits._
+    val cands = candidates.toDF("key")
+    // candidate semi-join BEFORE the count's exchange: only rows keyed by a
+    // candidate shuffle; the exact filter then drops sketch false positives
+    df.select(explode(tokensCol).as("key"))
+      .join(broadcast(cands), Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+  }
+}

@@ -613,6 +613,21 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // x10: EXACT heavy hitters (tokens covering > 0.05% of the corpus) via
+    // a two-pass Misra–Gries candidate sketch + exact verify. A plain
+    // groupBy-count shuffles one row per distinct token per partition —
+    // the vocabulary-cardinality problem itself at 100 TB; the sketch
+    // bounds the shuffle at ≤ sketchSize candidates (superset guaranteed:
+    // MG undercount ≤ n/(k+1) < n·share = the threshold), and the exact
+    // verify pass makes the OUTPUT exact — partition-order independent,
+    // fully SQL-oracle-able. ops/HeavyHitters.
+    "x10_heavy_hitters" -> ((s, dir) => {
+      val toks = filter(
+        graft.text.TextOps.tokens(lower(col("text"))), t => length(t) > 0)
+      graft.ops.HeavyHitters.exactTopShare(s, Tables.documents(s, dir),
+        toks, share = 0.0005)
+    }),
+
     // ann9: the index-build / query-serve SPLIT — dd11b's persisted-artifact
     // economics applied to retrieval. Pq.writeIvfIndex persists the codes
     // table AND the trained model (codebooks + centroids as a one-row
@@ -1665,6 +1680,14 @@ object LlmQueries extends QueryModule {
     "ann7_ivf_learned" -> ANN7_ORACLE,
     "ann9_index_served" -> ANN9_ORACLE,
     "ann10_imi_topk" -> ANN10_ORACLE,
+    // x10: the oracle is the EXACT definition (group-count + share
+    // threshold) — the sketch is an execution strategy, not a semantics
+    // change, which is the whole point of the verify pass.
+    "x10_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest(list_filter($TOKS, t -> len(t) > 0)) AS key
+         |FROM documents)
+         |SELECT key, count(*) AS cnt FROM tk GROUP BY key
+         |HAVING count(*) >= (SELECT floor(count(*) * 0.0005) + 1 FROM tk)""".stripMargin,
     "dd10_semdedup" -> DD10_ORACLE,
     "tx9_decontaminate" ->
       s"""WITH tokd AS (SELECT doc_id, $TOKS AS toks FROM documents),

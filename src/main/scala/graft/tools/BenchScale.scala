@@ -53,18 +53,28 @@ object BenchScale {
     * linearly — the shape its plan audit claims.
     */
   /** ann8 rides the curve since round 11: Sq.sqTopK now self-guards like
-    * ivfPqTopK (avg block depth > 256 reroutes SQ codes into the learned
-    * coarse lists), so at 10/30x — where the replicated corpus deepens
-    * every label past the cap — the measured row IS the learned-list
-    * reroute: bounded per-list depth, code-sized shuffles, expected
-    * ~linear. The fixed-block quadratic stays measured once, by the ann4
-    * contrast row, and is reachable only via contrast = true.
+    * ivfPqTopK (avg block depth > 256 reroutes SQ codes into learned
+    * blocking), so at 10/30x — where the replicated corpus deepens
+    * every label past the cap — the measured row IS the guard's reroute:
+    * bounded per-list depth, code-sized shuffles, expected ~linear. The
+    * reroute tiers (flat lists under the nlist clamp, the IMI past it), so
+    * the 10x point measures the flat tier (20k vectors) and the 30x point
+    * the IMI tier (60k > 32768). The fixed-block quadratic stays measured
+    * once, by the ann4 contrast row, and is reachable only via
+    * contrast = true.
+    */
+  /** x10 rides the curve: its claim is that the heavy-hitter shuffle is
+    * bounded by the sketch (candidates), not the vocabulary — the
+    * replicated corpus grows the vocabulary `copies`x (per-copy word
+    * suffixes), so a vocabulary-shaped cost would grow with it while the
+    * sketch-bounded path should track the linear scan cost.
     */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
-    "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join")
+    "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
+    "x10_heavy_hitters")
 
   /** Deep leg: one more decade (default 100x) for the five most expensive
     * LLM ops — the 10x→30x interval can hide superlinear creep that a

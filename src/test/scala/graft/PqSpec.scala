@@ -182,6 +182,21 @@ class PqSpec extends SparkSuite {
     assert(rerouted !== pinned) // the two routes are genuinely different plans
   }
 
+  test("deep tier: past the flat nlist clamp the guard reroutes through the IMI") {
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    // maxNlist = 4 puts 500 vectors past the clamp (ceil(500/32) = 16 > 4):
+    // the guard must compose the inverted multi-index, equal to a direct
+    // ivfPqTopKImi with the same adaptive k — the flat tier's own knee is
+    // not reachable through the default API either
+    val viaGuard = Pq.ivfPqTopK(emb, "label", k = 3, model,
+      maxAvgBlock = 1, maxNlist = 4).collect().toSet
+    val imi = Pq.train(emb, m = 2, k = Pq.adaptiveImiK(emb.count()))
+    val direct = Pq.ivfPqTopKImi(emb, k = 3, model, imi, nprobe = 2).collect().toSet
+    assert(viaGuard === direct)
+    // boundary: the clamp predicate flips exactly at targetList·maxNlist
+    assert(!Pq.nlistClamped(32768) && Pq.nlistClamped(32769))
+  }
+
   test("adaptiveImiK pins the oracle contract; the composed grid outgrows the flat cap") {
     // the ann10 DuckDB oracle hardcodes k = 4 (16 lists) for the sf0.01
     // corpus (500 vectors) — the pin that keeps the two sides in lockstep

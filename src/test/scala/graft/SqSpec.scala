@@ -28,6 +28,22 @@ class SqSpec extends SparkSuite {
     assert(rerouted !== pinned) // the two routes are genuinely different plans
   }
 
+  test("deep tier: past the flat nlist clamp the reroute blocks by the IMI, not clamped lists") {
+    // maxNlist = 4 makes 500 vectors "past the clamp" (ceil(500/32) = 16 > 4):
+    // the guard must train the inverted multi-index and match a direct
+    // sqTopKImi call with the same adaptive parameters — the ann7 100x knee
+    // is not reachable through the guard either
+    val viaGuard = Sq.sqTopK(emb, "label", k = 3, maxAvgBlock = 1, maxNlist = 4)
+      .collect().toSet
+    val imi = Pq.train(emb, m = 2, k = Pq.adaptiveImiK(emb.count()))
+    val direct = Sq.sqTopKImi(emb, k = 3, imi, nprobe = 2).collect().toSet
+    assert(viaGuard === direct)
+    // and the IMI blocking is genuinely different from the clamped flat tier
+    val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count(), maxNlist = 4))
+    val flat = Sq.sqTopKLearned(emb, k = 3, cents, nprobe = 2).collect().toSet
+    assert(viaGuard !== flat)
+  }
+
   test("learned path: planted identical vectors are recalled at code distance 0") {
     // a copy quantizes and codes identically and lands in the same home
     // list, so the query's first probe finds it at d2 = 0
