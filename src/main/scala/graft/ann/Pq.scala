@@ -378,8 +378,12 @@ object Pq {
     * is what PqSpec asserts; the difference is the plan: serving never
     * re-scans or re-trains on corpus embeddings.
     */
-  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+  /** Reconstruct the persisted model + coarse centroids from the one-row
+    * model parquet — a control-plane collect, shared by the serve and
+    * append halves of the index lifecycle.
+    */
+  private def readIndexModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (PqModel, Array[Array[Long]]) = {
     val mr = spark.read.parquet(s"$path/model").head()
     val (m, kk, subDim) = (mr.getAs[Int]("m"), mr.getAs[Int]("k"), mr.getAs[Int]("sub_dim"))
     val flat = mr.getSeq[Long](mr.fieldIndex("codebooks")).toArray
@@ -390,6 +394,42 @@ object Pq {
     val centsFlat = mr.getSeq[Long](mr.fieldIndex("cents")).toArray
     val cents = Array.tabulate(mr.getAs[Int]("nlist"))(j =>
       centsFlat.slice(j * dim, (j + 1) * dim))
+    (model, cents)
+  }
+
+  /** ann11 (maintain half): append an embedding batch to a persisted index
+    * WITHOUT retraining — the index maintenance op every production ANN
+    * deployment runs between rebuilds. The increment is encoded with the
+    * PERSISTED model (codebooks + coarse centroids from the one-row model
+    * parquet — a control-plane collect), its codes parquet-appended to the
+    * codes table; the model row is untouched, so a serving query before and
+    * after the append reads the same quantizer. Cost is one pass over the
+    * INCREMENT only — base embeddings are never re-read, base codes never
+    * re-written (the dd11b economics applied to retrieval maintenance).
+    *
+    * The no-retrain trade is the documented one: vectors the training
+    * distribution never saw quantize with higher error until the next
+    * rebuild. The honest signal is ann6's recall row against the served
+    * index — measurement, not a silent degradation.
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      increment: DataFrame): Unit = {
+    val (model, cents) = readIndexModel(spark, path)
+    val inc = increment.select(col("vec_id"), col("embedding"))
+      .withColumn("__lut", lutColumn(col("embedding"), model))
+    val codeCols = (0 until model.m).map { mi =>
+      val d = slice(col("__lut"), mi * model.k + 1, model.k)
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"c$mi")
+    }
+    inc.select((col("vec_id") +:
+        element_at(probeColumn(col("embedding"), cents, 1), 1).as("block") +:
+        codeCols): _*)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val (model, cents) = readIndexModel(spark, path)
     val corpus = spark.read.parquet(s"$path/codes")
       .withColumnRenamed("vec_id", "neighbor_id")
     val q = queries.select(col("vec_id").as("query_id"),

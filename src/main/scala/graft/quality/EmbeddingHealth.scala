@@ -67,4 +67,37 @@ object EmbeddingHealth {
         (col("d2").cast("decimal(38,0)") * col("n_label") >
           lit(ratio.toLong) * col("sum_d2")).as("is_outlier"))
   }
+
+  /** dq5: index-fit drift — PSI between an increment's and the base's
+    * occupancy histograms over a trained coarse quantizer's lists (x7's
+    * smoothed Σ (p−q)·ln(p/q), verdict at the conventional 0.2). An
+    * increment the quantizer fits occupies lists roughly like the base
+    * did; distribution shift piles it into few lists — degrading per-list
+    * depth and recall — and the PSI says so BEFORE recall quietly sinks,
+    * which is what makes [[graft.ann.Pq.appendIvfIndex]]'s no-retrain
+    * trade measured rather than silent.
+    *
+    * Scale shape: home lists are map-side (CoarseProbes codegen), the
+    * only exchange is the nlist-cardinality count, and the PSI window runs
+    * over a control-plane-sized frame. Counts are exact longs; psi rounds
+    * to 6 dp (ln's last ulp may differ across engines).
+    */
+  def indexDriftPsi(emb: DataFrame, isInc: org.apache.spark.sql.Column,
+      cents: Array[Array[Long]], embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = emb
+      .select(graft.ann.Pq.coarseAssign(col(embCol), cents).as("block"),
+        isInc.as("is_inc"))
+      .groupBy(col("block"))
+      .agg(
+        sum(when(!col("is_inc"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_inc"), 1L).otherwise(0L)).as("n_inc"))
+    val w = Window.partitionBy(lit(1))
+    val p = (col("n_base") + 1).cast("double") / sum((col("n_base") + 1).cast("double")).over(w)
+    val q = (col("n_inc") + 1).cast("double") / sum((col("n_inc") + 1).cast("double")).over(w)
+    counts
+      .withColumn("psi", round(sum((p - q) * log(p / q)).over(w), 6))
+      .select(col("block"), col("n_base"), col("n_inc"), col("psi"),
+        (col("psi") > lit(0.2)).as("drift_detected"))
+  }
 }

@@ -651,6 +651,55 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann11: index APPEND — the maintain half of ann9's lifecycle. The
+    // model + coarse lists train on the BASE corpus only (80%: vec_id%5<>0);
+    // two increment batches arrive later and are parquet-appended to the
+    // codes table encoded under the PERSISTED model — no retrain, no base
+    // re-read, no base re-write (one pass over each increment; dd11b's
+    // economics for retrieval). Serving the full query batch from the
+    // appended index must equal the learned search over the union corpus
+    // under the base-trained model — exactly what the oracle replays
+    // (training sample restricted to base, search over all of e).
+    "ann11_index_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val inc1 = emb.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id"), lit(2)) === 0)
+      val inc2 = emb.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+        pmod(col("vec_id"), lit(2)) =!= 0)
+      val nlist = graft.ann.Pq.adaptiveNlist(base.count())
+      val coarse = graft.ann.Pq.coarseTrain(base, nlist)
+      val model = graft.ann.Pq.train(base, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann11_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      // writeIvfIndex overwrites codes/ + model/, so a re-run (bench
+      // warm-up, repeated verify) resets any previously appended files
+      graft.ann.Pq.writeIvfIndex(base, idx, model, coarse)
+      graft.ann.Pq.appendIvfIndex(s, idx, inc1)
+      graft.ann.Pq.appendIvfIndex(s, idx, inc2)
+      val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      graft.ann.Pq.ivfPqTopKFromIndex(s, idx, queries, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
+    // dq5: index-fit drift — the measurement that makes ann11's no-retrain
+    // trade explicit. The increment's occupancy HISTOGRAM over the
+    // base-trained coarse lists is compared to the base's via PSI (x7's
+    // smoothed Σ (p−q)·ln(p/q)): an increment the quantizer fits lands in
+    // lists roughly like the base did; distribution shift piles into few
+    // lists (degrading per-list depth AND recall) and the PSI says so
+    // BEFORE recall quietly sinks. Scale shape: homes are map-side
+    // (CoarseProbes codegen), one nlist-cardinality exchange, PSI over a
+    // control-plane-sized frame.
+    "dq5_index_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val cents = graft.ann.Pq.coarseTrain(base, graft.ann.Pq.adaptiveNlist(base.count()))
+      graft.quality.EmbeddingHealth.indexDriftPsi(emb,
+        pmod(col("vec_id"), lit(5)) === 0, cents)
+    }),
+
     // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
     // in the same block — the measurement every ANN deployment ships beside
     // the index (is the compression hurting retrieval?). Per-query hit
@@ -1401,11 +1450,18 @@ object LlmQueries extends QueryModule {
   /** The quantized-embedding and training-sample CTEs every Pq oracle
     * starts from (Pq.quantize + Pq.train's sample selection).
     */
-  private def pqBaseCtes: Seq[String] = Seq(
+  private def pqBaseCtes: Seq[String] = pqBaseCtesWhere(None)
+
+  /** `trainWhere` restricts the TRAINING sample's input rows (ann11: the
+    * model is fit on the base corpus only; appended increments are encoded
+    * under it, never trained on) — search CTEs still read the full `e`.
+    */
+  private def pqBaseCtesWhere(trainWhere: Option[String]): Seq[String] = Seq(
     "e AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), " +
       "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
     s"samp AS (SELECT vec_id, e, h FROM (SELECT vec_id, e, $PQ_HASH AS h FROM e " +
-      s"WHERE $PQ_HASH < $PQ_RATE) QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $PQ_MAXS)")
+      s"WHERE ${trainWhere.map(w => s"($w) AND ").getOrElse("")}$PQ_HASH < $PQ_RATE) " +
+      s"QUALIFY ROW_NUMBER() OVER (ORDER BY h, vec_id) <= $PQ_MAXS)")
   /** One Lloyd-trained codebook (Pq.train's per-subspace loop): `kk` seeds
     * from the ordered sample, PQ_ITERS rounds of assign (ties to smaller j)
     * + floor(sum/count) update, empty clusters keep their centroid. Shared
@@ -1435,11 +1491,12 @@ object LlmQueries extends QueryModule {
 
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
       learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None,
-      queryWhere: Option[String] = None, imi: Option[(Int, Int)] = None): String = {
+      queryWhere: Option[String] = None, imi: Option[(Int, Int)] = None,
+      trainWhere: Option[String] = None): String = {
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
-    val ctes = scala.collection.mutable.ArrayBuffer[String](pqBaseCtes: _*)
+    val ctes = scala.collection.mutable.ArrayBuffer[String](pqBaseCtesWhere(trainWhere): _*)
     def codebookCtes(tag: String, lo: Int, width: Int, kk: Int): Unit =
       pqCodebookCtes(ctes, tag, lo, width, kk)
     (0 until M).foreach(mi => codebookCtes(mi.toString, mi * SUB, SUB, K))
@@ -1572,6 +1629,41 @@ object LlmQueries extends QueryModule {
   // side computes k from the corpus count (the uncapped-scaling property
   // under test).
   private val ANN10_ORACLE: String = pqOracle(3, None, imi = Some((4, 2)))
+  /** dq5: coarse training replayed on the base split (the ann11 pin:
+    * adaptiveNlist(400) = 16), home assignment over the full corpus, then
+    * x7's smoothed PSI over the per-list occupancy histograms. Exact
+    * long counts; psi rounded to 6 dp (ln's last ulp may differ across
+    * engines), verdict at the conventional 0.2.
+    */
+  private val DQ5_ORACLE: String = {
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      pqBaseCtesWhere(Some("vec_id % 5 <> 0")): _*)
+    pqCodebookCtes(ctes, "c", 0, 64, 16)
+    val dc = s"list_transform(cmc.cs, cc -> ${pqDist("e.e", "cc", 0, 64)})"
+    ctes += s"homes AS (SELECT e.vec_id % 5 = 0 AS is_inc, " +
+      s"CAST(list_position($dc, list_min($dc)) - 1 AS INTEGER) AS block " +
+      "FROM e CROSS JOIN cmc)"
+    ctes += "counts AS (SELECT block, " +
+      "CAST(SUM(CASE WHEN NOT is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_base, " +
+      "CAST(SUM(CASE WHEN is_inc THEN 1 ELSE 0 END) AS BIGINT) AS n_inc " +
+      "FROM homes GROUP BY block)"
+    ctes += "rates AS (SELECT block, n_base, n_inc, " +
+      "CAST(n_base + 1 AS DOUBLE) / SUM(CAST(n_base + 1 AS DOUBLE)) OVER () AS p, " +
+      "CAST(n_inc + 1 AS DOUBLE) / SUM(CAST(n_inc + 1 AS DOUBLE)) OVER () AS q " +
+      "FROM counts)"
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT block, n_base, n_inc, round(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi, " +
+      "round(SUM((p - q) * ln(p / q)) OVER (), 6) > 0.2 AS drift_detected FROM rates"
+  }
+
+  // ann11: training restricted to the base corpus (vec_id % 5 <> 0 — 400
+  // vectors at sf0.01, so adaptiveNlist(400) = 16, the same pin), search
+  // over the full union (base + both appended increments), queries every
+  // 7th vector — the appended index must serve exactly this.
+  private val ANN11_ORACLE: String =
+    pqOracle(3, None, learned = Some((16, 2)),
+      queryWhere = Some("e.vec_id % 7 = 0"),
+      trainWhere = Some("vec_id % 5 <> 0"))
 
   /** dd10 oracle: replay coarse k-means (shared Lloyd CTEs), home
     * assignment + integer centroid distance, within-cluster cosine pairing
@@ -1680,6 +1772,8 @@ object LlmQueries extends QueryModule {
     "ann7_ivf_learned" -> ANN7_ORACLE,
     "ann9_index_served" -> ANN9_ORACLE,
     "ann10_imi_topk" -> ANN10_ORACLE,
+    "ann11_index_append" -> ANN11_ORACLE,
+    "dq5_index_drift" -> DQ5_ORACLE,
     // x10: the oracle is the EXACT definition (group-count + share
     // threshold) — the sketch is an execution strategy, not a semantics
     // change, which is the whole point of the verify pass.

@@ -278,6 +278,33 @@ class PqSpec extends SparkSuite {
     assert(served === learned)
   }
 
+  test("ann11: appended increments serve as if the union had been indexed under the base model") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val inc1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val inc2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
+    val cents = Pq.coarseTrain(base, Pq.adaptiveNlist(base.count()))
+    val model = Pq.train(base, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val idx = tmpDir() + "/ivf_index_appended"
+    Pq.writeIvfIndex(base, idx, model, cents)
+    val modelBytes = spark.read.parquet(s"$idx/model").collect().toSeq
+    Pq.appendIvfIndex(spark, idx, inc1)
+    Pq.appendIvfIndex(spark, idx, inc2)
+    // the model row is untouched by appends — no retrain happened
+    assert(spark.read.parquet(s"$idx/model").collect().toSeq === modelBytes)
+    // codes cover the union exactly once
+    assert(spark.read.parquet(s"$idx/codes").count() === emb.count())
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val served = Pq.ivfPqTopKFromIndex(spark, idx, queries, k = 3, nprobe = 2)
+      .collect().toSet
+    // appends encode under the persisted model, so serving equals the
+    // learned search over the UNION corpus with the BASE-trained model
+    val learned = Pq.ivfPqTopKLearned(emb, k = 3, model, cents, nprobe = 2)
+      .filter(col("query_id") % 7 === 0).collect().toSet
+    assert(served.nonEmpty)
+    assert(served === learned)
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)

@@ -185,4 +185,28 @@ class QualitySpec extends SparkSuite {
     assert(bounded.isEmpty)
     out.unpersist()
   }
+
+  test("dq5 index drift: a shifted increment scores higher PSI than a same-distribution split") {
+    import graft.ann.Pq
+    import graft.quality.EmbeddingHealth
+    val emb = sf("embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val cents = Pq.coarseTrain(base, Pq.adaptiveNlist(base.count()))
+    def psiOf(df: org.apache.spark.sql.DataFrame): Double =
+      EmbeddingHealth.indexDriftPsi(df, pmod(col("vec_id"), lit(5)) === 0, cents)
+        .select(col("psi")).head().getDouble(0)
+    // same-distribution increment: the hash split draws from one population
+    val samePsi = psiOf(emb)
+    // shifted increment: add a constant offset to every dimension of the
+    // increment's vectors — they pile into few lists under the base-trained
+    // quantizer, which is exactly what the PSI must surface
+    val shifted = emb.withColumn("embedding",
+      when(pmod(col("vec_id"), lit(5)) === 0,
+        transform(col("embedding"), v => v + lit(1.5f)))
+        .otherwise(col("embedding")))
+    val shiftPsi = psiOf(shifted)
+    assert(shiftPsi > samePsi,
+      s"shifted increment PSI $shiftPsi should exceed same-distribution PSI $samePsi")
+    assert(shiftPsi > 0.2, s"a wholesale distribution shift must trip the 0.2 verdict, got $shiftPsi")
+  }
 }
