@@ -121,7 +121,9 @@ object Bench {
     // touches exactly the resources the wobble lives in (page cache, local
     // disk, shuffle spill paths).
     val calibration: Seq[Double] = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString
+      // fixed path + overwrite mode: repeat runs REUSE the directory
+      // instead of leaking a fresh ~100 MB probe dump per invocation
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_cal_probe"
       def pass(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 20000000L, 1L, 32)

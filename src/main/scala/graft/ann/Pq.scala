@@ -166,22 +166,16 @@ object Pq {
     }
     val base = spreadIfStarved(emb.select(col("vec_id"), col(blockCol), col("embedding")))
       .withColumn("__lut", lutColumn(col("embedding"), model))
-    // corpus: m argmin codes per vector (0-based; array_position returns the
-    // FIRST minimum — the smallest-index tie rule the trainer and oracle use)
-    val codeCols = (0 until model.m).map { mi =>
-      val d = slice(col("__lut"), mi * model.k + 1, model.k)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
-    }
+    // corpus: m argmin codes per vector (pqCodeCols — the shared encode rule)
     val corpus = base.select(
-      (col("vec_id").as("neighbor_id") +: col(blockCol).as("block") +: codeCols): _*)
+      (col("vec_id").as("neighbor_id") +: col(blockCol).as("block") +:
+        pqCodeCols(model, "__c")): _*)
     val queries = base.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
       col("__lut"))
-    val adc = (0 until model.m)
-      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
-      .reduce(_ + _)
     val scored = queries.join(corpus, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        adcCol(model, "__c").as("adc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -249,28 +243,50 @@ object Pq {
     * ~targetList·nprobe regardless of corpus size.
     */
   def ivfPqTopKLearned(emb: DataFrame, k: Int, model: PqModel,
-      cents: Array[Array[Long]], nprobe: Int = 2): DataFrame = {
-    val base = spreadIfStarved(emb.select(col("vec_id"), col("embedding")))
-    val codeCols = (0 until model.m).map { mi =>
+      cents: Array[Array[Long]], nprobe: Int = 2): DataFrame =
+    learnedSearch(emb, k, model, (e, p) => probeColumn(e, cents, p), nprobe)
+
+  /** The m argmin-code columns of a row whose `__lut` is bound —
+    * first-minimum tie (the trainer's and the oracle's rule). ONE
+    * definition shared by every search path and the index write/append:
+    * the persisted index and the serving/search plans cannot desynchronize
+    * on the encode rule.
+    */
+  private def pqCodeCols(model: PqModel, prefix: String): Seq[Column] =
+    (0 until model.m).map { mi =>
       val d = slice(col("__lut"), mi * model.k + 1, model.k)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
+      (array_position(d, array_min(d)) - 1).cast("int").as(s"$prefix$mi")
     }
+
+  /** Integer ADC: the query's LUT indexed by the neighbor's codes. */
+  private def adcCol(model: PqModel, prefix: String): Column =
+    (0 until model.m)
+      .map(mi => element_at(col("__lut"), col(s"$prefix$mi") + lit(mi * model.k + 1)))
+      .reduce(_ + _)
+
+  /** Shared learned-blocking IVF+PQ search: `probe(emb, nprobe)` yields
+    * the nearest list ids under whichever coarse quantizer blocks
+    * candidates (flat [[probeColumn]] or IMI [[imiProbeColumn]]);
+    * everything else — codes-only corpus payload, ADC, (adc, neighbor_id)
+    * tie rule — is common (the [[graft.ann.Sq.sqTopKLearned]] pattern).
+    */
+  private def learnedSearch(emb: DataFrame, k: Int, model: PqModel,
+      probe: (Column, Int) => Column, nprobe: Int): DataFrame = {
+    val base = spreadIfStarved(emb.select(col("vec_id"), col("embedding")))
     val corpus = base
       .withColumn("__lut", lutColumn(col("embedding"), model))
-      .withColumn("__home", probeColumn(col("embedding"), cents, 1))
+      .withColumn("__home", probe(col("embedding"), 1))
       .select((col("vec_id").as("neighbor_id") +:
-        element_at(col("__home"), 1).as("block") +: codeCols): _*)
+        element_at(col("__home"), 1).as("block") +: pqCodeCols(model, "__c")): _*)
     val queries = base
       .withColumn("__lut", lutColumn(col("embedding"), model))
-      .withColumn("__probes", probeColumn(col("embedding"), cents, nprobe))
+      .withColumn("__probes", probe(col("embedding"), nprobe))
       .select(col("vec_id").as("query_id"), explode(col("__probes")).as("block"),
         col("__lut"))
-    val adc = (0 until model.m)
-      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
-      .reduce(_ + _)
     val scored = queries.join(corpus, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        adcCol(model, "__c").as("adc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -311,31 +327,8 @@ object Pq {
     * What changes is the CEILING: see [[adaptiveImiK]].
     */
   def ivfPqTopKImi(emb: DataFrame, k: Int, model: PqModel, imi: PqModel,
-      nprobe: Int = 2): DataFrame = {
-    val base = spreadIfStarved(emb.select(col("vec_id"), col("embedding")))
-    val codeCols = (0 until model.m).map { mi =>
-      val d = slice(col("__lut"), mi * model.k + 1, model.k)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"__c$mi")
-    }
-    val corpus = base
-      .withColumn("__lut", lutColumn(col("embedding"), model))
-      .withColumn("__home", imiProbeColumn(col("embedding"), imi, 1))
-      .select((col("vec_id").as("neighbor_id") +:
-        element_at(col("__home"), 1).as("block") +: codeCols): _*)
-    val queries = base
-      .withColumn("__lut", lutColumn(col("embedding"), model))
-      .withColumn("__probes", imiProbeColumn(col("embedding"), imi, nprobe))
-      .select(col("vec_id").as("query_id"), explode(col("__probes")).as("block"),
-        col("__lut"))
-    val adc = (0 until model.m)
-      .map(mi => element_at(col("__lut"), col(s"__c$mi") + lit(mi * model.k + 1)))
-      .reduce(_ + _)
-    val scored = queries.join(corpus, Seq("block"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      nprobe: Int = 2): DataFrame =
+    learnedSearch(emb, k, model, (e, p) => imiProbeColumn(e, imi, p), nprobe)
 
   /** ann9 (build half): persist the serving artifact of a production ANN
     * system — the corpus codes `(vec_id, home list, m PQ codes)` plus the
@@ -352,13 +345,9 @@ object Pq {
       cents: Array[Array[Long]]): Unit = {
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__lut", lutColumn(col("embedding"), model))
-    val codeCols = (0 until model.m).map { mi =>
-      val d = slice(col("__lut"), mi * model.k + 1, model.k)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"c$mi")
-    }
     base.select((col("vec_id") +:
         element_at(probeColumn(col("embedding"), cents, 1), 1).as("block") +:
-        codeCols): _*)
+        pqCodeCols(model, "c")): _*)
       .write.mode("overwrite").parquet(s"$path/codes")
     val spark = emb.sparkSession
     import spark.implicits._
@@ -415,15 +404,11 @@ object Pq {
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       increment: DataFrame): Unit = {
     val (model, cents) = readIndexModel(spark, path)
-    val inc = increment.select(col("vec_id"), col("embedding"))
+    increment.select(col("vec_id"), col("embedding"))
       .withColumn("__lut", lutColumn(col("embedding"), model))
-    val codeCols = (0 until model.m).map { mi =>
-      val d = slice(col("__lut"), mi * model.k + 1, model.k)
-      (array_position(d, array_min(d)) - 1).cast("int").as(s"c$mi")
-    }
-    inc.select((col("vec_id") +:
+      .select((col("vec_id") +:
         element_at(probeColumn(col("embedding"), cents, 1), 1).as("block") +:
-        codeCols): _*)
+        pqCodeCols(model, "c")): _*)
       .write.mode("append").parquet(s"$path/codes")
   }
 
@@ -436,12 +421,10 @@ object Pq {
         lutColumn(col("embedding"), model).as("__lut"),
         probeColumn(col("embedding"), cents, nprobe).as("__probes"))
       .select(col("query_id"), col("__lut"), explode(col("__probes")).as("block"))
-    val adc = (0 until model.m)
-      .map(mi => element_at(col("__lut"), col(s"c$mi") + lit(mi * model.k + 1)))
-      .reduce(_ + _)
     val scored = q.join(corpus, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        adcCol(model, "c").as("adc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

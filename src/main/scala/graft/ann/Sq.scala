@@ -53,16 +53,23 @@ object Sq {
         expr("transform(array_sort(collect_list(struct(pos, lo))), x -> x.lo)").as("mn"),
         expr("transform(array_sort(collect_list(struct(pos, hi))), x -> x.hi)").as("mx"))
 
+  /** The affine SQ8 coding expression over a row's quantized `e` and the
+    * joined `mn`/`mx` ranges — ONE definition shared by [[encode]] and the
+    * guard's search paths, so the fixed/contrast and rerouted routes cannot
+    * desynchronize on the code rule (their equality is a test contract).
+    * Spark SQL [] indexing is 0-based (element_at is the 1-based form).
+    */
+  private val codeExpr: Column =
+    expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
+      "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)")
+
   /** SQ8 codes for every vector: `(vec_id, block, code[64])`. */
   def encode(emb: DataFrame, idCol: String, embCol: String,
       blockCol: String): DataFrame =
     emb.select(col(idCol).as("vec_id"), col(blockCol).as("block"),
       Pq.quantize(col(embCol)).as("e"))
       .crossJoin(broadcast(ranges(emb, embCol)))
-      .select(col("vec_id"), col("block"),
-        // Spark SQL [] indexing is 0-based (element_at is the 1-based form)
-        expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
-          "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)").as("code"))
+      .select(col("vec_id"), col("block"), codeExpr.as("code"))
 
   /** Integer code-space squared L2 between two 64-code arrays. */
   private def codeDist(qc: Column, cc: Column): Column =
@@ -152,9 +159,7 @@ object Sq {
       .select(col(idCol).as("vec_id"), col(embCol).as("__emb"),
         Pq.quantize(col(embCol)).as("e"))
       .crossJoin(broadcast(ranges(emb, embCol)))
-      .select(col("vec_id"), col("__emb"),
-        expr("transform(sequence(0, 63), i -> CASE WHEN mx[i] = mn[i] THEN 0L " +
-          "ELSE ((e[i] - mn[i]) * 255) DIV (mx[i] - mn[i]) END)").as("code"))
+      .select(col("vec_id"), col("__emb"), codeExpr.as("code"))
     val corpus = coded.select(col("vec_id").as("neighbor_id"),
       element_at(probe(col("__emb"), 1), 1).as("block"),
       col("code").as("cc"))

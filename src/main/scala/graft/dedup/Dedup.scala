@@ -154,6 +154,15 @@ object Dedup {
     // block level: signatures are ~(8 + 8·numHashes) B/doc — at any corpus
     // scale two orders under the text they derive from, and exactly the
     // artifact dd11b persists to parquet anyway.
+    // Cache lifecycle contract: the blocks stay pinned until the session
+    // ends or the caller sweeps (spark.sqlContext.clearCache() /
+    // unpersisting via getPersistentRDDs — the Bench/BenchScale isolation
+    // pattern). Repeat calls over the SAME input frame do NOT stack:
+    // CacheManager matches the canonicalized plan and reuses the entry
+    // (the "already cached" warning). A long-lived session feeding
+    // DIFFERENT batches should prefer the persisted-artifact path
+    // (writeLshIndex + incrementalLshFromIndex), whose base side is a
+    // parquet read, not a session cache.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
       .repartition(col("doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,25 +249,43 @@ object Dedup {
     * main_paginated.py:101-139`).
     */
   def writeLshIndex(base: DataFrame, idCol: String, textCol: String, path: String,
-      numHashes: Int = 16, portableHash: Boolean = true): Unit =
+      numHashes: Int = 16, portableHash: Boolean = true): Unit = {
     minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash)
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    // the serve-side parameters are index FACTS, not choices — persist them
+    // so a mismatched serve call fails loud instead of silently deflating
+    // est_jaccard (sliced-short signatures band-hash to garbage, no error)
+    val spark = base.sparkSession
+    import spark.implicits._
+    Seq((numHashes, portableHash)).toDF("num_hashes", "portable_hash")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
 
   /** [[incrementalLsh]] served from a persisted signature index
     * ([[writeLshIndex]]): identical output to the from-text path for the
     * same base corpus (the signatures ARE the base's contribution), but
     * the plan's base side reads `bands`+1 narrow columns of parquet and
-    * never scans base text. `numHashes`/`portableHash` must match the
-    * values the index was written with (sig width is checked at runtime by
-    * the slice arithmetic; hash family cannot be — document it at the
-    * write site).
+    * never scans base text. `numHashes`/`portableHash` are validated
+    * against the index's persisted meta row — a mismatch would otherwise
+    * produce WRONG results silently (short slices band-hash empty arrays
+    * into one shared bucket; the verify re-attach reads absent positions
+    * as non-matches and deflates est_jaccard), not an exception.
     */
   def incrementalLshFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, inc: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame =
-    incrementalLshOnSigs(spark.read.parquet(indexPath), inc, idCol, textCol,
-      numHashes, bands, threshold, portableHash, maxBucket)
+      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (idxHashes, idxPortable) =
+      (meta.getAs[Int]("num_hashes"), meta.getAs[Boolean]("portable_hash"))
+    require(idxHashes == numHashes && idxPortable == portableHash,
+      s"index at $indexPath was written with numHashes=$idxHashes, " +
+        s"portableHash=$idxPortable; serve called with numHashes=$numHashes, " +
+        s"portableHash=$portableHash — mismatched parameters would silently " +
+        "deflate similarity estimates")
+    incrementalLshOnSigs(spark.read.parquet(s"$indexPath/sigs"), inc, idCol,
+      textCol, numHashes, bands, threshold, portableHash, maxBucket)
+  }
 
   private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,

@@ -89,7 +89,7 @@ case class BpeTokenCount(child: Expression, vocab: Seq[String]) extends UnaryExp
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the matcher rides the plan as a reference object; its hash set is
     // rebuilt lazily executor-side (transient), never serialized
-    val ref = ctx.addReferenceObj("bpeMatcher", new BpeMatcher(vocab.toArray),
+    val ref = ctx.addReferenceObj("bpeMatcher", matcher,
       classOf[BpeMatcher].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countTokens($c);")
   }

@@ -86,8 +86,9 @@ case class CoarseProbes(child: Expression, nlist: Int, dim: Int, nprobe: Int,
     computer.probes(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("coarseProbes",
-      new CoarseProbeComputer(nlist, dim, nprobe, flatCentroids.toArray),
+    // reuse the interpreted path's computer: one centroid-array copy per
+    // expression instance, one construction site for both execution modes
+    val ref = ctx.addReferenceObj("coarseProbes", computer,
       classOf[CoarseProbeComputer].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probes($c);")
   }

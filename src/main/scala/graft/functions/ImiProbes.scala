@@ -116,8 +116,9 @@ case class ImiProbes(child: Expression, k: Int, subDim: Int, nprobe: Int,
     computer.probes(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("imiProbes",
-      new ImiProbeComputer(k, subDim, nprobe, flatCentroids.toArray),
+    // reuse the interpreted path's computer: one centroid-array copy per
+    // expression instance, one construction site for both execution modes
+    val ref = ctx.addReferenceObj("imiProbes", computer,
       classOf[ImiProbeComputer].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probes($c);")
   }

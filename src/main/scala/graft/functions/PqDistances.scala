@@ -74,8 +74,9 @@ case class PqDistances(child: Expression, m: Int, k: Int, subDim: Int,
     computer.lut(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("pqLut",
-      new PqLutComputer(m, k, subDim, flatCodebooks.toArray),
+    // reuse the interpreted path's computer: one codebook-array copy per
+    // expression instance, one construction site for both execution modes
+    val ref = ctx.addReferenceObj("pqLut", computer,
       classOf[PqLutComputer].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.lut($c);")
   }

@@ -49,7 +49,13 @@ object Bm25 {
       topK: Int = 10, saltParts: Int = 32): DataFrame = {
     val toks = TextOps.tokens(lower(col(textCol)))
     // single-tokenize projection (see scale note): dl + query-matched tokens
-    // in one pass, persisted narrow so stats and postings never re-tokenize
+    // in one pass, persisted narrow so stats and postings never re-tokenize.
+    // Cache lifecycle contract: pinned until session end or a caller sweep
+    // (clearCache / getPersistentRDDs — the bench isolation pattern);
+    // repeat calls with the SAME docs+queries reuse the entry (CacheManager
+    // canonical-plan match), but per-batch query sets each pin a copy — a
+    // serving deployment should materialize the tokenized projection once
+    // (parquet) and score batches against it, the writeLshIndex shape.
     val termList = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     val tokenized = docs

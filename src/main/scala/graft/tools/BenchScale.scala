@@ -76,13 +76,15 @@ object BenchScale {
     "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
     "x10_heavy_hitters")
 
-  /** Deep leg: one more decade (default 100x) for the five most expensive
-    * LLM ops — the 10x→30x interval can hide superlinear creep that a
-    * 30x→100x interval exposes. Docs/embeddings corpus only (these five
-    * touch nothing else), so the 100x build cost is bounded by the text
-    * corpus, not 100x of lineitem. ann4's contrast row is deliberately
-    * excluded: its fixed-block quadratic at 100x would cost ~10 minutes to
-    * re-measure a lesson the 30x point already prices.
+  /** Deep leg: one more decade (default 100x) for the six heaviest /
+    * most scale-critical LLM ops — the five most expensive dedup rows plus
+    * ann10, whose whole claim is the 100x point (the IMI vs ann7's clamp
+    * knee needs both series at depth). The 10x→30x interval can hide
+    * superlinear creep that a 30x→100x interval exposes. Docs/embeddings
+    * corpus only (these six touch nothing else), so the 100x build cost is
+    * bounded by the text corpus, not 100x of lineitem. ann4's contrast row
+    * is deliberately excluded: its fixed-block quadratic at 100x would
+    * cost ~10 minutes to re-measure a lesson the 30x point already prices.
     */
   private val llmDeep = Seq("dd2_minhash_lsh", "dd6_dup_groups",
     "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned",

@@ -468,6 +468,14 @@ class DedupAnnSpec extends SparkSuite {
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
       assert(a.count() === inc.count())
     }
+    // serve params are index FACTS: a mismatch (here numHashes 16 against a
+    // 64-wide index) must refuse loud — the silent alternative deflates
+    // est_jaccard (short slices band-hash empties into one shared bucket)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshFromIndex(spark, idx, incBatch, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5, portableHash = false)
+    }
+    assert(e.getMessage.contains("mismatched"))
   }
 
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
