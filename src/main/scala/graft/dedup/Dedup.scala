@@ -261,6 +261,23 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** dd13: fold an arrived batch INTO the persisted index — the
+    * maintenance op that closes the incremental-dedup lifecycle (write
+    * once → serve batches → append each served batch so the NEXT batch
+    * dedups against it too). Signature parameters come FROM the index's
+    * meta row, so an append cannot desynchronize the sig construction;
+    * cost is one tokenize+shingle+hash pass over the INCREMENT only —
+    * base text and base signatures are untouched (the
+    * [[graft.ann.Pq.appendIvfIndex]] economics for dedup).
+    */
+  def appendLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      inc: DataFrame, idCol: String, textCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    minhashSignatures(inc, idCol, textCol, meta.getAs[Int]("num_hashes"),
+        portableHash = meta.getAs[Boolean]("portable_hash"))
+      .write.mode("append").parquet(s"$path/sigs")
+  }
+
   /** [[incrementalLsh]] served from a persisted signature index
     * ([[writeLshIndex]]): identical output to the from-text path for the
     * same base corpus (the signatures ARE the base's contribution), but

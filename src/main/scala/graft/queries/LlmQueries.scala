@@ -389,6 +389,35 @@ object LlmQueries extends QueryModule {
       serve(inc2)
     }),
 
+    // dd13: index APPEND closes the incremental-dedup lifecycle — batch 1
+    // is folded into the base index (Dedup.appendLshIndex — signature
+    // params come from the index meta, one pass over the increment only),
+    // so batch 2 dedups against base ∪ batch 1, including a planted
+    // near-dup group OF BATCH-1 MEMBERS (their text + ' extra'). The
+    // oracle's base side is exactly that union; DedupAnnSpec carries the
+    // load-bearing proof (reversed-text batches that can ONLY match
+    // appended members).
+    "dd13_lsh_index_append" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_dd13_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeLshIndex(base, "doc_id", "text", idx,
+        numHashes = 16, portableHash = true)
+      val inc1 = base.filter(pmod(col("doc_id"), lit(9)) === 2)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" first batch drift")).as("text"))
+        .localCheckpoint(true)
+      Dedup.appendLshIndex(s, idx, inc1, "doc_id", "text")
+      val inc2 = base.filter(pmod(col("doc_id"), lit(9)) === 3)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" second batch tail")).as("text"))
+        .unionByName(inc1.select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+      Dedup.incrementalLshFromIndex(s, idx, inc2.localCheckpoint(true),
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
+        portableHash = true)
+    }),
+
     // dd12: incremental EXACT dedup through a bloom pre-filter — the
     // arriving batch probes a bloom built over the corpus' fingerprints
     // (ops/BloomPrune; xxhash64 keys, no false negatives) and only the
@@ -1629,6 +1658,52 @@ object LlmQueries extends QueryModule {
   // side computes k from the corpus count (the uncapped-scaling property
   // under test).
   private val ANN10_ORACLE: String = pqOracle(3, None, imi = Some((4, 2)))
+  /** Shared replay of the incremental MinHash pipeline (dd11/dd11b/dd13):
+    * portable signatures, banding, the inc→base bucket join, jaccard
+    * verify and the best-match window — parameterized ONLY by the base and
+    * increment CTE bodies (the `inc` body may reference `base`). One
+    * definition keeps the three oracles in lockstep with each other and
+    * with Dedup's 16-hash/4-band portable construction.
+    */
+  private def minhashIncOracle(baseSql: String, incSql: String): String = {
+    val mins = (1 to 16).map { sd =>
+      val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+      s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+    }.mkString(", ")
+    val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandHash = (0 until 4).map { b =>
+      val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+      s"WHEN $b THEN md5(concat_ws(',', $parts))"
+    }.mkString(" ")
+    val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+      "i -> array_to_string(toks[i+1:i+3], ' ')))"
+    val simExpr = "CAST(list_sum(list_transform(range(1, 17), " +
+      "i -> CASE WHEN si.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+    s"""WITH base AS ($baseSql),
+       |inc AS ($incSql),
+       |exb AS (SELECT doc_id AS doc, $shingle AS shingle
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
+       |exi AS (SELECT doc_id AS doc, $shingle AS shingle
+       |  FROM (SELECT doc_id, $TOKS AS toks FROM inc)),
+       |sigb AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exb GROUP BY doc)),
+       |sigi AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exi GROUP BY doc)),
+       |bb AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+       |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |bi AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
+       |  FROM sigi CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |cand AS (SELECT DISTINCT x.doc AS id_inc, y.doc AS id_base
+       |  FROM bi x JOIN bb y ON x.band = y.band AND x.band_hash = y.band_hash),
+       |ver AS (SELECT c.id_inc, c.id_base, $simExpr AS est_jaccard
+       |  FROM cand c JOIN sigi si ON si.doc = c.id_inc JOIN sigb sb ON sb.doc = c.id_base
+       |  WHERE $simExpr >= 0.5),
+       |best AS (SELECT id_inc, id_base, est_jaccard,
+       |  ROW_NUMBER() OVER (PARTITION BY id_inc ORDER BY est_jaccard DESC, id_base) AS rn
+       |  FROM ver)
+       |SELECT i.doc_id, b.id_base AS matched_base, b.est_jaccard,
+       |  b.id_base IS NOT NULL AS is_dup
+       |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.id_inc""".stripMargin
+  }
+
   /** dq5: coarse training replayed on the base split (the ann11 pin:
     * adaptiveNlist(400) = 16), home assignment over the full corpus, then
     * x7's smoothed PSI over the per-list occupancy histograms. Exact
@@ -2497,97 +2572,39 @@ object LlmQueries extends QueryModule {
     // increment signatures, banding, the inc→base bucket join, jaccard
     // verify and the best-match window (the oracle doesn't model the
     // bucket-size guard, which is inactive below maxBucket — dd2's stance).
-    "dd11_incremental_dedup" -> {
-      val mins = (1 to 16).map { sd =>
-        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
-        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
-      }.mkString(", ")
-      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
-      val bandHash = (0 until 4).map { b =>
-        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
-        s"WHEN $b THEN md5(concat_ws(',', $parts))"
-      }.mkString(" ")
-      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
-        "i -> array_to_string(toks[i+1:i+3], ' ')))"
-      val simExpr = "CAST(list_sum(list_transform(range(1, 17), " +
-        "i -> CASE WHEN si.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-         |inc AS (
-         |SELECT doc_id + 300000 AS doc_id, text || ' incremental tail drift' AS text
+    "dd11_incremental_dedup" -> minhashIncOracle(
+      "SELECT doc_id, text FROM documents",
+      s"""SELECT doc_id + 300000 AS doc_id, text || ' incremental tail drift' AS text
          |FROM base WHERE doc_id % 9 = 0
          |UNION ALL
          |SELECT doc_id + 400000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
-         |FROM base WHERE doc_id % 9 = 1),
-         |exb AS (SELECT doc_id AS doc, $shingle AS shingle
-         |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
-         |exi AS (SELECT doc_id AS doc, $shingle AS shingle
-         |  FROM (SELECT doc_id, $TOKS AS toks FROM inc)),
-         |sigb AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exb GROUP BY doc)),
-         |sigi AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exi GROUP BY doc)),
-         |bb AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
-         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-         |bi AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
-         |  FROM sigi CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-         |cand AS (SELECT DISTINCT x.doc AS id_inc, y.doc AS id_base
-         |  FROM bi x JOIN bb y ON x.band = y.band AND x.band_hash = y.band_hash),
-         |ver AS (SELECT c.id_inc, c.id_base, $simExpr AS est_jaccard
-         |  FROM cand c JOIN sigi si ON si.doc = c.id_inc JOIN sigb sb ON sb.doc = c.id_base
-         |  WHERE $simExpr >= 0.5),
-         |best AS (SELECT id_inc, id_base, est_jaccard,
-         |  ROW_NUMBER() OVER (PARTITION BY id_inc ORDER BY est_jaccard DESC, id_base) AS rn
-         |  FROM ver)
-         |SELECT i.doc_id, b.id_base AS matched_base, b.est_jaccard,
-         |  b.id_base IS NOT NULL AS is_dup
-         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.id_inc""".stripMargin
-    },
+         |FROM base WHERE doc_id % 9 = 1""".stripMargin),
     // dd11b: the index-served path computes the SAME pipeline as dd11 from
     // persisted signatures, so the oracle is dd11's replay with batch 2's
     // increment construction (the oracle recomputes base signatures from
     // text — serve-time scan economics are a plan property, asserted in
     // PlanSpec, not a value property).
-    "dd11b_index_served" -> {
-      val mins = (1 to 16).map { sd =>
-        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
-        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
-      }.mkString(", ")
-      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
-      val bandHash = (0 until 4).map { b =>
-        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
-        s"WHEN $b THEN md5(concat_ws(',', $parts))"
-      }.mkString(" ")
-      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
-        "i -> array_to_string(toks[i+1:i+3], ' ')))"
-      val simExpr = "CAST(list_sum(list_transform(range(1, 17), " +
-        "i -> CASE WHEN si.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-         |inc AS (
-         |SELECT doc_id + 600000 AS doc_id, text || ' second batch tail' AS text
+    "dd11b_index_served" -> minhashIncOracle(
+      "SELECT doc_id, text FROM documents",
+      s"""SELECT doc_id + 600000 AS doc_id, text || ' second batch tail' AS text
          |FROM base WHERE doc_id % 9 = 3
          |UNION ALL
          |SELECT doc_id + 700000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
-         |FROM base WHERE doc_id % 9 = 4),
-         |exb AS (SELECT doc_id AS doc, $shingle AS shingle
-         |  FROM (SELECT doc_id, $TOKS AS toks FROM base)),
-         |exi AS (SELECT doc_id AS doc, $shingle AS shingle
-         |  FROM (SELECT doc_id, $TOKS AS toks FROM inc)),
-         |sigb AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exb GROUP BY doc)),
-         |sigi AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM exi GROUP BY doc)),
-         |bb AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
-         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-         |bi AS (SELECT doc, b AS band, CASE b $bandHash END AS band_hash
-         |  FROM sigi CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
-         |cand AS (SELECT DISTINCT x.doc AS id_inc, y.doc AS id_base
-         |  FROM bi x JOIN bb y ON x.band = y.band AND x.band_hash = y.band_hash),
-         |ver AS (SELECT c.id_inc, c.id_base, $simExpr AS est_jaccard
-         |  FROM cand c JOIN sigi si ON si.doc = c.id_inc JOIN sigb sb ON sb.doc = c.id_base
-         |  WHERE $simExpr >= 0.5),
-         |best AS (SELECT id_inc, id_base, est_jaccard,
-         |  ROW_NUMBER() OVER (PARTITION BY id_inc ORDER BY est_jaccard DESC, id_base) AS rn
-         |  FROM ver)
-         |SELECT i.doc_id, b.id_base AS matched_base, b.est_jaccard,
-         |  b.id_base IS NOT NULL AS is_dup
-         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON i.doc_id = b.id_inc""".stripMargin
-    },
+         |FROM base WHERE doc_id % 9 = 4""".stripMargin),
+    // dd13: the appended index serves against base ∪ batch-1 — the oracle's
+    // base side is exactly that union (batch-1's construction inlined), the
+    // increment is batch 2 including the near-dup-of-batch-1 group whose
+    // best match must resolve to an APPENDED member.
+    "dd13_lsh_index_append" -> minhashIncOracle(
+      s"""SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 500000 AS doc_id, text || ' first batch drift' AS text
+         |FROM documents WHERE doc_id % 9 = 2""".stripMargin,
+      s"""SELECT doc_id + 600000 AS doc_id, text || ' second batch tail' AS text
+         |FROM base WHERE doc_id < 500000 AND doc_id % 9 = 3
+         |UNION ALL
+         |SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+         |FROM base WHERE doc_id >= 500000""".stripMargin),
     // dd3: default xxhash64 path from the signature side-dump — banding,
     // bucket pairing and the hamming cut are pure bit arithmetic replayed
     // on the dumped 64-bit signatures.

@@ -478,6 +478,35 @@ class DedupAnnSpec extends SparkSuite {
     assert(e.getMessage.contains("mismatched"))
   }
 
+  test("appendLshIndex: a folded batch serves identically to from-text over the union, and is matchable") {
+    val idx = tmpDir() + "/sig_index_append"
+    Dedup.writeLshIndex(docs, "doc_id", "text", idx, numHashes = 64, portableHash = false)
+    // batch 1: token-REVERSED docs 0-7 — same vocabulary, zero 3-shingles
+    // shared with their source (the fixture's reversal trick), so batch-2
+    // near-dups of these can only ever match the APPENDED members
+    val inc1 = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 5000).as("doc_id"),
+        concat_ws(" ", reverse(TextOps.tokens(lower(col("text"))))).as("text"))
+    Dedup.appendLshIndex(spark, idx, inc1, "doc_id", "text")
+    // batch 2: near-dups OF BATCH 1 (its reversed text + one more token)
+    val inc2 = inc1.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    val served = Dedup.incrementalLshFromIndex(spark, idx, inc2, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    val fromText = Dedup.incrementalLsh(docs.unionByName(inc1), inc2, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    assert(served.exceptAll(fromText).isEmpty && fromText.exceptAll(served).isEmpty)
+    // the append is load-bearing: every batch-2 doc's best match is its
+    // batch-1 source (5000-5007), which only exists in the appended sigs
+    val matches = served.collect()
+    assert(matches.length === 8)
+    matches.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup") &&
+        r.getAs[Long]("matched_base") === r.getAs[Long]("doc_id") - 1000,
+        s"doc ${r.getAs[Long]("doc_id")} matched ${r.getAs[Long]("matched_base")}")
+    }
+  }
+
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
     val inc = incBatch
     val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
