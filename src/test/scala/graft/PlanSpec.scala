@@ -160,6 +160,23 @@ class PlanSpec extends SparkSuite {
     }.isEmpty), "an exchange sits below the bloom filter")
   }
 
+  test("x10 heavy hitters: the candidate semi-join prunes below the count's exchange") {
+    val df = graft.queries.LlmQueries.defs("x10_heavy_hitters")(spark, dir)
+    val p = plan(df)
+    // the whole point: only candidate-keyed rows enter the exact count's
+    // shuffle — the broadcast semi-join must sit BELOW every shuffle
+    // exchange, directly over the exploded scan side
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(joins.nonEmpty, s"no broadcast left-semi candidate join in the plan:\n$p")
+    assert(joins.forall(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty), "a shuffle exchange sits below the candidate semi-join — " +
+      "the corpus would shuffle before pruning")
+  }
+
   test("dd11b index-served: the plan reads the signature index, never base text") {
     val df = graft.queries.LlmQueries.defs("dd11b_index_served")(spark, dir)
     // the signature frames are persisted (computed-once guarantee), so the
