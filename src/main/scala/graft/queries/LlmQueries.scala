@@ -315,6 +315,58 @@ object LlmQueries extends QueryModule {
       s.read.parquet(s"$base/out")
     }),
 
+    // st15: continuous near-dup dedup AT INGEST — the streaming composition
+    // of dd11b (serve from the persisted index) and dd13 (fold each served
+    // batch back in). Each micro-batch is flagged against base ∪ every
+    // prior arrival, then appended to the index; state lives in the
+    // PARQUET INDEX, not in streaming state — bounded by corpus size on
+    // disk, zero rows in the state store, restart-safe via the checkpoint
+    // + the idempotent index fold. Inside foreachBatch the flag write is
+    // an ACTION that completes before the append, so a batch never matches
+    // itself. Two drains prove the fold-in: batch 2 contains near-dups of
+    // batch-1 members and flags against them. Deterministic (single
+    // micro-batch per drain under AvailableNow at these file counts);
+    // oracle = the dd11 replay per batch with batch 2's base side being
+    // documents ∪ batch 1, unioned.
+    "st15_stream_neardup_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st15").toString
+      val idx = s"$tmp/idx"
+      Dedup.writeLshIndex(base, "doc_id", "text", idx,
+        numHashes = 16, portableHash = true)
+      val batch1 = base.filter(pmod(col("doc_id"), lit(9)) === 5)
+        .select((col("doc_id") + 510000).as("doc_id"),
+          concat(col("text"), lit(" stream batch one")).as("text"))
+      val batch2 = base.filter(pmod(col("doc_id"), lit(9)) === 6)
+        .select((col("doc_id") + 620000).as("doc_id"),
+          concat(col("text"), lit(" stream batch two")).as("text"))
+        .unionByName(batch1.select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" extra")).as("text")))
+      batch1.repartition(4).write.parquet(s"$tmp/src")
+      val schema = s.read.parquet(s"$tmp/src").schema
+      def drain(): Unit =
+        s.readStream.schema(schema).parquet(s"$tmp/src")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val arrived = b.localCheckpoint(true)
+            // flag against base ∪ all prior arrivals (the index as of now);
+            // the write is the action that drains the serve scan...
+            Dedup.incrementalLshFromIndex(s, idx, arrived, "doc_id", "text",
+                numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+              .write.mode("append").parquet(s"$tmp/out")
+            // ...and only then does the batch fold into the index
+            Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      drain()
+      batch2.repartition(4).write.mode("append").parquet(s"$tmp/src")
+      drain()
+      s.read.parquet(s"$tmp/out")
+    }),
+
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs), on the
     // scale-default xxhash64 signatures. Oracled via the signature
     // side-dump ([[OracleDumps]]): DuckDB replays banding → bucket
@@ -2591,6 +2643,28 @@ object LlmQueries extends QueryModule {
          |UNION ALL
          |SELECT doc_id + 700000 AS doc_id, array_to_string(list_reverse($TOKS), ' ') AS text
          |FROM base WHERE doc_id % 9 = 4""".stripMargin),
+    // st15: two per-batch replays of the incremental pipeline, unioned —
+    // batch 1 against documents, batch 2 against documents ∪ batch 1 (the
+    // fold-in). Each side is the dd11 oracle with the respective base/inc
+    // constructions.
+    "st15_stream_neardup_ingest" -> {
+      val b1 = minhashIncOracle(
+        "SELECT doc_id, text FROM documents",
+        s"""SELECT doc_id + 510000 AS doc_id, text || ' stream batch one' AS text
+           |FROM base WHERE doc_id % 9 = 5""".stripMargin)
+      val b2 = minhashIncOracle(
+        s"""SELECT doc_id, text FROM documents
+           |UNION ALL
+           |SELECT doc_id + 510000 AS doc_id, text || ' stream batch one' AS text
+           |FROM documents WHERE doc_id % 9 = 5""".stripMargin,
+        s"""SELECT doc_id + 620000 AS doc_id, text || ' stream batch two' AS text
+           |FROM base WHERE doc_id < 510000 AND doc_id % 9 = 6
+           |UNION ALL
+           |SELECT doc_id + 300000 AS doc_id, text || ' extra' AS text
+           |FROM base WHERE doc_id >= 510000""".stripMargin)
+      s"SELECT * FROM ($b1) UNION ALL SELECT * FROM ($b2)"
+    },
+
     // dd13: the appended index serves against base ∪ batch-1 — the oracle's
     // base side is exactly that union (batch-1's construction inlined), the
     // increment is batch 2 including the near-dup-of-batch-1 group whose
