@@ -121,9 +121,10 @@ object Bench {
     // touches exactly the resources the wobble lives in (page cache, local
     // disk, shuffle spill paths).
     val calibration: Seq[Double] = {
-      // fixed path + overwrite mode: repeat runs REUSE the directory
-      // instead of leaking a fresh ~100 MB probe dump per invocation
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_cal_probe"
+      // unique per-run dir (concurrent benches must not clobber each
+      // other's probe files mid-read), deleted after the probe — no
+      // ~100 MB leak per invocation either
+      val dir = java.nio.file.Files.createTempDirectory("graft_cal").toString
       def pass(): Double = {
         val t0 = System.nanoTime()
         spark.range(0L, 20000000L, 1L, 32)
@@ -139,6 +140,8 @@ object Bench {
       }
       pass() // untimed warm-up (JIT + codec paths), same policy as queries
       val runs = (1 to 3).map(_ => pass())
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       spark.sqlContext.clearCache(); System.gc()
       System.err.println(f"[bench] calibration probe: ${runs.map(r => f"$r%.2f").mkString(", ")}")
       runs

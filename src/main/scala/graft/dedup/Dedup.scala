@@ -250,8 +250,14 @@ object Dedup {
     */
   def writeLshIndex(base: DataFrame, idCol: String, textCol: String, path: String,
       numHashes: Int = 16, portableHash: Boolean = true): Unit = {
+    // a rebuild must also clear previously APPENDED batch partitions —
+    // mode("overwrite") on the base subdir alone would leave them behind
+    val sigsPath = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    val fs = sigsPath.getFileSystem(
+      base.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(sigsPath)) fs.delete(sigsPath, true)
     minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash)
-      .write.mode("overwrite").parquet(s"$path/sigs")
+      .write.mode("overwrite").parquet(s"$path/sigs/part=base")
     // the serve-side parameters are index FACTS, not choices — persist them
     // so a mismatched serve call fails loud instead of silently deflating
     // est_jaccard (sliced-short signatures band-hash to garbage, no error)
@@ -269,13 +275,24 @@ object Dedup {
     * cost is one tokenize+shingle+hash pass over the INCREMENT only —
     * base text and base signatures are untouched (the
     * [[graft.ann.Pq.appendIvfIndex]] economics for dedup).
+    *
+    * Each batch lands in its own partition (`part=<batchTag>`) with
+    * OVERWRITE semantics, so replaying a batch — a streaming retry, a
+    * restarted job — rewrites its partition instead of duplicating sig
+    * rows: the fold is IDEMPOTENT per tag, which is what makes st15's
+    * restart-safety claim true rather than asserted. A serve that might
+    * run under retry excludes its own tag ([[incrementalLshFromIndex]]'s
+    * `excludeTag`) so a half-folded batch never matches itself.
     */
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      inc: DataFrame, idCol: String, textCol: String): Unit = {
+      inc: DataFrame, idCol: String, textCol: String, batchTag: String): Unit = {
+    require(batchTag.nonEmpty && batchTag != "base" &&
+      !batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace),
+      s"batchTag '$batchTag' must be a plain partition label (not 'base')")
     val meta = spark.read.parquet(s"$path/meta").head()
     minhashSignatures(inc, idCol, textCol, meta.getAs[Int]("num_hashes"),
         portableHash = meta.getAs[Boolean]("portable_hash"))
-      .write.mode("append").parquet(s"$path/sigs")
+      .write.mode("overwrite").parquet(s"$path/sigs/part=$batchTag")
   }
 
   /** [[incrementalLsh]] served from a persisted signature index
@@ -291,7 +308,8 @@ object Dedup {
   def incrementalLshFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, inc: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      portableHash: Boolean = true, maxBucket: Int = 1024): DataFrame = {
+      portableHash: Boolean = true, maxBucket: Int = 1024,
+      excludeTag: Option[String] = None): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (idxHashes, idxPortable) =
       (meta.getAs[Int]("num_hashes"), meta.getAs[Boolean]("portable_hash"))
@@ -300,13 +318,24 @@ object Dedup {
         s"portableHash=$idxPortable; serve called with numHashes=$numHashes, " +
         s"portableHash=$portableHash — mismatched parameters would silently " +
         "deflate similarity estimates")
-    incrementalLshOnSigs(spark.read.parquet(s"$indexPath/sigs"), inc, idCol,
-      textCol, numHashes, bands, threshold, portableHash, maxBucket)
+    // excludeTag: a retried serve-then-fold batch skips ITS OWN partition
+    // (partition-pruned at planning), so a half-folded batch never matches
+    // itself. persistBase = false: the base side here is a narrow parquet
+    // read — re-reading it for the second consumer is cheap, and a session
+    // cache per serve would accumulate one entry per batch in a streaming
+    // loop (the index contents change each fold, so CacheManager cannot
+    // reuse entries across batches).
+    val sigs = spark.read.parquet(s"$indexPath/sigs")
+    val base = excludeTag.map(t => sigs.filter(col("part") =!= lit(t))).getOrElse(sigs)
+    incrementalLshOnSigs(base, inc, idCol,
+      textCol, numHashes, bands, threshold, portableHash, maxBucket,
+      persistBase = false)
   }
 
   private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
-      threshold: Double, portableHash: Boolean, maxBucket: Int): DataFrame = {
+      threshold: Double, portableHash: Boolean, maxBucket: Int,
+      persistBase: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     def banded(sigs: DataFrame): DataFrame =
@@ -314,17 +343,22 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // persist both signature frames: each has two consumers (banding and
+    // persist the signature frames: each has two consumers (banding and
     // the verify re-attach), and the round-11 100x profile measured the
     // base signature stage running TWICE per query (~650 s CPU each at
     // 500k docs — the dominant cost, duplicated) because ReusedExchange
     // does not fire across the window/banding and merge-join consumers.
     // Block-level persistence makes computed-once a guarantee instead of
     // an optimizer outcome; the frames are signature-sized (see
-    // minhashLsh's note), and for the from-index path (dd11b) the base
-    // side is already a parquet read, so the persist costs one narrow copy.
-    val sigB = baseSigs.repartition(col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // minhashLsh's note). persistBase = false on the from-index path:
+    // there the base side is a narrow parquet read (re-reading beats
+    // pinning one cache entry per served batch — see
+    // incrementalLshFromIndex).
+    val sigB0 = baseSigs.repartition(col("doc"))
+    val sigB =
+      if (persistBase)
+        sigB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigB0
     val sigI = minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
       .repartition(col("doc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -320,14 +320,20 @@ object LlmQueries extends QueryModule {
     // batch back in). Each micro-batch is flagged against base ∪ every
     // prior arrival, then appended to the index; state lives in the
     // PARQUET INDEX, not in streaming state — bounded by corpus size on
-    // disk, zero rows in the state store, restart-safe via the checkpoint
-    // + the idempotent index fold. Inside foreachBatch the flag write is
-    // an ACTION that completes before the append, so a batch never matches
-    // itself. Two drains prove the fold-in: batch 2 contains near-dups of
-    // batch-1 members and flags against them. Deterministic (single
-    // micro-batch per drain under AvailableNow at these file counts);
-    // oracle = the dd11 replay per batch with batch 2's base side being
-    // documents ∪ batch 1, unioned.
+    // disk, zero rows in the state store. Restart-safe BY CONSTRUCTION,
+    // not by luck: both per-batch writes key on the foreachBatch batchId
+    // (flags overwrite out/batch=<id>, the fold overwrites the index
+    // partition part=b<id> — dd13's idempotent-append contract) and the
+    // serve EXCLUDES its own tag, so a batch replayed after a mid-fold
+    // crash rewrites the same files and never matches itself. Per-batch
+    // serve caches are cleared after each fold (the serve plans differ
+    // every batch, so entries could never be reused). CONTRACT: dedup is
+    // inc→base like dd11 — two near-dups CO-ARRIVING in one micro-batch
+    // flag against the corpus, not each other; compose minhashLsh on the
+    // batch (dd2, batch-sized) when intra-batch dups matter. Two drains
+    // prove the fold-in: batch 2 contains near-dups of batch-1 members
+    // and flags against them. Oracle = the dd11 replay per batch with
+    // batch 2's base side being documents ∪ batch 1, unioned.
     "st15_stream_neardup_ingest" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -349,15 +355,20 @@ object LlmQueries extends QueryModule {
         s.readStream.schema(schema).parquet(s"$tmp/src")
           .writeStream.outputMode("append")
           .option("checkpointLocation", s"$tmp/ckpt")
-          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
             val arrived = b.localCheckpoint(true)
-            // flag against base ∪ all prior arrivals (the index as of now);
-            // the write is the action that drains the serve scan...
+            val tag = s"b$batchId"
+            // flag against base ∪ all prior arrivals, excluding this
+            // batch's own partition (present only under retry); the
+            // overwrite keyed by batchId makes the flag write idempotent
             Dedup.incrementalLshFromIndex(s, idx, arrived, "doc_id", "text",
-                numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
-              .write.mode("append").parquet(s"$tmp/out")
-            // ...and only then does the batch fold into the index
-            Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text")
+                numHashes = 16, bands = 4, threshold = 0.5, portableHash = true,
+                excludeTag = Some(tag))
+              .write.mode("overwrite").parquet(s"$tmp/out/batch=$tag")
+            // the flag write above is an ACTION — the serve scan has
+            // drained before the fold lands
+            Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text", tag)
+            s.sqlContext.clearCache() // per-batch serve caches, never reusable
           }
           .trigger(Trigger.AvailableNow())
           .start().awaitTermination()
@@ -365,6 +376,7 @@ object LlmQueries extends QueryModule {
       batch2.repartition(4).write.mode("append").parquet(s"$tmp/src")
       drain()
       s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("matched_base"), col("est_jaccard"), col("is_dup"))
     }),
 
     // dd2: MinHash + LSH banded near-dup pairs (never all-pairs), on the
@@ -420,7 +432,8 @@ object LlmQueries extends QueryModule {
     "dd11b_index_served" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val idx = s"${sys.props("java.io.tmpdir")}/graft_dd11b_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
       Dedup.writeLshIndex(base, "doc_id", "text", idx,
         numHashes = 16, portableHash = true)
       def serve(inc: org.apache.spark.sql.DataFrame) =
@@ -452,14 +465,15 @@ object LlmQueries extends QueryModule {
     "dd13_lsh_index_append" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val idx = s"${sys.props("java.io.tmpdir")}/graft_dd13_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
       Dedup.writeLshIndex(base, "doc_id", "text", idx,
         numHashes = 16, portableHash = true)
       val inc1 = base.filter(pmod(col("doc_id"), lit(9)) === 2)
         .select((col("doc_id") + 500000).as("doc_id"),
           concat(col("text"), lit(" first batch drift")).as("text"))
         .localCheckpoint(true)
-      Dedup.appendLshIndex(s, idx, inc1, "doc_id", "text")
+      Dedup.appendLshIndex(s, idx, inc1, "doc_id", "text", "batch1")
       val inc2 = base.filter(pmod(col("doc_id"), lit(9)) === 3)
         .select((col("doc_id") + 600000).as("doc_id"),
           concat(col("text"), lit(" second batch tail")).as("text"))
@@ -724,7 +738,8 @@ object LlmQueries extends QueryModule {
       val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ann9_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
       graft.ann.Pq.writeIvfIndex(emb, idx, model, coarse)
       val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
@@ -752,7 +767,8 @@ object LlmQueries extends QueryModule {
       val coarse = graft.ann.Pq.coarseTrain(base, nlist)
       val model = graft.ann.Pq.train(base, m = 4, k = 8, iters = 2, sampleRate = 0.5)
       val idx = s"${sys.props("java.io.tmpdir")}/graft_ann11_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
       // writeIvfIndex overwrites codes/ + model/, so a re-run (bench
       // warm-up, repeated verify) resets any previously appended files
       graft.ann.Pq.writeIvfIndex(base, idx, model, coarse)

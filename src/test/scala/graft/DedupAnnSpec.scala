@@ -487,7 +487,11 @@ class DedupAnnSpec extends SparkSuite {
     val inc1 = docs.filter(col("doc_id") < 8)
       .select((col("doc_id") + 5000).as("doc_id"),
         concat_ws(" ", reverse(TextOps.tokens(lower(col("text"))))).as("text"))
-    Dedup.appendLshIndex(spark, idx, inc1, "doc_id", "text")
+    Dedup.appendLshIndex(spark, idx, inc1, "doc_id", "text", "batch1")
+    // idempotency: replaying the SAME batch tag overwrites its partition
+    // instead of duplicating sig rows (the restart-safety contract)
+    Dedup.appendLshIndex(spark, idx, inc1, "doc_id", "text", "batch1")
+    assert(spark.read.parquet(s"$idx/sigs").count() === docs.count() + inc1.count())
     // batch 2: near-dups OF BATCH 1 (its reversed text + one more token)
     val inc2 = inc1.select((col("doc_id") + 1000).as("doc_id"),
       concat(col("text"), lit(" extra")).as("text"))
