@@ -511,6 +511,29 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("excludeTag: a half-folded batch never matches itself under retry") {
+    val idx = tmpDir() + "/sig_index_retry"
+    Dedup.writeLshIndex(docs, "doc_id", "text", idx, numHashes = 64, portableHash = false)
+    val inc = incBatch
+    // simulate the crash-then-retry order: the fold ALREADY landed, now the
+    // serve re-runs for the same batch tag
+    Dedup.appendLshIndex(spark, idx, inc, "doc_id", "text", "b7")
+    val retried = Dedup.incrementalLshFromIndex(spark, idx, inc, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false,
+      excludeTag = Some("b7"))
+    // ...and must see exactly what a clean first attempt saw
+    val clean = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    assert(retried.exceptAll(clean).isEmpty && clean.exceptAll(retried).isEmpty)
+    // the hazard is real: WITHOUT the exclusion every doc finds a perfect
+    // (1.0) match — its own folded signature, except where an identical-sig
+    // base twin with a smaller id wins the tie — and most match THEMSELVES
+    val unguarded = Dedup.incrementalLshFromIndex(spark, idx, inc, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    assert(unguarded.filter(col("est_jaccard") === 1.0).count() === inc.count())
+    assert(unguarded.filter(col("matched_base") === col("doc_id")).count() > 0)
+  }
+
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
     val inc = incBatch
     val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
