@@ -457,6 +457,29 @@ object Pq {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** GLOBAL exact integer-L2 top-k — the ground truth for measuring what a
+    * learned/IMI partition actually loses (ann6c): unlike [[exactL2TopK]]
+    * it ranks against the WHOLE corpus, so missed neighbors in other lists
+    * count as misses. All-pairs on the (filtered) query side BY DESIGN — a
+    * labeled metric harness for bounded/sampled query batches, never a
+    * serving path; at scale you sample queries (the ann6b argument: the
+    * estimate's variance falls as 1/√queries, the cost linearly).
+    */
+  def exactGlobalTopK(emb: DataFrame, k: Int,
+      queryFilter: Column): DataFrame = {
+    val q = emb.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("__qe"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
+    val d2 = aggregate(
+      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    q.crossJoin(n)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact integer-L2 top-k within the IVF block — the ground truth for
     * recall measurement (ann6), NOT a serving path: the block self-join is
     * brute force by design, the same baseline role [[Ann.bruteForceTopK]]

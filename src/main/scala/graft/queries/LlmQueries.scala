@@ -848,6 +848,43 @@ object LlmQueries extends QueryModule {
           (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
     }),
 
+    // ann6c: recall@3 of the IMI SCALE PATH against the GLOBAL exact
+    // top-3 — ann6 measures compression loss inside a shared block; this
+    // measures what the learned PARTITION loses too (a true neighbor in an
+    // unprobed list is a miss). With dq5 this is the pair of live monitors
+    // the ANN lifecycle ships: drift says the quantizer no longer fits,
+    // recall says what that costs retrieval. Query side sampled at 25%
+    // on BOTH legs (ann6b's argument — the global exact leg is the
+    // all-pairs cost). Fully oracled: IMI training + grid probing + ADC
+    // AND the global exact baseline replay.
+    // Honest read of the number on THIS corpus: the synthetic embeddings
+    // are near-uniform (no cluster structure), so the global top-3 is
+    // spread almost arbitrarily across lists and recall is bounded near
+    // the probed fraction (nprobe 2 of 16 lists ≈ 12.5%, ADC loss on top
+    // → measured ≈ 0.06). That is the true value of the configured
+    // measurement — real embedding corpora have the cluster structure
+    // learned partitions exploit; the row's job is the machinery and the
+    // honest floor, not a flattering constant.
+    "ann6c_imi_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val imiK = graft.ann.Pq.adaptiveImiK(emb.count())
+      val imi = graft.ann.Pq.train(emb, m = 2, k = imiK, iters = 2, sampleRate = 0.5)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val keep = graft.ops.Sampling.unitHash(col("query_id")) < 0.25
+      val approx = graft.ann.Pq.ivfPqTopKImi(emb, k = 3, model, imi, nprobe = 2)
+        .filter(keep).select(col("query_id"), col("neighbor_id"))
+      val exact = graft.ann.Pq.exactGlobalTopK(emb, k = 3,
+          graft.ops.Sampling.unitHash(col("vec_id")) < 0.25)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(3.0)).as("recall_at_3"))
+    }),
+
     // tx15: PII scrub (RefinedWeb/Pile recipe) — emails, IPv4s and
     // phone-like numbers detected and replaced with typed tags in one
     // map-side projection (text/Pii.scala). The fixture corpus carries no
@@ -1589,7 +1626,7 @@ object LlmQueries extends QueryModule {
   private def pqOracle(topK: Int, rerankK: Option[Int], recall: Boolean = false,
       learned: Option[(Int, Int)] = None, recallFraction: Option[Double] = None,
       queryWhere: Option[String] = None, imi: Option[(Int, Int)] = None,
-      trainWhere: Option[String] = None): String = {
+      trainWhere: Option[String] = None, recallGlobal: Boolean = false): String = {
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
@@ -1673,8 +1710,13 @@ object LlmQueries extends QueryModule {
       val exPred = recallFraction.map(f => s" AND ${uh("qe.vec_id")} < $f").getOrElse("")
       ctes += "appr AS (SELECT query_id, neighbor_id FROM (SELECT *, ROW_NUMBER() OVER " +
         s"(PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank FROM scored$apprWhere) WHERE rank <= $topK)"
+      // ann6/ann6b rank exact within the shared label block (compression
+      // loss); ann6c ranks against the WHOLE corpus (partition loss too)
+      val exJoin =
+        if (recallGlobal) "ON qe.vec_id <> ne.vec_id"
+        else "ON qe.label = ne.label AND qe.vec_id <> ne.vec_id"
       ctes += "ex AS (SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id " +
-        s"FROM e qe JOIN e ne ON qe.label = ne.label AND qe.vec_id <> ne.vec_id$exPred " +
+        s"FROM e qe JOIN e ne $exJoin$exPred " +
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY qe.vec_id ORDER BY " +
         s"list_sum(list_transform(range(1, ${M * SUB + 1}), " +
         s"i -> (qe.e[i] - ne.e[i]) * (qe.e[i] - ne.e[i]))), ne.vec_id) <= $topK)"
@@ -1726,6 +1768,11 @@ object LlmQueries extends QueryModule {
   // side computes k from the corpus count (the uncapped-scaling property
   // under test).
   private val ANN10_ORACLE: String = pqOracle(3, None, imi = Some((4, 2)))
+  // ann6c: IMI approx leg (k pinned like ANN10) vs the GLOBAL exact
+  // baseline, both query-sampled at 25% by the portable unit hash.
+  private val ANN6C_ORACLE: String =
+    pqOracle(3, None, recall = true, imi = Some((4, 2)),
+      recallFraction = Some(0.25), recallGlobal = true)
   /** Shared replay of the incremental MinHash pipeline (dd11/dd11b/dd13):
     * portable signatures, banding, the inc→base bucket join, jaccard
     * verify and the best-match window — parameterized ONLY by the base and
@@ -1916,6 +1963,7 @@ object LlmQueries extends QueryModule {
     "ann9_index_served" -> ANN9_ORACLE,
     "ann10_imi_topk" -> ANN10_ORACLE,
     "ann11_index_append" -> ANN11_ORACLE,
+    "ann6c_imi_recall" -> ANN6C_ORACLE,
     "dq5_index_drift" -> DQ5_ORACLE,
     // x10: the oracle is the EXACT definition (group-count + share
     // threshold) — the sketch is an execution strategy, not a semantics

@@ -305,6 +305,18 @@ class PqSpec extends SparkSuite {
     assert(served === learned)
   }
 
+  test("exactGlobalTopK: planted copies are each other's global nearest at d2 = 0") {
+    val copies = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(copies)
+    val out = Pq.exactGlobalTopK(corpus, k = 1, col("vec_id") >= 100000)
+    (0 until 5).foreach { i =>
+      val row = out.filter(col("query_id") === (i + 100000)).head()
+      assert(row.getAs[Long]("neighbor_id") === i.toLong &&
+        row.getAs[Long]("d2") === 0L)
+    }
+  }
+
   test("no exchange carries the raw embedding — codes/LUT only cross the wire") {
     val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
     val out = Pq.ivfPqTopK(emb, "label", k = 3, model)
