@@ -442,19 +442,31 @@ object Pq {
     * Integer arithmetic end-to-end: micros ≤ 2²¹, so a 64-dim squared
     * distance is ≤ 2⁴⁸ — exact in a long, bit-identical in any engine.
     */
+  /** Integer squared L2 between quantized vectors bound as `__qe`/`__ne`,
+    * and the (d2 asc, neighbor_id) top-k rank — THE distance arithmetic
+    * and tie rule every exact leg shares with its DuckDB oracle replay.
+    * One definition ([[ivfPqRerankTopK]], [[exactGlobalTopK]],
+    * [[exactL2TopK]]): a tweak cannot desynchronize one ground-truth leg
+    * from the others or from the oracles.
+    */
+  private def quantizedD2: Column =
+    aggregate(
+      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def rankByD2(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   def ivfPqRerankTopK(emb: DataFrame, blockCol: String, k: Int, shortlist: Int,
       model: PqModel): DataFrame = {
     val cands = ivfPqTopK(emb, blockCol, shortlist, model)
       .select(col("query_id"), col("neighbor_id"), col("block"))
     val q = emb.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("__qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
-    val d2 = aggregate(
-      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
-    cands.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankByD2(cands.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), quantizedD2.as("d2")), k)
   }
 
   /** GLOBAL exact integer-L2 top-k — the ground truth for measuring what a
@@ -470,14 +482,9 @@ object Pq {
     val q = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("__qe"))
     val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
-    val d2 = aggregate(
-      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
-    q.crossJoin(n)
+    rankByD2(q.crossJoin(n)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), d2.as("d2"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), quantizedD2.as("d2")), k)
   }
 
   /** Exact integer-L2 top-k within the IVF block — the ground truth for
@@ -499,12 +506,8 @@ object Pq {
     val n = emb.select(col("vec_id").as("neighbor_id"), col(blockCol).as("block"),
       quantize(col("embedding")).as("__ne"))
       .withColumn("__salt", explode(sequence(lit(0L), lit(fanout.toLong - 1))))
-    val d2 = aggregate(
-      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
-    q.join(n, Seq("block", "__salt")).filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"), d2.as("d2"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankByD2(q.join(n, Seq("block", "__salt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"), quantizedD2.as("d2")), k)
   }
 }

@@ -309,11 +309,11 @@ class PqSpec extends SparkSuite {
     val copies = emb.filter(col("vec_id") < 5)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     val corpus = emb.unionByName(copies)
-    val out = Pq.exactGlobalTopK(corpus, k = 1, col("vec_id") >= 100000)
+    val rows = Pq.exactGlobalTopK(corpus, k = 1, col("vec_id") >= 100000)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Long]("d2"))).toMap
     (0 until 5).foreach { i =>
-      val row = out.filter(col("query_id") === (i + 100000)).head()
-      assert(row.getAs[Long]("neighbor_id") === i.toLong &&
-        row.getAs[Long]("d2") === 0L)
+      assert(rows(i + 100000L) === (i.toLong, 0L))
     }
   }
 
