@@ -478,9 +478,16 @@ object Pq {
     * estimate's variance falls as 1/√queries, the cost linearly).
     */
   def exactGlobalTopK(emb: DataFrame, k: Int,
-      queryFilter: Column): DataFrame = {
+      queryFilter: Column, fanout: Int = 16): DataFrame = {
+    // spread the query side before the cross join: the sampled query frame
+    // is small enough that AQE coalesces it to ONE partition, landing the
+    // whole q×n distance compute on one task (profiled: 9.6 s of a 10.7 s
+    // run on a single core) — the exactL2TopK salting lesson in cross-join
+    // form. Hash-repartitioning queries to `fanout` partitions spreads the
+    // compute; the pair set and ranks are unchanged.
     val q = emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("__qe"))
+      .repartition(fanout, col("query_id"))
     val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
     rankByD2(q.crossJoin(n)
       .filter(col("query_id") =!= col("neighbor_id"))
