@@ -23,6 +23,29 @@ object SamplingQueries extends QueryModule {
         Seq("train", "val", "test"), Seq(0.8, 0.9))
         .select(col("doc_id"), col("lang"), col("split"))),
 
+    // SP7: LEAKAGE-SAFE train/val/test split — sp1's hash split keyed by
+    // the near-dup GROUP, not the document. Splitting by doc id lets two
+    // near-duplicates straddle train and test (the classic contamination
+    // that inflates eval: the model "generalizes" to a paraphrase of its
+    // own training doc); here dd2's MinHash pairs chain through dd6's
+    // connected components and the split hashes the component's canonical
+    // id, so a whole near-dup family lands in ONE split by construction.
+    // Scale shape: the dedup leg is the banded dd2 pipeline; the group map
+    // holds only docs appearing in some near-dup pair (≪ corpus) so the
+    // join broadcasts; the split itself is map-side.
+    "sp7_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = graft.dedup.Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+      val keyed = docs
+        .join(graft.dedup.Dedup.dupGroups(pairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_key"))
+      Sampling.hashSplit(keyed, "group_key",
+        Seq("train", "val", "test"), Seq(0.8, 0.9))
+        .select(col("doc_id"), col("group_key"), col("split"))
+    }),
+
     // SP2: per-language stratified Bernoulli sample (en kept at 50%, the
     // rest at 20%) — deterministic membership via the id hash.
     "sp2_stratified_sample" -> ((s, dir) =>
@@ -94,7 +117,52 @@ object SamplingQueries extends QueryModule {
           TextOps.redactPii(col("text")).as("clean_text"),
           TextOps.piiCount(col("text")).as("pii_hits"))))
 
+  /** sp7 oracle: the dd2b portable MinHash pipeline chained through dd6's
+    * recursive reachability (the tx20b construction), then sp1's split
+    * CASE applied to the component's canonical id.
+    */
+  private val SP7_ORACLE: String = {
+    val mins = (1 to 16).map { sd =>
+      val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+      s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+    }.mkString(", ")
+    val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+    val bandHash = (0 until 4).map { b =>
+      val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+      s"WHEN $b THEN md5(concat_ws(',', $parts))"
+    }.mkString(" ")
+    val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+      "i -> array_to_string(toks[i+1:i+3], ' ')))"
+    val sim = "CAST(list_sum(list_transform(range(1, 17), " +
+      "i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+    val toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    val uh = "(CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 15) AS BIGINT)" +
+      " / 1152921504606846976.0)"
+    s"""WITH RECURSIVE
+       |ex AS (SELECT doc_id AS doc, $shingle AS shingle
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |sigs AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM ex GROUP BY doc)),
+       |banded AS (SELECT doc, sig, b AS band, CASE b $bandHash END AS band_hash
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+       |prs AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+       |  FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+       |  WHERE $sim >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+       |reach(id, label) AS (SELECT src, src FROM edges
+       |  UNION SELECT e.src, r2.label FROM edges e JOIN reach r2 ON e.dst = r2.id),
+       |grp AS (SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id),
+       |keyed AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_key
+       |  FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id)
+       |SELECT doc_id, group_key,
+       |  CASE WHEN $uh < 0.8 THEN 'train'
+       |       WHEN $uh < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM keyed""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "sp7_leakage_safe_split" -> SP7_ORACLE,
     "sp1_hash_split" ->
       s"""SELECT doc_id, lang,
          |CASE WHEN $duckUnitHash < 0.8 THEN 'train'

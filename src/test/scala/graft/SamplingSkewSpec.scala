@@ -35,6 +35,36 @@ class SamplingSkewSpec extends SparkSuite {
       .filter(salted("split") =!= unsalted("split")).count() > 0)
   }
 
+  test("SP7: near-dup families never straddle splits; doc-keyed splitting does leak") {
+    import graft.dedup.Dedup
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    // plant near-dups of docs 0-7 with far-apart ids: a doc-id hash split
+    // can separate them, a group-keyed split cannot
+    val mutants = docs.filter(col("doc_id") < 8)
+      .select((col("doc_id") + 7000).as("doc_id"),
+        concat(col("text"), lit(" mutated tail")).as("text"))
+    val corpus = docs.unionByName(mutants)
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+    val keyed = corpus.join(Dedup.dupGroups(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_key"))
+    val out = Sampling.hashSplit(keyed, "group_key",
+      Seq("train", "val", "test"), Seq(0.8, 0.9)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // every planted pair lands in ONE split
+    (0 until 8).foreach { i =>
+      assert(out(i.toLong) === out(i + 7000L),
+        s"near-dup pair ($i, ${i + 7000}) straddles splits: ${out(i.toLong)} vs ${out(i + 7000L)}")
+    }
+    // and the hazard sp7 exists for is real: the doc-keyed split separates
+    // at least one planted pair (else this test proves nothing)
+    val docKeyed = Sampling.hashSplit(corpus, "doc_id",
+      Seq("train", "val", "test"), Seq(0.8, 0.9)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert((0 until 8).exists(i => docKeyed(i.toLong) !== docKeyed(i + 7000L)),
+      "fixture too small to demonstrate doc-keyed leakage — change mutant ids")
+  }
+
   test("SP2: stratified sample keeps per-stratum fractions and is idempotent") {
     val docs = sf("documents")
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
