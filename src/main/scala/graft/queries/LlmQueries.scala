@@ -543,6 +543,36 @@ object LlmQueries extends QueryModule {
       Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
     }),
 
+    // dd14: LSH dedup RECALL against exact Jaccard ground truth — ann6c's
+    // role for the dedup family: banding is probabilistic (a true near-dup
+    // pair that collides in no band is silently missed), so a deployment
+    // ships this measurement beside the dedup. Ground truth = exact 3-gram
+    // Jaccard over all pairs of a SAMPLED sub-corpus; the sample keys on
+    // the mutation FAMILY (doc_id % 100000) so planted near-dup pairs
+    // survive sampling together — the sp7 lesson (sample by entity, never
+    // split one across the cut). Output: every true pair (jaccard ≥ 0.5)
+    // with whether the 16-hash/4-band LSH found it. Exact leg is all-pairs
+    // BY DESIGN, bounded by the sample (the ann6b argument); query side
+    // repartitioned so the cross join parallelizes (the exactGlobalTopK
+    // lesson). Fully oracled: exact Jaccard + the dd2b LSH replay.
+    "dd14_lsh_recall" -> ((s, dir) => {
+      val corpus = dd2Corpus(s, dir)
+      val sampled = corpus.filter(
+        graft.ops.Sampling.unitHash(pmod(col("doc_id"), lit(100000L))) < 0.2)
+      val allPairs = sampled.select(col("doc_id").as("id_a"))
+        .repartition(16, col("id_a"))
+        .crossJoin(sampled.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val truth = Dedup.ngramJaccard(allPairs, corpus, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+      val lsh = Dedup.minhashLsh(sampled, "doc_id", "text", numHashes = 16,
+          bands = 4, threshold = 0.5, portableHash = true)
+        .select(col("id_a"), col("id_b"), lit(true).as("__hit"))
+      truth.join(lsh, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
+    }),
+
     // dd6: connected components over verified near-dup pairs → dedup groups.
     // Three-generation mutation families (doc → +suffix → +longer tail) give
     // a transitive structure the pairwise view alone can't collapse.
@@ -2599,6 +2629,52 @@ object LlmQueries extends QueryModule {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    // dd14: exact-Jaccard ground truth over the family-sampled sub-corpus
+    // LEFT JOINed with the dd2b LSH replay restricted to the same sample.
+    // The jaccard operand order mirrors Dedup.ngramJaccard exactly
+    // (inter / ((|a|+|b|) - inter), all doubles) for bit-equal division.
+    "dd14_lsh_recall" -> {
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')))"
+      val sim = "CAST(list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+      val uh = "(CAST('0x' || substr(md5(CAST(doc_id % 100000 AS VARCHAR)), 1, 15) AS BIGINT)" +
+        " / 1152921504606846976.0)"
+      s"""WITH all_docs AS (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000, text || ' trailing mutation token' FROM documents WHERE doc_id % 7 = 0),
+         |samp AS (SELECT doc_id, text FROM all_docs WHERE $uh < 0.2),
+         |g AS (SELECT doc_id, $GRAMS AS grams
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM samp)),
+         |tp AS (SELECT id_a, id_b, inter / (CAST(la + lb AS DOUBLE) - inter) AS jaccard
+         |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS inter,
+         |    len(a.grams) AS la, len(b.grams) AS lb
+         |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+         |  WHERE inter / (CAST(la + lb AS DOUBLE) - inter) >= 0.5),
+         |ex AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM samp)),
+         |sigs AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM ex GROUP BY doc)),
+         |banded AS (SELECT doc, sig, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |lsh AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+         |  WHERE $sim >= 0.5)
+         |SELECT tp.id_a, tp.id_b, tp.jaccard,
+         |  l.id_a IS NOT NULL AS found_by_lsh
+         |FROM tp LEFT JOIN lsh l ON tp.id_a = l.id_a AND tp.id_b = l.id_b""".stripMargin
+    },
     "dd8_substring_spans" ->
       s"""WITH $DD8_CTES
          |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
