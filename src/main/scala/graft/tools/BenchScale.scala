@@ -69,12 +69,19 @@ object BenchScale {
     * suffixes), so a vocabulary-shaped cost would grow with it while the
     * sketch-bounded path should track the linear scan cost.
     */
+  /** sp7 rides the curve: its cost IS its dedup leg (dd2 pairs + dd6
+    * components) plus a map-side split — measured warm at 9.3 s @10x /
+    * 16.2 s @30x (ProfileOne, r11), i.e. tracking dd2+dd6's sum as the
+    * design predicts. dd14 deliberately does NOT ride: its exact leg is
+    * all-pairs in the SAMPLE by design — at larger corpora the sampling
+    * fraction shrinks instead of the leg growing (see its registration).
+    */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
-    "x10_heavy_hitters")
+    "x10_heavy_hitters", "sp7_leakage_safe_split")
 
   /** Deep leg: one more decade (default 100x) for the six heaviest /
     * most scale-critical LLM ops — the five most expensive dedup rows plus
