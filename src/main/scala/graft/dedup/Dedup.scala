@@ -116,6 +116,13 @@ object Dedup {
     * many (doc, bucket) rows were sub-partitioned per the no-silent-caps
     * rule (readable via QueryExecutionListener / Observation).
     */
+  /** Metric names must be plan-unique (Spark rejects two observe nodes
+    * with one name and different results — hit when two minhashLsh
+    * invocations union, e.g. dd15's basePairs ∪ within-batch pairs), so
+    * each observation gets an instance suffix; monitors read by prefix.
+    */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def subPartitionBuckets(banded: DataFrame, bucketCols: Seq[String],
       maxBucket: Int, portableHash: Boolean, obsName: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -128,7 +135,7 @@ object Dedup {
       .withColumn("sub",
         when(col("__n") <= maxBucket, lit(0L))
           .otherwise(pmod(docHash, ceil(col("__n") / lit(maxBucket)).cast("long"))))
-      .observe(obsName,
+      .observe(s"${obsName}_${obsCounter.incrementAndGet()}",
         sum(when(col("__n") > maxBucket, lit(1L)).otherwise(lit(0L))).as("subpartitioned_rows"))
       .drop("__n")
   }
@@ -332,10 +339,51 @@ object Dedup {
       persistBase = false)
   }
 
+  /** ALL verified inc→base near-dup pairs — `(id_a, id_b, est_jaccard)`
+    * with id_a the increment doc, id_b the base doc, est ≥ threshold.
+    * [[incrementalLsh]] reduces this to best-match-per-doc; the full edge
+    * set is what [[incrementalDupGroups]] consumes (a group update needs
+    * every edge, not just each doc's best one — two edges from one batch
+    * doc can MERGE two existing groups).
+    */
+  def incrementalLshPairs(base: DataFrame, inc: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, portableHash: Boolean = true,
+      maxBucket: Int = 1024): DataFrame =
+    incrementalVerified(
+      minhashSignatures(base, idCol, textCol, numHashes, portableHash = portableHash),
+      inc, idCol, textCol, numHashes, bands, threshold, portableHash,
+      maxBucket, persistBase = true)._1
+      .select(col("id_inc").as("id_a"), col("id_base").as("id_b"),
+        col("est_jaccard"))
+
   private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
       threshold: Double, portableHash: Boolean, maxBucket: Int,
       persistBase: Boolean = true): DataFrame = {
+    val (verified, sigI) = incrementalVerified(baseSigs, inc, idCol, textCol,
+      numHashes, bands, threshold, portableHash, maxBucket, persistBase)
+    // best base match per increment doc: highest jaccard, ties → min base id
+    val best = verified
+      .groupBy(col("id_inc"))
+      .agg(max(struct(col("est_jaccard"), (-col("id_base")).as("__negid"))).as("__best"))
+      .select(col("id_inc").as("doc"),
+        (-col("__best.__negid")).as("matched_base"),
+        col("__best.est_jaccard").as("est_jaccard"))
+    sigI.select(col("doc"))
+      .join(best, Seq("doc"), "left")
+      .select(col("doc").as("doc_id"), col("matched_base"), col("est_jaccard"),
+        col("matched_base").isNotNull.as("is_dup"))
+  }
+
+  /** The shared candidate+verify core of the incremental paths: banding,
+    * bucket-map prune, bounded-replication skew guard, signature verify —
+    * yielding (verified pairs, increment signature frame).
+    */
+  private def incrementalVerified(baseSigs: DataFrame, inc: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      threshold: Double, portableHash: Boolean, maxBucket: Int,
+      persistBase: Boolean): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     def banded(sigs: DataFrame): DataFrame =
@@ -390,17 +438,47 @@ object Dedup {
         (size(filter(zip_with(col("sig_i"), col("sig_b"), (x, y) => when(x === y, lit(1))),
           v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-    // best base match per increment doc: highest jaccard, ties → min base id
-    val best = verified
-      .groupBy(col("id_inc"))
-      .agg(max(struct(col("est_jaccard"), (-col("id_base")).as("__negid"))).as("__best"))
-      .select(col("id_inc").as("doc"),
-        (-col("__best.__negid")).as("matched_base"),
-        col("__best.est_jaccard").as("est_jaccard"))
-    sigI.select(col("doc"))
-      .join(best, Seq("doc"), "left")
-      .select(col("doc").as("doc_id"), col("matched_base"), col("est_jaccard"),
-        col("matched_base").isNotNull.as("is_dup"))
+    (verified, sigI)
+  }
+
+  /** dd15: update dedup groups from a batch's NEW near-dup edges without
+    * recomputing components for the corpus — the incremental half of
+    * [[dupGroups]], closing the last from-scratch step in the dedup
+    * lifecycle (dd11 finds the batch's edges incrementally; this folds
+    * them into the group map incrementally too).
+    *
+    * Work is bounded by the AFFECTED SUBGRAPH, never the corpus: only
+    * groups containing a vertex of some new edge can change, so the
+    * propagation runs over (new edges) ∪ (star edges doc→group_id of
+    * touched groups' members). The star edges reconstruct the old
+    * connectivity exactly — group_id is itself a member (the min), so
+    * every old path is represented through it — and the subgraph's
+    * min-label equals the full recompute's: a merged component's minimum
+    * is the min over all member ids, and every member of a touched group
+    * is in the subgraph while untouched groups cannot gain or lose
+    * members without an incident new edge (which would have touched
+    * them). Hence: `incrementalDupGroups(dupGroups(P0), P1)` ≡
+    * `dupGroups(P0 ∪ P1)` — the equivalence the spec asserts directly
+    * and dd15's oracle replays from scratch.
+    *
+    * `groups` is [[dupGroups]] output (doc_id, group_id); `newPairs` is
+    * (id_a, id_b) — typically [[incrementalLshPairs]] (batch→base) UNION
+    * a within-batch [[minhashLsh]] (batch×batch), per st15's contract
+    * note.
+    */
+  def incrementalDupGroups(groups: DataFrame, newPairs: DataFrame): DataFrame = {
+    val verts = newPairs.select(col("id_a").as("doc_id"))
+      .unionByName(newPairs.select(col("id_b").as("doc_id"))).distinct()
+    val touched = groups.join(verts, Seq("doc_id"), "left_semi")
+      .select(col("group_id")).distinct()
+    val members = groups.join(touched, Seq("group_id"), "left_semi")
+    val starEdges = members.filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as("id_a"), col("group_id").as("id_b"))
+    val sub = dupGroups(
+      newPairs.select(col("id_a"), col("id_b")).unionByName(starEdges))
+    groups.join(touched, Seq("group_id"), "left_anti")
+      .select(col("doc_id"), col("group_id"))
+      .unionByName(sub)
   }
 
   /** SimHash signatures: explode tokens, per-bit ±1 vote sums with

@@ -573,6 +573,45 @@ object LlmQueries extends QueryModule {
           coalesce(col("__hit"), lit(false)).as("found_by_lsh"))
     }),
 
+    // dd15: INCREMENTAL connected components — the batch's new edges fold
+    // into the existing group map without recomputing components for the
+    // corpus (work ∝ affected subgraph: new edges + members of touched
+    // groups as star edges). Closes the last from-scratch step in the
+    // incremental dedup lifecycle: dd11 finds the batch's edges
+    // incrementally, dd13 folds its signatures in, dd15 folds its GROUPS
+    // in. The batch both EXTENDS existing families (third-generation
+    // mutants) and creates new ones that pull in previously-unpaired base
+    // docs (two fresh mutants of the same unpaired doc — linked to each
+    // other within-batch AND to their source via the inc→base leg, the
+    // two edge sources a real batch has). Oracle = the from-scratch
+    // recompute over the full corpus' LSH pairs (dd6's recursive replay):
+    // incremental ≡ recompute IS the correctness claim.
+    "dd15_incremental_groups" -> ((s, dir) => {
+      val base = dd2Corpus(s, dir)
+      val basePairs = Dedup.minhashLsh(base, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+      val baseGroups = Dedup.dupGroups(basePairs)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val gen3 = base.filter(col("doc_id") >= 100000)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" third generation tail")).as("text"))
+      val freshSrc = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val fresh = freshSrc
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" fresh family tail")).as("text"))
+        .unionByName(freshSrc
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" fresh family tail extra")).as("text")))
+      val batch = gen3.unionByName(fresh).localCheckpoint(true)
+      val newPairs = Dedup.incrementalLshPairs(base, batch, "doc_id", "text",
+          numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+        .select(col("id_a"), col("id_b"))
+        .unionByName(Dedup.minhashLsh(batch, "doc_id", "text",
+            numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
+          .select(col("id_a"), col("id_b")))
+      Dedup.incrementalDupGroups(baseGroups, newPairs)
+    }),
+
     // dd6: connected components over verified near-dup pairs → dedup groups.
     // Three-generation mutation families (doc → +suffix → +longer tail) give
     // a transitive structure the pairwise view alone can't collapse.
@@ -2629,6 +2668,49 @@ object LlmQueries extends QueryModule {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, CAST(len(list_intersect(ga, gb)) AS DOUBLE)
          | / CAST(len(list_distinct(ga || gb)) AS DOUBLE) AS jaccard FROM p""".stripMargin,
+    // dd15: the from-scratch recompute — LSH pairs over the FULL corpus
+    // (base ∪ batch; signatures don't depend on corpus membership, so the
+    // full pair set is exactly basePairs ∪ inc→base ∪ within-batch), then
+    // dd6's recursive reachability. Equality with the incremental update
+    // is precisely the operator's correctness claim.
+    "dd15_incremental_groups" -> {
+      val mins = (1 to 16).map { sd =>
+        val (pair, off) = ((sd + 1) / 2, if (sd % 2 == 1) 1 else 17)
+        s"MIN(CAST(('0x' || substr(md5(shingle || '#$pair'), $off, 15)) AS BIGINT)) AS h$sd"
+      }.mkString(", ")
+      val sigList = (1 to 16).map(i => s"h$i").mkString("[", ", ", "]")
+      val bandHash = (0 until 4).map { b =>
+        val parts = (1 to 4).map(r => s"CAST(sig[${b * 4 + r}] AS VARCHAR)").mkString(", ")
+        s"WHEN $b THEN md5(concat_ws(',', $parts))"
+      }.mkString(" ")
+      val shingle = "unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1), " +
+        "i -> array_to_string(toks[i+1:i+3], ' ')))"
+      val sim = "CAST(list_sum(list_transform(range(1, 17), " +
+        "i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16"
+      s"""WITH RECURSIVE all_docs AS (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL
+         |SELECT doc_id + 100000, text || ' trailing mutation token' FROM documents WHERE doc_id % 7 = 0
+         |UNION ALL
+         |SELECT doc_id + 300000, text || ' trailing mutation token third generation tail' FROM documents WHERE doc_id % 7 = 0
+         |UNION ALL
+         |SELECT doc_id + 500000, text || ' fresh family tail' FROM documents WHERE doc_id % 7 = 3
+         |UNION ALL
+         |SELECT doc_id + 600000, text || ' fresh family tail extra' FROM documents WHERE doc_id % 7 = 3),
+         |ex AS (SELECT doc_id AS doc, $shingle AS shingle
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM all_docs)),
+         |sigs AS (SELECT doc, $sigList AS sig FROM (SELECT doc, $mins FROM ex GROUP BY doc)),
+         |banded AS (SELECT doc, sig, b AS band, CASE b $bandHash END AS band_hash
+         |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+         |prs AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |  FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc < b.doc
+         |  WHERE $sim >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs UNION SELECT id_b, id_a FROM prs),
+         |reach(id, label) AS (SELECT src, src FROM edges
+         |  UNION SELECT e.src, r2.label FROM edges e JOIN reach r2 ON e.dst = r2.id)
+         |SELECT id AS doc_id, MIN(label) AS group_id FROM reach GROUP BY id""".stripMargin
+    },
     // dd14: exact-Jaccard ground truth over the family-sampled sub-corpus
     // LEFT JOINed with the dd2b LSH replay restricted to the same sample.
     // The jaccard operand order mirrors Dedup.ngramJaccard exactly

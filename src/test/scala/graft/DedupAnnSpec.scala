@@ -534,6 +534,50 @@ class DedupAnnSpec extends SparkSuite {
     assert(unguarded.filter(col("matched_base") === col("doc_id")).count() > 0)
   }
 
+  test("incrementalDupGroups equals a from-scratch recompute, including group merges") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    def groupsOf(pairs: Seq[(Long, Long)]) =
+      Dedup.dupGroups(pairs.toDF("id_a", "id_b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // base: two multi-member groups {1,2,3} and {10,11}, plus {20,21}
+    val p0 = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val g0 = groupsOf(p0)
+    // batch: a bridge edge MERGING {1,2,3} with {10,11}; an extension of
+    // {20,21}; and a brand-new pair over unseen vertices
+    val p1 = Seq((3L, 10L), (21L, 22L), (30L, 31L))
+    val inc = asMap(Dedup.incrementalDupGroups(g0, p1.toDF("id_a", "id_b")))
+    val full = asMap(groupsOf(p0 ++ p1))
+    assert(inc === full)
+    assert(inc(11L) === 1L) // the merge really relabeled the other group
+    // untouched groups must pass through by reference, not recompute:
+    // an empty batch leaves the map identical
+    val noop = asMap(Dedup.incrementalDupGroups(g0,
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")))
+    assert(noop === asMap(g0))
+  }
+
+  test("dd15 corpus-level: the incremental update equals recomputing groups from all edges") {
+    import graft.dedup.Dedup
+    val base = docs
+    val basePairs = Dedup.minhashLsh(base, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    val baseGroups = Dedup.dupGroups(basePairs)
+    val batch = incBatch.localCheckpoint(true)
+    val newPairs = Dedup.incrementalLshPairs(base, batch, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(Dedup.minhashLsh(batch, "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+        .select(col("id_a"), col("id_b")))
+    val inc = Dedup.incrementalDupGroups(baseGroups, newPairs)
+    val full = Dedup.dupGroups(basePairs.select(col("id_a"), col("id_b"))
+      .unionByName(newPairs))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    assert(inc.count() > 0)
+  }
+
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
     val inc = incBatch
     val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",
