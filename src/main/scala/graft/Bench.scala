@@ -146,6 +146,40 @@ object Bench {
       System.err.println(f"[bench] calibration probe: ${runs.map(r => f"$r%.2f").mkString(", ")}")
       runs
     }
+    // Checkpoint-I/O calibration probe: the shuffle probe above cannot see
+    // checkpoint-fsync slowness (round 11: the streaming rows regressed
+    // +20% with zero code change while the shuffle probe read QUIET, so the
+    // host-wobble story could not be confirmed from data). This probe
+    // drains a fixed 20-microbatch MemoryStream through a noop sink with a
+    // real on-disk checkpoint — per batch it pays exactly the offset-log +
+    // commit-log writes and fsyncs every st* row pays, and nothing else
+    // (one long per batch; no shuffle, no state store). Median-of-3,
+    // fresh checkpoint dir per pass. Read st* deltas against THIS number.
+    val ckCalibration: Seq[Double] = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      def pass(): Double = {
+        val dir = java.nio.file.Files.createTempDirectory("graft_ckcal").toString
+        val ms = MemoryStream[Long]
+        val q = ms.toDF().writeStream.format("noop")
+          .option("checkpointLocation", s"$dir/ck").start()
+        val t0 = System.nanoTime()
+        var b = 0L
+        while (b < 20) { ms.addData(b); q.processAllAvailable(); b += 1 }
+        val dt = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        dt
+      }
+      pass() // untimed warm-up, same policy as the shuffle probe
+      val runs = (1 to 3).map(_ => pass())
+      System.gc()
+      System.err.println(
+        f"[bench] checkpoint probe: ${runs.map(r => f"$r%.2f").mkString(", ")}")
+      runs
+    }
     val results = ordered.map { case (name, fn) =>
       // Headline composites are measured 3× and reported as the MEDIAN:
       // single-shot timings of warm queries still swing ±25% from one-off
@@ -213,7 +247,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val calMedian = calibration.sorted.apply(calibration.length / 2)
-    val cal = s"""{"median":${f3(calMedian)},"runs":[${calibration.map(f3).mkString(",")}]}"""
+    val ckMedian = ckCalibration.sorted.apply(ckCalibration.length / 2)
+    val cal = s"""{"median":${f3(calMedian)},"runs":[${calibration.map(f3).mkString(",")}],""" +
+      s""""checkpoint_median":${f3(ckMedian)},"checkpoint_runs":[${ckCalibration.map(f3).mkString(",")}]}"""
     val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     // The driver captures only the stdout TAIL, front-truncating whatever came
     // earlier: a single 120-query JSON line arrived unparseable three rounds

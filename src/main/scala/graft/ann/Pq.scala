@@ -156,12 +156,21 @@ object Pq {
       val r = emb.agg(count(lit(1)), countDistinct(col(blockCol))).head()
       val n = r.getLong(0); val nblocks = math.max(r.getLong(1), 1L)
       if (n > maxAvgBlock.toLong * nblocks) {
+        // block is cast to string on EVERY path of this guarded entry
+        // point: the fixed path emits the caller's label column, the
+        // rerouted tiers an int list id — without the cast the output
+        // schema would depend on corpus size, breaking fixed-schema sinks
+        // that append batches across the depth threshold. The tier-named
+        // functions (ivfPqTopKLearned/Imi) keep their natural int type —
+        // their schema never varies.
         if (nlistClamped(n, maxNlist = maxNlist)) {
           val imi = train(emb, m = 2, k = adaptiveImiK(n))
           return ivfPqTopKImi(emb, k, model, imi, nprobe = 2)
+            .withColumn("block", col("block").cast("string"))
         }
         val cents = coarseTrain(emb, adaptiveNlist(n, maxNlist = maxNlist))
         return ivfPqTopKLearned(emb, k, model, cents, nprobe = 2)
+          .withColumn("block", col("block").cast("string"))
       }
     }
     val base = spreadIfStarved(emb.select(col("vec_id"), col(blockCol), col("embedding")))
@@ -174,7 +183,8 @@ object Pq {
       col("__lut"))
     val scored = queries.join(corpus, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"),
+      .select(col("query_id"), col("neighbor_id"),
+        col("block").cast("string").as("block"),
         adcCol(model, "__c").as("adc"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -467,6 +477,32 @@ object Pq {
     val n = emb.select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("__ne"))
     rankByD2(cands.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("block"), quantizedD2.as("d2")), k)
+  }
+
+  /** IMI-probed candidates re-ranked EXACTLY — [[ivfPqRerankTopK]]'s
+    * two-stage economics under [[ivfPqTopKImi]]'s blocking: the composed
+    * index PRUNES (candidates per query ≈ nprobe · list depth, never the
+    * corpus), the exact integer-L2 re-rank DISCRIMINATES. Recall against
+    * the global exact baseline is then purely PARTITION loss — did the
+    * probed lists contain the true neighbors — with no ADC distortion on
+    * top, which is what makes it the right leg for characterizing the
+    * quantizer itself (ann6d). Re-rank payload is the quantized vector,
+    * joined per candidate pair — bounded by the same nprobe · depth that
+    * bounds the candidate count.
+    */
+  def imiExactRerankTopK(emb: DataFrame, k: Int, imi: PqModel,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("query_id"),
+      quantize(col(embCol)).as("__qe"),
+      explode(imiProbeColumn(col(embCol), imi, nprobe)).as("block"))
+    val c = emb.select(col(idCol).as("neighbor_id"),
+      quantize(col(embCol)).as("__ne"),
+      element_at(imiProbeColumn(col(embCol), imi, 1), 1).as("block"))
+    rankByD2(q.join(c, Seq("block"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("block"),
+        quantizedD2.as("d2")), k)
   }
 
   /** GLOBAL exact integer-L2 top-k — the ground truth for measuring what a

@@ -103,13 +103,18 @@ object Sq {
         val std = emb.select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
         // tiered like Pq.ivfPqTopK: flat lists below the nlist clamp, the
         // inverted multi-index past it (the ann7 100x knee does not come
-        // back through this reroute); maxNlist exposed for forced-tier specs
+        // back through this reroute); maxNlist exposed for forced-tier
+        // specs. block is cast to string on EVERY path of this guarded
+        // entry point (see Pq.ivfPqTopK's schema-stability note) — the
+        // output schema must not depend on corpus size.
         if (Pq.nlistClamped(n, maxNlist = maxNlist)) {
           val imi = Pq.train(std, m = 2, k = Pq.adaptiveImiK(n))
           return sqTopKImi(emb, k, imi, nprobe, idCol, embCol)
+            .withColumn("block", col("block").cast("string"))
         }
         val cents = Pq.coarseTrain(std, Pq.adaptiveNlist(n, maxNlist = maxNlist))
         return sqTopKLearned(emb, k, cents, nprobe, idCol, embCol)
+          .withColumn("block", col("block").cast("string"))
       }
     }
     val codes = encode(emb, idCol, embCol, blockCol)
@@ -117,7 +122,8 @@ object Sq {
     val b = codes.select(col("vec_id").as("neighbor_id"), col("block"), col("code").as("cc"))
     val scored = a.join(b, Seq("block"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("block"),
+      .select(col("query_id"), col("neighbor_id"),
+        col("block").cast("string").as("block"),
         codeDist(col("qc"), col("cc")).as("d2"))
     rankTopK(scored, k)
   }

@@ -162,17 +162,19 @@ object Dedup {
     // scale two orders under the text they derive from, and exactly the
     // artifact dd11b persists to parquet anyway.
     // Cache lifecycle contract: the blocks stay pinned until the session
-    // ends or the caller sweeps (spark.sqlContext.clearCache() /
-    // unpersisting via getPersistentRDDs — the Bench/BenchScale isolation
-    // pattern). Repeat calls over the SAME input frame do NOT stack:
-    // CacheManager matches the canonicalized plan and reuses the entry
-    // (the "already cached" warning). A long-lived session feeding
-    // DIFFERENT batches should prefer the persisted-artifact path
-    // (writeLshIndex + incrementalLshFromIndex), whose base side is a
-    // parquet read, not a session cache.
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
-      .repartition(col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ends, the caller sweeps (spark.sqlContext.clearCache() — the
+    // Bench/BenchScale isolation pattern), or — the deterministic library
+    // handle — graft.ops.PinnedCaches.release() unpersists every
+    // graft-pinned frame without touching caller-owned caches. Repeat
+    // calls over the SAME input frame do NOT stack: CacheManager matches
+    // the canonicalized plan and reuses the entry (the "already cached"
+    // warning). A long-lived session feeding DIFFERENT batches should
+    // prefer the persisted-artifact path (writeLshIndex +
+    // incrementalLshFromIndex), whose base side is a parquet read, not a
+    // session cache.
+    val sigs = graft.ops.PinnedCaches.pin(
+      minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
+        .repartition(col("doc")))
     // Banding carries ONLY (doc, band, band_hash): the old shape dragged the
     // full signature array through the 16-way explode — `bands`× the sig
     // bytes through the band shuffle and again through the self-join (39 MB
@@ -316,7 +318,30 @@ object Dedup {
       indexPath: String, inc: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       portableHash: Boolean = true, maxBucket: Int = 1024,
-      excludeTag: Option[String] = None): DataFrame = {
+      excludeTag: Option[String] = None,
+      includeTags: Option[Seq[String]] = None): DataFrame =
+    incrementalLshOnSigs(indexSigs(spark, indexPath, numHashes, portableHash,
+        excludeTag, includeTags), inc, idCol,
+      textCol, numHashes, bands, threshold, portableHash, maxBucket,
+      persistBase = false)
+
+  /** Meta-validated read of a persisted signature index: the serve-side
+    * parameters must match the index's meta row — a mismatch would
+    * produce WRONG results silently (short slices band-hash empty arrays
+    * into one shared bucket; the verify re-attach reads absent positions
+    * as non-matches and deflates est_jaccard), not an exception.
+    * excludeTag: a retried serve-then-fold batch skips ITS OWN partition
+    * (partition-pruned at planning), so a half-folded batch never matches
+    * itself. includeTags: when set, the base side keeps ONLY the listed
+    * partitions (also partition-pruned) — a multi-tenant or multi-run
+    * index serves each stream against exactly its own lineage (`"base"` +
+    * its prior batch tags) while other runs' folded partitions coexist in
+    * the same index untouched (st15's shared-index steady-state shape).
+    */
+  private def indexSigs(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, numHashes: Int, portableHash: Boolean,
+      excludeTag: Option[String],
+      includeTags: Option[Seq[String]] = None): DataFrame = {
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val (idxHashes, idxPortable) =
       (meta.getAs[Int]("num_hashes"), meta.getAs[Boolean]("portable_hash"))
@@ -325,18 +350,10 @@ object Dedup {
         s"portableHash=$idxPortable; serve called with numHashes=$numHashes, " +
         s"portableHash=$portableHash — mismatched parameters would silently " +
         "deflate similarity estimates")
-    // excludeTag: a retried serve-then-fold batch skips ITS OWN partition
-    // (partition-pruned at planning), so a half-folded batch never matches
-    // itself. persistBase = false: the base side here is a narrow parquet
-    // read — re-reading it for the second consumer is cheap, and a session
-    // cache per serve would accumulate one entry per batch in a streaming
-    // loop (the index contents change each fold, so CacheManager cannot
-    // reuse entries across batches).
-    val sigs = spark.read.parquet(s"$indexPath/sigs")
-    val base = excludeTag.map(t => sigs.filter(col("part") =!= lit(t))).getOrElse(sigs)
-    incrementalLshOnSigs(base, inc, idCol,
-      textCol, numHashes, bands, threshold, portableHash, maxBucket,
-      persistBase = false)
+    val sigs0 = spark.read.parquet(s"$indexPath/sigs")
+    val sigs = includeTags
+      .map(ts => sigs0.filter(col("part").isin(ts: _*))).getOrElse(sigs0)
+    excludeTag.map(t => sigs.filter(col("part") =!= lit(t))).getOrElse(sigs)
   }
 
   /** ALL verified inc→base near-dup pairs — `(id_a, id_b, est_jaccard)`
@@ -356,6 +373,43 @@ object Dedup {
       maxBucket, persistBase = true)._1
       .select(col("id_inc").as("id_a"), col("id_base").as("id_b"),
         col("est_jaccard"))
+
+  /** [[incrementalLshPairs]] served from a persisted signature index
+    * ([[writeLshIndex]]) — the edge-set twin of
+    * [[incrementalLshFromIndex]], for the GROUP update path: identical
+    * output to the from-text variant over the same base corpus, but the
+    * base side reads narrow sig parquet and never scans base text
+    * (persistBase = false for the same reason as the from-index serve).
+    * Feed the result (plus a within-batch [[minhashLsh]]) to
+    * [[incrementalDupGroups]] over [[readGroups]]' artifact and the whole
+    * dedup lifecycle — signatures AND groups — runs at increment cost.
+    */
+  def incrementalLshPairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, inc: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      portableHash: Boolean = true, maxBucket: Int = 1024,
+      excludeTag: Option[String] = None): DataFrame =
+    incrementalVerified(indexSigs(spark, indexPath, numHashes, portableHash,
+        excludeTag), inc, idCol, textCol, numHashes, bands, threshold,
+      portableHash, maxBucket, persistBase = false)._1
+      .select(col("id_inc").as("id_a"), col("id_base").as("id_b"),
+        col("est_jaccard"))
+
+  /** Persist the [[dupGroups]] artifact `(doc_id, group_id)` — the group
+    * map half of the incremental lifecycle, written once per corpus
+    * version next to the signature index. [[incrementalDupGroups]] folds
+    * each batch's edges into [[readGroups]]' frame at affected-subgraph
+    * cost; without the artifact every fold pays a from-scratch
+    * [[dupGroups]] over the full corpus' pairs just to build its input —
+    * the exact rebuild the incremental operator exists to avoid.
+    */
+  def writeGroups(groups: DataFrame, path: String): Unit =
+    groups.select(col("doc_id"), col("group_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a persisted [[writeGroups]] artifact. */
+  def readGroups(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
@@ -398,18 +452,17 @@ object Dedup {
     // does not fire across the window/banding and merge-join consumers.
     // Block-level persistence makes computed-once a guarantee instead of
     // an optimizer outcome; the frames are signature-sized (see
-    // minhashLsh's note). persistBase = false on the from-index path:
-    // there the base side is a narrow parquet read (re-reading beats
-    // pinning one cache entry per served batch — see
-    // incrementalLshFromIndex).
+    // minhashLsh's note, incl. the PinnedCaches release handle).
+    // persistBase = false on the from-index path: there the base side is
+    // a narrow parquet read (re-reading beats pinning one cache entry per
+    // served batch — see incrementalLshFromIndex).
     val sigB0 = baseSigs.repartition(col("doc"))
     val sigB =
-      if (persistBase)
-        sigB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (persistBase) graft.ops.PinnedCaches.pin(sigB0)
       else sigB0
-    val sigI = minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
-      .repartition(col("doc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigI = graft.ops.PinnedCaches.pin(
+      minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
+        .repartition(col("doc")))
     val docHash =
       if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
       else xxhash64(col("doc"))
@@ -694,6 +747,11 @@ object Dedup {
       .filter(col("__nd") >= minDocs)
       .select(col("shingle"))
     val marked = shingled.join(dup, Seq("shingle")).select(col("doc_id"), col("pos"))
+    // Position arithmetic stays in int by a structural bound (round-12
+    // audit): pos indexes tokens WITHIN one document, and a single text
+    // cell cannot exceed ~2³¹ chars (JVM string/array cap), so pos,
+    // pos − prev, max(pos) + k − 1 and the span width are all < 2³¹.
+    // The island counter is a window sum — Spark widens int sums to long.
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val prev = lag(col("pos"), 1).over(w)
     marked

@@ -67,6 +67,24 @@ class ImiProbeComputer(val k: Int, val subDim: Int, val nprobe: Int,
       d1(j) = acc1
       j += 1
     }
+    // nprobe = 1 is the corpus-side HOME-LIST assignment, executed once per
+    // row at encode/append time: the composed argmin decomposes into the
+    // two half argmins (strict < keeps the FIRST minimum in each half,
+    // and (first-min d0)·k + (first-min d1) is exactly the composed-grid
+    // scan's first minimum under its i·k + j tie order — if d0[a]+d1[b] is
+    // minimal with a > a0 or b > b0 then d0[a0]+d1[b0] is ≤ it with a
+    // smaller id). Two O(k) scans instead of the k² grid pass: at k = 256
+    // that is 512 compares, not ~65k adds, per vector.
+    if (nprobe == 1) {
+      var a0 = 0; var b0 = 0
+      var t2 = 1
+      while (t2 < k) {
+        if (d0(t2) < d0(a0)) a0 = t2
+        if (d1(t2) < d1(b0)) b0 = t2
+        t2 += 1
+      }
+      return UnsafeArrayData.fromPrimitiveArray(Array(a0 * k + b0))
+    }
     // top-nprobe of the composed k x k grid, ascending (d0[i]+d1[j], i*k+j).
     // k² adds per selection pass; nprobe passes. (The multi-sequence
     // algorithm does this in O(nprobe log nprobe) — at k ≤ 256 the dumb

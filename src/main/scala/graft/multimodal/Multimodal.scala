@@ -153,11 +153,24 @@ object Multimodal {
       }
       y += 1
     }
-    val tc = (w * h).toLong
+    val tc = w.toLong * h
+    // Overflow bound (round-12 audit): bs(i) ≤ 255·bc(i) ≤ 255·tc and
+    // ts ≤ 255·tc, so each cross-multiply is ≤ 255·tc² — inside a signed
+    // long only while tc ≤ ~1.9e8 pixels (√(2⁶³/255)). Past that (≈190 MP
+    // panorama/satellite frames) the products wrap silently and flip hash
+    // bits, so the rare huge image takes the exact 128-bit compare instead
+    // of a silent cap or a wrong hash; same result, just slower there.
+    val wide = tc > 134217728L // 2²⁷ px, safely under the bound
     var hi = 0L; var lo = 0L
     var i = 0
     while (i < 64) {
-      if (bs(i) * tc > ts * bc(i)) {
+      val gt =
+        if (wide)
+          java.math.BigInteger.valueOf(bs(i)).multiply(java.math.BigInteger.valueOf(tc))
+            .compareTo(java.math.BigInteger.valueOf(ts)
+              .multiply(java.math.BigInteger.valueOf(bc(i)))) > 0
+        else bs(i) * tc > ts * bc(i)
+      if (gt) {
         if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
       }
       i += 1

@@ -110,13 +110,33 @@ object HeavyHitters {
   private def run(spark: SparkSession, df: DataFrame, tokensCol: Column,
       sketchSize: Int, minFreqOf: Long => Long): DataFrame = {
     val mg = udaf(new MgAggregator(sketchSize))
+    val keyed = df.select(explode(tokensCol).as("__k"))
+    // Both passes read `df` independently — a nondeterministic input
+    // (rand-derived tokens, a Sample operator) would draw pass 2's exact
+    // counts from a DIFFERENT realization than pass 1's candidate set,
+    // silently voiding the superset guarantee the require below enforces.
+    // Refuse loudly; materializing the exploded frame instead would cost
+    // exactly the corpus-sized shuffle this operator exists to avoid — a
+    // caller with a genuinely nondeterministic source should checkpoint or
+    // persist it upstream and pass the materialized frame.
+    val plan = keyed.queryExecution.analyzed
+    require(!plan.exists(p => p.expressions.exists(e => !e.deterministic) ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sample]),
+      "heavy-hitter input must be deterministic (no rand/sample in its " +
+        "plan): the two-pass sketch+verify reads it twice, and differing " +
+        "realizations would break the exact-superset guarantee — " +
+        "materialize the input (checkpoint/persist) first")
     // one pass: bounded MG partials per partition + the total item count
     // (the guarantee check needs n; same aggregate, no extra scan)
-    val row = df
-      .select(explode(tokensCol).as("__k"))
+    val row = keyed
       .agg(mg(col("__k")).as("sketch"), count(lit(1)).as("n"))
       .head()
     val n = row.getLong(1)
+    // Counter-width bound (round-12 audit): every MG counter and the exact
+    // pass's count(*) are longs ≤ n (total exploded items); n itself is a
+    // Spark count — a 100 TB corpus is ~10¹³⁻¹⁴ tokens, five orders under
+    // 2⁶³. floor(n·share) computes in double: exact for n < 2⁵³, far past
+    // any count a single job produces.
     val minFreq = minFreqOf(n)
     require(minFreq.toDouble > n.toDouble / (sketchSize + 1),
       s"sketchSize $sketchSize cannot guarantee the candidate superset at " +

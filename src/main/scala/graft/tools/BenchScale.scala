@@ -76,8 +76,16 @@ object BenchScale {
     * all-pairs in the SAMPLE by design — at larger corpora the sampling
     * fraction shrinks instead of the leg growing (see its registration).
     */
+  /** dd13/st15 ride the curve as STEADY-STATE rows (round 12): both now
+    * build their base signature index once per (corpus, process), so the
+    * untimed warm-up pays the corpus-wide build and the median-of-3
+    * measures what a running pipeline pays per batch — increment-sized
+    * serves and folds (dd13: idempotent re-append + serve; st15: two
+    * checkpointed micro-batch drains against the lineage-scoped index).
+    */
   private val llm = Seq("dd2_minhash_lsh", "dd6_dup_groups", "dd8_substring_spans",
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
+    "dd13_lsh_index_append", "st15_stream_neardup_ingest",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
@@ -97,6 +105,15 @@ object BenchScale {
     "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned",
     "ann10_imi_topk")
 
+  /** Headline deep leg (round 12): the flagship 12-join star (v5) and the
+    * 7-col window dedup (w1) get their own 100x point on a FULL corpus —
+    * the 30x point was the last committed word on the view DAG, and the
+    * 30x→100x interval is where per-key depth or a broadcast flipping to
+    * sort-merge would show as superlinear creep. Ratio is published
+    * against the same queries measured at the last full scale point.
+    */
+  private val headlineDeep = Seq("v5_individual_budget", "w1_window_dedup")
+
   /** Skew leg: the per-user windows (w9 LAG, j15 as-of, x9 cohorts) are
     * measured on uniform fixtures everywhere else; this leg re-keys the
     * 10x events corpus zipf-style — user 1 holds ~50% of all events,
@@ -109,6 +126,34 @@ object BenchScale {
     * hot key actually costs end-to-end.
     */
   private val skewQueries = Seq("w9_event_deltas", "j15_asof_join", "x9_retention_cohorts")
+
+  /** Content-skew leg (round 12): the dedup family's skew exposure is HOT
+    * SHINGLES — boilerplate text shared by a large fraction of documents
+    * lands every carrier in the same LSH band buckets (dd2) and the same
+    * k-gram dup-count groups (dd8h). The guards under test:
+    * `Dedup.subPartitionBuckets`' bounded-replication split (spec'd, but
+    * never MEASURED under zipf text until now) and dd8h's hashed-key
+    * shuffle. Corpus: the 10x documents with a fixed 12-word boilerplate
+    * header prepended zipf-style — 50% of docs share header A, 20% B, 10%
+    * C, tail unchanged (hash-deterministic pick). Same queries, same
+    * volume, uniform-vs-zipf wall-clock ratio published.
+    */
+  private val skewTextQueries = Seq("dd2_minhash_lsh", "dd8h_spans_hashed")
+
+  def buildTextSkewCorpus(spark: SparkSession, tenXDir: String, outDir: String): Unit = {
+    val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
+    if (done.exists()) { System.err.println(s"[scale] text-skew corpus at $outDir reused"); return }
+    val docs = spark.read.parquet(s"$tenXDir/documents.parquet")
+    def header(tag: String): String =
+      (1 to 12).map(i => s"boiler$tag$i").mkString("", " ", " ")
+    val u = pmod(xxhash64(col("doc_id")), lit(100L))
+    docs.withColumn("text",
+        concat(when(u < 50, lit(header("a"))).when(u < 70, lit(header("b")))
+          .when(u < 80, lit(header("c"))).otherwise(lit("")), col("text")))
+      .repartition(16).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    done.createNewFile()
+    System.err.println(s"[scale] text-skew corpus built at $outDir (50/20/10% hot headers)")
+  }
 
   def buildSkewCorpus(spark: SparkSession, tenXDir: String, outDir: String): Unit = {
     val done = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
@@ -245,6 +290,11 @@ object BenchScale {
     buildSkewCorpus(spark, skewBase._2, skewDir)
     val skewUniform = measure(spark, skewBase._2, skewQueries)
     val skewZipf = measure(spark, skewDir, skewQueries)
+    // content-skew leg: the dedup family on zipf-headed text (same volume)
+    val skewTextDir = s"/tmp/graft_scale_skewtext${skewBase._1}x"
+    buildTextSkewCorpus(spark, skewBase._2, skewTextDir)
+    val skewTextUniform = measure(spark, skewBase._2, skewTextQueries)
+    val skewTextZipf = measure(spark, skewTextDir, skewTextQueries)
     // deep leg: one more decade for the top-5 LLM ops (see llmDeep);
     // SPARK_GRAFT_DEEP_POINT=0 disables
     val deepPoint = sys.env.getOrElse("SPARK_GRAFT_DEEP_POINT", "100").trim.toInt
@@ -253,6 +303,17 @@ object BenchScale {
         val d = s"/tmp/graft_scale_${deepPoint}x_docs"
         buildDocsCorpus(spark, srcDir, d, deepPoint)
         Some((deepPoint, measure(spark, d, llmDeep)))
+      } else None
+    // headline deep leg: v5 + w1 on a FULL deep-point corpus, with the
+    // same queries re-measured at the last full point for the ratio
+    // (SPARK_GRAFT_HEADLINE_DEEP=0 disables — the full build is the cost)
+    val hdPoint = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_DEEP", deepPoint.toString).trim.toInt
+    val headlineDeepOpt: Option[(Int, Seq[(String, Double)], Seq[(String, Double)])] =
+      if (hdPoint > points.max) {
+        val d = s"/tmp/graft_scale_${hdPoint}x"
+        buildCorpus(spark, srcDir, d, hdPoint)
+        val atLast = measure(spark, dirs.last._2, headlineDeep)
+        Some((hdPoint, measure(spark, d, headlineDeep), atLast))
       } else None
     val llm1 = llmAt.head._2
     val llm10 = llmAt(1)._2
@@ -278,6 +339,13 @@ object BenchScale {
       s""","llm_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
         s""""queries":${obj(xs)},"ratio_vs_${lastN}x":${obj(r)}}"""
     }.getOrElse("")
+    val headlineDeepJson = headlineDeepOpt.map { case (n, xs, atLast) =>
+      val lastMap = atLast.toMap
+      val r = xs.map { case (q, v) => q -> v / lastMap(q) }
+      s""","headline_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
+        s""""queries":${obj(xs)},"at_${points.max}x":${obj(atLast)},""" +
+        s""""ratio_vs_${points.max}x":${obj(r)}}"""
+    }.getOrElse("")
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
       s""""unit":"x","copies":${points.head},"points":$curve,"llm_points":$llmCurve,""" +
       s""""composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
@@ -287,7 +355,10 @@ object BenchScale {
       s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))},""" +
       s""""skew":{"copies":${skewBase._1},"hot_shares":[0.5,0.2,0.1],""" +
       s""""uniform":${obj(skewUniform)},"zipf":${obj(skewZipf)},""" +
-      s""""ratio":${obj(ratios(skewUniform, skewZipf))}}$deepJson}"""
+      s""""ratio":${obj(ratios(skewUniform, skewZipf))},""" +
+      s""""text":{"queries":${skewTextQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""uniform":${obj(skewTextUniform)},"zipf":${obj(skewTextZipf)},""" +
+      s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}}$deepJson$headlineDeepJson}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }

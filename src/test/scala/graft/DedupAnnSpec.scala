@@ -578,6 +578,75 @@ class DedupAnnSpec extends SparkSuite {
     assert(inc.count() > 0)
   }
 
+  test("PinnedCaches: release() deterministically unpersists operator-pinned frames") {
+    import graft.dedup.Dedup
+    graft.ops.PinnedCaches.release(blocking = true)
+    assert(graft.ops.PinnedCaches.pinnedCount === 0)
+    Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 4,
+      threshold = 0.5, portableHash = false).count()
+    assert(graft.ops.PinnedCaches.pinnedCount > 0,
+      "minhashLsh did not register its signature cache")
+    graft.ops.PinnedCaches.release(blocking = true)
+    assert(graft.ops.PinnedCaches.pinnedCount === 0)
+    // released caches must not break a subsequent call (it re-pins)
+    assert(Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 4,
+      threshold = 0.5, portableHash = false).count() >= 0)
+    graft.ops.PinnedCaches.release(blocking = true)
+  }
+
+  test("dd13/st15 steady-state: warm invocations over the shared per-process index are identical") {
+    // both queries now build their base index once per (corpus, process);
+    // the property that makes that safe is that a SECOND invocation —
+    // index already present, st15 with prior runs' folded partitions in
+    // it — produces byte-identical output (dd13: idempotent re-append +
+    // same serve; st15: lineage-scoped includeTags prune foreign tags)
+    val dir = "/root/testdata/sf0.001"
+    def run(q: String): Seq[String] = graft.queries.LlmQueries.defs(q)(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val d1 = run("dd13_lsh_index_append")
+    val d2 = run("dd13_lsh_index_append")
+    assert(d1.nonEmpty && d1 === d2)
+    val s1 = run("st15_stream_neardup_ingest")
+    val s2 = run("st15_stream_neardup_ingest")
+    assert(s1.nonEmpty && s1 === s2)
+  }
+
+  test("dd15b: the artifact-served fold equals the from-text fold") {
+    import graft.dedup.Dedup
+    val root = java.nio.file.Files.createTempDirectory("dd15b_spec").toString
+    val base = docs
+    val basePairs = Dedup.minhashLsh(base, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+    Dedup.writeLshIndex(base, "doc_id", "text", s"$root/idx",
+      numHashes = 64, portableHash = false)
+    Dedup.writeGroups(Dedup.dupGroups(basePairs), s"$root/groups")
+    val batch = incBatch.localCheckpoint(true)
+    def withinBatch = Dedup.minhashLsh(batch, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+      .select(col("id_a"), col("id_b"))
+    // served leg: both edge legs from the index, fold from the artifact
+    val served = Dedup.incrementalDupGroups(
+      Dedup.readGroups(spark, s"$root/groups"),
+      Dedup.incrementalLshPairsFromIndex(spark, s"$root/idx", batch,
+          "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.5,
+          portableHash = false)
+        .select(col("id_a"), col("id_b")).unionByName(withinBatch))
+    // from-text leg (the dd15 shape)
+    val fromText = Dedup.incrementalDupGroups(Dedup.dupGroups(basePairs),
+      Dedup.incrementalLshPairs(base, batch, "doc_id", "text",
+          numHashes = 64, bands = 16, threshold = 0.5, portableHash = false)
+        .select(col("id_a"), col("id_b")).unionByName(withinBatch))
+    assert(served.exceptAll(fromText).isEmpty && fromText.exceptAll(served).isEmpty)
+    assert(served.count() > 0)
+    // a parameter-mismatched serve must refuse, not deflate silently
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalLshPairsFromIndex(spark, s"$root/idx", batch,
+        "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
+        portableHash = false)
+    }
+    assert(err.getMessage.contains("mismatched parameters"))
+  }
+
   test("incrementalLsh: one row per increment doc; planted near-dups match their source") {
     val inc = incBatch
     val out = Dedup.incrementalLsh(docs, inc, "doc_id", "text",

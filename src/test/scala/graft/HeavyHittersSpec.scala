@@ -56,4 +56,29 @@ class HeavyHittersSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("guarantee floor"))
   }
+
+  test("nondeterministic inputs are refused: the two passes must read one realization") {
+    import spark.implicits._
+    val base = (0 until 100).map(i => s"k${i % 3}").toDF("k")
+    // rand in the lineage: pass 2 would count a different realization than
+    // the one pass 1 sketched — must refuse, not silently drop a hitter
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopFreq(spark,
+        base.filter(rand(42) > 0.5).select(array(col("k")).as("ks")),
+        col("ks"), minFreq = 10L)
+    }
+    assert(e.getMessage.contains("deterministic"))
+    // a Sample operator is equally nondeterministic across reads
+    val e2 = intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopFreq(spark,
+        base.sample(0.5).select(array(col("k")).as("ks")),
+        col("ks"), minFreq = 10L)
+    }
+    assert(e2.getMessage.contains("deterministic"))
+    // the materialized form of the same input is accepted
+    val out = HeavyHitters.exactTopFreq(spark,
+      base.sample(0.5).select(array(col("k")).as("ks")).localCheckpoint(true),
+      col("ks"), minFreq = 1L)
+    assert(out.count() > 0)
+  }
 }

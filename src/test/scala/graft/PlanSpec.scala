@@ -201,6 +201,30 @@ class PlanSpec extends SparkSuite {
       s"base text re-scanned at serve time:\n${scans.mkString("\n")}")
   }
 
+  test("dd15b groups-served: the plan reads both artifacts, never base text or base pairs") {
+    val df = graft.queries.LlmQueries.defs("dd15b_groups_served")(spark, dir)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.map(_.toString).mkString(","))
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        fileScans(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        fileScans(a.executedPlan)
+    }.flatten
+    val scans = fileScans(df.queryExecution.sparkPlan)
+    assert(scans.exists(s => s.contains("graft_dd15b") && s.contains("idx")),
+      s"no scan of the persisted signature index:\n${scans.mkString("\n")}")
+    assert(scans.exists(s => s.contains("graft_dd15b") && s.contains("groups")),
+      s"no scan of the persisted groups artifact:\n${scans.mkString("\n")}")
+    // the serve-time promise: base text is never re-scanned and base groups
+    // are never recomputed — every parquet scan in the served plan is one
+    // of the two artifacts (the batch arrives via eager checkpoint)
+    assert(scans.forall(!_.contains("documents")),
+      s"base text re-scanned at serve time:\n${scans.mkString("\n")}")
+    assert(scans.forall(s => s.contains("graft_dd15b")),
+      s"non-artifact parquet scan in the served plan:\n${scans.mkString("\n")}")
+  }
+
   test("ann9 index-served: the plan reads the codes index, never corpus embeddings") {
     val df = graft.queries.LlmQueries.defs("ann9_index_served")(spark, dir)
     val scans = df.queryExecution.sparkPlan.collect {

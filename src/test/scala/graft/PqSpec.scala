@@ -176,7 +176,10 @@ class PqSpec extends SparkSuite {
     val rerouted = Pq.ivfPqTopK(emb, "label", k = 3, model, maxAvgBlock = 1)
       .collect().toSet
     val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
+    // the guarded entry point emits a stable string block on every path;
+    // the tier-named function keeps its natural int list id — align for compare
     val learned = Pq.ivfPqTopKLearned(emb, k = 3, model, cents, nprobe = 2)
+      .withColumn("block", col("block").cast("string"))
       .collect().toSet
     assert(rerouted === learned)
     assert(rerouted !== pinned) // the two routes are genuinely different plans
@@ -191,7 +194,9 @@ class PqSpec extends SparkSuite {
     val viaGuard = Pq.ivfPqTopK(emb, "label", k = 3, model,
       maxAvgBlock = 1, maxNlist = 4).collect().toSet
     val imi = Pq.train(emb, m = 2, k = Pq.adaptiveImiK(emb.count()))
-    val direct = Pq.ivfPqTopKImi(emb, k = 3, model, imi, nprobe = 2).collect().toSet
+    val direct = Pq.ivfPqTopKImi(emb, k = 3, model, imi, nprobe = 2)
+      .withColumn("block", col("block").cast("string"))
+      .collect().toSet
     assert(viaGuard === direct)
     // boundary: the clamp predicate flips exactly at targetList·maxNlist
     assert(!Pq.nlistClamped(32768) && Pq.nlistClamped(32769))
@@ -230,6 +235,24 @@ class PqSpec extends SparkSuite {
         yield (half(0, i) + half(1, j), i * imi.k + j)
       val expected = composed.sortBy(identity).take(3).map(_._2)
       assert(r.getSeq[Int](1) === expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("ImiProbes nprobe=1 fast path equals the composed grid's first minimum") {
+    // the home-list assignment (corpus side, once per row) takes the
+    // decomposed two-half-argmin path; it must agree with the grid scan's
+    // (d, id)-ordered head on every vector
+    val imi = Pq.train(emb, m = 2, k = 4, iters = 2, sampleRate = 0.5)
+    def probes(np: Int) = emb.select(col("vec_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.functions.ImiProbes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding")),
+          imi.k, imi.subDim, np, imi.codebooks.flatten.flatten.toIndexedSeq)).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val home = probes(1)
+    val grid = probes(2)
+    assert(home.nonEmpty)
+    home.foreach { case (id, p) =>
+      assert(p.length === 1 && p.head === grid(id).head, s"vec $id")
     }
   }
 

@@ -40,6 +40,19 @@ class RetrievalBucketsSpec extends SparkSuite {
     assert(salted.exceptAll(reference).isEmpty && reference.exceptAll(salted).isEmpty)
   }
 
+  test("bm25 large-vocabulary fallback (broadcast semi-join) equals the inline path") {
+    val q = Seq((1L, "spark"), (1L, "table"), (2L, "customer"), (2L, "vector"))
+      .toDF("query_id", "term")
+    val inline = Bm25.topK(docs, q, "doc_id", "text", topK = 5)
+    // maxInlineTerms = 0 forces the degraded path: the term set is never
+    // collected past the probe limit; matching runs as a broadcast
+    // semi-join on the exploded tokens — output must be identical
+    val fallback = Bm25.topK(docs, q, "doc_id", "text", topK = 5,
+      maxInlineTerms = 0)
+    assert(inline.exceptAll(fallback).isEmpty && fallback.exceptAll(inline).isEmpty)
+    assert(inline.count() > 0)
+  }
+
   test("contrastive select: decision matches the score difference; no-evidence is never selected") {
     val out = LmScore.contrastiveSelect(docs, col("doc_id") % 5 === 0, "doc_id", "text").cache()
     assert(out.count() === docs.count())

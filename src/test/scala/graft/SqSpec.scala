@@ -35,12 +35,16 @@ class SqSpec extends SparkSuite {
     // is not reachable through the guard either
     val viaGuard = Sq.sqTopK(emb, "label", k = 3, maxAvgBlock = 1, maxNlist = 4)
       .collect().toSet
+    // guarded entry point emits a stable string block; tier-named functions
+    // keep their natural int list id — align for compare
     val imi = Pq.train(emb, m = 2, k = Pq.adaptiveImiK(emb.count()))
-    val direct = Sq.sqTopKImi(emb, k = 3, imi, nprobe = 2).collect().toSet
+    val direct = Sq.sqTopKImi(emb, k = 3, imi, nprobe = 2)
+      .withColumn("block", col("block").cast("string")).collect().toSet
     assert(viaGuard === direct)
     // and the IMI blocking is genuinely different from the clamped flat tier
     val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count(), maxNlist = 4))
-    val flat = Sq.sqTopKLearned(emb, k = 3, cents, nprobe = 2).collect().toSet
+    val flat = Sq.sqTopKLearned(emb, k = 3, cents, nprobe = 2)
+      .withColumn("block", col("block").cast("string")).collect().toSet
     assert(viaGuard !== flat)
   }
 
