@@ -222,7 +222,11 @@ object Bench {
         // cleaner sees their weak refs die — which needs a GC. Without one,
         // ~100 queries of accumulated blocks tripled late-alphabet timings
         // (v5_individual_budget: 57 s polluted vs 9-16 s in a clean JVM).
-        // All of this runs OUTSIDE the timed region.
+        // All of this runs OUTSIDE the timed region. PinnedCaches.release
+        // additionally drops the registry's strong refs to operator-pinned
+        // frames (clearCache unpersists the blocks but would leave ~200
+        // queries' plan trees pinned on the driver by round's end).
+        graft.ops.PinnedCaches.release(blocking = true)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         spark.sqlContext.clearCache()
         System.gc()

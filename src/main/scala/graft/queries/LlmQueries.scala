@@ -1045,7 +1045,8 @@ object LlmQueries extends QueryModule {
     // the probed fraction (nprobe 2 of 16 lists ≈ 12.5%, ADC loss on top
     // → measured ≈ 0.06). That is the true value of the configured
     // measurement — real embedding corpora have the cluster structure
-    // learned partitions exploit; the row's job is the machinery and the
+    // learned partitions exploit — ann6d below IS that operating point
+    // (clustered fixture, recall 1.0); the row's job is the machinery and the
     // honest floor, not a flattering constant.
     "ann6c_imi_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

@@ -235,6 +235,9 @@ object BenchScale {
   private def measure(spark: SparkSession, dir: String,
       names: Seq[String]): Seq[(String, Double)] = {
     def isolate(): Unit = {
+      // release() drops the registry's strong refs too (clearCache alone
+      // leaves a few hundred plan trees pinned over a multi-hour run)
+      graft.ops.PinnedCaches.release(blocking = true)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache(); System.gc()
     }
