@@ -67,30 +67,42 @@ object Dedup {
           ColumnBridge.column(graft.functions.MinHashSignature(
             ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
     } else {
-      // One md5 digest carries two independent 60-bit hashes (hex chars 1-15
-      // and 17-31), so seeds 2p-1 and 2p share the digest salted with #p —
-      // half the md5 calls, and subexpression elimination in the aggregate
-      // codegen computes each shared digest once. The DuckDB oracle
-      // (LlmQueries dd2b) mirrors the same split.
-      def h(seed: Int): Column = {
-        val pair = (seed + 1) / 2
-        val off = if (seed % 2 == 1) 1 else 17
-        conv(substring(md5(concat(col("shingle"), lit(s"#$pair"))), off, 15), 16, 10).cast("long")
-      }
-      // The md5 family is ~3× the CPU of xxhash64, and a small corpus can
-      // scan into fewer partitions than cores (a single-row-group file is
-      // unsplittable and AQE never widens a scan), serializing the hash
-      // stage. Spread ONLY in that case: at real scale the scan already has
-      // ample partitions and adding a raw-text shuffle before the map-side
-      // signature combine would violate the scan-once design.
-      val spread = spreadIfStarved(df.select(col(idCol), col(textCol)))
-      val exploded = spread.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-      val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
-      exploded.groupBy(col("doc"))
-        .agg(mins.head, mins.tail: _*)
-        .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
+      // Portable fast path (round 12): the native PortableMinHashSignature
+      // expression — the same fused per-row loop as the xxhash64 path, over
+      // the salted-md5 family the cross-engine oracles replay. One md5
+      // digest carries two independent 60-bit hashes (hex chars 1-15 and
+      // 17-31, read directly off the digest bytes — no hex/substring/conv
+      // string work), so seeds 2p-1 and 2p share the digest salted with #p.
+      // Value-identical to the declarative explode/agg formulation
+      // (minhashSignaturesAggPortable below — kept as the spec's reference;
+      // bit-identity asserted in DedupAnnSpec), and to the DuckDB oracle
+      // (LlmQueries dd2b) which mirrors the same split.
+      import org.apache.spark.sql.graft.ColumnBridge
+      spreadIfStarved(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"),
+          ColumnBridge.column(graft.functions.PortableMinHashSignature(
+            ColumnBridge.expression(shingles(col(textCol), k)), numHashes)).as("sig"))
     }
+  }
+
+  /** The declarative explode/agg formulation of the portable signature —
+    * the reference implementation DedupAnnSpec holds the fused
+    * [[graft.functions.PortableMinHashSignature]] path bit-identical to
+    * (and the shape the DuckDB oracles replay). Not used on any hot path.
+    */
+  private[graft] def minhashSignaturesAggPortable(df: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, k: Int = 3): DataFrame = {
+    def h(seed: Int): Column = {
+      val pair = (seed + 1) / 2
+      val off = if (seed % 2 == 1) 1 else 17
+      conv(substring(md5(concat(col("shingle"), lit(s"#$pair"))), off, 15), 16, 10).cast("long")
+    }
+    val exploded = df.select(col(idCol).as("doc"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+    val mins = (1 to numHashes).map(s => min(h(s)).as(s"h$s"))
+    exploded.groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((1 to numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
 
   /** See [[graft.ops.Scan.spreadIfStarved]] (stats-gated, never touches

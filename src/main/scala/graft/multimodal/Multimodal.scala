@@ -198,6 +198,60 @@ object Multimodal {
   // JDK's javax.sound.sampled, so the audio pipeline needs no stub either.
 
   case class AudioRecord(doc_id: Long, payload: Array[Byte], n_bytes: Long)
+
+  case class AudioFp(doc_id: Long, afp: Long)
+
+  /** mm7: energy-envelope audio fingerprint — [[imageAHash]]'s role for
+    * audio: the PCM stream decodes map-side (the REAL WAV parse mm2
+    * ships), |amplitude| sums over `windows` equal sample windows, and
+    * each window is thresholded against the global mean by the SAME exact
+    * cross-multiplied integer rule as the image hash
+    * (`win_sum · n_samples > total_sum · win_count` — no float anywhere),
+    * packed into `windows` bits. Identical envelopes group; re-encoded or
+    * re-chunked byte streams that decode to the same PCM still collide,
+    * which is what makes this stronger than a payload-byte dd1.
+    *
+    * Overflow bounds (the round-12 audit rule): |sample| ≤ 32768, so
+    * total_sum ≤ 32768·n and each cross-multiply ≤ 32768·n² — inside a
+    * signed long to n ≈ 5·10⁸ samples (~9 h of 16 kHz mono audio per
+    * clip); clips beyond that should chunk upstream. Only (doc_id, one
+    * long) ever shuffles.
+    */
+  def audioFingerprint(spark: SparkSession, audio: Dataset[AudioRecord],
+      windows: Int = 16): Dataset[AudioFp] = {
+    import spark.implicits._
+    require(windows > 0 && windows <= 64, s"windows must be in [1, 64], got $windows")
+    audio.mapPartitions { batch =>
+      batch.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = pcm.length / 2
+        val ws = new Array[Long](windows)
+        val wc = new Array[Long](windows)
+        var ts = 0L
+        var i = 0
+        while (i < n) {
+          val v = math.abs(bb.getShort.toInt)
+          val w = (i.toLong * windows / n).toInt
+          ws(w) += v; wc(w) += 1; ts += v
+          i += 1
+        }
+        var fp = 0L
+        var j = 0
+        while (j < windows) {
+          if (ws(j) * n > ts * wc(j)) fp |= 1L << j
+          j += 1
+        }
+        AudioFp(r.doc_id, fp)
+      }
+    }
+  }
   case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
       bits_per_sample: Int, n_samples: Long, duration_ms: Long, peak_abs: Int)
 

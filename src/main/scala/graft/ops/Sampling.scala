@@ -139,4 +139,51 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** SP8: walk-forward temporal folds with an EMBARGO gap — time-series
+    * cross-validation the way backtesting requires it (López de Prado's
+    * purged walk-forward): fold k trains on the `trainDays`-day window
+    * starting at day `k·testDays` (days counted from `origin`) and tests
+    * on the `testDays`-day window that begins `embargoDays` AFTER the
+    * train window ends. The embargo is the leakage guard a random or even
+    * a plain chronological split lacks: features computed over trailing
+    * windows (rolling stats, lagged labels) spill up to the window length
+    * across a naked boundary, so rows within `embargoDays` of the train
+    * edge belong to NEITHER side. A row serves as train in some folds and
+    * test in others — that is the point of walk-forward — so the output
+    * is one row per (input row, fold, role) membership.
+    *
+    * Determinism: day arithmetic is integer datediff from a LITERAL
+    * origin date, fold boundaries are integer literals — the same
+    * membership on any engine, any run, any cluster size (no rand, no
+    * data-dependent quantiles). 100 TB story: the fold table is `nFolds`
+    * rows and broadcasts; membership is a map-side range test per row ×
+    * fold (a broadcast nested-loop against nFolds rows — bounded fan-out
+    * ≤ nFolds, no shuffle).
+    */
+  def walkForwardFolds(df: DataFrame, tsCol: Column, origin: String,
+      nFolds: Int, trainDays: Int, testDays: Int, embargoDays: Int,
+      dayCol: String = "day_offset"): DataFrame = {
+    require(nFolds > 0 && trainDays > 0 && testDays > 0 && embargoDays >= 0,
+      s"need nFolds/trainDays/testDays > 0 and embargoDays >= 0, got " +
+        s"$nFolds/$trainDays/$testDays/$embargoDays")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val folds = (0 until nFolds).map { k =>
+      val trainStart = k * testDays
+      val trainEnd = trainStart + trainDays
+      val testStart = trainEnd + embargoDays
+      (k, trainStart, trainEnd, testStart, testStart + testDays)
+    }.toDF("fold", "__tr0", "__tr1", "__te0", "__te1")
+    val day = datediff(to_date(tsCol), to_date(lit(origin)))
+    df.withColumn(dayCol, day)
+      .join(broadcast(folds),
+        (col(dayCol) >= col("__tr0") && col(dayCol) < col("__tr1")) ||
+          (col(dayCol) >= col("__te0") && col(dayCol) < col("__te1")))
+      // a joined row is in exactly one of the two (disjoint) ranges:
+      // train days are < __tr1 and test days are >= __te0 >= __tr1
+      .withColumn("role",
+        when(col(dayCol) < col("__tr1"), lit("train")).otherwise(lit("test")))
+      .drop("__tr0", "__tr1", "__te0", "__te1")
+  }
 }

@@ -979,6 +979,40 @@ object LlmQueries extends QueryModule {
         pmod(col("vec_id"), lit(5)) === 0, cents)
     }),
 
+    // dq6: CORPUS drift gate — dq5's question asked of the text itself:
+    // does a new crawl/snapshot still look like the corpus the pipeline
+    // was tuned on? Token-count histograms (10 buckets, 32-token cells,
+    // top cell open) of the base vs the current snapshot, compared by
+    // x7's smoothed PSI — a scraper regression (truncated pages) or a
+    // template change (boilerplate doubling lengths) shifts the length
+    // distribution and trips the gate BEFORE a silently different corpus
+    // trains. The fixture's "current" snapshot plants that drift: every
+    // 3rd doc arrives text-doubled. Scale shape: one map-side tokenize +
+    // bucket projection, ONE 10-row exchange, PSI over the control-plane
+    // frame — x7's cost at any corpus size.
+    "dq6_corpus_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val curr = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")).as("text"))
+      def bucketed(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select(least(floor(
+            size(TextOps.tokens(lower(col("text")))) / 32).cast("long"), lit(9L))
+          .as("bucket"), lit(tag).as("__snap"))
+      val buckets = bucketed(docs, "base").unionByName(bucketed(curr, "curr"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("__snap") === "base", 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("__snap") === "curr", 1L).otherwise(0L)).as("n_curr"))
+      val w = Window.partitionBy(lit(1))
+      val p = (col("n_base") + 1).cast("double") / sum((col("n_base") + 1).cast("double")).over(w)
+      val q = (col("n_curr") + 1).cast("double") / sum((col("n_curr") + 1).cast("double")).over(w)
+      buckets
+        .withColumn("psi", round(sum((p - q) * log(p / q)).over(w), 6))
+        .select(col("bucket"), col("n_base"), col("n_curr"), col("psi"),
+          (col("psi") > 0.2).as("drift_detected"))
+    }),
+
     // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
     // in the same block — the measurement every ANN deployment ships beside
     // the index (is the compression hurting retrieval?). Per-query hit
@@ -1512,6 +1546,27 @@ object LlmQueries extends QueryModule {
       hashed.join(groups, Seq("ahash_hi", "ahash_lo"))
         .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
           col("group_size"), (col("doc_id") === col("__keeper")).as("kept"))
+    }),
+
+    // mm7: audio dedup by energy-envelope fingerprint — mm5's role for
+    // audio: REAL WAV decode map-side (the mm2 codec path), |amplitude|
+    // sums over 16 sample windows thresholded by the exact
+    // cross-multiplied integer rule, identical envelopes group, smallest
+    // id survives. Every 9th doc gets a byte-identical planted copy
+    // (+600000) that must land in its source's group. Only (doc_id, one
+    // long) shuffles; the oracle replays the closed-form PCM samples
+    // (wavBytes' construction) without any codec — mm5's stance.
+    "mm7_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val audio = Multimodal.audioTable(s, Tables.documents(s, dir).select(col("doc_id")))
+      val copies = audio.filter(_.doc_id % 9 == 0)
+        .map(r => r.copy(doc_id = r.doc_id + 600000))
+      val fp = Multimodal.audioFingerprint(s, audio.union(copies)).toDF()
+      val groups = fp.groupBy(col("afp"))
+        .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("__keeper"))
+      fp.join(groups, Seq("afp"))
+        .select(col("doc_id"), col("afp"), col("group_size"),
+          (col("doc_id") === col("__keeper")).as("kept"))
     }),
 
     // mm6: cross-video frame-level dedup — sampled frames fingerprinted
@@ -2256,6 +2311,29 @@ object LlmQueries extends QueryModule {
     "ann6c_imi_recall" -> ANN6C_ORACLE,
     "ann6d_imi_recall_clustered" -> ANN6D_ORACLE,
     "dq5_index_drift" -> DQ5_ORACLE,
+    // dq6: token-count bucketing + the x7 smoothed-PSI replay, with the
+    // planted text-doubling on every 3rd current-snapshot doc.
+    "dq6_corpus_drift" ->
+      s"""WITH base AS (SELECT len($TOKS) AS n FROM documents),
+         |curr AS (SELECT CASE WHEN doc_id % 3 = 0
+         |    THEN len(regexp_split_to_array(trim(lower(text || ' ' || text)), '\\s+'))
+         |    ELSE len($TOKS) END AS n FROM documents),
+         |b AS (SELECT LEAST(n // 32, 9) AS bucket, 'base' AS snap FROM base
+         |  UNION ALL SELECT LEAST(n // 32, 9), 'curr' FROM curr),
+         |c AS (SELECT bucket,
+         |  CAST(SUM(CASE WHEN snap = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |  CAST(SUM(CASE WHEN snap = 'curr' THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+         |  FROM b GROUP BY bucket),
+         |t AS (SELECT CAST(SUM(n_base + 1) AS DOUBLE) AS tb,
+         |             CAST(SUM(n_curr + 1) AS DOUBLE) AS tc FROM c)
+         |SELECT bucket, n_base, n_curr,
+         |  round(SUM((CAST(n_base + 1 AS DOUBLE) / tb - CAST(n_curr + 1 AS DOUBLE) / tc)
+         |    * ln((CAST(n_base + 1 AS DOUBLE) / tb) / (CAST(n_curr + 1 AS DOUBLE) / tc)))
+         |    OVER (), 6) AS psi,
+         |  round(SUM((CAST(n_base + 1 AS DOUBLE) / tb - CAST(n_curr + 1 AS DOUBLE) / tc)
+         |    * ln((CAST(n_base + 1 AS DOUBLE) / tb) / (CAST(n_curr + 1 AS DOUBLE) / tc)))
+         |    OVER (), 6) > 0.2 AS drift_detected
+         |FROM c CROSS JOIN t""".stripMargin,
     // x10: the oracle is the EXACT definition (group-count + share
     // threshold) — the sketch is an execution strategy, not a semantics
     // change, which is the whole point of the verify pass.
@@ -2557,6 +2635,28 @@ object LlmQueries extends QueryModule {
         | FROM bits GROUP BY ahash_hi, ahash_lo)
         |SELECT b.doc_id, b.ahash_hi, b.ahash_lo, g.group_size, (b.doc_id = g.keeper) AS kept
         |FROM bits b JOIN g ON b.ahash_hi = g.ahash_hi AND b.ahash_lo = g.ahash_lo""".stripMargin,
+
+    // mm7: closed-form PCM replay (wavBytes: n = 256 + (src%128)·16,
+    // s(0) = 20000 + src%10000, s(i) = ((src·131 + i·17)%16384) − 8192),
+    // |v| energy sums over 16 windows (w = i·16 // n — the aHash cell
+    // rule), the cross-multiplied threshold, 16-bit pack, group.
+    "mm7_audio_dedup" ->
+      """WITH base AS (SELECT doc_id, doc_id AS src FROM documents
+        |UNION ALL SELECT doc_id + 600000, doc_id FROM documents WHERE doc_id % 9 = 0),
+        |ns AS (SELECT doc_id, src, 256 + (src % 128) * 16 AS n FROM base),
+        |sm AS (SELECT doc_id, n,
+        |  CASE WHEN i = 0 THEN 20000 + src % 10000
+        |       ELSE abs(((src * 131 + i * 17) % 16384) - 8192) END AS v,
+        |  (i * 16) // n AS w
+        | FROM (SELECT doc_id, src, n, unnest(range(0, n)) AS i FROM ns)),
+        |wsum AS (SELECT doc_id, w, SUM(v) AS ws, COUNT(*) AS wc FROM sm GROUP BY doc_id, w),
+        |tot AS (SELECT doc_id, n, SUM(v) AS ts FROM sm GROUP BY doc_id, n),
+        |fp AS (SELECT wsum.doc_id,
+        |  CAST(SUM(CASE WHEN ws * n > ts * wc THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT) AS afp
+        | FROM wsum JOIN tot ON wsum.doc_id = tot.doc_id GROUP BY wsum.doc_id),
+        |g AS (SELECT afp, COUNT(*) AS group_size, MIN(doc_id) AS keeper FROM fp GROUP BY afp)
+        |SELECT f.doc_id, f.afp, g.group_size, (f.doc_id = g.keeper) AS kept
+        |FROM fp f JOIN g ON f.afp = g.afp""".stripMargin,
 
     // mm6: sampling indices (j·fc/4 when fc>4, else all), closed-form frame
     // dims/pixels, the mm5 aHash arithmetic, then the shared-hash pair count.

@@ -110,6 +110,23 @@ object SamplingQueries extends QueryModule {
         .select(col("source"), col("doc_id"), col("mix_rank"))
     }),
 
+    // SP8: walk-forward temporal folds with an embargo gap (beyond-
+    // reference) — time-series CV the way backtesting requires it: fold k
+    // trains on a sliding 10-day window, tests on the 4-day window that
+    // starts 2 days AFTER the train edge; the embargo absorbs trailing-
+    // window feature leakage across the boundary (the temporal analog of
+    // sp7's near-dup leakage guard). One output row per (event, fold,
+    // role); integer day arithmetic from a literal origin so membership is
+    // engine-exact. Scale: the fold table broadcasts (nFolds rows), the
+    // membership test is map-side with fan-out ≤ nFolds — no shuffle.
+    "sp8_walkforward_folds" -> ((s, dir) =>
+      Sampling.walkForwardFolds(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+        col("ts"), origin = "2024-01-01", nFolds = 4,
+        trainDays = 10, testDays = 4, embargoDays = 2)
+        .select(col("event_id"), col("user_id"), col("day_offset"),
+          col("fold"), col("role"))),
+
     // TX5: PII redaction + audit count (per-row regexp_replace, scan-speed).
     "tx5_pii_redact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -163,6 +180,19 @@ object SamplingQueries extends QueryModule {
 
   val oracles: Map[String, String] = Map(
     "sp7_leakage_safe_split" -> SP7_ORACLE,
+    // sp8: the fold table replayed as literals (k·4, +10 train, +2 embargo,
+    // +4 test), integer day arithmetic from the same origin literal.
+    "sp8_walkforward_folds" ->
+      """WITH f AS (SELECT k AS fold, k*4 AS tr0, k*4 + 10 AS tr1,
+        |    k*4 + 12 AS te0, k*4 + 16 AS te1
+        |  FROM (SELECT CAST(unnest(range(0, 4)) AS INT) AS k)),
+        |e AS (SELECT event_id, user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INT) AS day_offset
+        |  FROM events)
+        |SELECT e.event_id, e.user_id, e.day_offset, f.fold,
+        |  CASE WHEN e.day_offset < f.tr1 THEN 'train' ELSE 'test' END AS role
+        |FROM e JOIN f ON (e.day_offset >= f.tr0 AND e.day_offset < f.tr1)
+        |  OR (e.day_offset >= f.te0 AND e.day_offset < f.te1)""".stripMargin,
     "sp1_hash_split" ->
       s"""SELECT doc_id, lang,
          |CASE WHEN $duckUnitHash < 0.8 THEN 'train'

@@ -133,6 +133,35 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("native PortableMinHashSignature ≡ the explode/agg md5 formulation, codegen AND interpreted") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val docs = sf("documents").limit(200).select(col("doc_id"), col("text"))
+    def viaExpr = docs.select(col("doc_id").as("doc"),
+      ColumnBridge.column(graft.functions.PortableMinHashSignature(
+        ColumnBridge.expression(Dedup.shingles(col("text"), 3)), 16)).as("sig"))
+    // the declarative salted-md5 formulation — the exact shape the DuckDB
+    // oracles replay (conv/substring over the hex digest); the fused
+    // expression must be VALUE-identical, which pins both the byte-level
+    // 60-bit extraction and the seed→(pair, half) mapping
+    val viaAgg = Dedup.minhashSignaturesAggPortable(docs, "doc_id", "text", 16)
+      .localCheckpoint(true)
+    assert(viaExpr.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaExpr).isEmpty)
+    // odd numHashes exercises the unused-second-half guard
+    def viaExprOdd = docs.select(col("doc_id").as("doc"),
+      ColumnBridge.column(graft.functions.PortableMinHashSignature(
+        ColumnBridge.expression(Dedup.shingles(col("text"), 3)), 5)).as("sig"))
+    val viaAggOdd = Dedup.minhashSignaturesAggPortable(docs, "doc_id", "text", 5)
+      .localCheckpoint(true)
+    assert(viaExprOdd.exceptAll(viaAggOdd).isEmpty && viaAggOdd.exceptAll(viaExprOdd).isEmpty)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(viaExpr.exceptAll(viaAgg).isEmpty) // interpreted path = nullSafeEval
+    finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("native SimHashSignature ≡ the explode/agg vote formulation, codegen AND interpreted") {
     import org.apache.spark.sql.graft.ColumnBridge
     val docs = sf("documents").limit(200).select(col("doc_id"), col("text"))

@@ -93,7 +93,7 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
   }
 
-  test("minhash signatures: native path is shuffle-free at scale; portable path partial-aggregates") {
+  test("minhash signatures: both hash families are fused map-side, shuffle-free at scale") {
     val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // At-scale shape (input bytes ≥ target × maxPartitionBytes — simulated by
     // shrinking the split size so the tiny test file counts as "many
@@ -110,11 +110,20 @@ class PlanSpec extends SparkSuite {
     // the spread repartition kicks in so the signature loop uses all cores.
     val spread = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16))
     assert(spread.contains("Exchange"), "starved scan must spread before the signature loop")
-    // portable-md5 oracle path keeps explode + per-doc MIN with map-side combine
-    val portable = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text",
-      numHashes = 16, portableHash = true))
-    assert("HashAggregate".r.findAllIn(portable).length >= 2,
-      "portable minhash must partial-aggregate map-side")
+    // portable-md5 oracle path (round 12): the fused PortableMinHashSignature
+    // expression — same map-side-only shape as the native path (no explode,
+    // no aggregate), at-scale split size again
+    val defaultSplit2 = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+      val portable = plan(graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text",
+        numHashes = 16, portableHash = true))
+      assert(!portable.contains("Exchange"),
+        "portable signature path must not shuffle at scale")
+      assert(portable.contains("portable_minhash_signature"), portable)
+      assert(!portable.contains("HashAggregate"),
+        "the fused portable path must not aggregate")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", defaultSplit2)
   }
 
   test("a19 grouping sets: one Expand over one scan, not three group-bys") {

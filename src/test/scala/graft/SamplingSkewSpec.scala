@@ -65,6 +65,36 @@ class SamplingSkewSpec extends SparkSuite {
       "fixture too small to demonstrate doc-keyed leakage — change mutant ids")
   }
 
+  test("SP8: walk-forward folds keep the embargo gap; membership is bounded and deterministic") {
+    import graft.ops.Sampling
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"))
+    val folds = Sampling.walkForwardFolds(ev, col("ts"), origin = "2024-01-01",
+      nFolds = 4, trainDays = 10, testDays = 4, embargoDays = 2).cache()
+    assert(folds.count() > 0)
+    // the embargo invariant — per fold, no test day within embargoDays of
+    // the last train day (trailing-window features cannot leak across)
+    val gaps = folds.groupBy(col("fold")).agg(
+      max(when(col("role") === "train", col("day_offset"))).as("tr_max"),
+      min(when(col("role") === "test", col("day_offset"))).as("te_min")).collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getAs[Int]("te_min") - r.getAs[Int]("tr_max") > 2,
+          s"fold ${r.get(0)}: embargo violated (${r.get(1)} → ${r.get(2)})")
+    }
+    // roles are disjoint within a fold (a day is train xor test)
+    assert(folds.groupBy(col("fold"), col("day_offset"))
+      .agg(countDistinct(col("role")).as("nr")).filter(col("nr") > 1).count() === 0)
+    // fan-out bound: an event appears at most nFolds times
+    assert(folds.groupBy(col("event_id")).count().filter(col("count") > 4).count() === 0)
+    // deterministic: a second run is identical
+    val again = Sampling.walkForwardFolds(ev, col("ts"), origin = "2024-01-01",
+      nFolds = 4, trainDays = 10, testDays = 4, embargoDays = 2)
+    assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
+    folds.unpersist()
+  }
+
   test("SP2: stratified sample keeps per-stratum fractions and is idempotent") {
     val docs = sf("documents")
     val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",

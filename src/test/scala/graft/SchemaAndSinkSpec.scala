@@ -145,6 +145,40 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!dec.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("mm7 audio fingerprint: copies collide, distinct envelopes don't, hand-computed fp matches") {
+    import spark.implicits._
+    val docs = sf("documents").limit(60)
+    val audio = Multimodal.audioTable(spark, docs)
+    val copies = audio.filter(_.doc_id % 9 == 0).map(r => r.copy(doc_id = r.doc_id + 600000))
+    val fp = Multimodal.audioFingerprint(spark, audio.union(copies)).toDF().cache()
+    val byId = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every planted copy shares its source's fingerprint
+    byId.keys.filter(_ >= 600000L).foreach { id =>
+      assert(byId(id) === byId(id - 600000L), s"copy $id diverged from source")
+    }
+    // the envelope discriminates: not all originals share one fp
+    assert(byId.filter(_._1 < 600000L).values.toSet.size > 1)
+    // hand-computed replay of one doc's fingerprint from the generator formulas
+    val id = 7L
+    val n = 256 + (id % 128).toInt * 16
+    val vs = (0 until n).map(i =>
+      if (i == 0) (20000 + id % 10000).toInt
+      else math.abs((((id * 131 + i * 17) % 16384) - 8192).toInt))
+    val ws = new Array[Long](16); val wc = new Array[Long](16); var ts = 0L
+    vs.zipWithIndex.foreach { case (v, i) =>
+      val w = (i.toLong * 16 / n).toInt; ws(w) += v; wc(w) += 1; ts += v
+    }
+    val expected = (0 until 16).map(j => if (ws(j) * n > ts * wc(j)) 1L << j else 0L).sum
+    assert(byId(id) === expected)
+    // the fingerprint pass is map-side: no Exchange (asserted on the
+    // un-limited input — the test's own limit(60) would add a GlobalLimit
+    // exchange that has nothing to do with the operator)
+    assert(!Multimodal.audioFingerprint(spark,
+        Multimodal.audioTable(spark, sf("documents"))).toDF()
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+    fp.unpersist()
+  }
+
   test("video demux: container index walked for real, sampled frames decoded") {
     val docs = sf("documents")
     val videos = Multimodal.videoTable(spark, docs)
