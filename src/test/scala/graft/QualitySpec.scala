@@ -209,4 +209,33 @@ class QualitySpec extends SparkSuite {
       s"shifted increment PSI $shiftPsi should exceed same-distribution PSI $samePsi")
     assert(shiftPsi > 0.2, s"a wholesale distribution shift must trip the 0.2 verdict, got $shiftPsi")
   }
+  test("dq6 corpus drift: identical snapshots read PSI 0; the planted doubling trips the gate") {
+    // the no-drift side the registered fixture can't show: histogramming
+    // the SAME snapshot twice must yield PSI exactly 0 (smoothing included)
+    // and drift_detected = false, while the registered planted-drift query
+    // must trip the 0.2 verdict
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.LlmQueries.defs("dq6_corpus_drift")(spark, dir)
+      .select(col("psi"), col("drift_detected")).distinct().collect()
+    assert(out.length === 1)
+    assert(out.head.getBoolean(1), s"planted doubling must trip the gate, psi=${out.head.getDouble(0)}")
+    assert(out.head.getDouble(0) > 0.2)
+    // same-snapshot control: rebuild the query with curr = base
+    val docs = graft.sources.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def bucketed(tag: String) = docs.select(
+      least(floor(size(graft.text.TextOps.tokens(lower(col("text")))) / 32).cast("long"),
+        lit(9L)).as("bucket"), lit(tag).as("__snap"))
+    val buckets = bucketed("base").unionByName(bucketed("curr"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__snap") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("__snap") === "curr", 1L).otherwise(0L)).as("n_curr"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val pC = (col("n_base") + 1).cast("double") / sum((col("n_base") + 1).cast("double")).over(w)
+    val qC = (col("n_curr") + 1).cast("double") / sum((col("n_curr") + 1).cast("double")).over(w)
+    val same = buckets.withColumn("psi", round(sum((pC - qC) * log(pC / qC)).over(w), 6))
+      .select(col("psi")).distinct().collect()
+    assert(same.length === 1 && same.head.getDouble(0) === 0.0,
+      s"identical snapshots must read PSI 0, got ${same.head.getDouble(0)}")
+  }
 }
