@@ -462,6 +462,32 @@ object Multimodal {
     }
   }
 
+  /** mm8: scene boundaries from consecutive-frame perceptual-hash deltas.
+    * Input is a [[frameAHash]] frame (one row per decoded frame); a cut is
+    * where the 64-bit aHash of a frame differs from its predecessor's in
+    * more than `threshold` bits, and `scene_id` is the running cut count —
+    * the segment label a frame-to-clip pipeline groups on. One window
+    * keyed by video over per-video frame groups (bounded by frame count,
+    * never cross-video), so the shuffle carries (doc_id, frame_no, two
+    * longs) per frame and parallelism follows the video count.
+    */
+  def sceneDetect(frameHashes: DataFrame, threshold: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    frameHashes
+      .withColumn("__prev_hi", lag(col("ahash_hi"), 1).over(w))
+      .withColumn("__prev_lo", lag(col("ahash_lo"), 1).over(w))
+      .withColumn("hamming_prev",
+        bit_count(col("ahash_hi").bitwiseXOR(col("__prev_hi"))) +
+          bit_count(col("ahash_lo").bitwiseXOR(col("__prev_lo"))))
+      .withColumn("is_boundary", coalesce(col("hamming_prev") > threshold, lit(false)))
+      .withColumn("scene_id",
+        sum(col("is_boundary").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("frame_no"), col("hamming_prev"),
+        col("is_boundary"), col("scene_id"))
+  }
+
   private def wrapContainer(r: VideoRecord): java.nio.ByteBuffer = {
     val bb = java.nio.ByteBuffer.wrap(r.payload) // big-endian by default
     val magic = new Array[Byte](4)

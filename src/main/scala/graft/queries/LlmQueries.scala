@@ -962,6 +962,32 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann12: hybrid retrieval — BM25 top-20 (tx17's query set/scoring) and
+    // dense cosine top-20 (queries = vectors 1..3, the shared doc/vec id
+    // space) fused by reciprocal rank fusion (ann/Hybrid.scala). Only
+    // integer ranks cross the fusion boundary, so the fused double is
+    // cross-engine exact; each leg keeps its own scale path (two-stage
+    // salted BM25 rank, broadcast-query ANN) and the fusion works on
+    // queries×k rows regardless of corpus size.
+    "ann12_rrf_hybrid" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq(
+        (1L, "spark"), (1L, "window"), (1L, "shuffle"),
+        (2L, "customer"), (2L, "vector"),
+        (3L, "merge"), (3L, "stream"), (3L, "filter"))
+        .toDF("query_id", "term")
+      val sparse = graft.text.Bm25.topK(
+        Tables.documents(s, dir), q, "doc_id", "text", topK = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Ann.bruteForceTopK(
+        emb.filter(col("vec_id").isin(1L, 2L, 3L)), emb, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+      graft.ann.Hybrid.rrfFuse(Seq("bm25" -> sparse, "dense" -> dense), k = 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rrf_score"),
+          col("bm25_rank"), col("dense_rank"), col("rank"))
+    }),
+
     // dq5: index-fit drift — the measurement that makes ann11's no-retrain
     // trade explicit. The increment's occupancy HISTOGRAM over the
     // base-trained coarse lists is compared to the base's via PSI (x7's
@@ -1598,6 +1624,22 @@ object LlmQueries extends QueryModule {
         .filter(col("id_a") < col("id_b"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("n_shared_frames"))
+    }),
+
+    // mm8: scene-boundary detection — every frame REAL-decoded (demux +
+    // ImageIO, the mm6 path with k ≥ max frame count so no frame is
+    // sampled away), per-frame aHash, then a LAG hamming delta per video:
+    // a cut is where consecutive frames' 64-bit hashes differ in more
+    // than 16 bits (the fixture's delta distribution straddles 16, so
+    // both classes occur). scene_id is the running boundary count — the
+    // segment label a frame-to-clip pipeline groups on. One keyed window
+    // over ≤6-frame groups; only (doc_id, two longs) per frame shuffles,
+    // never pixels. The oracle replays the closed-form frame pixels, the
+    // aHash integer rule, and the same LAG/bit_count arithmetic (mm5's
+    // no-codec stance).
+    "mm8_scene_detect" -> ((s, dir) => {
+      val videos = Multimodal.videoTable(s, Tables.documents(s, dir).select(col("doc_id")))
+      Multimodal.sceneDetect(Multimodal.frameAHash(s, videos, k = 8).toDF())
     }),
 
     // dq2: the quality-agent module over two tables with per-table
@@ -2311,6 +2353,52 @@ object LlmQueries extends QueryModule {
     "ann6c_imi_recall" -> ANN6C_ORACLE,
     "ann6d_imi_recall_clustered" -> ANN6D_ORACLE,
     "dq5_index_drift" -> DQ5_ORACLE,
+    // ann12: both legs replayed in full (tx17's BM25 formula at top-20, the
+    // ann1 rounded-cosine rank at top-20 for query vectors 1..3), fused by
+    // RRF. All fused arithmetic is over integer ranks — one division and
+    // one two-term sum per row, in the same operand order as the Scala
+    // side, so the double ranking key matches bit-for-bit.
+    "ann12_rrf_hybrid" ->
+      s"""WITH q(query_id, term) AS (VALUES
+         |  (1, 'spark'), (1, 'window'), (1, 'shuffle'),
+         |  (2, 'customer'), (2, 'vector'),
+         |  (3, 'merge'), (3, 'stream'), (3, 'filter')),
+         |tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+         |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl FROM tok
+         |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT COUNT(*) AS n_docs, SUM(len($TOKS)) AS total_tokens FROM documents),
+         |ts AS (SELECT q.query_id, tf.doc_id,
+         |  CAST(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |    * (CAST(tf AS DOUBLE) * 2.2)
+         |    / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+         |        / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         |    AS DECIMAL(18,12)) AS term_score
+         | FROM tf JOIN dfq USING (term) CROSS JOIN stats JOIN q ON q.term = tf.term),
+         |pd AS (SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+         |  FROM ts GROUP BY query_id, doc_id),
+         |sleg AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)
+         |    AS INTEGER) AS rnk
+         | FROM pd QUALIFY rnk <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |dl2 AS (SELECT a.vec_id AS query_id, b.vec_id AS id,
+         |  ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rnk
+         | FROM e a JOIN e b ON a.vec_id <> b.vec_id WHERE a.vec_id IN (1, 2, 3)),
+         |dleg AS (SELECT query_id, id, CAST(rnk AS INTEGER) AS rnk FROM dl2 WHERE rnk <= 20),
+         |fused AS (SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         |  COALESCE(s.id, d.id) AS id, s.rnk AS bm25_rank, d.rnk AS dense_rank,
+         |  COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(s.rnk AS DOUBLE)),
+         |      CAST(0 AS DOUBLE))
+         |  + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(d.rnk AS DOUBLE)),
+         |      CAST(0 AS DOUBLE)) AS rrf_score
+         | FROM sleg s FULL OUTER JOIN dleg d ON s.query_id = d.query_id AND s.id = d.id)
+         |SELECT query_id, id AS doc_id, rrf_score, bm25_rank, dense_rank,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, id)
+         |    AS INTEGER) AS "rank"
+         |FROM fused QUALIFY "rank" <= 10""".stripMargin,
     // dq6: token-count bucketing + the x7 smoothed-PSI replay, with the
     // planted text-doubling on every 3rd current-snapshot doc.
     "dq6_corpus_drift" ->
@@ -2690,6 +2778,43 @@ object LlmQueries extends QueryModule {
         |SELECT a.vid AS id_a, b.vid AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
         |FROM bits a JOIN bits b ON a.hi = b.hi AND a.lo = b.lo AND a.vid < b.vid
         |GROUP BY a.vid, b.vid""".stripMargin,
+
+    // mm8: all frames (k=8 ≥ fc max 6 → frame index = frame_no), the mm6
+    // closed-form pixel/aHash replay, then the same LAG hamming rule.
+    "mm8_scene_detect" ->
+      """WITH fcs AS (SELECT doc_id, 2 + doc_id % 5 AS fc FROM documents),
+        |fr AS (SELECT doc_id, fc, j AS frame_no
+        | FROM fcs CROSS JOIN (SELECT unnest(range(0, 6)) AS j) js WHERE j < fc),
+        |dims AS (SELECT doc_id, frame_no,
+        |  4 + (doc_id + frame_no) % 8 AS w, 4 + (doc_id + frame_no) % 6 AS h FROM fr),
+        |pix AS (SELECT doc_id, frame_no, w, h,
+        | unnest(flatten(list_transform(range(0, w), xx ->
+        |   list_transform(range(0, h), yy -> [xx, yy])))) AS xy FROM dims),
+        |px AS (SELECT doc_id, frame_no,
+        | ((doc_id * 37 + frame_no * 11 + xy[1] * 5 + xy[2] * 3) % 256) AS red,
+        | ((xy[2] * 8 // h) * 8 + (xy[1] * 8 // w)) AS b FROM pix),
+        |bsum AS (SELECT doc_id, frame_no, b, SUM(red) AS bs, COUNT(*) AS bc
+        | FROM px GROUP BY doc_id, frame_no, b),
+        |tot AS (SELECT doc_id, frame_no, SUM(red) AS ts, COUNT(*) AS tc
+        | FROM px GROUP BY doc_id, frame_no),
+        |bits AS (SELECT bsum.doc_id, bsum.frame_no,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b >= 32
+        |   THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        | CAST(SUM(CASE WHEN bs * tc > ts * bc AND b < 32
+        |   THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo
+        | FROM bsum JOIN tot ON bsum.doc_id = tot.doc_id AND bsum.frame_no = tot.frame_no
+        | GROUP BY bsum.doc_id, bsum.frame_no),
+        |lagd AS (SELECT doc_id, frame_no,
+        | CAST(bit_count(xor(hi, lag(hi) OVER w)) +
+        |      bit_count(xor(lo, lag(lo) OVER w)) AS INTEGER) AS hamming_prev
+        | FROM bits WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)),
+        |bnd AS (SELECT doc_id, frame_no, hamming_prev,
+        | COALESCE(hamming_prev > 16, FALSE) AS is_boundary FROM lagd)
+        |SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no, hamming_prev, is_boundary,
+        | CAST(SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY doc_id ORDER BY frame_no
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+        |FROM bnd""".stripMargin,
     // mm2: the stats the codecs must recover, from the fixture formulas —
     // image pixels (8+id%16)·(8+id%12), audio samples 256+(id%128)·16, video
     // frames 2+id%5. CAST(SUM AS BIGINT): DuckDB SUM(int) is HUGEINT.
