@@ -226,6 +226,14 @@ object Multimodal {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         val fmt = in.getFormat
+        // The window/sample math below is written for 16-bit mono PCM
+        // (n = bytes/2, getShort per sample). Any other layout would
+        // silently fingerprint garbage, so refuse loudly instead —
+        // the same stance as the index META check and the
+        // heavy-hitter determinism gate.
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"audioFingerprint requires 16-bit mono PCM; doc ${r.doc_id} decodes as " +
+            s"${fmt.getSampleSizeInBits}-bit ${fmt.getChannels}-channel")
         val pcm = in.readAllBytes()
         in.close()
         val bb = java.nio.ByteBuffer.wrap(pcm).order(

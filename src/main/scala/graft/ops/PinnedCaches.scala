@@ -34,11 +34,20 @@ object PinnedCaches {
 
   /** Unpersist every frame graft operators have pinned in this JVM and
     * clear the registry. `blocking = true` waits for block removal.
+    *
+    * JVM-global scope: the registry spans SparkSessions, so `release()`
+    * from one session also unpersists frames another live session pinned
+    * (they recompute on next use — a cost, never a wrongness). A frame
+    * whose session has already been stopped throws on unpersist; that
+    * must not strand the rest of the registry pinned, so each unpersist
+    * is isolated and the entry is removed either way.
     */
   def release(blocking: Boolean = false): Unit = {
     val it = frames.iterator()
     while (it.hasNext) {
-      it.next().unpersist(blocking)
+      val frame = it.next()
+      try frame.unpersist(blocking)
+      catch { case scala.util.control.NonFatal(_) => () } // stopped session: nothing left to release
       it.remove()
     }
   }

@@ -167,6 +167,15 @@ object Sampling {
     require(nFolds > 0 && trainDays > 0 && testDays > 0 && embargoDays >= 0,
       s"need nFolds/trainDays/testDays > 0 and embargoDays >= 0, got " +
         s"$nFolds/$trainDays/$testDays/$embargoDays")
+    // A typo'd origin would make to_date(lit(origin)) null, datediff null,
+    // and the join predicate false for EVERY row — zero folds instead of
+    // an error. Parse eagerly so it fails loudly on the driver.
+    try java.time.LocalDate.parse(origin)
+    catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"origin must be an ISO date (yyyy-MM-dd), got '$origin'", e)
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val folds = (0 until nFolds).map { k =>

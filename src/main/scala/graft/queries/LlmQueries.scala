@@ -425,6 +425,19 @@ object LlmQueries extends QueryModule {
       drain()
       batch2.repartition(4).write.mode("append").parquet(s"$tmp/src")
       drain()
+      // Compact the shared index: this run's folded partitions are
+      // namespaced to its runId and pruned out of every OTHER run's serve
+      // (includeTags), so once both drains have landed their flags under
+      // $tmp/out they are dead weight — without this the per-process index
+      // accrues two partitions per invocation and listing cost grows per
+      // bench rep.
+      locally {
+        val fs = new org.apache.hadoop.fs.Path(idx)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(0, 1).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sigs/part=${runId}_b$b"), true)
+        }
+      }
       s.read.parquet(s"$tmp/out")
         .select(col("doc_id"), col("matched_base"), col("est_jaccard"), col("is_dup"))
     }),

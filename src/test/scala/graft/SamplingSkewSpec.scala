@@ -93,6 +93,13 @@ class SamplingSkewSpec extends SparkSuite {
       nFolds = 4, trainDays = 10, testDays = 4, embargoDays = 2)
     assert(folds.exceptAll(again).isEmpty && again.exceptAll(folds).isEmpty)
     folds.unpersist()
+    // a typo'd origin must fail loudly on the driver, not return zero folds
+    // (to_date(lit(bad)) would be null → datediff null → join matches nothing)
+    val bad = intercept[IllegalArgumentException] {
+      Sampling.walkForwardFolds(ev, col("ts"), origin = "2024-13-45",
+        nFolds = 4, trainDays = 10, testDays = 4, embargoDays = 2)
+    }
+    assert(bad.getMessage.contains("ISO date"))
   }
 
   test("SP2: stratified sample keeps per-stratum fractions and is idempotent") {

@@ -176,6 +176,27 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(!Multimodal.audioFingerprint(spark,
         Multimodal.audioTable(spark, sf("documents"))).toDF()
       .queryExecution.executedPlan.toString.contains("Exchange"))
+    // a WAV that isn't 16-bit mono must refuse loudly, not fingerprint
+    // garbage (the sample loop reads getShort per mono sample)
+    locally {
+      import spark.implicits._
+      val n = 64; val dataLen = n * 2 * 2 // stereo 16-bit
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+        .putInt(16).putShort(1).putShort(2) // PCM, 2 channels
+        .putInt(8000).putInt(8000 * 2 * 2).putShort(4).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until n * 2).foreach(i => bb.putShort((i * 37 % 8192).toShort))
+      val stereo = spark.createDataset(Seq(
+        Multimodal.AudioRecord(1L, bb.array(), bb.array().length.toLong)))
+      val err = intercept[org.apache.spark.SparkException] {
+        Multimodal.audioFingerprint(spark, stereo).collect()
+      }
+      assert(err.getCause != null &&
+        err.getCause.getMessage.contains("16-bit mono"))
+    }
     fp.unpersist()
   }
 
