@@ -14,7 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ScanProjQueries, AggQueries, WindowQueries, JoinQueries,
     SetOrderQueries, DmlQueries, ViewQueries, LlmQueries, SinkQueries,
-    SamplingQueries)
+    SamplingQueries, LayoutQueries)
 
   /** Flagship: the V5-analog individual budget-vs-actual view on sf0.001
     * (driver smoke-checks rows > 0). */

@@ -75,11 +75,11 @@ object ZOrder {
     * sides agree bit-for-bit. Rendered from the same (bits, stats) values
     * the Spark side uses; the formulas cannot drift independently.
     */
-  def zValueSql(dims: Seq[String], stats: Seq[(Long, Long)], bits: Int): String = {
+  def zValueSql(dims: Seq[String], stats: Seq[(String, String)], bits: Int): String = {
     val maxRank = (1L << bits) - 1
     val n = dims.size
     val ranks = dims.zip(stats).map { case (d, (mn, mx)) =>
-      s"((least(greatest(CAST($d AS BIGINT), $mn), $mx) - $mn) * $maxRank // ${mx - mn})"
+      s"((least(greatest(CAST($d AS BIGINT), $mn), $mx) - ($mn)) * $maxRank // (($mx) - ($mn)))"
     }
     val terms = for {
       i <- 0 until bits

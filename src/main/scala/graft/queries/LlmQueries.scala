@@ -1425,6 +1425,18 @@ object LlmQueries extends QueryModule {
           col("keep"), col("drop_reasons"))
     }),
 
+    // tx21: corpus-level collocation mining — top adjacent word pairs by
+    // fixed-point PMI (the log's argument as exact integer `c_ab·N·1e6 div
+    // c_a·c_b`, so the RANKING has no float in it and replays exactly in
+    // DuckDB with hugeint `//`). Bigrams extract map-side (zip_with over
+    // two token-array slices, no explode-join); the hapax tail is pruned
+    // by minCount BEFORE the unigram joins; top-k is
+    // TakeOrderedAndProject. See graft.text.Collocations for the 100 TB
+    // shape and overflow bounds.
+    "tx21_pmi_collocations" -> ((s, dir) =>
+      graft.text.Collocations.pmiCollocations(
+        Tables.documents(s, dir), "text", minCount = 3L, topK = 100)),
+
     // tx20b: the curation gate at NEAR-DUP granularity — what a production
     // pipeline actually runs: the dup leg is dd2b's portable MinHash+LSH
     // pairs chained through dd6's connected components, so canonicalization
@@ -2520,6 +2532,27 @@ object LlmQueries extends QueryModule {
          |  CASE WHEN NOT token_ok THEN 'tokens' END,
          |  CASE WHEN NOT dup_ok THEN 'duplicate' END) AS drop_reasons
          |FROM gates""".stripMargin,
+    // tx21: the PMI replay — same explicit-class tokenization, bigrams via
+    // list_transform over index ranges, and the identical fixed-point
+    // integer score in hugeint (// is exact floor division; both engines'
+    // operands are positive, so div and // agree).
+    "tx21_pmi_collocations" ->
+      """WITH tokd AS (SELECT list_filter(
+        |  regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+        |  t -> length(t) > 0) AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM tokd),
+        |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        |nt AS (SELECT COUNT(*) AS n FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(0, greatest(len(ws) - 1, 0)),
+        |  i -> struct_pack(w1 := ws[i+1], w2 := ws[i+2]))) AS g FROM tokd),
+        |bc AS (SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c_ab FROM bi
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT bc.w1, bc.w2, bc.c_ab, u1.c AS c1, u2.c AS c2,
+        |CAST(CAST(bc.c_ab AS HUGEINT) * nt.n * 1000000
+        |  // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_scaled
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, nt
+        |ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+
     // tx20b: tx20's gate oracle with the canon CTE replaced by the chained
     // dd2b-portable MinHash CTEs (over plain documents) feeding dd6's
     // recursive reachability — keeper = smallest doc id reachable through
