@@ -65,6 +65,48 @@ object LayoutQueries extends QueryModule {
         .filter(col("l_partkey").between(100, 400) &&
           col("l_suppkey").between(10, 40))
         .withColumn("zval", ZOrder.zValue(dims.map(col), stats, bits))
+    }),
+
+    // ST16: streaming ingest + z-order compaction — the maintenance loop a
+    // streamed lakehouse table needs: micro-batch appends accumulate SMALL
+    // FILES with no layout (each batch writes its own shard set — the
+    // small-files problem), and a periodic compaction pass rewrites the
+    // accumulated table clustered (zo2's layout) so downstream scans get
+    // the min/max pruning the raw append stream never has. The stream is
+    // real (readStream + maxFilesPerTrigger forces multiple micro-batches
+    // through foreachBatch); the compaction is ZOrder.layoutWrite over the
+    // accumulated table. Oracle = the full original selection: compaction
+    // must be exactly lossless. File-count reduction and post-compaction
+    // clustering are asserted in ZOrderSpec (st16 leg).
+    "st16_stream_compaction" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = tmp("graft_st16")
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"))
+      (0 until 3).foreach { i =>
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+          .repartition(4)
+          .write.mode("append").parquet(s"$base/src")
+      }
+      val schema = s.read.parquet(s"$base/src").schema
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 4)
+        .parquet(s"$base/src")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.repartition(4).write.mode("append").parquet(s"$base/table")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val acc = s.read.parquet(s"$base/table")
+      val st = acc.agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+      val stats = Seq((st.getLong(0), st.getLong(1)), (st.getLong(2), st.getLong(3)))
+      ZOrder.layoutWrite(acc, dims.map(col), stats, bits,
+        s"$base/compacted", nFiles = 4, blockBytes = 64L << 10)
+      s.read.parquet(s"$base/compacted")
     }))
 
   // the oracle's stats CTE mirrors the query's driver-side stats pass
@@ -83,5 +125,8 @@ object LayoutQueries extends QueryModule {
       s"""WITH $statsCte
          |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
          |CAST($zSql AS BIGINT) AS zval FROM lineitem, st
-         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40""".stripMargin)
+         |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40""".stripMargin,
+    // st16: stream-append + compact must be exactly lossless
+    "st16_stream_compaction" ->
+      "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem")
 }

@@ -111,6 +111,37 @@ class ZOrderSpec extends SparkSuite {
       s"z-layout partkey scan output $zP of $total — no skipping")
   }
 
+  test("st16: append stream accumulates small files; compaction reduces AND clusters") {
+    val li = sf("lineitem").select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_linenumber"), col("l_quantity"))
+    val base = tmpDir()
+    // three "micro-batch" appends, 4 shards each — the small-files shape
+    (0 until 3).foreach { i =>
+      li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+        .repartition(4).write.mode("append").parquet(s"$base/table")
+    }
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/table") >= 12)
+    val acc = spark.read.parquet(s"$base/table")
+    val st = acc.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head
+    val stats = Seq((st.getLong(0), st.getLong(1)), (st.getLong(2), st.getLong(3)))
+    ZOrder.layoutWrite(acc, Seq(col("l_partkey"), col("l_suppkey")), stats,
+      bits = 12, path = s"$base/compacted", nFiles = 4, blockBytes = 64L << 10)
+    assert(parquetFiles(s"$base/compacted") <= 4)
+    // lossless and clustered: both dims' per-file spans shrink vs the
+    // append layout (which has no clustering at all). Geometry bound: 4
+    // z-range files split on the top 2 interleaved bits, i.e. each file
+    // owns ~half of EACH dim's domain — so expect ~0.5-0.7x after
+    // range-boundary sampling slop, against 1.0x for appends.
+    assert(spark.read.parquet(s"$base/compacted").count() === li.count())
+    val (cp, cs) = perFileSpans(s"$base/compacted")
+    val (ap, as_) = perFileSpans(s"$base/table")
+    assert(cp < ap * 0.8 && cs < as_ * 0.6,
+      s"compaction did not cluster: ($cp, $cs) vs append ($ap, $as_)")
+  }
+
   test("tx21 PMI: planted collocation outranks frequent-but-independent pair") {
     import spark.implicits._
     // "zyx qwv" always co-occur (never apart); "the cat" both frequent but
