@@ -161,30 +161,9 @@ object AggQueries extends QueryModule {
     // tolerance gate, same contract as x5/x6: at scale only the sketch
     // runs. Output reshapes the single stats row into one row per column
     // via an inline array of structs (no shuffle beyond the global agg).
-    "x12_table_profile" -> ((s, dir) => {
-      val t = Tables.orders(s, dir)
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
-      val aggs = cols.flatMap { c =>
-        Seq(count(col(c)).as(s"${c}_nn"),
-          countDistinct(col(c)).as(s"${c}_nd"),
-          approx_count_distinct(col(c)).as(s"${c}_ad"),
-          min(col(c)).cast("string").as(s"${c}_mn"),
-          max(col(c)).cast("string").as(s"${c}_mx"))
-      }
-      val allAggs = count(lit(1)).as("n_rows") +: aggs
-      val one = t.agg(allAggs.head, allAggs.tail: _*)
-      one.select(col("n_rows"), explode(array(cols.map { c =>
-          struct(lit(c).as("col_name"),
-            (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
-            col(s"${c}_nd").as("n_distinct"),
-            (abs(col(s"${c}_ad") - col(s"${c}_nd")) <=
-              greatest(col(s"${c}_nd") * lit(0.1), lit(4.0))).as("approx_within_tol"),
-            col(s"${c}_mn").as("min_str"), col(s"${c}_mx").as("max_str"))
-        }: _*)).as("p"))
-        .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
-          col("p.n_distinct"), col("p.approx_within_tol"),
-          col("p.min_str"), col("p.max_str"))
-    }),
+    "x12_table_profile" -> ((s, dir) =>
+      graft.quality.Profiling.profile(Tables.orders(s, dir),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
 
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
@@ -426,18 +405,18 @@ object AggQueries extends QueryModule {
     // x12: exact stats per column + the x5-style gate assertion that the
     // HLL++ estimate landed within tolerance of the exact cardinality.
     "x12_table_profile" ->
-      """SELECT p.col_name, s.n_rows, p.n_nulls, p.n_distinct,
+      """SELECT p.col_name, p.dtype, s.n_rows, p.n_nulls, p.n_distinct,
         |TRUE AS approx_within_tol, p.min_str, p.max_str
         |FROM (SELECT COUNT(*) AS n_rows FROM orders) s, (
-        |  SELECT 'o_orderkey' AS col_name,
+        |  SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype,
         |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
         |    COUNT(DISTINCT o_orderkey) AS n_distinct,
         |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
         |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_str FROM orders
-        |  UNION ALL SELECT 'o_custkey',
+        |  UNION ALL SELECT 'o_custkey', 'bigint',
         |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
         |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
-        |  UNION ALL SELECT 'o_orderstatus',
+        |  UNION ALL SELECT 'o_orderstatus', 'string',
         |    COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
         |    MIN(o_orderstatus), MAX(o_orderstatus) FROM orders) p""".stripMargin,
     "x7_drift_psi" ->

@@ -818,6 +818,27 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
     }),
 
+    // ann13: metadata-FILTERED vector search — top-k among corpus vectors
+    // whose document metadata passes a predicate (here lang='en'). The
+    // semantics that matter: the filter applies to the CORPUS BEFORE
+    // ranking (pre-filter), so every query still gets k qualifying
+    // neighbors — post-filtering an unfiltered top-k would silently return
+    // fewer than k (the classic filtered-ANN bug every production vector
+    // store documents). Exact form here (brute force over the filtered
+    // subset — the filter is a semi-join the optimizer pushes below the
+    // ranking); at scale the same semi-join lands on the ann9 CODES table
+    // before probing, with ann6's recall monitor guarding the
+    // fewer-candidates-per-list effect.
+    "ann13_filtered_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val meta = Tables.documents(s, dir)
+        .filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Ann.bruteForceTopK(emb.filter(col("vec_id") < 10),
+          emb.join(meta, Seq("vec_id"), "left_semi"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    }),
+
     // ann2: random-hyperplane LSH bucketed approximate top-k (scale path,
     // xxhash64-seeded planes). Oracled via the bucket side-dump
     // ([[OracleDumps]]): DuckDB takes Spark's bucket assignment as given and
@@ -1050,6 +1071,30 @@ object LlmQueries extends QueryModule {
         .withColumn("psi", round(sum((p - q) * log(p / q)).over(w), 6))
         .select(col("bucket"), col("n_base"), col("n_curr"), col("psi"),
           (col("psi") > 0.2).as("drift_detected"))
+    }),
+
+    // dq7: SCHEMA + stat drift between two table versions — the contract
+    // check a sync runs when a new snapshot arrives: which columns
+    // appeared/vanished/changed type, and did null rates move. Built on
+    // x12's one-pass profile (quality/Profiling); the drift join is
+    // column-count-sized, control-plane cheap at any table size. Null
+    // rates compare in exact integer basis points (div, no float ratio).
+    // The fixture plants every drift class: o_custkey type-changes to
+    // string, o_orderstatus nulls out its 'F' rows (null-rate jump),
+    // o_totalprice drops, o_orderdate appears.
+    "dq7_schema_drift" -> ((s, dir) => {
+      import graft.quality.Profiling
+      val orders = Tables.orders(s, dir)
+      val prev = orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      val curr = orders.select(col("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        when(col("o_orderstatus") === "F", lit(null))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      Profiling.schemaDrift(
+        Profiling.profile(prev, prev.columns.toSeq),
+        Profiling.profile(curr, curr.columns.toSeq))
     }),
 
     // ann6: recall@3 of the IVF+PQ path against the exact integer-L2 top-3
@@ -2447,6 +2492,54 @@ object LlmQueries extends QueryModule {
          |    * ln((CAST(n_base + 1 AS DOUBLE) / tb) / (CAST(n_curr + 1 AS DOUBLE) / tc)))
          |    OVER (), 6) > 0.2 AS drift_detected
          |FROM c CROSS JOIN t""".stripMargin,
+    // dq7: both snapshot profiles replayed per column (literal dtypes —
+    // the oracle knows the projection statically), then the same
+    // full-outer drift join with integer-basis-point null rates.
+    "dq7_schema_drift" ->
+      """WITH curr_t AS (SELECT o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate FROM orders),
+        |pp AS (
+        |  SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype,
+        |    COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'bigint', COUNT(*),
+        |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'string', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'double', COUNT(*),
+        |    COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice) FROM orders),
+        |cp AS (
+        |  SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype,
+        |    COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct FROM curr_t
+        |  UNION ALL SELECT 'o_custkey', 'string', COUNT(*),
+        |    COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey) FROM curr_t
+        |  UNION ALL SELECT 'o_orderstatus', 'string', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus) FROM curr_t
+        |  UNION ALL SELECT 'o_orderdate', 'date', COUNT(*),
+        |    COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate) FROM curr_t),
+        |p AS (SELECT col_name, dtype AS dtype_prev,
+        |  n_nulls * 10000 // n_rows AS null_bps_prev,
+        |  n_distinct AS n_distinct_prev FROM pp),
+        |c AS (SELECT col_name, dtype AS dtype_curr,
+        |  n_nulls * 10000 // n_rows AS null_bps_curr,
+        |  n_distinct AS n_distinct_curr FROM cp)
+        |SELECT COALESCE(p.col_name, c.col_name) AS col_name,
+        |  CASE WHEN p.dtype_prev IS NULL THEN 'added'
+        |       WHEN c.dtype_curr IS NULL THEN 'dropped'
+        |       WHEN p.dtype_prev <> c.dtype_curr THEN 'type_changed'
+        |       ELSE 'common' END AS status,
+        |  p.dtype_prev, c.dtype_curr, p.null_bps_prev, c.null_bps_curr,
+        |  p.n_distinct_prev, c.n_distinct_curr,
+        |  (CASE WHEN p.dtype_prev IS NULL THEN 'added'
+        |        WHEN c.dtype_curr IS NULL THEN 'dropped'
+        |        WHEN p.dtype_prev <> c.dtype_curr THEN 'type_changed'
+        |        ELSE 'common' END) <> 'common'
+        |    OR abs(p.null_bps_prev - c.null_bps_curr) > 100 AS drift_detected
+        |FROM p FULL OUTER JOIN c ON p.col_name = c.col_name""".stripMargin,
+
     // x10: the oracle is the EXACT definition (group-count + share
     // threshold) — the sketch is an execution strategy, not a semantics
     // change, which is the whole point of the verify pass.
@@ -3420,6 +3513,20 @@ object LlmQueries extends QueryModule {
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
         |FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |SELECT query_id, neighbor_id, round(list_cosine_similarity(qe, ce), 6) AS cosine,
+        |ROW_NUMBER() OVER (PARTITION BY query_id
+        |ORDER BY round(list_cosine_similarity(qe, ce), 6) DESC, neighbor_id) AS rank
+        |FROM q, c WHERE query_id <> neighbor_id)
+        |WHERE rank <= 5""".stripMargin,
+    // ann13: the ann1 replay with the corpus side pre-filtered by the
+    // metadata predicate — ranks computed AFTER the filter
+    "ann13_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT e.vec_id AS neighbor_id, CAST(e.embedding AS DOUBLE[]) AS ce
+        |FROM embeddings e WHERE e.vec_id IN
+        |  (SELECT doc_id FROM documents WHERE lang = 'en'))
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |SELECT query_id, neighbor_id, round(list_cosine_similarity(qe, ce), 6) AS cosine,
         |ROW_NUMBER() OVER (PARTITION BY query_id

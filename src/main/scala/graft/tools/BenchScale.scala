@@ -259,6 +259,54 @@ object BenchScale {
     }
   }
 
+  /** Layout leg (round 13): the z-order skipping claim measured at the
+    * first scale point — the 10x lineitem written twice (z-ordered on
+    * (l_partkey, l_suppkey) vs linear-sorted on l_partkey, same row-group
+    * size), then the NON-sort-dim predicate timed on each with the scan's
+    * decoded-row metric captured (rows surviving row-group pruning). The
+    * z layout should decode a small fraction of what the linear layout
+    * decodes — the property zo1/zo2 pin for correctness and ZOrderSpec
+    * asserts at sf0.01.
+    */
+  private def layoutLeg(spark: SparkSession, dir: String): String = {
+    import graft.ops.ZOrder
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_quantity"))
+    val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head
+    val stats = Seq((st.getLong(0), st.getLong(1)), (st.getLong(2), st.getLong(3)))
+    val base = java.nio.file.Files.createTempDirectory("graft_scale_zo").toString
+    ZOrder.layoutWrite(li, Seq(col("l_partkey"), col("l_suppkey")), stats,
+      bits = 12, path = s"$base/z", nFiles = 32, blockBytes = 256L << 10)
+    li.repartitionByRange(32, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.option("parquet.block.size", 256L << 10).parquet(s"$base/lin")
+    val pred = col("l_suppkey") === 420
+    def run(path: String): (Long, Double) = {
+      spark.read.parquet(path).filter(pred).count() // warm
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(path).filter(pred).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val df = spark.read.parquet(path).filter(pred)
+      df.collect()
+      val rows = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+      (rows, times.sorted.apply(1))
+    }
+    val (zr, zt) = run(s"$base/z")
+    val (lr, lt) = run(s"$base/lin")
+    val total = li.count()
+    System.err.println(f"[scale] layout leg: z decodes $zr of $total, linear $lr; z $zt%.2fs linear $lt%.2fs")
+    f"""{"predicate":"l_suppkey = 420 (non-sort dim)","total_rows":$total,""" +
+      f""""z_decoded_rows":$zr,"linear_decoded_rows":$lr,""" +
+      f""""decode_ratio":${zr.toDouble / lr}%.4f,"z_sec":$zt%.3f,"linear_sec":$lt%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -293,6 +341,8 @@ object BenchScale {
     buildSkewCorpus(spark, skewBase._2, skewDir)
     val skewUniform = measure(spark, skewBase._2, skewQueries)
     val skewZipf = measure(spark, skewDir, skewQueries)
+    // layout leg: z-order skipping measured on the first scale point
+    val layoutJson = layoutLeg(spark, skewBase._2)
     // content-skew leg: the dedup family on zipf-headed text (same volume)
     val skewTextDir = s"/tmp/graft_scale_skewtext${skewBase._1}x"
     buildTextSkewCorpus(spark, skewBase._2, skewTextDir)
@@ -361,7 +411,8 @@ object BenchScale {
       s""""ratio":${obj(ratios(skewUniform, skewZipf))},""" +
       s""""text":{"queries":${skewTextQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""uniform":${obj(skewTextUniform)},"zipf":${obj(skewTextZipf)},""" +
-      s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}}$deepJson$headlineDeepJson}"""
+      s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}},""" +
+      s""""layout":$layoutJson$deepJson$headlineDeepJson}"""
     println(json)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }
