@@ -719,4 +719,28 @@ class DedupAnnSpec extends SparkSuite {
     val tight = run(2) // forces multi-sub-bucket replication on every band
     assert(roomy.exceptAll(tight).isEmpty && tight.exceptAll(roomy).isEmpty)
   }
+
+  test("ann13 semantics: pre-filter delivers k qualifying neighbors where post-filter under-delivers") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val en = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val enIds = en.collect().map(_.getLong(0)).toSet
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 5
+    // PRE-filter (the operator): every query gets exactly k neighbors, all en
+    val pre = graft.ann.Ann.bruteForceTopK(queries,
+      emb.join(en, Seq("vec_id"), "left_semi"), k)
+    val perQuery = pre.groupBy(col("query_id")).count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) === k.toLong))
+    assert(pre.collect().forall(r => enIds(r.getAs[Long]("neighbor_id"))))
+    // POST-filter (the bug this operator exists to avoid): filtering an
+    // unfiltered top-k afterwards must under-deliver for at least one query
+    // (some of its k nearest are non-en)
+    val post = graft.ann.Ann.bruteForceTopK(queries, emb, k)
+      .filter(col("neighbor_id").isin(enIds.toSeq.map(Long.box): _*))
+    val postCounts = post.groupBy(col("query_id")).count()
+      .collect().map(_.getLong(1))
+    assert(postCounts.exists(_ < k),
+      "fixture too en-heavy to demonstrate post-filter under-delivery")
+  }
 }
