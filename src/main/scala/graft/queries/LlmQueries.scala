@@ -1482,6 +1482,29 @@ object LlmQueries extends QueryModule {
       graft.text.Collocations.pmiCollocations(
         Tables.documents(s, dir), "text", minCount = 3L, topK = 100)),
 
+    // tx22: BPE tokenizer TRAINING — learn the merges table tx3b's
+    // inference consumes, from the corpus itself (Sennrich et al. 2016).
+    // Corpus touched once (the distinct-word count); each of the 8
+    // iterations is one vocabulary-sized pair-count aggregation + a one-row
+    // driver argmax + a map-side literal replace. The bracket encoding
+    // (<c><a><t>) makes merge application a literal leftmost
+    // non-overlapping string replace — identical semantics in Spark and
+    // DuckDB — so the oracle re-derives EVERY merge from raw text (8
+    // unrolled stages, each verifying the argmax of the state the previous
+    // merges produced). See graft.text.BpeTrain.
+    "tx22_bpe_train" -> ((s, dir) =>
+      graft.text.BpeTrain.train(Tables.documents(s, dir), "text", merges = 8)),
+
+    // tx22b: the train→apply ROUNDTRIP — tokenize the corpus with the
+    // merges tx22 just learned, applied in TRAINING ORDER (true BPE
+    // inference; tx3b's greedy longest-match is the WordPiece variant).
+    // Training is k vocabulary-sized shuffles; application is pure
+    // map-side (the merges fold into one literal replace chain), so the
+    // corpus pass has no shuffle. The oracle re-derives the merges through
+    // the tx22 stage chain and applies the same chain per word.
+    "tx22b_bpe_roundtrip" -> ((s, dir) =>
+      graft.text.BpeTrain.trainAndCount(Tables.documents(s, dir), "text", merges = 8)),
+
     // tx20b: the curation gate at NEAR-DUP granularity — what a production
     // pipeline actually runs: the dup leg is dd2b's portable MinHash+LSH
     // pairs chained through dd6's connected components, so canonicalization
@@ -2645,6 +2668,12 @@ object LlmQueries extends QueryModule {
         |  // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_scaled
         |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w, nt
         |ORDER BY pmi_scaled DESC, bc.w1, bc.w2 LIMIT 100""".stripMargin,
+
+    // tx22: the full training replay, generated for the same merge count
+    "tx22_bpe_train" -> graft.text.BpeTrain.oracleSql(8),
+
+    // tx22b: training replay + per-word merge application (same chain)
+    "tx22b_bpe_roundtrip" -> graft.text.BpeTrain.roundtripOracleSql(8),
 
     // tx20b: tx20's gate oracle with the canon CTE replaced by the chained
     // dd2b-portable MinHash CTEs (over plain documents) feeding dd6's
