@@ -232,6 +232,15 @@ object BenchScale {
     System.err.println(s"[scale] corpus built at $outDir (${copies}x facts+docs, 1x dims)")
   }
 
+  /** A timed run that THREW — recorded here so main can refuse to write
+    * BENCH_SCALE.json. A failed run used to fall through to the generic
+    * timing path and record its (near-zero) exception latency as the
+    * query's median; one such run published a headline_deep leg where the
+    * 100x flagship read 0.010 s — plausible-looking JSON, garbage data.
+    * Failures must be loud: no artifact beats a wrong artifact.
+    */
+  private val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
   private def measure(spark: SparkSession, dir: String,
       names: Seq[String]): Seq[(String, Double)] = {
     def isolate(): Unit = {
@@ -247,15 +256,23 @@ object BenchScale {
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[scale] warmup $name failed: $e") }
       isolate()
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[scale] $name failed: $e") }
+        val ok =
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name failed: $e")
+            failures.getOrElseUpdate(s"$dir $name", e.toString); false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        isolate(); dt
+        isolate()
+        if (ok) Some(dt) else None
       }
-      System.err.println(f"[scale] $dir $name: ${times.map(t => f"$t%.2f").mkString(", ")}")
-      name -> times.sorted.apply(1)
+      System.err.println(f"[scale] $dir $name: ${times.map(t => f"$t%.2f").mkString(", ")}" +
+        (if (times.size < 3) s" (${3 - times.size} run(s) FAILED)" else ""))
+      // median of the successful runs; all-failed contributes NaN, which
+      // never reaches the file (main aborts when failures is non-empty)
+      name -> (if (times.isEmpty) Double.NaN else times.sorted.apply(times.size / 2))
     }
   }
 
@@ -301,6 +318,9 @@ object BenchScale {
     val (zr, zt) = run(s"$base/z")
     val (lr, lt) = run(s"$base/lin")
     val total = li.count()
+    // the two layouts are ~80 MB per run and derivable — don't accumulate
+    // them across runs like the cached corpora (which ARE reused)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     System.err.println(f"[scale] layout leg: z decodes $zr of $total, linear $lr; z $zt%.2fs linear $lt%.2fs")
     f"""{"predicate":"l_suppkey = 420 (non-sort dim)","total_rows":$total,""" +
       f""""z_decoded_rows":$zr,"linear_decoded_rows":$lr,""" +
@@ -414,6 +434,12 @@ object BenchScale {
       s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}},""" +
       s""""layout":$layoutJson$deepJson$headlineDeepJson}"""
     println(json)
+    if (failures.nonEmpty) {
+      failures.foreach { case (k, v) => System.err.println(s"[scale] FAILED $k: $v") }
+      spark.stop()
+      sys.error(s"${failures.size} measured run(s) failed — BENCH_SCALE.json NOT written " +
+        "(a partial artifact would publish exception latencies as medians)")
+    }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SCALE.json"), json)
     catch { case e: Throwable => System.err.println(s"[scale] file write failed: $e") }
     spark.stop()
