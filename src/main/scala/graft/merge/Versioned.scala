@@ -1,0 +1,169 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** A minimal versioned-table transaction log (VT1/VT2; beyond-reference):
+  * time travel, rollback, and atomic commits over plain parquet — the
+  * table-format substrate (Delta/Iceberg-style, from their published
+  * designs) that a long-lived 100 TB sync target needs once "overwrite the
+  * directory" stops being an option.
+  *
+  * Layout:
+  * {{{
+  *   root/_vlog/v00001.txt     one manifest per version (see format below)
+  *   root/data/c1-<uuid>/      immutable parquet files, one dir per commit
+  * }}}
+  *
+  * Manifest format (plain text, one header line then one RELATIVE file path
+  * per line — relocatable, no JSON parser in the trust path):
+  * {{{
+  *   op=append parent=3
+  *   data/c4-.../part-....parquet
+  * }}}
+  *
+  * Semantics and why they hold at scale:
+  *  - Data files are IMMUTABLE: a commit only ever adds a new `data/c*` dir
+  *    and a new manifest. Appends are O(new data); rollback is a POINTER
+  *    FLIP (a new manifest listing an old version's files — zero data moved,
+  *    any terabyte count); time travel is "plan from manifest N's file
+  *    list", so a reader's scan set is exact, never directory-listing-racy.
+  *  - Commit is ATOMIC + optimistically concurrent: the manifest is staged
+  *    to a temp name and promoted with a hard link, which REFUSES to
+  *    replace (POSIX rename would clobber silently) — two writers racing to
+  *    v(n+1) means exactly one wins and the loser throws (retry = re-read
+  *    the log, re-stage). Same local/HDFS filesystem caveat as [[Dml]]:
+  *    object stores need a CAS'd log service.
+  *  - Readers never see partial state: a version exists iff its manifest
+  *    rename completed, and the files it lists were fully written before
+  *    the rename (Spark's job commit precedes [[commit]]'s return).
+  */
+object Versioned {
+
+  final case class Version(n: Int, op: String, parent: Int, files: Seq[String])
+
+  private def vlogDir(root: String): Path = Paths.get(root, "_vlog")
+  private def manifestPath(root: String, n: Int): Path =
+    vlogDir(root).resolve(f"v$n%05d.txt")
+
+  /** All committed versions, ascending. */
+  def versions(root: String): Seq[Version] = {
+    val dir = vlogDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d{5}\\.txt"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map { p =>
+        val lines = Files.readAllLines(p).asScala.toSeq
+        val n = p.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toInt
+        val header = lines.head.split(" ").map(_.split("=")).map(a => a(0) -> a(1)).toMap
+        Version(n, header("op"), header("parent").toInt, lines.tail.filter(_.nonEmpty))
+      }
+  }
+
+  def currentVersion(root: String): Option[Version] = versions(root).lastOption
+
+  // private[graft] so the spec can drive the CAS with a racing version
+  // number directly — a single-threaded test can't interleave two appends
+  // between version selection and promote
+  private[graft] def writeManifest(root: String, v: Version): Version = {
+    Files.createDirectories(vlogDir(root))
+    val body = (s"op=${v.op} parent=${v.parent}" +: v.files).mkString("\n")
+    val tmp = Files.createTempFile(vlogDir(root), s".v${v.n}-", ".staged")
+    Files.writeString(tmp, body)
+    // atomic promote via hard link: POSIX rename REPLACES silently (so an
+    // ATOMIC_MOVE would let the second writer clobber the first), while
+    // link(2) fails with EEXIST — fully-written content appears under the
+    // final name in one atomic step, and a concurrent winner loses loudly.
+    try Files.createLink(manifestPath(root, v.n), tmp)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(
+        s"concurrent commit: version ${v.n} already exists at $root " +
+          "(re-read the log and retry on top of it)", e)
+    }
+    finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** List the parquet files a finished Spark write left under `dataDir`,
+    * as root-relative paths (manifests must survive a table relocation).
+    */
+  private def listParquet(root: String, dataDir: Path): Seq[String] = {
+    val rootP = Paths.get(root)
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => rootP.relativize(p).toString)
+      .toSeq.sorted
+  }
+
+  private def writeData(df: DataFrame, root: String, n: Int): Seq[String] = {
+    val dataDir = Paths.get(root, "data", s"c$n-${java.util.UUID.randomUUID()}")
+    df.write.parquet(dataDir.toString)
+    listParquet(root, dataDir)
+  }
+
+  /** Append `df` as the next version (previous files + the new commit's). */
+  def append(df: DataFrame, root: String): Version = {
+    val cur = currentVersion(root)
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val files = writeData(df, root, n)
+    writeManifest(root, Version(n, "append", cur.map(_.n).getOrElse(0),
+      cur.map(_.files).getOrElse(Seq.empty) ++ files))
+  }
+
+  /** Replace the table contents with `df` as the next version. Old files
+    * stay on disk (they back earlier versions) — retention is a separate,
+    * deliberate vacuum, never a side effect of a write.
+    */
+  def overwrite(df: DataFrame, root: String): Version = {
+    val cur = currentVersion(root)
+    val n = cur.map(_.n + 1).getOrElse(1)
+    writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
+      writeData(df, root, n)))
+  }
+
+  /** Roll the table back to version `to` by committing a NEW version with
+    * `to`'s file list — history is append-only (the bad versions stay
+    * auditable), and no data is copied regardless of table size.
+    */
+  def rollback(root: String, to: Int): Version = {
+    val all = versions(root)
+    val target = all.find(_.n == to).getOrElse(
+      throw new IllegalArgumentException(s"version $to does not exist at $root"))
+    val cur = all.last
+    writeManifest(root, Version(cur.n + 1, "rollback", to, target.files))
+  }
+
+  /** Retention (VT3): delete data files referenced ONLY by versions older
+    * than the last `keepLast` — the deliberate counterpart to writes never
+    * deleting anything. Returns (deleted, retained) root-relative paths.
+    * Manifests stay (history remains auditable); reading an expired version
+    * fails at scan time, which is the honest signal that its data aged out.
+    * Scale: pure metadata set-difference over manifests (vocabulary of file
+    * names, never data), then unlink — no rewrite of surviving files.
+    */
+  def vacuum(root: String, keepLast: Int): (Seq[String], Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val all = versions(root)
+    require(all.nonEmpty, s"no committed versions at $root")
+    val live = all.takeRight(keepLast).flatMap(_.files).toSet
+    val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live).distinct
+    expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
+    (expired.sorted, live.toSeq.sorted)
+  }
+
+  /** Read the table at version `asOf` (default: latest). The scan set is
+    * exactly the manifest's file list — no directory listing, so readers
+    * are immune to concurrent commits and leftover files.
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val all = versions(root)
+    require(all.nonEmpty, s"no committed versions at $root")
+    val v = asOf.map(n => all.find(_.n == n).getOrElse(
+      throw new IllegalArgumentException(s"version $n does not exist at $root")))
+      .getOrElse(all.last)
+    require(v.files.nonEmpty, s"version ${v.n} at $root lists no files")
+    spark.read.parquet(v.files.map(f => Paths.get(root).resolve(f).toString): _*)
+  }
+}

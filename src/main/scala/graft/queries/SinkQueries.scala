@@ -29,6 +29,65 @@ object SinkQueries extends QueryModule {
       s.read.parquet(path)
     }),
 
+    // VT1: versioned-table time travel — three commits (append F rows,
+    // append O rows, overwrite with P rows) to a transaction log
+    // (merge.Versioned), then EVERY version read back as-of through its
+    // manifest. The per-version aggregate (row count, per-status counts,
+    // exact key sum) proves each manifest scopes the scan to exactly its
+    // snapshot: a directory-listing read would see all files and break
+    // every row of the result.
+    "vt1_time_travel" -> ((s, dir) => {
+      val root = tmp("graft_vt1") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "F"), root)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.overwrite(o.filter(col("o_orderstatus") === "P"), root)
+      (1 to 3).map { v =>
+        graft.merge.Versioned.read(s, root, asOf = Some(v)).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+          sum(col("o_orderkey")).as("key_sum")
+        ).select(lit(v).as("version"), col("n_rows"), col("n_f"),
+          col("n_o"), col("n_p"), col("key_sum"))
+      }.reduce(_ unionAll _)
+    }),
+
+    // VT2: versioned-table rollback — commit good data (F), commit a bad
+    // batch (O), roll back (a pointer-flip commit reusing v1's manifest,
+    // zero data copied), then append the next good batch (P). The current
+    // read must contain exactly F ∪ P: any O row surviving means the
+    // rollback leaked the bad commit.
+    "vt2_rollback" -> ((s, dir) => {
+      val root = tmp("graft_vt2") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "F"), root)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.rollback(root, to = 1)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "P"), root)
+      graft.merge.Versioned.read(s, root)
+    }),
+
+    // VT3: retention vacuum — three versions (F, overwrite O, overwrite P),
+    // then vacuum keeping only the latest: the F/O data files are unlinked
+    // (writes never delete; retention is this deliberate op), and the
+    // current read — served from the surviving manifest — must still be
+    // exactly the P rows. A vacuum that over-deletes breaks the read; one
+    // that under-deletes is caught by VersionedSpec's disk assertions.
+    "vt3_vacuum" -> ((s, dir) => {
+      val root = tmp("graft_vt3") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "F"), root)
+      graft.merge.Versioned.overwrite(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.overwrite(o.filter(col("o_orderstatus") === "P"), root)
+      graft.merge.Versioned.vacuum(root, keepLast = 1)
+      graft.merge.Versioned.read(s, root)
+    }),
+
     // S11: JSONL sink roundtrip — the training-data interchange format
     // (one JSON object per line). Write the documents table as JSONL
     // (line-delimited text, map-side, no shuffle), read it back with an
@@ -189,6 +248,23 @@ object SinkQueries extends QueryModule {
       """SELECT * FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL SELECT * FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
     "s6_bulk_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "vt1_time_travel" ->
+      """WITH c AS (SELECT o_orderstatus AS st, COUNT(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS ks FROM orders GROUP BY 1)
+        |SELECT 1 AS version, n AS n_rows, n AS n_f, CAST(0 AS BIGINT) AS n_o,
+        |  CAST(0 AS BIGINT) AS n_p, ks AS key_sum FROM c WHERE st = 'F'
+        |UNION ALL
+        |SELECT 2, f.n + o.n, f.n, o.n, CAST(0 AS BIGINT), f.ks + o.ks
+        |FROM c f, c o WHERE f.st = 'F' AND o.st = 'O'
+        |UNION ALL
+        |SELECT 3, n, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n, ks
+        |FROM c WHERE st = 'P'""".stripMargin,
+    "vt2_rollback" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F', 'P')""".stripMargin,
+    "vt3_vacuum" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'P'""".stripMargin,
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s14_orc_roundtrip" ->

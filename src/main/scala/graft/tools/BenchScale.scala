@@ -89,7 +89,11 @@ object BenchScale {
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
     "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
     "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
-    "x10_heavy_hitters", "sp7_leakage_safe_split")
+    // tx22 joined round 13: BPE training touches the corpus once, then
+    // iterates on a vocabulary-sized frame — the curve should flatten
+    // toward the one-scan cost as copies grow (vocab is shared text,
+    // so it BARELY grows with key-shifted copies)
+    "x10_heavy_hitters", "sp7_leakage_safe_split", "tx22_bpe_train")
 
   /** Deep leg: one more decade (default 100x) for the six heaviest /
     * most scale-critical LLM ops — the five most expensive dedup rows plus

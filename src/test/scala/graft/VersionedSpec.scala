@@ -1,0 +1,111 @@
+package graft
+
+import graft.merge.Versioned
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Transaction-log semantics: manifest-scoped reads, append-only history,
+  * pointer-flip rollback, optimistic-concurrency conflict, relocatability.
+  */
+class VersionedSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_vt_spec").toString + "/t"
+
+  private def dataFiles(root: String): Seq[String] =
+    Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+
+  test("append/overwrite/rollback: every version reads back as its snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L, 2L).toDF("k"), root)
+    Versioned.append(Seq(3L).toDF("k"), root)
+    Versioned.overwrite(Seq(9L).toDF("k"), root)
+    Versioned.rollback(root, to = 2)
+    val vs = Versioned.versions(root)
+    assert(vs.map(v => (v.n, v.op, v.parent)) ===
+      Seq((1, "append", 0), (2, "append", 1), (3, "overwrite", 2), (4, "rollback", 2)))
+    def ks(asOf: Int): Seq[Long] =
+      Versioned.read(spark, root, Some(asOf)).as[Long].collect().sorted.toSeq
+    assert(ks(1) === Seq(1L, 2L))
+    assert(ks(2) === Seq(1L, 2L, 3L))
+    assert(ks(3) === Seq(9L))
+    assert(ks(4) === Seq(1L, 2L, 3L))
+    // latest = v4
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("rollback is a pointer flip: no data files written or removed") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L).toDF("k"), root)
+    Versioned.append(Seq(2L).toDF("k"), root)
+    val before = dataFiles(root)
+    Versioned.rollback(root, to = 1)
+    assert(dataFiles(root) === before)
+    assert(Versioned.currentVersion(root).get.files ===
+      Versioned.versions(root).head.files)
+  }
+
+  test("concurrent commit to the same version loses loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L).toDF("k"), root)
+    // simulate the race by driving the CAS promote with a version number
+    // that lands AFTER this writer selected it: v1 already exists, so the
+    // link-promote must refuse (POSIX rename would have clobbered v1 —
+    // the failure mode the hard-link publish exists to prevent)
+    val e = intercept[IllegalStateException] {
+      Versioned.writeManifest(root,
+        Versioned.Version(1, "append", 0, Seq("data/raced.parquet")))
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the winner's manifest is untouched (not clobbered by the loser)
+    assert(Versioned.read(spark, root).as[Long].collect().toSeq === Seq(1L))
+    // the loser's staged file must not linger in the log dir
+    val staged = Files.list(Paths.get(root, "_vlog")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".staged")).toSeq
+    assert(staged.isEmpty)
+  }
+
+  test("manifests are relocatable: relative paths survive a table move") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(7L, 8L).toDF("k"), root)
+    val moved = Files.createTempDirectory("graft_vt_moved").toString + "/t2"
+    Files.move(Paths.get(root), Paths.get(moved))
+    assert(Versioned.read(spark, moved).as[Long].collect().sorted.toSeq === Seq(7L, 8L))
+  }
+
+  test("vacuum unlinks only expired files; survivors and current read intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L).toDF("k"), root)            // v1: file A
+    Versioned.append(Seq(2L).toDF("k"), root)            // v2: A + B
+    Versioned.overwrite(Seq(9L).toDF("k"), root)         // v3: C only
+    val (deleted, retained) = Versioned.vacuum(root, keepLast = 1)
+    // A and B expired; C retained — and the sets are disjoint on disk
+    assert(deleted.nonEmpty && retained.nonEmpty)
+    deleted.foreach(f => assert(!Files.exists(Paths.get(root).resolve(f)), f))
+    retained.foreach(f => assert(Files.exists(Paths.get(root).resolve(f)), f))
+    assert(Versioned.read(spark, root).as[Long].collect().toSeq === Seq(9L))
+    // a file shared by an expired AND a live version must survive:
+    val root2 = freshRoot()
+    Versioned.append(Seq(1L).toDF("k"), root2)           // v1: file A
+    Versioned.append(Seq(2L).toDF("k"), root2)           // v2: A + B (A shared)
+    val (del2, _) = Versioned.vacuum(root2, keepLast = 1)
+    assert(del2.isEmpty) // v1's A is still referenced by the live v2
+    assert(Versioned.read(spark, root2).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("unknown versions fail loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L).toDF("k"), root)
+    intercept[IllegalArgumentException](Versioned.read(spark, root, Some(5)))
+    intercept[IllegalArgumentException](Versioned.rollback(root, to = 3))
+  }
+}
