@@ -353,6 +353,11 @@ object Pq {
     */
   def writeIvfIndex(emb: DataFrame, path: String, model: PqModel,
       cents: Array[Array[Long]]): Unit = {
+    // a (re)build is the reclaim point for deletes: clear any tombstones so
+    // a rebuilt index serves exactly what it was built from (and bench/
+    // verify re-runs that rebuild into the same per-process path stay
+    // idempotent — tombstones append, so they'd accumulate otherwise)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$path/tombstones"))
     val base = emb.select(col("vec_id"), col("embedding"))
       .withColumn("__lut", lutColumn(col("embedding"), model))
     base.select((col("vec_id") +:
@@ -422,11 +427,34 @@ object Pq {
       .write.mode("append").parquet(s"$path/codes")
   }
 
+  /** ann14 (retire half): tombstone-delete vectors from a persisted index
+    * WITHOUT rewriting the codes table — the delete op between rebuilds
+    * that completes the build (ann9) / append (ann11) / retire lifecycle.
+    * Deleted ids parquet-append to `path/tombstones`; serving anti-joins
+    * them out of the candidate set, so a retired vector can never be
+    * returned as a neighbor while the corpus-sized codes stay immutable
+    * (rewriting codes at every delete would be an O(corpus) op for an
+    * O(batch) event). Space is reclaimed at the next rebuild — the same
+    * deliberate-compaction stance as [[graft.merge.Versioned.vacuum]].
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$path/tombstones")
+
   def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
     val (model, cents) = readIndexModel(spark, path)
-    val corpus = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$path/codes")
       .withColumnRenamed("vec_id", "neighbor_id")
+    // tombstones (if any) leave the candidate set via an anti-join — the
+    // tombstone side is delete-batch-sized, so AQE broadcasts it; indexes
+    // without deletes keep their exact prior plan (no scan added)
+    val corpus =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "tombstones")))
+        codes.join(
+          spark.read.parquet(s"$path/tombstones").withColumnRenamed("vec_id", "neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+      else codes
     val q = queries.select(col("vec_id").as("query_id"),
         lutColumn(col("embedding"), model).as("__lut"),
         probeColumn(col("embedding"), cents, nprobe).as("__probes"))

@@ -153,6 +153,35 @@ object Versioned {
     (expired.sorted, live.toSeq.sorted)
   }
 
+  /** CDC between two versions (VT4): the rows inserted and deleted going
+    * `from` → `to`, as a `change_type`-tagged frame — the "what changed
+    * since I last synced" read every downstream consumer of a versioned
+    * table wants.
+    *
+    * The scale property: only files NOT SHARED by the two manifests are
+    * read. Files are immutable, so version contents are multisets
+    * `shared ⊎ onlyFrom` and `shared ⊎ onlyTo`, and multiset difference
+    * cancels the shared part exactly: `to ∖ from = onlyTo ∖ onlyFrom`
+    * (Spark's `exceptAll`). An append's CDC therefore costs O(changed
+    * files) however large the table — VersionedSpec pins the scan set.
+    */
+  def changes(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
+    val all = versions(root)
+    def manifestOf(n: Int) = all.find(_.n == n).getOrElse(
+      throw new IllegalArgumentException(s"version $n does not exist at $root"))
+    val (fa, fb) = (manifestOf(from).files.toSet, manifestOf(to).files.toSet)
+    val schemaSrc = read(spark, root, Some(to)) // lazy; schema only
+    def rd(files: Set[String]): DataFrame =
+      if (files.isEmpty) schemaSrc.limit(0)
+      else spark.read.parquet(files.toSeq.sorted.map(f => Paths.get(root).resolve(f).toString): _*)
+    val onlyFrom = rd(fa -- fb)
+    val onlyTo = rd(fb -- fa)
+    onlyTo.exceptAll(onlyFrom).withColumn("change_type", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(
+        onlyFrom.exceptAll(onlyTo).withColumn("change_type",
+          org.apache.spark.sql.functions.lit("delete")))
+  }
+
   /** Read the table at version `asOf` (default: latest). The scan set is
     * exactly the manifest's file list — no directory listing, so readers
     * are immune to concurrent commits and leftover files.

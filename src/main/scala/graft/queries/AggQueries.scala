@@ -165,6 +165,29 @@ object AggQueries extends QueryModule {
       graft.quality.Profiling.profile(Tables.orders(s, dir),
         Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
 
+    // X13: incremental aggregate maintenance — the daily report served by
+    // FOLDING a batch's partials into a persisted partial table instead of
+    // re-aggregating the fact (materialized-view maintenance; the dd11b
+    // artifact economics applied to aggregation). Money columns ride
+    // Exact.cents longs, so the fold is bit-identical to the from-scratch
+    // recompute the oracle runs, at any fold depth. The base/increment
+    // split is content-keyed (l_orderkey % 4) so it is deterministic at
+    // every SF; the spec pins that serving never re-reads the base.
+    "x13_incremental_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val sums = Seq(
+        "qty_cents" -> Exact.cents(col("l_quantity")),
+        "price_cents" -> Exact.cents(col("l_extendedprice")))
+      val base = li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0)
+      val inc = li.filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_x13_partials_" +
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share
+      graft.ops.IncrementalAgg.writePartials(base, keys, sums, path)
+      graft.ops.IncrementalAgg.serveWithIncrement(s, path, inc, keys, sums)
+    }),
+
     // A2: conditional aggregation — billable-minutes pattern (`…v5.sql:17`).
     "a2_conditional_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -402,6 +425,13 @@ object AggQueries extends QueryModule {
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
         |COUNT(*) AS cnt, TRUE AS within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // x13: the from-scratch recompute over the FULL fact — the fold must
+    // be indistinguishable from never having split the table.
+    "x13_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // x12: exact stats per column + the x5-style gate assertion that the
     // HLL++ estimate landed within tolerance of the exact cardinality.
     "x12_table_profile" ->

@@ -996,6 +996,32 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // ann14: index DELETE — the retire half that completes the lifecycle
+    // (build ann9 / append ann11 / filter ann13 / delete here). Every 10th
+    // vector is tombstoned after the build; serving anti-joins the
+    // delete-batch-sized tombstone table out of the candidates, the
+    // corpus-sized codes stay immutable (rewriting them per delete would be
+    // O(corpus) for an O(batch) event), and space reclaims at the next
+    // rebuild. The oracle replays the learned search with the neighbor
+    // side alone restricted — a tombstoned id surfacing anywhere in any
+    // query's top-k breaks the row hash.
+    "ann14_index_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
+      val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
+      val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann14_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode) +
+        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      graft.ann.Pq.writeIvfIndex(emb, idx, model, coarse)
+      graft.ann.Pq.deleteFromIvfIndex(s, idx,
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")))
+      val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+      graft.ann.Pq.ivfPqTopKFromIndex(s, idx, queries, k = 3, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
+    }),
+
     // ann12: hybrid retrieval — BM25 top-20 (tx17's query set/scoring) and
     // dense cosine top-20 (queries = vectors 1..3, the shared doc/vec id
     // space) fused by reciprocal rank fusion (ann/Hybrid.scala). Only
@@ -2035,7 +2061,12 @@ object LlmQueries extends QueryModule {
       queryWhere: Option[String] = None, imi: Option[(Int, Int)] = None,
       trainWhere: Option[String] = None, recallGlobal: Boolean = false,
       embFrom: String = "embeddings",
-      recallExactRerank: Boolean = false): String = {
+      recallExactRerank: Boolean = false,
+      corpusWhere: Option[String] = None): String = {
+    // corpusWhere restricts the NEIGHBOR side only (ann14: tombstoned ids
+    // leave the candidate set; training and the query batch both still see
+    // the full corpus — deletes arrive after the build)
+    val nbrPred = corpusWhere.map(w => s" AND $w").getOrElse("")
     val M = PQ_M; val K = PQ_K; val ITERS = PQ_ITERS; val SUB = PQ_SUB
     def dist(vec: String, cent: String, lo: Int, width: Int): String =
       pqDist(vec, cent, lo, width)
@@ -2084,7 +2115,7 @@ object LlmQueries extends QueryModule {
         ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
           s"p.block AS block, CAST($adc AS BIGINT) AS adc " +
           "FROM qp p JOIN qd q ON p.vec_id = q.vec_id " +
-          "JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id)"
+          s"JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id$nbrPred)"
       case (Some((nl, np)), _) =>
         // ann7: home list = argmin coarse distance (first-minimum tie, the
         // trainer's rule); a query probes its np nearest lists by (d, id).
@@ -2100,7 +2131,7 @@ object LlmQueries extends QueryModule {
         ctes += "scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, " +
           s"p.block AS block, CAST($adc AS BIGINT) AS adc " +
           "FROM qp p JOIN qd q ON p.vec_id = q.vec_id " +
-          "JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id)"
+          s"JOIN enc n ON p.block = n.block AND q.vec_id <> n.vec_id$nbrPred)"
       case (None, None) =>
         ctes += s"enc AS (SELECT e.vec_id, e.label, $codes FROM e $crossj)"
         ctes += s"q AS (SELECT e.vec_id, e.label, $ds FROM e $crossj)"
@@ -2192,6 +2223,12 @@ object LlmQueries extends QueryModule {
   // is a plan property (no corpus re-scan at serve time), not a value one.
   private val ANN9_ORACLE: String =
     pqOracle(3, None, learned = Some((16, 2)), queryWhere = Some("e.vec_id % 7 = 0"))
+  // ann14: ann9's served search with every 10th vector tombstoned AFTER the
+  // build — the neighbor side alone shrinks (training and the query batch
+  // still saw the full corpus; deletes arrive later by definition)
+  private val ANN14_ORACLE: String =
+    pqOracle(3, None, learned = Some((16, 2)), queryWhere = Some("e.vec_id % 7 = 0"),
+      corpusWhere = Some("n.vec_id % 10 <> 0"))
   // ann10: IMI grid k pinned to adaptiveImiK(500) = 4 (16 composed lists)
   // for the sf0.01 correctness corpus, like ANN7's nlist pin; the Scala
   // side computes k from the corpus count (the uncapped-scaling property
@@ -2443,6 +2480,7 @@ object LlmQueries extends QueryModule {
     "ann9_index_served" -> ANN9_ORACLE,
     "ann10_imi_topk" -> ANN10_ORACLE,
     "ann11_index_append" -> ANN11_ORACLE,
+    "ann14_index_delete" -> ANN14_ORACLE,
     "ann6c_imi_recall" -> ANN6C_ORACLE,
     "ann6d_imi_recall_clustered" -> ANN6D_ORACLE,
     "dq5_index_drift" -> DQ5_ORACLE,

@@ -88,6 +88,30 @@ object SinkQueries extends QueryModule {
       graft.merge.Versioned.read(s, root)
     }),
 
+    // VT4: CDC between versions — inserts/deletes going v1→v2 (an append)
+    // and v2→v3 (an overwrite that keeps a deterministic F subset). Because
+    // data files are immutable, multiset difference cancels manifest-shared
+    // files exactly, so changes() reads ONLY the non-shared files (the
+    // append's CDC costs O(changed files) at any table size — spec-pinned
+    // via the plan's scan set). The F-subset rows the overwrite re-wrote
+    // cancel BY VALUE against v2's F files: only the true deletes surface.
+    "vt4_changes" -> ((s, dir) => {
+      val root = tmp("graft_vt4") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "F"), root)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.overwrite(
+        o.filter(col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(3)) =!= 0), root)
+      graft.merge.Versioned.changes(s, root, 1, 2)
+        .select(lit(1).as("from_v"), lit(2).as("to_v"), col("o_orderkey"),
+          col("o_orderstatus"), col("change_type"))
+        .unionAll(
+          graft.merge.Versioned.changes(s, root, 2, 3)
+            .select(lit(2).as("from_v"), lit(3).as("to_v"), col("o_orderkey"),
+              col("o_orderstatus"), col("change_type")))
+    }),
+
     // S11: JSONL sink roundtrip — the training-data interchange format
     // (one JSON object per line). Write the documents table as JSONL
     // (line-delimited text, map-side, no shuffle), read it back with an
@@ -265,6 +289,15 @@ object SinkQueries extends QueryModule {
     "vt3_vacuum" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderstatus = 'P'""".stripMargin,
+    "vt4_changes" ->
+      """SELECT 1 AS from_v, 2 AS to_v, o_orderkey, o_orderstatus,
+        |  'insert' AS change_type FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 2, 3, o_orderkey, o_orderstatus, 'delete'
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 2, 3, o_orderkey, o_orderstatus, 'delete'
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s14_orc_roundtrip" ->

@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
   * exactly BPE's merge-application rule (`<a><a><a>` + (a,a) → `<aa><a>`),
   * and per-symbol brackets mean adjacent matches share no delimiter (the
   * classic space-separated encoding drops every second merge in a run).
-  * Training words are restricted to `^[a-z]+$` so code-point semantics
-  * (UTF-16 vs UTF-8) can never diverge, and the argmax tie-break is total:
+  * Training words are restricted to `^[a-z0-9]+$` (pure ASCII) so
+  * code-point semantics (UTF-16 vs UTF-8) can never diverge, and the argmax tie-break is total:
   * (count desc, left asc, right asc). The DuckDB oracle replays ALL of it —
   * k unrolled CTE stages, each verifying the next merge is the argmax of
   * the state reached by applying the previous ones.
@@ -44,7 +44,7 @@ object BpeTrain {
     val words = docs
       .select(explode(filter(TextOps.tokens(lower(col(textCol))),
         w => length(w) > 0)).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     var state = words
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("cnt"))
@@ -89,7 +89,7 @@ object BpeTrain {
     * in TRAINING ORDER, each over the symbol state the previous ones
     * produced — not tx3b's greedy longest-match, which is the WordPiece
     * variant). Returns one row per document: (doc_id, n_tokens_learned).
-    * Trainable words (`^[a-z]+$` after lowering — the training population)
+    * Trainable words (`^[a-z0-9]+$` after lowering — the training population)
     * count their post-merge symbol count; any other token counts 1 (atomic).
     *
     * Scale shape: training is k vocabulary-sized shuffles (see [[train]]);
@@ -107,7 +107,7 @@ object BpeTrain {
         aggregate(
           transform(
             filter(TextOps.tokens(lower(col(textCol))), w => length(w) > 0),
-            w => when(w.rlike("^[a-z]+$"), {
+            w => when(w.rlike("^[a-z0-9]+$"), {
               val ch = learned.foldLeft(regexp_replace(w, "(.)", "<$1>")) {
                 case (c, (l, r)) => replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
               }
@@ -141,7 +141,7 @@ object BpeTrain {
        |SELECT doc_id,
        |  CAST(COALESCE(list_sum(list_transform(
        |    list_filter($toks, t -> length(t) > 0),
-       |    w -> CASE WHEN regexp_matches(w, '^[a-z]+$$')
+       |    w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$')
        |      THEN length($chain) - length(replace($chain, '<', ''))
        |      ELSE 1 END)), 0) AS BIGINT) AS n_tokens_learned
        |FROM documents, mvals""".stripMargin
@@ -183,7 +183,7 @@ object BpeTrain {
     s"""WITH words AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(list_filter($toks, t -> length(t) > 0)) AS w FROM documents) tw
-       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
        |s0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS s, cnt FROM words),
        |$stages
        |$union""".stripMargin

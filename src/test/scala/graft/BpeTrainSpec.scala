@@ -52,11 +52,11 @@ class BpeTrainSpec extends SparkSuite {
     //   doc 1 "abab abab cd": abab → <abab> = 1 tok (both merges apply in
     //     order: <a><b><a><b> → <ab><ab> → <abab>), cd → <cd> = 1
     //     → 1 + 1 + 1 = 3
-    //   doc 11 "abab X9 zz": abab = 1, X9 → lowered "x9" non-[a-z] → 1
-    //     atomic, zz → no learned merge applies → <z><z> = 2 → total 4
+    //   doc 11 "abab x#9 zz": abab = 1, "x#9" non-alnum → 1 atomic,
+    //     zz → trainable but no learned merge applies → <z><z> = 2 → total 4
     //   doc 12 "" → 0 tokens
     val docs = ((1 to 10).map(i => (i.toLong, "abab abab cd")) ++
-      Seq((11L, "abab X9 zz"), (12L, ""))).toDF("doc_id", "text")
+      Seq((11L, "abab x#9 zz"), (12L, ""))).toDF("doc_id", "text")
     val got = BpeTrain.trainAndCount(docs, "text", merges = 3)
       .orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -68,8 +68,8 @@ class BpeTrainSpec extends SparkSuite {
   test("non-ascii and mixed-case words are excluded from training") {
     import spark.implicits._
     val docs = Seq((1L, "Hello WORLD héllo 123 ok ok ok")).toDF("doc_id", "text")
-    // after lowercasing, "hello"/"world"/"ok" qualify; "héllo"/"123" do not.
-    // cnt: ok=3 → the only repeated pair is (o,k) 3
+    // after lowercasing, "hello"/"world"/"123"/"ok" qualify (ASCII alnum);
+    // "héllo" does not. Only ok repeats → the only pair with count >= 2 is (o,k) 3
     val got = BpeTrain.train(docs, "text", merges = 1).collect()
     assert(got.length === 1)
     assert((got(0).getString(1), got(0).getString(2), got(0).getLong(3)) === (("o", "k", 3L)))

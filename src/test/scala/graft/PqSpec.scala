@@ -328,6 +328,33 @@ class PqSpec extends SparkSuite {
     assert(served === learned)
   }
 
+  test("ann14: tombstoned vectors leave the candidate set; codes stay immutable; rebuild reclaims") {
+    val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val idx = tmpDir() + "/ivf_index_deleted"
+    Pq.writeIvfIndex(emb, idx, model, cents)
+    val codesBefore = spark.read.parquet(s"$idx/codes").count()
+    Pq.deleteFromIvfIndex(spark, idx,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")))
+    // deletes never touch the corpus-sized codes table
+    assert(spark.read.parquet(s"$idx/codes").count() === codesBefore)
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val served = Pq.ivfPqTopKFromIndex(spark, idx, queries, k = 3, nprobe = 2).collect()
+    assert(served.nonEmpty)
+    // the tombstone invariant: no deleted id is ever returned as a neighbor
+    assert(served.forall(_.getAs[Long]("neighbor_id") % 10 != 0))
+    // but deleted vectors may still QUERY (self-lookup after retire)
+    // and the un-deleted serve did return %10 neighbors (delete was load-bearing)
+    val full = Pq.ivfPqTopKLearned(emb, k = 3, model, cents, nprobe = 2)
+      .filter(col("query_id") % 7 === 0).collect()
+    assert(full.exists(_.getAs[Long]("neighbor_id") % 10 == 0))
+    // rebuild = reclaim: writeIvfIndex clears tombstones, full set serves again
+    Pq.writeIvfIndex(emb, idx, model, cents)
+    val rebuilt = Pq.ivfPqTopKFromIndex(spark, idx, queries, k = 3, nprobe = 2).collect()
+    assert(rebuilt.exists(_.getAs[Long]("neighbor_id") % 10 == 0))
+  }
+
   test("exactGlobalTopK: planted copies are each other's global nearest at d2 = 0") {
     val copies = emb.filter(col("vec_id") < 5)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))

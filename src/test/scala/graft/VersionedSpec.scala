@@ -101,6 +101,28 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, root2).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("changes: CDC reads only non-shared files; multiset semantics cancel re-writes") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "v"), root) // v1 (dup row!)
+    Versioned.append(Seq((3L, "c")).toDF("k", "v"), root)                       // v2
+    // v3 overwrite: keeps 2L x1 (drops the other copy and 1L/3L), adds 4L
+    Versioned.overwrite(Seq((2L, "b"), (4L, "d")).toDF("k", "v"), root)
+    val c12 = Versioned.changes(spark, root, 1, 2)
+    // append CDC reads ONLY the appended files — v1's files are shared
+    val v1Files = Versioned.versions(root).head.files.map(f =>
+      Paths.get(root).resolve(f).toString).toSet
+    assert(c12.inputFiles.toSet.intersect(v1Files).isEmpty)
+    assert(c12.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ===
+      Seq((3L, "c", "insert")))
+    val c23 = Versioned.changes(spark, root, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(x => (x._3, x._1))
+    // the re-written (2L,"b") cancels ONE copy by value; the dup copy, 1L
+    // and 3L are deletes; 4L is the only insert
+    assert(c23.toSeq === Seq((1L, "a", "delete"), (2L, "b", "delete"),
+      (3L, "c", "delete"), (4L, "d", "insert")))
+  }
+
   test("unknown versions fail loudly") {
     import spark.implicits._
     val root = freshRoot()
