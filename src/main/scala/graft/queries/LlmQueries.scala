@@ -1022,6 +1022,16 @@ object LlmQueries extends QueryModule {
         .select(col("query_id"), col("neighbor_id"), col("block"), col("adc"), col("rank"))
     }),
 
+    // sp9: greedy k-center coreset — diverse-subset selection over the
+    // embedding space (farthest-point traversal; Sener & Savarese's coreset
+    // rule): each of k driver-bounded steps takes the vector farthest from
+    // everything chosen so far, so dense near-dup regions send one
+    // representative and outliers are guaranteed in. k linear passes
+    // (top-1 TakeOrdered each — no vector shuffle); integer-micro distances
+    // make the whole traversal replayable exactly (ann/Coreset.scala).
+    "sp9_kcenter_coreset" -> ((s, dir) =>
+      graft.ann.Coreset.kCenter(Tables.embeddings(s, dir), k = 8)),
+
     // ann12: hybrid retrieval — BM25 top-20 (tx17's query set/scoring) and
     // dense cosine top-20 (queries = vectors 1..3, the shared doc/vec id
     // space) fused by reciprocal rank fusion (ann/Hybrid.scala). Only
@@ -1507,6 +1517,20 @@ object LlmQueries extends QueryModule {
     "tx21_pmi_collocations" -> ((s, dir) =>
       graft.text.Collocations.pmiCollocations(
         Tables.documents(s, dir), "text", minCount = 3L, topK = 100)),
+
+    // tx23: word-frequency SPECTRUM (frequency of frequencies) — the
+    // Zipf/Heaps profile a corpus audit reads before trusting token
+    // statistics: hapax mass (k=1), the boilerplate head (huge k), and the
+    // shape between. Two shuffles total — the word count is
+    // vocabulary-sized, the spectrum is ~log-many rows; both orders of
+    // magnitude below the corpus at any SF.
+    "tx23_freq_spectrum" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(filter(graft.text.TextOps.tokens(lower(col("text"))),
+          w => length(w) > 0)).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("cnt").as("occurrences"))
+        .agg(count(lit(1)).as("n_words"))),
 
     // tx22: BPE tokenizer TRAINING — learn the merges table tx3b's
     // inference consumes, from the corpus itself (Sennrich et al. 2016).
@@ -2245,6 +2269,34 @@ object LlmQueries extends QueryModule {
     pqOracle(3, None, recall = true, imi = Some((4, 2)),
       recallFraction = Some(0.25), recallGlobal = true,
       embFrom = s"($CLUSTERED_EMB_SQL)", recallExactRerank = true)
+  /** sp9: greedy k-center replay — k unrolled MATERIALIZED stages over the
+    * micro-quantized vectors; stage i takes the (min_d2 desc, vec_id) argmax
+    * of the state the previous centers produced, then folds its distance
+    * into min_d2 with `least`. The `WHERE min_d2 > 0` guard reproduces the
+    * Scala early stop (an exhausted stage empties every later one).
+    */
+  private def kcenterOracle(k: Int): String = {
+    val dim = PQ_M * PQ_SUB
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+    val ctes = scala.collection.mutable.ArrayBuffer[String](
+      "e AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "v -> CAST(round(v * 1000000) AS BIGINT)) AS e FROM embeddings)",
+      "k0 AS MATERIALIZED (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT 1)",
+      s"s0 AS MATERIALIZED (SELECT x.vec_id, x.e, ${d2("x.e", "c.e")} AS min_d2 FROM e x, k0 c)")
+    (1 until k).foreach { i =>
+      ctes += s"k$i AS MATERIALIZED (SELECT vec_id, e, min_d2 FROM s${i - 1} " +
+        "WHERE min_d2 > 0 ORDER BY min_d2 DESC, vec_id LIMIT 1)"
+      if (i < k - 1)
+        ctes += s"s$i AS MATERIALIZED (SELECT x.vec_id, x.e, " +
+          s"least(x.min_d2, ${d2("x.e", "c.e")}) AS min_d2 FROM s${i - 1} x, k$i c)"
+    }
+    val union = (s"SELECT 0 AS iter, vec_id, CAST(0 AS BIGINT) AS d2 FROM k0" +:
+      (1 until k).map(i => s"SELECT $i, vec_id, CAST(min_d2 AS BIGINT) FROM k$i"))
+      .mkString("\nUNION ALL ")
+    "WITH " + ctes.mkString(",\n") + "\n" + union
+  }
+
   /** Shared replay of the incremental MinHash pipeline (dd11/dd11b/dd13):
     * portable signatures, banding, the inc→base bucket join, jaccard
     * verify and the best-match window — parameterized ONLY by the base and
@@ -2481,6 +2533,7 @@ object LlmQueries extends QueryModule {
     "ann10_imi_topk" -> ANN10_ORACLE,
     "ann11_index_append" -> ANN11_ORACLE,
     "ann14_index_delete" -> ANN14_ORACLE,
+    "sp9_kcenter_coreset" -> kcenterOracle(8),
     "ann6c_imi_recall" -> ANN6C_ORACLE,
     "ann6d_imi_recall_clustered" -> ANN6D_ORACLE,
     "dq5_index_drift" -> DQ5_ORACLE,
@@ -2686,6 +2739,14 @@ object LlmQueries extends QueryModule {
          |  CASE WHEN NOT token_ok THEN 'tokens' END,
          |  CASE WHEN NOT dup_ok THEN 'duplicate' END) AS drop_reasons
          |FROM gates""".stripMargin,
+    // tx23: the same explicit-class tokenization → word counts → counts of
+    // counts; all integer.
+    "tx23_freq_spectrum" ->
+      """WITH wc AS (SELECT w, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '[ \t\n\f\r]+'),
+        |    t -> length(t) > 0)) AS w FROM documents) t GROUP BY w)
+        |SELECT cnt AS occurrences, COUNT(*) AS n_words FROM wc GROUP BY 1""".stripMargin,
     // tx21: the PMI replay — same explicit-class tokenization, bigrams via
     // list_transform over index ranges, and the identical fixed-point
     // integer score in hugeint (// is exact floor division; both engines'
