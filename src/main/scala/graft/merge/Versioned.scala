@@ -47,13 +47,18 @@ object Versioned {
   private def manifestPath(root: String, n: Int): Path =
     vlogDir(root).resolve(f"v$n%05d.txt")
 
+  // NIO directory streams hold an open dir handle until closed — a
+  // long-lived pipeline process calling versions() per batch would leak
+  // file descriptors if these relied on GC
+  private def listClosing[A](s: java.util.stream.Stream[Path])(f: Iterator[Path] => A): A =
+    try f(s.iterator().asScala) finally s.close()
+
   /** All committed versions, ascending. */
   def versions(root: String): Seq[Version] = {
     val dir = vlogDir(root)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d{5}\\.txt"))
-      .toSeq.sortBy(_.getFileName.toString)
+    listClosing(Files.list(dir))(_.filter(p => p.getFileName.toString.matches("v\\d{5}\\.txt")).toSeq)
+      .sortBy(_.getFileName.toString)
       .map { p =>
         val lines = Files.readAllLines(p).asScala.toSeq
         val n = p.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toInt
@@ -91,10 +96,10 @@ object Versioned {
     */
   private def listParquet(root: String, dataDir: Path): Seq[String] = {
     val rootP = Paths.get(root)
-    Files.walk(dataDir).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => rootP.relativize(p).toString)
-      .toSeq.sorted
+    listClosing(Files.walk(dataDir))(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => rootP.relativize(p).toString)
+        .toSeq).sorted
   }
 
   private def writeData(df: DataFrame, root: String, n: Int): Seq[String] = {
@@ -180,6 +185,22 @@ object Versioned {
       .unionByName(
         onlyFrom.exceptAll(onlyTo).withColumn("change_type",
           org.apache.spark.sql.functions.lit("delete")))
+  }
+
+  /** Replica maintenance (VT5): apply a [[changes]] frame to a materialized
+    * copy of version `from`, producing exactly version `to`'s row multiset —
+    * the downstream half of CDC: the consumer never reads the source table,
+    * only the (changed-files-sized) change set. Multiset algebra, no keys
+    * needed: `to = from ∖ deletes ⊎ inserts` holds by [[changes]]'
+    * construction, so `exceptAll` + `unionAll` reproduce it exactly.
+    */
+  def applyChanges(replica: DataFrame, changeSet: DataFrame): DataFrame = {
+    val cols = replica.columns.map(org.apache.spark.sql.functions.col(_))
+    val ins = changeSet.filter(org.apache.spark.sql.functions.col("change_type") === "insert")
+      .select(cols: _*)
+    val del = changeSet.filter(org.apache.spark.sql.functions.col("change_type") === "delete")
+      .select(cols: _*)
+    replica.exceptAll(del).unionAll(ins)
   }
 
   /** Read the table at version `asOf` (default: latest). The scan set is

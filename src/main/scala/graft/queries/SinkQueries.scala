@@ -112,6 +112,27 @@ object SinkQueries extends QueryModule {
               col("o_orderstatus"), col("change_type")))
     }),
 
+    // VT5: CDC APPLY — the downstream half of vt4: a replica materialized
+    // at v1 is rolled forward by applying the v1→v2 and v2→v3 change sets
+    // (never reading the source past v1). Multiset algebra reproduces v3
+    // exactly: to = from ∖ deletes ⊎ inserts holds by changes()'s
+    // construction, keys not required. The result must hash-match reading
+    // v3 directly — which is what the oracle states.
+    "vt5_cdc_apply" -> ((s, dir) => {
+      val root = tmp("graft_vt5") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "F"), root)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.overwrite(
+        o.filter(col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(3)) =!= 0), root)
+      val replicaAtV1 = graft.merge.Versioned.read(s, root, asOf = Some(1))
+      val atV2 = graft.merge.Versioned.applyChanges(replicaAtV1,
+        graft.merge.Versioned.changes(s, root, 1, 2))
+      graft.merge.Versioned.applyChanges(atV2,
+        graft.merge.Versioned.changes(s, root, 2, 3))
+    }),
+
     // S11: JSONL sink roundtrip — the training-data interchange format
     // (one JSON object per line). Write the documents table as JSONL
     // (line-delimited text, map-side, no shuffle), read it back with an
@@ -298,6 +319,9 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 2, 3, o_orderkey, o_orderstatus, 'delete'
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0""".stripMargin,
+    "vt5_cdc_apply" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0""".stripMargin,
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s14_orc_roundtrip" ->

@@ -123,6 +123,22 @@ class VersionedSpec extends SparkSuite {
       (3L, "c", "delete"), (4L, "d", "insert")))
   }
 
+  test("applyChanges rolls a replica forward to exactly the target version's multiset") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "v"), root)
+    Versioned.append(Seq((3L, "c")).toDF("k", "v"), root)
+    Versioned.overwrite(Seq((2L, "b"), (4L, "d")).toDF("k", "v"), root)
+    var replica = Versioned.read(spark, root, Some(1))
+    replica = Versioned.applyChanges(replica, Versioned.changes(spark, root, 1, 2))
+    replica = Versioned.applyChanges(replica, Versioned.changes(spark, root, 2, 3))
+    val got = replica.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val want = Versioned.read(spark, root, Some(3))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got === want)
+    assert(got === Seq((2L, "b"), (4L, "d")))
+  }
+
   test("unknown versions fail loudly") {
     import spark.implicits._
     val root = freshRoot()
