@@ -355,6 +355,24 @@ class PqSpec extends SparkSuite {
     assert(rebuilt.exists(_.getAs[Long]("neighbor_id") % 10 == 0))
   }
 
+  test("ann14 plan: the tombstone anti-join broadcasts (codes never shuffle for a delete)") {
+    val cents = Pq.coarseTrain(emb, Pq.adaptiveNlist(emb.count()))
+    val model = Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
+    val idx = tmpDir() + "/ivf_index_del_plan"
+    Pq.writeIvfIndex(emb, idx, model, cents)
+    Pq.deleteFromIvfIndex(spark, idx,
+      emb.filter(col("vec_id") % 10 === 0).select(col("vec_id")))
+    val queries = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val out = Pq.ivfPqTopKFromIndex(spark, idx, queries, k = 3, nprobe = 2)
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone exclusion must be a broadcast anti-join, plan was:\n$plan")
+    assert(!plan.contains("SortMergeJoin LeftAnti"),
+      "a delete batch must never force a corpus-wide codes shuffle")
+  }
+
   test("exactGlobalTopK: planted copies are each other's global nearest at d2 = 0") {
     val copies = emb.filter(col("vec_id") < 5)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
