@@ -187,6 +187,25 @@ object Versioned {
           org.apache.spark.sql.functions.lit("delete")))
   }
 
+  /** Exactly-once streaming sink (ST17): append a micro-batch under its
+    * batch id, SKIPPING ids already in the log — the foreachBatch
+    * idempotence contract (a restarted query replays batches with the same
+    * ids; the log's committed id set is the dedup state, no side store).
+    * The check + the [[writeManifest]] CAS make a concurrent retry of the
+    * same batch resolve to one commit. Returns None when skipped.
+    */
+  def appendStreamBatch(df: DataFrame, root: String, batchId: Long): Option[Version] = {
+    val op = s"stream-batch-$batchId"
+    if (versions(root).exists(_.op == op)) None
+    else {
+      val cur = currentVersion(root)
+      val n = cur.map(_.n + 1).getOrElse(1)
+      val files = writeData(df, root, n)
+      Some(writeManifest(root, Version(n, op, cur.map(_.n).getOrElse(0),
+        cur.map(_.files).getOrElse(Seq.empty) ++ files)))
+    }
+  }
+
   /** Replica maintenance (VT5): apply a [[changes]] frame to a materialized
     * copy of version `from`, producing exactly version `to`'s row multiset —
     * the downstream half of CDC: the consumer never reads the source table,

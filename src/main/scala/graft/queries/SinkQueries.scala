@@ -270,6 +270,34 @@ object SinkQueries extends QueryModule {
       out
     }),
 
+    // ST17: the version log as an EXACTLY-ONCE streaming sink — foreachBatch
+    // appends each micro-batch under its batch id, and the log's committed
+    // id set is the replay-dedup state (no side store): run TWICE from a
+    // fresh checkpoint (the st3 harness), and every second-run batch is
+    // skipped because its id is already in the log. One copy of every row,
+    // plus full time travel over the ingest history, comes out of the same
+    // manifest mechanism vt1-vt5 verify.
+    "st17_versioned_stream_sink" -> ((s, dir) => {
+      val base = tmp("graft_st17")
+      val srcDir = base + "/src"; val root = base + "/t"
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def run(tag: String): Unit =
+        s.readStream.schema(schema).parquet(srcDir)
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt_$tag")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.merge.Versioned.appendStreamBatch(df, root, id); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      run("a"); run("b") // fresh checkpoint: same batch ids replay → skipped
+      graft.merge.Versioned.read(s, root)
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -346,6 +374,10 @@ object SinkQueries extends QueryModule {
         |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
     "st3_stream_upsert_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // st17: one copy of every pre-cutoff event despite the double run
+    "st17_versioned_stream_sink" ->
+      """SELECT event_id, user_id, event_type FROM events
         |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin
   )
 }

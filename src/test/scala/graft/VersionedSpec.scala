@@ -139,6 +139,17 @@ class VersionedSpec extends SparkSuite {
     assert(got === Seq((2L, "b"), (4L, "d")))
   }
 
+  test("appendStreamBatch is exactly-once per batch id") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(Versioned.appendStreamBatch(Seq(1L).toDF("k"), root, batchId = 0).nonEmpty)
+    // a replayed batch 0 (restart from fresh checkpoint) commits nothing
+    assert(Versioned.appendStreamBatch(Seq(1L).toDF("k"), root, batchId = 0).isEmpty)
+    assert(Versioned.appendStreamBatch(Seq(2L).toDF("k"), root, batchId = 1).nonEmpty)
+    assert(Versioned.versions(root).map(_.op) === Seq("stream-batch-0", "stream-batch-1"))
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("unknown versions fail loudly") {
     import spark.implicits._
     val root = freshRoot()
