@@ -41,7 +41,13 @@ import scala.jdk.CollectionConverters._
   */
 object Versioned {
 
-  final case class Version(n: Int, op: String, parent: Int, files: Seq[String])
+  /** `stats` holds optional per-file (min, max) of `statsCol` — manifest-
+    * level data skipping (VT6): a pruned read plans only files whose range
+    * overlaps the predicate, without opening a single footer. Files with
+    * no entry are read conservatively.
+    */
+  final case class Version(n: Int, op: String, parent: Int, files: Seq[String],
+      stats: Map[String, (Long, Long)] = Map.empty, statsCol: Option[String] = None)
 
   private def vlogDir(root: String): Path = Paths.get(root, "_vlog")
   private def manifestPath(root: String, n: Int): Path =
@@ -63,7 +69,12 @@ object Versioned {
         val lines = Files.readAllLines(p).asScala.toSeq
         val n = p.getFileName.toString.stripPrefix("v").stripSuffix(".txt").toInt
         val header = lines.head.split(" ").map(_.split("=")).map(a => a(0) -> a(1)).toMap
-        Version(n, header("op"), header("parent").toInt, lines.tail.filter(_.nonEmpty))
+        // a file line is `path` or `path|min|max` ('|' never appears in the
+        // uuid-named data paths this log writes)
+        val entries = lines.tail.filter(_.nonEmpty).map(_.split('|'))
+        Version(n, header("op"), header("parent").toInt, entries.map(_.head),
+          entries.collect { case Array(f, mn, mx) => f -> (mn.toLong, mx.toLong) }.toMap,
+          header.get("stats"))
       }
   }
 
@@ -74,7 +85,11 @@ object Versioned {
   // between version selection and promote
   private[graft] def writeManifest(root: String, v: Version): Version = {
     Files.createDirectories(vlogDir(root))
-    val body = (s"op=${v.op} parent=${v.parent}" +: v.files).mkString("\n")
+    val head = s"op=${v.op} parent=${v.parent}" +
+      v.statsCol.map(c => s" stats=$c").getOrElse("")
+    val body = (head +: v.files.map { f =>
+      v.stats.get(f).map { case (mn, mx) => s"$f|$mn|$mx" }.getOrElse(f)
+    }).mkString("\n")
     val tmp = Files.createTempFile(vlogDir(root), s".v${v.n}-", ".staged")
     Files.writeString(tmp, body)
     // atomic promote via hard link: POSIX rename REPLACES silently (so an
@@ -108,13 +123,74 @@ object Versioned {
     listParquet(root, dataDir)
   }
 
-  /** Append `df` as the next version (previous files + the new commit's). */
+  /** Append `df` as the next version (previous files + the new commit's).
+    * Carried files keep their skipping stats; the new commit's files have
+    * none (use [[appendWithStats]] to collect them).
+    */
   def append(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
     val files = writeData(df, root, n)
     writeManifest(root, Version(n, "append", cur.map(_.n).getOrElse(0),
-      cur.map(_.files).getOrElse(Seq.empty) ++ files))
+      cur.map(_.files).getOrElse(Seq.empty) ++ files,
+      cur.map(_.stats).getOrElse(Map.empty), cur.flatMap(_.statsCol)))
+  }
+
+  /** VT6: append WITH manifest-level skipping stats — after the commit's
+    * files land, ONE commit-sized pass (group by input file) records each
+    * file's (min, max) of `statsCol` in the manifest, so a [[readPruned]]
+    * later plans only range-overlapping files without opening a footer.
+    * This is file-granularity data skipping from log metadata (the Delta/
+    * Iceberg published design); it composes with z-order inside each file
+    * (row-group pruning) and costs O(commit) at write time, never O(table).
+    * `statsCol` must be integral (exact long min/max — no float edges in
+    * the trust path) and consistent across commits of one table.
+    */
+  def appendWithStats(df: DataFrame, root: String, statsCol: String): Version = {
+    val cur = currentVersion(root)
+    require(cur.forall(_.statsCol.forall(_ == statsCol)),
+      s"table tracks stats on ${cur.flatMap(_.statsCol)}, not $statsCol")
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val files = writeData(df, root, n)
+    val spark = df.sparkSession
+    val rootP = Paths.get(root)
+    val newStats = spark.read.parquet(rootP.resolve(files.head).getParent.toString)
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col(statsCol))
+          .cast("long").as("mn"),
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col(statsCol))
+          .cast("long").as("mx"))
+      .collect().map { r =>
+        val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+        rel -> (r.getLong(1), r.getLong(2))
+      }.toMap
+    writeManifest(root, Version(n, "append", cur.map(_.n).getOrElse(0),
+      cur.map(_.files).getOrElse(Seq.empty) ++ files,
+      cur.map(_.stats).getOrElse(Map.empty) ++ newStats, Some(statsCol)))
+  }
+
+  /** VT6 (read half): the version's rows with `statsCol` in [lo, hi],
+    * planned from ONLY the manifest entries whose (min, max) overlaps —
+    * files without stats are read conservatively; the residual filter
+    * still applies (stats prune files, they never decide rows).
+    */
+  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
+      asOf: Option[Int] = None): DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val all = versions(root)
+    require(all.nonEmpty, s"no committed versions at $root")
+    val v = asOf.map(n => all.find(_.n == n).getOrElse(
+      throw new IllegalArgumentException(s"version $n does not exist at $root")))
+      .getOrElse(all.last)
+    val c = v.statsCol.getOrElse(throw new IllegalStateException(
+      s"version ${v.n} at $root tracks no skipping stats — use read() + filter"))
+    val candidates = v.files.filter(f =>
+      v.stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val cc = org.apache.spark.sql.functions.col(c)
+    val base =
+      if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
+      else spark.read.parquet(candidates.map(f => Paths.get(root).resolve(f).toString): _*)
+    base.filter(cc >= lo && cc <= hi)
   }
 
   /** Replace the table contents with `df` as the next version. Old files
@@ -125,7 +201,7 @@ object Versioned {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
     writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
-      writeData(df, root, n)))
+      writeData(df, root, n), Map.empty, cur.flatMap(_.statsCol)))
   }
 
   /** Roll the table back to version `to` by committing a NEW version with
@@ -137,7 +213,8 @@ object Versioned {
     val target = all.find(_.n == to).getOrElse(
       throw new IllegalArgumentException(s"version $to does not exist at $root"))
     val cur = all.last
-    writeManifest(root, Version(cur.n + 1, "rollback", to, target.files))
+    writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
+      target.stats, target.statsCol))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -202,7 +279,8 @@ object Versioned {
       val n = cur.map(_.n + 1).getOrElse(1)
       val files = writeData(df, root, n)
       Some(writeManifest(root, Version(n, op, cur.map(_.n).getOrElse(0),
-        cur.map(_.files).getOrElse(Seq.empty) ++ files)))
+        cur.map(_.files).getOrElse(Seq.empty) ++ files,
+        cur.map(_.stats).getOrElse(Map.empty), cur.flatMap(_.statsCol))))
     }
   }
 

@@ -270,6 +270,25 @@ object SinkQueries extends QueryModule {
       out
     }),
 
+    // VT6: manifest-level data skipping — two commits written range-
+    // clustered on o_orderkey with per-file (min, max) recorded in the
+    // manifest (one commit-sized pass each, never O(table)); the ranged
+    // read plans ONLY overlapping files without opening a footer, then
+    // applies the residual filter (stats prune files, never decide rows).
+    // The spec pins that the scan set is a strict subset; correctness here
+    // is the full BETWEEN result across both commits.
+    "vt6_stats_pruned_read" -> ((s, dir) => {
+      val root = tmp("graft_vt6") + "/t"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.appendWithStats(
+        o.filter(col("o_orderstatus") === "F").repartitionByRange(8, col("o_orderkey")),
+        root, "o_orderkey")
+      graft.merge.Versioned.appendWithStats(
+        o.filter(col("o_orderstatus") === "O").repartitionByRange(8, col("o_orderkey")),
+        root, "o_orderkey")
+      graft.merge.Versioned.readPruned(s, root, lo = 1000L, hi = 5000L)
+    }),
+
     // ST17: the version log as an EXACTLY-ONCE streaming sink — foreachBatch
     // appends each micro-batch under its batch id, and the log's committed
     // id set is the replay-dedup state (no side store): run TWICE from a
@@ -375,6 +394,9 @@ object SinkQueries extends QueryModule {
     "st3_stream_upsert_roundtrip" ->
       """SELECT event_id, ts, user_id, event_type, value, props FROM events
         |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    "vt6_stats_pruned_read" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('F', 'O') AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     // st17: one copy of every pre-cutoff event despite the double run
     "st17_versioned_stream_sink" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -150,6 +150,38 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("manifest stats prune the scan set; stats survive the log's lifecycle ops") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 20 keys range-clustered into 4 files per commit → tight per-file ranges
+    Versioned.appendWithStats(
+      (1L to 20L).toDF("k").repartitionByRange(4, col("k")), root, "k")
+    Versioned.appendWithStats(
+      (101L to 120L).toDF("k").repartitionByRange(4, col("k")), root, "k")
+    val v = Versioned.currentVersion(root).get
+    assert(v.statsCol === Some("k"))
+    assert(v.stats.keySet === v.files.toSet) // every file has an entry
+    val pruned = Versioned.readPruned(spark, root, lo = 104, hi = 110)
+    // correctness: exactly the ranged keys, across the commit boundary
+    assert(pruned.as[Long].collect().sorted.toSeq === (104L to 110L))
+    // pruning: strictly fewer files scanned than the manifest lists
+    assert(pruned.inputFiles.length < v.files.length,
+      s"expected a pruned scan, got ${pruned.inputFiles.length} of ${v.files.length}")
+    // all-files-pruned path: disjoint range over a fully-stats'd version
+    assert(Versioned.readPruned(spark, root, 1000, 2000, asOf = Some(2)).count() === 0L)
+    // stats ride rollback (pointer flip) and a plain append keeps old entries
+    Versioned.rollback(root, to = 1)
+    assert(Versioned.currentVersion(root).get.stats.nonEmpty)
+    Versioned.append(Seq(500L).toDF("k"), root)
+    val v4 = Versioned.currentVersion(root).get
+    assert(v4.statsCol === Some("k"))
+    // the stats-less new file is read conservatively: 500 is outside every
+    // recorded range but must still appear in a ranged read that covers it
+    assert(Versioned.readPruned(spark, root, 400, 600).as[Long].collect().toSeq === Seq(500L))
+    // disjoint range → empty result (not an error), schema intact
+    assert(Versioned.readPruned(spark, root, 1000, 2000).count() === 0L)
+  }
+
   test("unknown versions fail loudly") {
     import spark.implicits._
     val root = freshRoot()
