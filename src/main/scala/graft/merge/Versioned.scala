@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-/** A minimal versioned-table transaction log (VT1/VT2; beyond-reference):
-  * time travel, rollback, and atomic commits over plain parquet — the
+/** A minimal versioned-table transaction log (VT1-VT6/ST17; beyond-
+  * reference): time travel, rollback, vacuum, CDC read+apply, an exactly-
+  * once streaming sink, manifest-level data skipping — atomic commits over
+  * plain parquet, the
   * table-format substrate (Delta/Iceberg-style, from their published
   * designs) that a long-lived 100 TB sync target needs once "overwrite the
   * directory" stops being an option.
