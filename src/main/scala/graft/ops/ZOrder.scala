@@ -98,14 +98,23 @@ object ZOrder {
     * movement; `nFiles` scales with cluster size, not data ownership.
     */
   def layoutWrite(df: DataFrame, dims: Seq[Column], stats: Seq[(Long, Long)],
-      bits: Int, path: String, nFiles: Int, blockBytes: Long = 128L << 20): Unit = {
-    val z = zValue(dims, stats, bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      bits: Int, path: String, nFiles: Int, blockBytes: Long = 128L << 20): Unit =
+    zCluster(df, dims, stats, bits, nFiles)
       .write.mode("overwrite")
       .option("parquet.block.size", blockBytes)
       .parquet(path)
-  }
+
+  /** The clustered FRAME behind [[layoutWrite]], for sinks that own their
+    * write path — e.g. composing the z layout with the versioned log's
+    * stats-collecting append ([[graft.merge.Versioned.appendWithStats]], the
+    * vt7 query): file-level skipping comes from the manifest ranges, row-
+    * group skipping from this ordering. A plain `.write` on the result
+    * preserves the range-partitioning and intra-partition sort.
+    */
+  def zCluster(df: DataFrame, dims: Seq[Column], stats: Seq[(Long, Long)],
+      bits: Int, nFiles: Int): DataFrame =
+    df.withColumn("__z", zValue(dims, stats, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
 }

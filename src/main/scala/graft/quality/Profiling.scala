@@ -63,8 +63,13 @@ object Profiling {
       nullBpsTol: Long = 100L): DataFrame = {
     def side(p: DataFrame, tag: String): DataFrame =
       p.select(col("col_name"), col("dtype").as(s"dtype_$tag"),
-        expr("n_nulls * 10000 div n_rows").as(s"null_bps_$tag"),
-        col("n_distinct").as(s"n_distinct_$tag"))
+        // n_rows = 0 guarded BEFORE the div: under ANSI mode (Spark 4
+        // default) an unguarded div-by-zero throws mid-job; CaseWhen
+        // evaluates the div branch only when the guard holds
+        when(col("n_rows") > 0, expr("n_nulls * 10000 div n_rows"))
+          .as(s"null_bps_$tag"),
+        col("n_distinct").as(s"n_distinct_$tag"),
+        col("n_rows").as(s"n_rows_$tag"))
     side(prev, "prev").join(side(curr, "curr"), Seq("col_name"), "full_outer")
       .withColumn("status",
         when(col("dtype_prev").isNull, lit("added"))
@@ -73,6 +78,9 @@ object Profiling {
           .otherwise(lit("common")))
       .withColumn("drift_detected",
         col("status") =!= "common" ||
+          // an EMPTY snapshot has no null-rate basis (the div above is
+          // NULL): that is drift to investigate, never a NULL verdict
+          col("n_rows_prev") === 0 || col("n_rows_curr") === 0 ||
           abs(col("null_bps_prev") - col("null_bps_curr")) > nullBpsTol)
       .select(col("col_name"), col("status"), col("dtype_prev"),
         col("dtype_curr"), col("null_bps_prev"), col("null_bps_curr"),

@@ -181,9 +181,7 @@ object AggQueries extends QueryModule {
         "price_cents" -> Exact.cents(col("l_extendedprice")))
       val base = li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0)
       val inc = li.filter(pmod(col("l_orderkey"), lit(4)) === 0)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_x13_partials_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share
+      val path = QueryModule.processScopedDir("x13_partials", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       graft.ops.IncrementalAgg.writePartials(base, keys, sums, path)
       graft.ops.IncrementalAgg.serveWithIncrement(s, path, inc, keys, sums)
     }),

@@ -382,9 +382,7 @@ object LlmQueries extends QueryModule {
       // but are partition-pruned out, so a shared index cannot
       // contaminate a run (a batch replayed verbatim by an earlier run
       // would otherwise match itself at jaccard 1.0).
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_st15_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid()
+      val idx = QueryModule.processScopedDir("st15_idx", dir)
       val metaOk = new org.apache.hadoop.fs.Path(s"$idx/meta/_SUCCESS")
       if (!metaOk.getFileSystem(s.sparkContext.hadoopConfiguration).exists(metaOk))
         Dedup.writeLshIndex(base, "doc_id", "text", idx,
@@ -494,9 +492,7 @@ object LlmQueries extends QueryModule {
     // discarded; the registered/oracled output is batch 2's matches.
     "dd11b_index_served" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_dd11b_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      val idx = QueryModule.processScopedDir("dd11b_idx", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       Dedup.writeLshIndex(base, "doc_id", "text", idx,
         numHashes = 16, portableHash = true)
       def serve(inc: org.apache.spark.sql.DataFrame) =
@@ -527,9 +523,7 @@ object LlmQueries extends QueryModule {
     // appended members).
     "dd13_lsh_index_append" -> ((s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_dd13_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      val idx = QueryModule.processScopedDir("dd13_idx", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       // base build once per process (round 12, the dd15b economics): the
       // append below OVERWRITES part=batch1 with identical content and the
       // serve never touches other partitions, so a warm invocation's
@@ -694,9 +688,7 @@ object LlmQueries extends QueryModule {
     // a real batch would). Output ≡ dd15 — same base, same batch, same
     // fold — so the two rows share one from-scratch-recompute oracle.
     "dd15b_groups_served" -> ((s, dir) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_dd15b_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share artifacts
+      val root = QueryModule.processScopedDir("dd15b", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       val idx = s"$root/idx"
       val grp = s"$root/groups"
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
@@ -953,9 +945,7 @@ object LlmQueries extends QueryModule {
       val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
       val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann9_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      val idx = QueryModule.processScopedDir("ann9_idx", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       graft.ann.Pq.writeIvfIndex(emb, idx, model, coarse)
       val queries = emb.filter(pmod(col("vec_id"), lit(7)) === 0)
         .select(col("vec_id"), col("embedding")).localCheckpoint(true)
@@ -982,9 +972,7 @@ object LlmQueries extends QueryModule {
       val nlist = graft.ann.Pq.adaptiveNlist(base.count())
       val coarse = graft.ann.Pq.coarseTrain(base, nlist)
       val model = graft.ann.Pq.train(base, m = 4, k = 8, iters = 2, sampleRate = 0.5)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann11_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      val idx = QueryModule.processScopedDir("ann11_idx", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       // writeIvfIndex overwrites codes/ + model/, so a re-run (bench
       // warm-up, repeated verify) resets any previously appended files
       graft.ann.Pq.writeIvfIndex(base, idx, model, coarse)
@@ -1010,9 +998,7 @@ object LlmQueries extends QueryModule {
       val nlist = graft.ann.Pq.adaptiveNlist(emb.count())
       val coarse = graft.ann.Pq.coarseTrain(emb, nlist)
       val model = graft.ann.Pq.train(emb, m = 4, k = 8, iters = 2, sampleRate = 0.5)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ann14_idx_" +
-        java.lang.Integer.toHexString(dir.hashCode) +
-        "_p" + ProcessHandle.current().pid() // per-process: concurrent runs must not share an index
+      val idx = QueryModule.processScopedDir("ann14_idx", dir) // per-process + shutdown-hook-cleaned (QueryModule)
       graft.ann.Pq.writeIvfIndex(emb, idx, model, coarse)
       graft.ann.Pq.deleteFromIvfIndex(s, idx,
         emb.filter(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")))

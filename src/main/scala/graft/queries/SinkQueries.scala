@@ -133,6 +133,35 @@ object SinkQueries extends QueryModule {
         graft.merge.Versioned.changes(s, root, 2, 3))
     }),
 
+    // VT5b: PARTITION-SCOPED CDC apply — vt5's semantics without its
+    // O(replica) cost: the replica is a parquet table partitioned on
+    // o_orderstatus, and each apply rewrites ONLY the partitions the change
+    // set names (v1→v2 touches O; v2→v3 touches F and O; the P partition is
+    // never scanned or rewritten — VersionedSpec pins that with the planned
+    // scan set and on-disk file identity). All-rows-deleted partitions are
+    // unlinked explicitly (dynamic overwrite alone would keep them). At
+    // 100 TB this is the replica-maintenance path: a daily change set
+    // touches ±window partitions, the other ~3650 stay cold.
+    "vt5b_cdc_apply_partitioned" -> ((s, dir) => {
+      val base = tmp("graft_vt5b")
+      val root = base + "/t"; val replica = base + "/replica"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.append(
+        o.filter(col("o_orderstatus").isin("F", "P")), root)
+      graft.merge.Versioned.append(o.filter(col("o_orderstatus") === "O"), root)
+      graft.merge.Versioned.overwrite(
+        o.filter(col("o_orderstatus") === "P" ||
+          (col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(3)) =!= 0)), root)
+      graft.merge.Versioned.read(s, root, asOf = Some(1))
+        .write.partitionBy("o_orderstatus").parquet(replica)
+      graft.merge.Versioned.applyChangesPartitioned(s, replica, Seq("o_orderstatus"),
+        graft.merge.Versioned.changes(s, root, 1, 2))
+      graft.merge.Versioned.applyChangesPartitioned(s, replica, Seq("o_orderstatus"),
+        graft.merge.Versioned.changes(s, root, 2, 3))
+      s.read.parquet(replica).select(col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     // S11: JSONL sink roundtrip — the training-data interchange format
     // (one JSON object per line). Write the documents table as JSONL
     // (line-delimited text, map-side, no shuffle), read it back with an
@@ -286,7 +315,33 @@ object SinkQueries extends QueryModule {
       graft.merge.Versioned.appendWithStats(
         o.filter(col("o_orderstatus") === "O").repartitionByRange(8, col("o_orderkey")),
         root, "o_orderkey")
-      graft.merge.Versioned.readPruned(s, root, lo = 1000L, hi = 5000L)
+      graft.merge.Versioned.readPruned(s, root, "o_orderkey", lo = 1000L, hi = 5000L)
+    }),
+
+    // VT7: the composed skipping stack — ONE commit written z-order-
+    // clustered on (o_orderkey, o_custkey) with multi-column manifest
+    // stats, read back pruned on the SECOND dim. Two pruning levels stack:
+    // the manifest's per-file (min, max) ranges plan only overlapping
+    // files without opening a footer (VT6), and inside each planned file
+    // the z layout's tight row-group stats skip most row groups (ZO2).
+    // Neither level decides rows — the residual filter does — so the
+    // result is exactly the BETWEEN, which is what the oracle states; the
+    // measured file-level AND row-group-level skip ratios for this exact
+    // composition are pinned in VersionedSpec.
+    "vt7_zorder_stats_read" -> ((s, dir) => {
+      val root = tmp("graft_vt7") + "/t"
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val st = o.agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        min(col("o_custkey")), max(col("o_custkey"))).head
+      val stats = Seq((st.getLong(0), st.getLong(1)), (st.getLong(2), st.getLong(3)))
+      graft.merge.Versioned.appendWithStats(
+        graft.ops.ZOrder.zCluster(o,
+          Seq(col("o_orderkey"), col("o_custkey")), stats, bits = 12, nFiles = 16),
+        root, Seq("o_orderkey", "o_custkey"),
+        options = Map("parquet.block.size" -> (64L << 10).toString))
+      graft.merge.Versioned.readPruned(s, root, "o_custkey",
+        lo = st.getLong(2), hi = st.getLong(2) + (st.getLong(3) - st.getLong(2)) / 16)
     }),
 
     // ST17: the version log as an EXACTLY-ONCE streaming sink — foreachBatch
@@ -369,6 +424,14 @@ object SinkQueries extends QueryModule {
     "vt5_cdc_apply" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 3 <> 0""".stripMargin,
+    "vt5b_cdc_apply_partitioned" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'P'
+        |   OR (o_orderstatus = 'F' AND o_orderkey % 3 <> 0)""".stripMargin,
+    "vt7_zorder_stats_read" ->
+      """WITH b AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders)
+        |SELECT o_orderkey, o_custkey FROM orders, b
+        |WHERE o_custkey BETWEEN b.mn AND b.mn + (b.mx - b.mn) // 16""".stripMargin,
     "s11_jsonl_roundtrip" -> "SELECT doc_id, text, lang, source FROM documents",
     "s12_csv_roundtrip" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "s14_orc_roundtrip" ->

@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * `c_ab * N * 1e6 <= N² * 1e6`, inside 38 digits to N = 10^16 tokens. The
   * quotient fits a long because `c_a * c_b >= c_ab²` (each unigram count
   * bounds the pair count), so `score <= N * 1e6 / c_ab <= N * 1e6 / minCount`
-  * — require N below 2.7e12 * minCount, loudly checked at runtime.
+  * — N must stay below 2.7e12 * minCount. Checked loudly IN THE PLAN: the
+  * decimal `div` returns NULL (not an error) past long range under non-ANSI
+  * mode, so an `assert_true(pmi_scaled IS NOT NULL)` filter rides the score
+  * projection — a silently-NULL score can never reach the ranking.
   */
 object Collocations {
 
@@ -59,6 +62,11 @@ object Collocations {
       .withColumn("__den",
         col("c1").cast("decimal(38,0)") * col("c2").cast("decimal(38,0)"))
       .withColumn("pmi_scaled", expr("__num div __den"))
+      // the documented overflow guard: decimal div past long range yields
+      // NULL silently — fail the job instead of corrupting the ranking
+      .filter(assert_true(col("pmi_scaled").isNotNull,
+        lit("pmi_scaled overflowed long: corpus exceeds the " +
+          "n_total < 2.7e12 * minCount fixed-point PMI bound")).isNull)
       .select(col("w1"), col("w2"), col("c_ab"), col("c1"), col("c2"),
         col("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))

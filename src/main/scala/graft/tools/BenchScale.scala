@@ -87,13 +87,34 @@ object BenchScale {
     "dd8h_spans_hashed", "dd10_semdedup", "dd11_incremental_dedup",
     "dd13_lsh_index_append", "st15_stream_neardup_ingest",
     "tx3b_bpe_tokens", "tx7b_ngram_repetition",
-    "tx14_lm_score", "ann4_ivfpq_topk", "ann7_ivf_learned", "ann8_sq_topk",
+    "tx14_lm_score", "ann7_ivf_learned", "ann8_sq_topk",
     "ann10_imi_topk", "tx9_decontaminate", "tx10_line_dedup", "j15_asof_join",
     // tx22 joined round 13: BPE training touches the corpus once, then
     // iterates on a vocabulary-sized frame — the curve should flatten
     // toward the one-scan cost as copies grow (vocab is shared text,
     // so it BARELY grows with key-shifted copies)
     "x10_heavy_hitters", "sp7_leakage_safe_split", "tx22_bpe_train")
+
+  /** Labeled CONTRAST rows (round 14): deliberate knee measurements that a
+    * user's default path never hits — ann4's fixed-block quadratic exists
+    * only behind `contrast = true` (the default API self-guards past it).
+    * They used to ride the [[llm]] composite and distorted cross-round
+    * reads (ann4 alone was 47 s of the 30x composite); now they are
+    * measured on the same points but published under a separate
+    * `contrasts` block, so leg composites track what the default path
+    * costs. ann7's 100x flat-clamp leg moves here too (see
+    * [[contrastsDeep]]) — at 10/30x ann7 IS the default learned-coarse
+    * path and stays in [[llm]].
+    */
+  private val contrastQueries = Seq("ann4_ivfpq_topk")
+
+  /** ann7 at the deep point measures the nlist flat-clamp knee (the quadratic
+    * creep ann10's IMI exists to remove) — a contrast, not a default path:
+    * the depth pre-flight tiers flat→learned→IMI past the clamp, so serving
+    * code at 100x routes to ann10. Kept measured (ann10's claim needs the
+    * knee number) but out of the llm_deep composite.
+    */
+  private val contrastsDeep = Seq("ann7_ivf_learned")
 
   /** Deep leg: one more decade (default 100x) for the six heaviest /
     * most scale-critical LLM ops — the five most expensive dedup rows plus
@@ -106,8 +127,16 @@ object BenchScale {
     * cost ~10 minutes to re-measure a lesson the 30x point already prices.
     */
   private val llmDeep = Seq("dd2_minhash_lsh", "dd6_dup_groups",
-    "dd8h_spans_hashed", "dd11_incremental_dedup", "ann7_ivf_learned",
-    "ann10_imi_topk")
+    "dd8h_spans_hashed", "dd11_incremental_dedup", "ann10_imi_topk")
+
+  /** Infra leg (round 14): the incremental-aggregate fold (x13) on the
+    * scale curve — its claim is O(batch + groups) serve cost, never
+    * O(fact), so the curve should flatten hard: the corpus grows
+    * `copies`x but the timed serve is partials(batch) ∪ artifact. (The
+    * untimed warm-up pays the per-corpus partials build, same policy as
+    * dd13/st15.) The versioned-table family gets its own [[vtLeg]].
+    */
+  private val infraQueries = Seq("x13_incremental_agg")
 
   /** Headline deep leg (round 12): the flagship 12-join star (v5) and the
     * 7-col window dedup (w1) get their own 100x point on a FULL corpus —
@@ -331,6 +360,62 @@ object BenchScale {
       f""""decode_ratio":${zr.toDouble / lr}%.4f,"z_sec":$zt%.3f,"linear_sec":$lt%.3f}"""
   }
 
+  /** Versioned-log leg (round 14): the vt family's metadata plane and
+    * bounded reads, measured on the scale curve — the instrument VERDICT r13
+    * asked for before/after the checkpoint work. Per point: a 12-commit
+    * stats-tracked versioned orders table (crosses the v10 checkpoint;
+    * done-marker cached like the corpora), then median-of-3 of
+    *  - plan_sec: `currentVersion` — pure log planning, must stay
+    *    checkpoint-bounded (≤ CheckpointInterval manifest reads) and
+    *    therefore FLAT across scale points and table age;
+    *  - cdc_sec: `changes(11, 12)` — last append's CDC, reads only the
+    *    append's files (O(batch), grows with per-commit size only);
+    *  - pruned_sec: `readPruned` over ~1/12 of the key domain — O(overlapping
+    *    files);
+    *  - read_sec: full latest-version read, the honest O(table) yardstick
+    *    the three bounded rows are read against.
+    */
+  private def vtLeg(spark: SparkSession, copies: Int, dir: String): String = {
+    import graft.merge.Versioned
+    val base = s"/tmp/graft_scale_vt${copies}x"
+    val root = s"$base/t"
+    val done = new java.io.File(s"$base/_GRAFT_SCALE_DONE")
+    if (!done.exists()) {
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      (0 until 12).foreach { i =>
+        Versioned.appendWithStats(
+          o.filter(pmod(col("o_orderkey"), lit(12)) === i)
+            .repartitionByRange(4, col("o_orderkey")),
+          root, Seq("o_orderkey"))
+      }
+      done.createNewFile()
+      System.err.println(s"[scale] vt table built at $root (12 stats-tracked commits)")
+    }
+    def med(f: => Unit): Double = {
+      f // untimed warm-up, same policy as measure()
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(1)
+    }
+    val cur = Versioned.currentVersion(root).get
+    // key domain from the manifest stats — no data read for the bounds
+    val lo = cur.stats.values.map(_.head._1).min
+    val hi = lo + (cur.stats.values.map(_.head._2).max - lo) / 12
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val planSec = med { Versioned.currentVersion(root); () }
+    val cdcSec = med { noop(Versioned.changes(spark, root, 11, 12)) }
+    val prunedSec = med { noop(Versioned.readPruned(spark, root, "o_orderkey", lo, hi)) }
+    val readSec = med { noop(Versioned.read(spark, root)) }
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    System.err.println(f"[scale] vt leg ${copies}x: plan $planSec%.3f cdc $cdcSec%.3f " +
+      f"pruned $prunedSec%.3f read $readSec%.3f")
+    s"""{"commits":12,"files":${cur.files.length},"plan_sec":${f3(planSec)},""" +
+      s""""cdc_last_append_sec":${f3(cdcSec)},"pruned_read_sec":${f3(prunedSec)},""" +
+      s""""full_read_sec":${f3(readSec)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -359,6 +444,14 @@ object BenchScale {
       dirs.map { case (n, d) => (n, measure(spark, d, headline)) }
     val llmAt: Seq[(Int, Seq[(String, Double)])] =
       dirs.map { case (n, d) => (n, measure(spark, d, llm)) }
+    // labeled contrasts: same points, own block — never in a composite
+    val contrastsAt: Seq[(Int, Seq[(String, Double)])] =
+      dirs.map { case (n, d) => (n, measure(spark, d, contrastQueries)) }
+    // infra leg: x13 fold economics on the curve + the versioned-log metrics
+    val infraAt: Seq[(Int, Seq[(String, Double)])] =
+      dirs.map { case (n, d) => (n, measure(spark, d, infraQueries)) }
+    val vtJson = dirs.map { case (n, d) => s""""${n}":${vtLeg(spark, n, d)}""" }
+      .mkString("{", ",", "}")
     // skew leg: same queries, same volume (first scale point), zipf keys
     val skewBase = dirs(1)
     val skewDir = s"/tmp/graft_scale_skew${skewBase._1}x"
@@ -375,11 +468,13 @@ object BenchScale {
     // deep leg: one more decade for the top-5 LLM ops (see llmDeep);
     // SPARK_GRAFT_DEEP_POINT=0 disables
     val deepPoint = sys.env.getOrElse("SPARK_GRAFT_DEEP_POINT", "100").trim.toInt
-    val deepOpt: Option[(Int, Seq[(String, Double)])] =
+    val deepOpt: Option[(Int, Seq[(String, Double)], Seq[(String, Double)])] =
       if (deepPoint > points.max) {
         val d = s"/tmp/graft_scale_${deepPoint}x_docs"
         buildDocsCorpus(spark, srcDir, d, deepPoint)
-        Some((deepPoint, measure(spark, d, llmDeep)))
+        // default-guarded deep composite, then the ann7 clamp-knee contrast
+        // on the same corpus (reported separately)
+        Some((deepPoint, measure(spark, d, llmDeep), measure(spark, d, contrastsDeep)))
       } else None
     // headline deep leg: v5 + w1 on a FULL deep-point corpus, with the
     // same queries re-measured at the last full point for the ratio
@@ -409,13 +504,29 @@ object BenchScale {
       }.mkString("{", ",", "}")
     val curve = curveOf(headlineAt, headlineAt.head._2.map(_._2).sum)
     val llmCurve = curveOf(llmAt, llmAt.head._2.map(_._2).sum)
-    val deepJson = deepOpt.map { case (n, xs) =>
+    val deepJson = deepOpt.map { case (n, xs, _) =>
       val (lastN, lastXs) = llmAt.last
       val lastMap = lastXs.toMap
       val r = xs.map { case (q, v) => q -> v / lastMap(q) }
       s""","llm_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
         s""""queries":${obj(xs)},"ratio_vs_${lastN}x":${obj(r)}}"""
     }.getOrElse("")
+    // contrasts block: deliberate knee measurements, never in a composite —
+    // ann4's fixed-block quadratic on the curve, ann7's nlist flat-clamp at
+    // the deep point (ratio against its own default-path 30x row, which
+    // stays in the llm leg)
+    val contrastsCurve = contrastsAt.map { case (n, xs) =>
+      s""""${n}":${obj(xs)}"""
+    }.mkString("{", ",", "}")
+    val contrastsDeepJson = deepOpt.map { case (n, _, cxs) =>
+      val lastMap = llmAt.last._2.toMap
+      val r = cxs.collect { case (q, v) if lastMap.contains(q) => q -> v / lastMap(q) }
+      s""","deep":{"copies":$n,"queries":${obj(cxs)},""" +
+        s""""ratio_vs_${llmAt.last._1}x":${obj(r)}}"""
+    }.getOrElse("")
+    val contrastsJson = s""","contrasts":{"note":"labeled knee measurements (ann4 fixed-block quadratic via contrast=true; ann7 nlist flat-clamp at depth) — excluded from all composites","points":$contrastsCurve$contrastsDeepJson}"""
+    val infraCurve = curveOf(infraAt, infraAt.head._2.map(_._2).sum)
+    val infraJson = s""","infra_points":$infraCurve,"vt":$vtJson"""
     val headlineDeepJson = headlineDeepOpt.map { case (n, xs, atLast) =>
       val lastMap = atLast.toMap
       val r = xs.map { case (q, v) => q -> v / lastMap(q) }
@@ -436,7 +547,7 @@ object BenchScale {
       s""""text":{"queries":${skewTextQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""uniform":${obj(skewTextUniform)},"zipf":${obj(skewTextZipf)},""" +
       s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}},""" +
-      s""""layout":$layoutJson$deepJson$headlineDeepJson}"""
+      s""""layout":$layoutJson$deepJson$headlineDeepJson$contrastsJson$infraJson}"""
     println(json)
     if (failures.nonEmpty) {
       failures.foreach { case (k, v) => System.err.println(s"[scale] FAILED $k: $v") }

@@ -621,6 +621,24 @@ class DedupAnnSpec extends SparkSuite {
     assert(Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 4,
       threshold = 0.5, portableHash = false).count() >= 0)
     graft.ops.PinnedCaches.release(blocking = true)
+    // per-session scoping: releasing session B's pins must not touch
+    // session A's (the registry is keyed by SparkSession, so a library
+    // session owns exactly its own release)
+    val sessB = spark.newSession()
+    Dedup.minhashLsh(docs, "doc_id", "text", numHashes = 16, bands = 4,
+      threshold = 0.5, portableHash = false).count()
+    val aPinned = graft.ops.PinnedCaches.pinnedCount
+    assert(aPinned > 0)
+    Dedup.minhashLsh(sessB.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", numHashes = 16, bands = 4,
+      threshold = 0.5, portableHash = false).count()
+    assert(graft.ops.PinnedCaches.pinnedCount > aPinned)
+    graft.ops.PinnedCaches.releaseFor(sessB, blocking = true)
+    assert(graft.ops.PinnedCaches.pinnedCount === aPinned,
+      "releaseFor(sessB) must leave session A's pins intact")
+    graft.ops.PinnedCaches.release(blocking = true)
+    assert(graft.ops.PinnedCaches.pinnedCount === 0)
   }
 
   test("dd13/st15 steady-state: warm invocations over the shared per-process index are identical") {

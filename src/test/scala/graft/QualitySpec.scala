@@ -238,4 +238,25 @@ class QualitySpec extends SparkSuite {
     assert(same.length === 1 && same.head.getDouble(0) === 0.0,
       s"identical snapshots must read PSI 0, got ${same.head.getDouble(0)}")
   }
+
+  test("dq7 schema drift: an empty snapshot flags drift, never a NULL verdict") {
+    import graft.quality.Profiling
+    val full = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val empty = full.limit(0)
+    val drift = Profiling.schemaDrift(
+      Profiling.profile(full, Seq("k", "v")),
+      Profiling.profile(empty, Seq("k", "v")))
+      .select(col("col_name"), col("drift_detected")).collect()
+    assert(drift.length === 2)
+    drift.foreach { r =>
+      assert(!r.isNullAt(1), s"${r.getString(0)}: drift verdict must not be NULL")
+      assert(r.getBoolean(1), s"${r.getString(0)}: empty snapshot must flag drift")
+    }
+    // and two healthy identical snapshots still read no drift
+    val clean = Profiling.schemaDrift(
+      Profiling.profile(full, Seq("k", "v")),
+      Profiling.profile(full, Seq("k", "v")))
+      .select(col("drift_detected")).collect()
+    assert(clean.forall(r => !r.isNullAt(0) && !r.getBoolean(0)))
+  }
 }
