@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
-/** A minimal versioned-table transaction log (VT1-VT7/ST17; beyond-
+/** A minimal versioned-table transaction log (VT1-VT9/ST17; beyond-
   * reference): time travel, rollback, vacuum, CDC read+apply, an exactly-
   * once streaming sink, manifest-level data skipping — atomic commits over
   * plain parquet, the table-format substrate (Delta/Iceberg-style, from
@@ -334,26 +334,92 @@ object Versioned {
     require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
     val n = currentVersion(root).map(_.n + 1).getOrElse(1)
     val files = writeData(df, root, n, options)
-    val entries =
-      if (files.isEmpty) Nil // empty commit: nothing to measure, nothing to skip
-      else {
-        val spark = df.sparkSession
-        val rootP = Paths.get(root)
-        val aggs = statsCols.flatMap(c =>
-          Seq(min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
-        spark.read.parquet(rootP.resolve(files.head).getParent.toString)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().toSeq.map { r =>
-            val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-            // any all-NULL stats column ⇒ stats-less entry (conservative
-            // read), never a NULL range in the manifest
-            if ((1 until r.length).exists(r.isNullAt)) FileEntry(rel, Nil)
-            else FileEntry(rel, (0 until statsCols.length).map(i =>
-              (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
-          }
+    commitFiles(root, "append", statsEntries(df.sparkSession, root, files, statsCols), statsCols)
+  }
+
+  /** One commit-sized stats pass over freshly-written `files`: per file,
+    * (min, max) of each stats column. A file where any stats column is
+    * all-NULL gets a stats-less entry (conservative read — never a NULL
+    * range in the manifest); an empty file list yields no entries.
+    * Shared by [[appendWithStats]] and [[compact]].
+    */
+  private def statsEntries(spark: SparkSession, root: String, files: Seq[String],
+      statsCols: Seq[String]): Seq[FileEntry] = {
+    if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
+    val rootP = Paths.get(root)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
+    spark.read.parquet(files.map(f => rootP.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+        if ((1 until r.length).exists(r.isNullAt)) FileEntry(rel, Nil)
+        else FileEntry(rel, (0 until statsCols.length).map(i =>
+          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
       }
-    commitFiles(root, "append", entries, statsCols)
+  }
+
+  /** VT8: optimistic-retry append — the CAS loser's side of the concurrency
+    * story. The data files land ONCE (immutable, commit-scoped); on a lost
+    * race (`concurrent commit` from the manifest CAS) only the METADATA
+    * retry runs: re-read the log, re-commit the same files on top of the
+    * winner. Bounded by `maxRetries`, then the loss propagates loudly.
+    * Safe under any interleaving: every retry re-reads the current state,
+    * and the hard-link promote guarantees exactly one writer per version
+    * number.
+    */
+  def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
+    val n0 = currentVersion(root).map(_.n + 1).getOrElse(1)
+    retryCommit(root, "append",
+      writeData(df, root, n0, Map.empty).map(FileEntry(_, Nil)), Nil, maxRetries)
+  }
+
+  /** The metadata retry loop behind [[appendWithRetry]] — `private[graft]`
+    * so the concurrency spec can hammer it from racing threads without
+    * paying a Spark write per commit.
+    */
+  private[graft] def retryCommit(root: String, op: String, added: Seq[FileEntry],
+      statsCols: Seq[String], maxRetries: Int): Version = {
+    var attempt = 0
+    while (true) {
+      try return commitFiles(root, op, added, statsCols)
+      catch {
+        case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** VT9: OPTIMIZE-style compaction THROUGH the log — the deliberate answer
+    * to the small-files pathology a per-micro-batch sink (ST17) accretes:
+    * rewrite the CURRENT version's rows into `nFiles` outputs and commit
+    * them as a FULL `compact` manifest. Snapshot semantics are preserved
+    * end-to-end: readers of older versions still plan the old files
+    * (immutable — reclaim is [[vacuum]]'s deliberate job, never compaction's
+    * side effect), concurrent readers of the current version are untouched,
+    * and the accumulated stream-batch ids ride along so replay dedup
+    * survives compaction. If the table tracks skipping stats they are
+    * RECOMPUTED for the new files in one compact-sized pass — a pruned read
+    * is exactly as selective after the rewrite. For multi-dimension
+    * clustering instead of bin-packing, pre-shape with
+    * [[graft.ops.ZOrder.zCluster]] and [[overwrite]]; this op is the
+    * file-count lever, one shuffle, O(current version) and never O(history).
+    */
+  def compact(spark: SparkSession, root: String, nFiles: Int): Version = {
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val n = cur.n + 1
+    val files = writeData(read(spark, root, Some(cur.n)).repartition(nFiles), root, n, Map.empty)
+    val entries =
+      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      else statsEntries(spark, root, files, cur.statsCols)
+    writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
+      entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
+      cur.statsCols, cur.txns))
   }
 
   /** Single-column convenience overload. */

@@ -344,6 +344,51 @@ object SinkQueries extends QueryModule {
         lo = st.getLong(2), hi = st.getLong(2) + (st.getLong(3) - st.getLong(2)) / 16)
     }),
 
+    // VT8: CONCURRENT writers through the optimistic-retry append — four
+    // threads land disjoint slices of orders on one table simultaneously.
+    // The manifest CAS (hard-link promote) serializes them: each loser
+    // re-reads the log and re-commits ITS OWN already-written files on top
+    // of the winner (metadata-only retry — data lands once). The final
+    // read must contain every thread's slice exactly once, whatever the
+    // interleaving — which is what the oracle states (the slices partition
+    // the table, so the result is the whole projection, order-free).
+    "vt8_concurrent_appends" -> ((s, dir) => {
+      val root = tmp("graft_vt8") + "/t"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+      val threads = (0 until 4).map { t =>
+        new Thread(() => {
+          try { graft.merge.Versioned.appendWithRetry(
+            o.filter(pmod(col("o_orderkey"), lit(4)) === t), root, maxRetries = 100); () }
+          catch { case e: Throwable => errs.add(e); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      if (!errs.isEmpty) throw new IllegalStateException(s"concurrent append failed: $errs")
+      graft.merge.Versioned.read(s, root)
+    }),
+
+    // VT9: OPTIMIZE-style compaction through the log — six small slice
+    // commits (the small-files shape a micro-batch sink accretes, each
+    // stats-tracked) rewritten into 4 files by a `compact` commit that
+    // RECOMPUTES the skipping stats, then a pruned read over the compacted
+    // version. Readers of the pre-compact versions still plan the old
+    // files (reclaim is vacuum's job); the result is exactly the BETWEEN —
+    // compaction must be invisible to every reader except in file count
+    // (VersionedSpec pins count, stats, history and txn survival).
+    "vt9_compact_read" -> ((s, dir) => {
+      val root = tmp("graft_vt9") + "/t"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      (0 until 6).foreach { i =>
+        graft.merge.Versioned.appendWithStats(
+          o.filter(pmod(col("o_orderkey"), lit(6)) === i)
+            .repartitionByRange(4, col("o_orderkey")),
+          root, "o_orderkey")
+      }
+      graft.merge.Versioned.compact(s, root, nFiles = 4)
+      graft.merge.Versioned.readPruned(s, root, "o_orderkey", lo = 1000L, hi = 5000L)
+    }),
+
     // ST17: the version log as an EXACTLY-ONCE streaming sink — foreachBatch
     // appends each micro-batch under its batch id, and the log's committed
     // id set is the replay-dedup state (no side store): run TWICE from a
@@ -460,6 +505,10 @@ object SinkQueries extends QueryModule {
     "vt6_stats_pruned_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus IN ('F', 'O') AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "vt8_concurrent_appends" -> "SELECT o_orderkey, o_orderstatus FROM orders",
+    "vt9_compact_read" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     // st17: one copy of every pre-cutoff event despite the double run
     "st17_versioned_stream_sink" ->
       """SELECT event_id, user_id, event_type FROM events

@@ -355,9 +355,12 @@ object BenchScale {
     // them across runs like the cached corpora (which ARE reused)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     System.err.println(f"[scale] layout leg: z decodes $zr of $total, linear $lr; z $zt%.2fs linear $lt%.2fs")
+    // lr = 0 (predicate outside the corpus's suppkey domain — possible on a
+    // small smoke corpus) must emit valid JSON, not NaN
+    val ratio = if (lr > 0) f"${zr.toDouble / lr}%.4f" else "null"
     f"""{"predicate":"l_suppkey = 420 (non-sort dim)","total_rows":$total,""" +
       f""""z_decoded_rows":$zr,"linear_decoded_rows":$lr,""" +
-      f""""decode_ratio":${zr.toDouble / lr}%.4f,"z_sec":$zt%.3f,"linear_sec":$lt%.3f}"""
+      f""""decode_ratio":$ratio,"z_sec":$zt%.3f,"linear_sec":$lt%.3f}"""
   }
 
   /** Versioned-log leg (round 14): the vt family's metadata plane and

@@ -349,6 +349,81 @@ class VersionedSpec extends SparkSuite {
     assert(decoded >= result)
   }
 
+  test("retryCommit: racing writers all land, exactly one version per commit") {
+    import graft.merge.Versioned.FileEntry
+    val root = freshRoot()
+    val perThread = 50
+    val threads = (0 until 2).map { tid =>
+      new Thread(() => {
+        (0 until perThread).foreach { i =>
+          Versioned.retryCommit(root, "append",
+            Seq(FileEntry(s"data/t$tid/f$i.parquet", Nil)), Nil, maxRetries = 1000)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val vs = Versioned.versions(root)
+    // every commit landed exactly once: contiguous versions, no clobbers
+    assert(vs.map(_.n) === (1 to 2 * perThread))
+    val finalFiles = vs.last.files.toSet
+    for (tid <- 0 until 2; i <- 0 until perThread)
+      assert(finalFiles.contains(s"data/t$tid/f$i.parquet"), s"lost t$tid/f$i")
+    assert(finalFiles.size === 2 * perThread)
+  }
+
+  test("appendWithRetry: concurrent data appends all survive to the final read") {
+    import spark.implicits._
+    val root = freshRoot()
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    val threads = (0 until 4).map { tid =>
+      new Thread(() => {
+        try Versioned.appendWithRetry((1 to 5).map(i => tid * 100L + i).toDF("k"), root,
+          maxRetries = 100)
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent appends failed: $errs")
+    assert(Versioned.currentVersion(root).get.n === 4)
+    val got = Versioned.read(spark, root).as[Long].collect().sorted.toSeq
+    assert(got === (0 until 4).flatMap(t => (1 to 5).map(i => t * 100L + i)).sorted)
+  }
+
+  test("compact: fewer files, identical rows, stats recomputed, history and txns intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two stream batches (txn ids 0, 1) then four stats-tracked slice
+    // appends — a small-files table with both dedup state and skipping stats
+    Versioned.appendStreamBatch(Seq(1000L, 1001L).toDF("k"), root, batchId = 0)
+    Versioned.appendStreamBatch(Seq(1002L).toDF("k"), root, batchId = 1)
+    (0 until 4).foreach { i =>
+      Versioned.appendWithStats(
+        (1L to 40L).filter(_ % 4 == i.toLong).toDF("k").repartitionByRange(3, col("k")),
+        root, "k")
+    }
+    val before = Versioned.currentVersion(root).get
+    assert(before.files.length > 4)
+    val rowsBefore = Versioned.read(spark, root).as[Long].collect().sorted.toSeq
+    val v = Versioned.compact(spark, root, nFiles = 2)
+    assert(v.op === "compact" && v.files.length <= 2)
+    // lossless, and the pre-compact snapshot still reads (old files intact)
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === rowsBefore)
+    assert(Versioned.read(spark, root, Some(before.n)).as[Long].collect().sorted.toSeq
+      === rowsBefore)
+    // stats were recomputed over the new files: pruning still works and is
+    // exactly as correct
+    assert(v.statsCols === Seq("k"))
+    assert(v.stats.keySet === v.files.toSet)
+    assert(Versioned.readPruned(spark, root, "k", 10, 20).as[Long].collect().sorted.toSeq
+      === (10L to 20L))
+    // replay dedup survives compaction: batch 0 is still known-committed
+    assert(Versioned.appendStreamBatch(Seq(9999L).toDF("k"), root, batchId = 0).isEmpty)
+    // vacuum reclaims the pre-compact small files; the compacted read holds
+    val (deleted, _) = Versioned.vacuum(root, keepLast = 1)
+    assert(deleted.nonEmpty)
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === rowsBefore)
+  }
+
   test("applyChangesByKey upserts a key-unique replica") {
     import spark.implicits._
     val replica = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
