@@ -496,6 +496,33 @@ object Versioned {
     (expired.sorted, live.toSeq.sorted)
   }
 
+  /** Reclaim data files referenced by NO manifest — the counterpart gap
+    * [[vacuum]] cannot cover: vacuum expires HISTORY (files old versions
+    * reference), while an orphan was never history at all. Orphans arise
+    * when a writer lands its data but never wins a commit — an
+    * [[appendWithRetry]] that exhausted its budget, or a crashed writer
+    * (data files land before the manifest CAS by design). Age-gated like
+    * Delta's published vacuum default: a file younger than `olderThanMs`
+    * may belong to an IN-FLIGHT commit whose manifest hasn't linked yet,
+    * so it is never touched. Returns the reclaimed root-relative paths.
+    * Cost: one manifest fold + one data-dir listing — metadata-plane only.
+    */
+  def gcOrphans(root: String, olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+    val referenced = versions(root).flatMap(_.files).toSet
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val rootP = Paths.get(root)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = listClosing(Files.walk(dataDir))(
+      _.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(p => (p, rootP.relativize(p).toString))
+        .filter(e => !referenced.contains(e._2))
+        .toSeq)
+    orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
+    orphans.map(_._2).sorted
+  }
+
   /** CDC between two versions (VT4): the rows inserted and deleted going
     * `from` → `to`, as a `change_type`-tagged frame — the "what changed
     * since I last synced" read every downstream consumer of a versioned

@@ -424,6 +424,26 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === rowsBefore)
   }
 
+  test("gcOrphans reclaims only never-committed files, age-gated") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L, 2L).toDF("k"), root)
+    // a lost writer's data: landed on disk, referenced by no manifest
+    val orphanDir = Paths.get(root, "data", "c9-lostwriter")
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("part-orphan.parquet"), "stub")
+    // age gate: a fresh file may belong to an in-flight commit — untouched
+    assert(Versioned.gcOrphans(root, olderThanMs = 60000).isEmpty)
+    assert(Files.exists(orphanDir.resolve("part-orphan.parquet")))
+    // past the gate: reclaimed, and every referenced file survives
+    val got = Versioned.gcOrphans(root, olderThanMs = 0)
+    assert(got === Seq("data/c9-lostwriter/part-orphan.parquet"))
+    assert(!Files.exists(orphanDir.resolve("part-orphan.parquet")))
+    assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // idempotent on a clean table
+    assert(Versioned.gcOrphans(root, olderThanMs = 0).isEmpty)
+  }
+
   test("applyChangesByKey upserts a key-unique replica") {
     import spark.implicits._
     val replica = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
