@@ -407,6 +407,9 @@ object Versioned {
     * clustering instead of bin-packing, pre-shape with
     * [[graft.ops.ZOrder.zCluster]] and [[overwrite]]; this op is the
     * file-count lever, one shuffle, O(current version) and never O(history).
+    * On a lost commit race (an append landed while the rewrite ran) the CAS
+    * throws and the rewritten files are orphaned — [[gcOrphans]] reclaims
+    * them; re-run against the new head.
     */
   def compact(spark: SparkSession, root: String, nFiles: Int): Version = {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
@@ -450,6 +453,41 @@ object Versioned {
     base.filter(cc >= lo && cc <= hi)
   }
 
+  /** VT10: filter-driven automatic data skipping — [[readPruned]] without
+    * the caller doing the range algebra. The predicate's Catalyst tree is
+    * walked for per-column [lo, hi] bounds (conjunctions of `=`, `<`, `<=`,
+    * `>`, `>=`, BETWEEN on tracked stats columns; strict bounds are
+    * widened by one — files prune, rows never), the manifest plans only
+    * range-overlapping files, and the FULL predicate applies as the
+    * residual filter. Anything the walker cannot bound — `OR` subtrees,
+    * non-literal comparisons, untracked columns, nulls tests — contributes
+    * NO constraint (conservative: more files read, same rows out). This is
+    * the read a user actually writes: `readWhere(s, root, $"k" >= 5 &&
+    * $"d" < 100)` skips like the hand-ranged call, proven equivalent in
+    * VersionedSpec.
+    */
+  def readWhere(spark: SparkSession, root: String, predicate: Column,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateBounds(predicate)
+      .filter { case (c, _) => v.statsCols.contains(c) }
+    val candidates =
+      if (bounds.isEmpty) v.files
+      else v.files.filter { f =>
+        v.stats.get(f).forall { rs =>
+          bounds.forall { case (c, (lo, hi)) =>
+            rs.lift(v.statsCols.indexOf(c)).forall { case (mn, mx) => mx >= lo && mn <= hi }
+          }
+        }
+      }
+    val base =
+      if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
+      else spark.read.parquet(candidates.map(f => Paths.get(root).resolve(f).toString): _*)
+    base.filter(predicate)
+  }
+
+
   /** Replace the table contents with `df` as the next version — always a
     * FULL manifest (it IS the new state, and it doubles as a checkpoint).
     * Old files stay on disk (they back earlier versions) — retention is a
@@ -473,6 +511,14 @@ object Versioned {
     */
   def rollback(root: String, to: Int): Version = {
     val target = stateAt(root, to)
+    // refuse to flip HEAD onto vacuumed data: the reader failure would
+    // otherwise land later and elsewhere (Delta's RESTORE refuses past the
+    // vacuum horizon for the same reason). One metadata stat per file,
+    // only on this rare op — never on the commit path.
+    val missing = target.files.filterNot(f => Files.exists(Paths.get(root).resolve(f)))
+    require(missing.isEmpty,
+      s"cannot roll back to version $to: ${missing.size} of its data files were vacuumed " +
+        s"(first: ${missing.headOption.getOrElse("")})")
     val cur = currentVersion(root).get
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
       target.stats, target.statsCols, cur.txns))
@@ -623,6 +669,15 @@ object Versioned {
     val pcols = partitionCols.map(col(_))
     val changedParts = changeSet.select(pcols: _*).distinct().collect().toSeq
     if (changedParts.isEmpty) return Nil // empty change set: nothing to touch
+    // a NULL partition value would silently vanish from the equality
+    // predicate (NULL === x is never true) and its rows would never apply —
+    // refuse loudly; null-keyed rows belong in a dedicated default partition
+    // upstream, not implicitly dropped here
+    changedParts.find(r => (0 until partitionCols.length).exists(r.isNullAt)).foreach { r =>
+      throw new IllegalArgumentException(
+        s"change set carries a NULL partition value ($r) — applyChangesPartitioned " +
+          "cannot scope a NULL key; map it to an explicit default value upstream")
+    }
     def partPredicate(r: org.apache.spark.sql.Row): Column =
       partitionCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
     val pred = changedParts.map(partPredicate).reduce(_ || _)

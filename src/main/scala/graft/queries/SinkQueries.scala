@@ -344,6 +344,27 @@ object SinkQueries extends QueryModule {
         lo = st.getLong(2), hi = st.getLong(2) + (st.getLong(3) - st.getLong(2)) / 16)
     }),
 
+    // VT10: filter-driven AUTOMATIC skipping — the read a user actually
+    // writes: hand readWhere an arbitrary predicate and the per-column
+    // bounds are extracted from its Catalyst tree (conjunctions of
+    // comparisons on tracked columns; everything else conservative), the
+    // manifest plans only overlapping files, and the FULL predicate runs
+    // as the residual. Same table shape as vt6; the predicate here mixes a
+    // boundable BETWEEN with a status equality the stats don't track —
+    // bounds prune, residual decides, the oracle states the WHERE.
+    "vt10_read_where" -> ((s, dir) => {
+      val root = tmp("graft_vt10") + "/t"
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      graft.merge.Versioned.appendWithStats(
+        o.filter(col("o_orderstatus") === "F").repartitionByRange(8, col("o_orderkey")),
+        root, "o_orderkey")
+      graft.merge.Versioned.appendWithStats(
+        o.filter(col("o_orderstatus") === "O").repartitionByRange(8, col("o_orderkey")),
+        root, "o_orderkey")
+      graft.merge.Versioned.readWhere(s, root,
+        col("o_orderkey").between(1000L, 5000L) && col("o_orderstatus") === "F")
+    }),
+
     // VT8: CONCURRENT writers through the optimistic-retry append — four
     // threads land disjoint slices of orders on one table simultaneously.
     // The manifest CAS (hard-link promote) serializes them: each loser
@@ -506,6 +527,9 @@ object SinkQueries extends QueryModule {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus IN ('F', 'O') AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     "vt8_concurrent_appends" -> "SELECT o_orderkey, o_orderstatus FROM orders",
+    "vt10_read_where" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     "vt9_compact_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,

@@ -92,6 +92,10 @@ class VersionedSpec extends SparkSuite {
     deleted.foreach(f => assert(!Files.exists(Paths.get(root).resolve(f)), f))
     retained.foreach(f => assert(Files.exists(Paths.get(root).resolve(f)), f))
     assert(Versioned.read(spark, root).as[Long].collect().toSeq === Seq(9L))
+    // rolling back onto vacuumed data is refused loudly (the read would
+    // otherwise fail later, elsewhere)
+    val e = intercept[IllegalArgumentException](Versioned.rollback(root, to = 1))
+    assert(e.getMessage.contains("vacuumed"))
     // a file shared by an expired AND a live version must survive:
     val root2 = freshRoot()
     Versioned.append(Seq(1L).toDF("k"), root2)           // v1: file A
@@ -302,6 +306,12 @@ class VersionedSpec extends SparkSuite {
     // empty change set: a no-op that scans nothing
     assert(Versioned.applyChangesPartitioned(spark, base, Seq("p"),
       changes.limit(0)).isEmpty)
+    // a NULL partition value cannot be scoped by the equality predicate —
+    // refused loudly instead of silently never applying
+    val nullChange = Seq((9L, Option.empty[String], "insert")).toDF("k", "p", "change_type")
+    val e = intercept[IllegalArgumentException](
+      Versioned.applyChangesPartitioned(spark, base, Seq("p"), nullChange))
+    assert(e.getMessage.contains("NULL partition value"))
   }
 
   test("vt7 composition: manifest file-skip AND z row-group skip stack on the same read") {
@@ -422,6 +432,38 @@ class VersionedSpec extends SparkSuite {
     val (deleted, _) = Versioned.vacuum(root, keepLast = 1)
     assert(deleted.nonEmpty)
     assert(Versioned.read(spark, root).as[Long].collect().sorted.toSeq === rowsBefore)
+  }
+
+  test("readWhere: bounds extracted from the predicate prune files; residual decides rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    // bounds algebra straight off Catalyst trees
+    def b(c: org.apache.spark.sql.Column) = ColumnBridge.predicateBounds(c)
+    assert(b(col("k") >= 5 && col("k") < 9) === Map("k" -> (5L, 9L))) // strict < widened
+    assert(b(col("k") === 7) === Map("k" -> (7L, 7L)))
+    assert(b(lit(5) <= col("k")) === Map("k" -> (5L, Long.MaxValue)))
+    assert(b(col("k").between(3, 6) && col("d") === 40) === Map("k" -> (3L, 6L), "d" -> (40L, 40L)))
+    assert(b(col("k") <= 2 || col("k") >= 39) === Map.empty) // OR: conservative
+    assert(b(col("k") === "x") === Map.empty) // non-integral literal: conservative
+    // end-to-end on a two-column stats table: (k, d = k*10), 4 tight files
+    val root = freshRoot()
+    Versioned.appendWithStats((1L to 40L).map(k => (k, k * 10L)).toDF("k", "d")
+      .repartitionByRange(4, col("k")), root, Seq("k", "d"))
+    val all = Versioned.currentVersion(root).get.files.length
+    val pred = col("k") >= 5 && col("k") <= 8 && col("d") =!= 60
+    val got = Versioned.readWhere(spark, root, pred)
+    assert(got.select("k").as[Long].collect().sorted.toSeq === Seq(5L, 7L, 8L))
+    assert(got.inputFiles.length < all, "readWhere must prune the scan like the hand-ranged call")
+    // equivalent to the hand-ranged read, minus the algebra
+    val hand = Versioned.readPruned(spark, root, "k", 5, 8).filter(col("d") =!= 60)
+    assert(got.inputFiles.toSet === hand.inputFiles.toSet)
+    // an unboundable predicate reads everything but computes exactly
+    val orPred = col("k") <= 2 || col("k") >= 39
+    val conservative = Versioned.readWhere(spark, root, orPred)
+    assert(conservative.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 39L, 40L))
+    assert(conservative.inputFiles.length === all)
+    // disjoint bounds: zero files planned, empty result, schema intact
+    assert(Versioned.readWhere(spark, root, col("k") > 1000 && col("k") < 2000).count() === 0L)
   }
 
   test("gcOrphans reclaims only never-committed files, age-gated") {
