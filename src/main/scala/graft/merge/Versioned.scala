@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
-/** A minimal versioned-table transaction log (VT1-VT9/ST17; beyond-
+/** A minimal versioned-table transaction log (VT1-VT11/ST17; beyond-
   * reference): time travel, rollback, vacuum, CDC read+apply, an exactly-
   * once streaming sink, manifest-level data skipping — atomic commits over
   * plain parquet, the table-format substrate (Delta/Iceberg-style, from
@@ -89,7 +89,8 @@ object Versioned {
     */
   final case class Version(n: Int, op: String, parent: Int, files: Seq[String],
       stats: Map[String, Seq[(Long, Long)]] = Map.empty,
-      statsCols: Seq[String] = Nil, txns: Set[Long] = Set.empty)
+      statsCols: Seq[String] = Nil, txns: Set[Long] = Set.empty,
+      schema: Option[String] = None)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively).
@@ -98,7 +99,17 @@ object Versioned {
 
   /** A manifest as written on disk (delta or full), before folding. */
   private final case class Raw(n: Int, op: String, parent: Int, full: Boolean,
-      statsCols: Seq[String], entries: Seq[FileEntry], txns: Set[Long])
+      statsCols: Seq[String], entries: Seq[FileEntry], txns: Set[Long],
+      schema: Option[String])
+
+  /** The schema identity the log tracks: DDL with nullability erased —
+    * Spark normalizes parquet read-back to nullable, so a compaction or
+    * filter must not read as schema drift. Column SET and TYPES are the
+    * contract.
+    */
+  private def normalizedDDL(df: DataFrame): String =
+    org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true))).toDDL
 
   private def vlogDir(root: String): Path = Paths.get(root, "_vlog")
   private def manifestPath(root: String, n: Int): Path =
@@ -142,7 +153,10 @@ object Versioned {
     val header = lines.head.split(" ").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
     val body = lines.tail.filter(_.nonEmpty)
     val txns = body.filter(_.startsWith("txn=")).map(_.stripPrefix("txn=").toLong).toSet
-    val fileLines = body.filterNot(_.startsWith("txn="))
+    // schema rides the BODY (one `schema=<ddl>` line): DDL contains spaces,
+    // which the k=v header line cannot carry
+    val schema = body.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
+    val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema="))
     val full = header.get("full").contains("1")
     val entries =
       if (full) fileLines.map(parseEntry)
@@ -151,7 +165,7 @@ object Versioned {
         parseEntry(l.drop(1))
       }
     Raw(n, header("op"), header("parent").toInt, full,
-      header.get("stats").map(_.split(',').toSeq).getOrElse(Nil), entries, txns)
+      header.get("stats").map(_.split(',').toSeq).getOrElse(Nil), entries, txns, schema)
   }
 
   /** Fold one manifest over the predecessor's state. A FULL manifest is its
@@ -167,14 +181,15 @@ object Versioned {
     if (raw.full)
       Version(raw.n, raw.op, raw.parent, raw.entries.map(_.path),
         raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-        raw.statsCols, raw.txns ++ opTxn)
+        raw.statsCols, raw.txns ++ opTxn, raw.schema)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
       Version(raw.n, raw.op, raw.parent, base.files ++ raw.entries.map(_.path),
         base.stats ++ raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
         if (raw.statsCols.nonEmpty) raw.statsCols else base.statsCols,
-        base.txns ++ opTxn)
+        base.txns ++ opTxn,
+        raw.schema.orElse(base.schema)) // deltas inherit; checked at commit
     }
   }
 
@@ -222,7 +237,8 @@ object Versioned {
   private def renderFull(v: Version): String = {
     val head = s"op=${v.op} parent=${v.parent} full=1" +
       (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
-    (head +: (v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
+    (head +: (v.schema.map(s => s"schema=$s").toSeq ++
+      v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       v.stats.get(f).map(rs => (f +: rs.flatMap { case (mn, mx) => Seq(mn, mx) }).mkString("|"))
         .getOrElse(f)
     })).mkString("\n")
@@ -247,10 +263,17 @@ object Versioned {
     * Spark writes.
     */
   private[graft] def commitFiles(root: String, op: String, added: Seq[FileEntry],
-      statsCols: Seq[String]): Version = {
+      statsCols: Seq[String], schemaDDL: Option[String] = None): Version = {
     val cur = currentVersion(root)
     require(statsCols.isEmpty || cur.forall(c => c.statsCols.isEmpty || c.statsCols == statsCols),
       s"table tracks stats on ${cur.map(_.statsCols)}, not $statsCols")
+    // schema guard: a multi-file parquet read takes ONE footer's schema, so
+    // appending a different column set would silently drop columns at read
+    // time — refuse here instead; schema EVOLUTION is overwrite()'s job
+    // (a full manifest records the new contract)
+    for (s <- schemaDDL; c <- cur; t <- c.schema)
+      require(t == s, s"schema drift on append: table at $root is `$t`, commit is `$s` — " +
+        "appends must match; evolve the schema with overwrite()")
     val n = cur.map(_.n + 1).getOrElse(1)
     val opTxn: Set[Long] = op match {
       case StreamBatchOp(id) => Set(id.toLong)
@@ -261,7 +284,8 @@ object Versioned {
       cur.map(_.files).getOrElse(Nil) ++ added.map(_.path),
       cur.map(_.stats).getOrElse(Map.empty) ++
         added.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
-      cols, cur.map(_.txns).getOrElse(Set.empty) ++ opTxn)
+      cols, cur.map(_.txns).getOrElse(Set.empty) ++ opTxn,
+      schemaDDL.orElse(cur.flatMap(_.schema)))
     if (n == 1 || n % CheckpointInterval == 0) promoteState(root, state, renderFull(state))
     else promoteState(root, state, renderDelta(op, state.parent, cols, added))
   }
@@ -310,7 +334,8 @@ object Versioned {
     */
   def append(df: DataFrame, root: String): Version = {
     val n = currentVersion(root).map(_.n + 1).getOrElse(1)
-    commitFiles(root, "append", writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)), Nil)
+    commitFiles(root, "append", writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)),
+      Nil, Some(normalizedDDL(df)))
   }
 
   /** VT6: append WITH manifest-level skipping stats — after the commit's
@@ -334,7 +359,8 @@ object Versioned {
     require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
     val n = currentVersion(root).map(_.n + 1).getOrElse(1)
     val files = writeData(df, root, n, options)
-    commitFiles(root, "append", statsEntries(df.sparkSession, root, files, statsCols), statsCols)
+    commitFiles(root, "append", statsEntries(df.sparkSession, root, files, statsCols),
+      statsCols, Some(normalizedDDL(df)))
   }
 
   /** One commit-sized stats pass over freshly-written `files`: per file,
@@ -372,7 +398,8 @@ object Versioned {
   def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
     val n0 = currentVersion(root).map(_.n + 1).getOrElse(1)
     retryCommit(root, "append",
-      writeData(df, root, n0, Map.empty).map(FileEntry(_, Nil)), Nil, maxRetries)
+      writeData(df, root, n0, Map.empty).map(FileEntry(_, Nil)), Nil, maxRetries,
+      Some(normalizedDDL(df)))
   }
 
   /** The metadata retry loop behind [[appendWithRetry]] — `private[graft]`
@@ -380,10 +407,11 @@ object Versioned {
     * paying a Spark write per commit.
     */
   private[graft] def retryCommit(root: String, op: String, added: Seq[FileEntry],
-      statsCols: Seq[String], maxRetries: Int): Version = {
+      statsCols: Seq[String], maxRetries: Int,
+      schemaDDL: Option[String] = None): Version = {
     var attempt = 0
     while (true) {
-      try return commitFiles(root, op, added, statsCols)
+      try return commitFiles(root, op, added, statsCols, schemaDDL)
       catch {
         case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
           attempt += 1
@@ -422,7 +450,7 @@ object Versioned {
       else statsEntries(spark, root, files, cur.statsCols)
     writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-      cur.statsCols, cur.txns))
+      cur.statsCols, cur.txns, cur.schema))
   }
 
   /** Single-column convenience overload. */
@@ -496,9 +524,12 @@ object Versioned {
   def overwrite(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    // overwrite IS the schema-evolution op: the full manifest records the
+    // new contract, and later appends are checked against it
     writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
       writeData(df, root, n, Map.empty), Map.empty,
-      cur.map(_.statsCols).getOrElse(Nil), cur.map(_.txns).getOrElse(Set.empty)))
+      cur.map(_.statsCols).getOrElse(Nil), cur.map(_.txns).getOrElse(Set.empty),
+      Some(normalizedDDL(df))))
   }
 
   /** Roll the table back to version `to` by committing a NEW version with
@@ -520,8 +551,10 @@ object Versioned {
       s"cannot roll back to version $to: ${missing.size} of its data files were vacuumed " +
         s"(first: ${missing.headOption.getOrElse("")})")
     val cur = currentVersion(root).get
+    // the rollback restores the target's schema contract along with its
+    // files (they ARE that schema)
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
-      target.stats, target.statsCols, cur.txns))
+      target.stats, target.statsCols, cur.txns, target.schema))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -616,7 +649,8 @@ object Versioned {
     else {
       val n = currentVersion(root).map(_.n + 1).getOrElse(1)
       Some(commitFiles(root, s"stream-batch-$batchId",
-        writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)), Nil))
+        writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)), Nil,
+        Some(normalizedDDL(df))))
     }
   }
 

@@ -365,6 +365,31 @@ object SinkQueries extends QueryModule {
         col("o_orderkey").between(1000L, 5000L) && col("o_orderstatus") === "F")
     }),
 
+    // VT11: SCHEMA EVOLUTION through the log — the column-set contract is
+    // tracked per version (a schema= line in full manifests; appends are
+    // CHECKED against it, because a multi-file parquet read takes one
+    // footer's schema and a drifted append would silently drop columns at
+    // read time — VersionedSpec pins the refusal). Evolution is
+    // overwrite()'s job: v1 commits the 2-column table, v2 overwrites with
+    // a 3-column one, and BOTH versions read back under their own schema —
+    // the additive-column migration (s13's mergeSchema story) done with
+    // snapshot isolation instead of footer merging.
+    "vt11_schema_evolution" -> ((s, dir) => {
+      val root = tmp("graft_vt11") + "/t"
+      val o = Tables.orders(s, dir)
+      graft.merge.Versioned.append(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderstatus")), root)
+      graft.merge.Versioned.overwrite(
+        o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), root)
+      graft.merge.Versioned.read(s, root, asOf = Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+        .unionAll(graft.merge.Versioned.read(s, root)
+          .select(lit(2).as("version"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
+    }),
+
     // VT8: CONCURRENT writers through the optimistic-retry append — four
     // threads land disjoint slices of orders on one table simultaneously.
     // The manifest CAS (hard-link promote) serializes them: each loser
@@ -530,6 +555,12 @@ object SinkQueries extends QueryModule {
     "vt10_read_where" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "vt11_schema_evolution" ->
+      """SELECT 1 AS version, o_orderkey, o_orderstatus,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_orderstatus, o_totalprice FROM orders""".stripMargin,
     "vt9_compact_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin,

@@ -466,6 +466,35 @@ class VersionedSpec extends SparkSuite {
     assert(Versioned.readWhere(spark, root, col("k") > 1000 && col("k") < 2000).count() === 0L)
   }
 
+  test("schema tracked in the log: appends must match, overwrite evolves, history keeps both") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), root)
+    val s1 = Versioned.currentVersion(root).get.schema
+    assert(s1.exists(s => s.contains("k BIGINT") && s.contains("v STRING")))
+    // appending a different column set is refused loudly: a multi-file
+    // parquet read takes one footer's schema, so this would otherwise drop
+    // the new column silently at read time
+    val e = intercept[IllegalArgumentException](
+      Versioned.append(Seq((2L, "b", 1.0)).toDF("k", "v", "extra"), root))
+    assert(e.getMessage.contains("schema drift"))
+    // evolution is overwrite()'s job; appends then check the NEW contract
+    Versioned.overwrite(Seq((2L, "b", 1.5)).toDF("k", "v", "extra"), root)
+    Versioned.append(Seq((3L, "c", 2.5)).toDF("k", "v", "extra"), root)
+    intercept[IllegalArgumentException](
+      Versioned.append(Seq((9L, "x")).toDF("k", "v"), root))
+    // time travel across the change: each version reads ITS schema
+    assert(Versioned.read(spark, root, Some(1)).columns.toSeq === Seq("k", "v"))
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("k", "v", "extra"))
+    // compaction and rollback carry the contract (nullability-insensitive:
+    // parquet read-back is all-nullable and must not read as drift)
+    Versioned.compact(spark, root, 1)
+    assert(Versioned.append(Seq((4L, "d", 3.5)).toDF("k", "v", "extra"), root).n === 5)
+    Versioned.rollback(root, to = 1)
+    assert(Versioned.currentVersion(root).get.schema === s1)
+    assert(Versioned.append(Seq((5L, "e")).toDF("k", "v"), root).n === 7)
+  }
+
   test("gcOrphans reclaims only never-committed files, age-gated") {
     import spark.implicits._
     val root = freshRoot()
