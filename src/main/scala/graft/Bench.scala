@@ -60,8 +60,15 @@ object Bench {
     // so the composite is never read as a cold-start number.
     val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
       "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
+    // Retired from the per-run suite (round 15): dd15's from-scratch rebuild
+    // contrast is proven, labeled, and was ~6% of every run's wall — it still
+    // gets a CORRECTNESS row via Verify (which runs every registered query)
+    // and is re-measured once per round in BENCH_SCALE's contrasts block;
+    // dd15b (the artifact-served steady state a user actually pays) stays.
+    val retired = Set("dd15_incremental_groups")
     val ordered = (headline.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
       SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => headline.contains(q._1)))
+      .filterNot { case (n, _) => retired(n) }
       .filter { case (n, _) => filter.forall(_.exists(n.startsWith)) }
     // Generic warm-up (scan/shuffle/broadcast/window codegen paths) plus one
     // untimed pass of each headline composite: r4's measurement isolation
@@ -253,16 +260,15 @@ object Bench {
     // query (>=1 good rep) keeps its median-of-good-reps timing AND appears
     // under "errors" with a "partial:" prefix, so round-over-round totals
     // stay comparable without hiding the flake.
-    // Labeled CONTRAST rows (round 14): dd15 is the deliberate from-scratch
-    // rebuild measured beside dd15b's artifact-served row, and ann4 opts
-    // into the fixed-block path via contrast = true — neither is what a
-    // user's default path costs, and together they were ~10% of the r13
-    // total. They stay timed every run (their numbers ARE the point) but
-    // publish under "contrasts", excluded from "value"/"queries", so the
-    // composite tracks the default paths. Cross-round note: r13-and-earlier
-    // totals include them — subtract their rows (or read PERF_NOTES'
-    // recomposition) before comparing.
-    val contrastRows = Set("ann4_ivfpq_topk", "dd15_incremental_groups")
+    // Labeled CONTRAST rows: ann4 opts into the fixed-block path via
+    // contrast = true — not what a user's default path costs. It stays timed
+    // every run (its number IS the point) but publishes under "contrasts",
+    // excluded from "value"/"queries", so the composite tracks the default
+    // paths. dd15's from-scratch rebuild contrast moved to BENCH_SCALE
+    // (round 15 — see `retired` above). Cross-round note: r13-and-earlier
+    // totals include both contrast rows, r14's contrasts block has dd15 —
+    // subtract (or read PERF_NOTES' recomposition) before comparing.
+    val contrastRows = Set("ann4_ivfpq_topk")
     val allOk = results.collect { case (k, Some(v), _) => k -> v }
     val (contrastsOk, ok) = allOk.partition { case (k, _) => contrastRows(k) }
     val failed = results.collect { case (k, _, Some(e)) => k -> e }

@@ -2,52 +2,76 @@ package graft.merge
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicLong
 import scala.jdk.CollectionConverters._
 
-/** A minimal versioned-table transaction log (VT1-VT11/ST17; beyond-
+/** A minimal versioned-table transaction log (VT1-VT12/ST17; beyond-
   * reference): time travel, rollback, vacuum, CDC read+apply, an exactly-
-  * once streaming sink, manifest-level data skipping — atomic commits over
-  * plain parquet, the table-format substrate (Delta/Iceberg-style, from
-  * their published designs) that a long-lived 100 TB sync target needs once
-  * "overwrite the directory" stops being an option.
+  * once streaming sink, manifest-level data skipping, copy-on-write
+  * row-level DML — atomic commits over plain parquet, the table-format
+  * substrate (Delta/Iceberg-style, from their published designs) that a
+  * long-lived 100 TB sync target needs once "overwrite the directory"
+  * stops being an option.
   *
   * Layout:
   * {{{
-  *   root/_vlog/v00001.txt     one manifest per version (see format below)
-  *   root/data/c1-<uuid>/      immutable parquet files, one dir per commit
+  *   root/_vlog/v00001.txt        one manifest per version (format below)
+  *   root/_vlog/_last_checkpoint  pointer: version of the latest FULL manifest
+  *   root/_vlog/_archive/         manifests moved out of the hot log dir
+  *   root/data/c1-<uuid>/         immutable parquet files, one dir per commit
+  *   root/data/c1-<uuid>.inflight writer liveness marker (removed at commit)
   * }}}
   *
   * Manifest format (plain text — relocatable RELATIVE paths, no JSON parser
-  * in the trust path). TWO forms:
+  * in the trust path). TWO forms, marked `fmt=2`:
   * {{{
-  *   // DELTA (the common append): lists ONLY the commit's own files
-  *   op=append parent=3 stats=o_orderkey
+  *   // DELTA (the common append): ONLY the commit's own adds/removes
+  *   op=append parent=3 fmt=2 stats=o_orderkey
+  *   -data/c2-.../part-....parquet          (copy-on-write removes, if any)
   *   +data/c4-.../part-....parquet|1001|2000
   *
   *   // FULL (checkpoint): the complete table state at this version
-  *   op=overwrite parent=7 full=1 stats=o_orderkey
+  *   op=overwrite parent=7 fmt=2 full=1 stats=o_orderkey
   *   txn=0
   *   data/c8-.../part-....parquet|1|1000
   * }}}
-  * Every [[CheckpointInterval]]-th commit — plus v1, every overwrite, and
-  * every rollback — is written FULL; all other appends are deltas. This is
-  * the published Delta-log design (delta actions + periodic checkpoint):
-  * without it, each manifest re-lists the whole table and the log costs
-  * O(versions x files) to plan — at 100 TB (~10^6 files) a single full
-  * manifest is ~100 MB, so a per-micro-batch sink (ST17) must write O(batch)
-  * bytes per commit, not O(table). Reconstructing any version's state reads
-  * at most [[CheckpointInterval]] manifests (nearest checkpoint at-or-before
-  * it, then the delta suffix) — bounded however long the table lives.
+  * A manifest with no `fmt` header, no `full=1`, and UNPREFIXED file lines
+  * is parsed as a legacy FULL manifest (the pre-delta format — unambiguous,
+  * since every delta writer prefixes); a `fmt` above [[ManifestFormat]]
+  * fails loudly as unsupported rather than misparsing.
+  *
+  * Every [[CheckpointInterval]]-th commit — plus v1, every overwrite,
+  * rollback and compaction — is written FULL; other commits are deltas.
+  * This is the published Delta-log design (delta actions + periodic
+  * checkpoint): without it, each manifest re-lists the whole table and the
+  * log costs O(versions x files) to plan — at 100 TB (~10^6 files) a single
+  * full manifest is ~100 MB, so a per-micro-batch sink (ST17) must write
+  * O(batch) bytes per commit, not O(table). Reconstructing any version's
+  * state reads at most [[CheckpointInterval]] manifests (nearest checkpoint
+  * at-or-before it, then the delta suffix) — bounded however long the table
+  * lives.
+  *
+  * The second half of that design (round 15): finding the HEAD must not
+  * LIST the manifest directory either — a per-minute sink accretes ~500k
+  * manifests/year, and on an object store a per-commit LIST over them is
+  * paged (quadratic total). Every FULL manifest therefore also updates the
+  * `_last_checkpoint` pointer file; [[currentVersion]] reads the pointer
+  * and probes FORWARD by constructed name (at most one interval of
+  * existence stats), and [[stateAt]] probes BACKWARD the same way — zero
+  * directory listings on the whole commit path (spec-instrumented via
+  * [[namesListed]]). [[archiveManifests]] moves manifests below the
+  * oldest-retained checkpoint out of the hot directory entirely.
   *
   * Semantics and why they hold at scale:
   *  - Data files are IMMUTABLE: a commit only ever adds a new `data/c*` dir
-  *    and a new manifest. Appends are O(new data); rollback is a POINTER
-  *    FLIP (a full manifest listing an old version's files — zero data
-  *    moved, any terabyte count); time travel is "plan from version N's
-  *    reconstructed file list", so a reader's scan set is exact, never
-  *    directory-listing-racy.
+  *    and a new manifest (row-level DML — [[deleteWhere]]/[[mergeInto]] —
+  *    is copy-on-write: stats-overlapping files are rewritten into a NEW
+  *    commit dir and the old ones delisted, never mutated). Appends are
+  *    O(new data); rollback is a POINTER FLIP (a full manifest listing an
+  *    old version's files — zero data moved, any terabyte count); time
+  *    travel is "plan from version N's reconstructed file list", so a
+  *    reader's scan set is exact, never directory-listing-racy.
   *  - Commit is ATOMIC + optimistically concurrent: the manifest is staged
   *    to a temp name and promoted with a hard link, which REFUSES to
   *    replace (POSIX rename would clobber silently) — two writers racing to
@@ -72,11 +96,26 @@ object Versioned {
     */
   private[graft] val CheckpointInterval: Int = 10
 
+  /** Highest manifest format this code writes and reads. Bumped when the
+    * on-disk contract changes incompatibly; a higher value on disk fails
+    * loudly instead of misparsing.
+    */
+  private[graft] val ManifestFormat: Int = 2
+
   /** Manifest files read since JVM start — spec instrumentation proving the
     * checkpoint bound (a 1000-commit log's planning cost must not be 1000
     * reads). Monotonic; specs diff it around an operation.
     */
   private[graft] val manifestReads = new AtomicLong(0L)
+
+  /** Directory entries LISTED since JVM start (every name an enumeration of
+    * `_vlog` returns) — spec instrumentation for the `_last_checkpoint`
+    * design: the commit/read hot path must do ZERO directory listing, only
+    * constructed-name existence probes. History/admin APIs ([[versions]],
+    * [[vacuum]], [[gcOrphans]], [[archiveManifests]]) still list, which is
+    * their deliberate, off-hot-path cost.
+    */
+  private[graft] val namesListed = new AtomicLong(0L)
 
   /** A version's fully-reconstructed state. `stats` holds optional per-file
     * (min, max) ranges of each of `statsCols` (aligned by position) —
@@ -99,8 +138,8 @@ object Versioned {
 
   /** A manifest as written on disk (delta or full), before folding. */
   private final case class Raw(n: Int, op: String, parent: Int, full: Boolean,
-      statsCols: Seq[String], entries: Seq[FileEntry], txns: Set[Long],
-      schema: Option[String])
+      statsCols: Seq[String], entries: Seq[FileEntry], removed: Seq[String],
+      txns: Set[Long], schema: Option[String])
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -114,6 +153,8 @@ object Versioned {
   private def vlogDir(root: String): Path = Paths.get(root, "_vlog")
   private def manifestPath(root: String, n: Int): Path =
     vlogDir(root).resolve(f"v$n%05d.txt")
+  private def pointerPath(root: String): Path =
+    vlogDir(root).resolve("_last_checkpoint")
 
   private val ManifestName = "v(\\d+)\\.txt".r
   private val StreamBatchOp = "stream-batch-(\\d+)".r
@@ -127,11 +168,14 @@ object Versioned {
   /** Committed version numbers + manifest paths, NUMERICALLY ascending —
     * names only, no manifest is opened. Numeric sort (not lexical): `%05d`
     * widens past 99999 and `v100000.txt` must sort after `v99999.txt`.
+    * HISTORY/ADMIN api only — the commit/read hot path never lists
+    * (see [[headNumber]]/[[stateAt]]).
     */
   private def listManifests(root: String): Seq[(Int, Path)] = {
     val dir = vlogDir(root)
     if (!Files.isDirectory(dir)) return Seq.empty
     listClosing(Files.list(dir))(_.flatMap { p =>
+      namesListed.incrementAndGet()
       p.getFileName.toString match {
         case ManifestName(n) => Some(n.toInt -> p)
         case _ => None
@@ -151,6 +195,9 @@ object Versioned {
     manifestReads.incrementAndGet()
     val lines = Files.readAllLines(p).asScala.toSeq
     val header = lines.head.split(" ").map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    header.get("fmt").map(_.toInt).foreach(f => require(f <= ManifestFormat,
+      s"manifest $p declares format $f; this build reads at most $ManifestFormat — " +
+        "unsupported manifest format (written by a newer library?)"))
     val body = lines.tail.filter(_.nonEmpty)
     val txns = body.filter(_.startsWith("txn=")).map(_.stripPrefix("txn=").toLong).toSet
     // schema rides the BODY (one `schema=<ddl>` line): DDL contains spaces,
@@ -158,20 +205,35 @@ object Versioned {
     val schema = body.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema="))
     val full = header.get("full").contains("1")
-    val entries =
-      if (full) fileLines.map(parseEntry)
-      else fileLines.map { l =>
-        require(l.startsWith("+"), s"delta manifest $p has non-added file line: $l")
-        parseEntry(l.drop(1))
-      }
-    Raw(n, header("op"), header("parent").toInt, full,
-      header.get("stats").map(_.split(',').toSeq).getOrElse(Nil), entries, txns, schema)
+    if (full)
+      Raw(n, header("op"), header("parent").toInt, full = true,
+        header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
+        fileLines.map(parseEntry), Nil, txns, schema)
+    else {
+      val (prefixed, unprefixed) =
+        fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
+      if (unprefixed.nonEmpty) {
+        // legacy FULL manifest: the pre-delta format carried neither a
+        // `full=1` marker nor line prefixes — unambiguous (every delta
+        // writer prefixes), so read it as the complete state it was
+        require(prefixed.isEmpty && !header.contains("fmt"),
+          s"manifest $p mixes prefixed and unprefixed file lines — corrupt or unsupported")
+        Raw(n, header("op"), header("parent").toInt, full = true,
+          header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
+          unprefixed.map(parseEntry), Nil, txns, schema)
+      } else
+        Raw(n, header("op"), header("parent").toInt, full = false,
+          header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
+          prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1))),
+          prefixed.filter(_.startsWith("-")).map(_.drop(1)),
+          txns, schema)
+    }
   }
 
   /** Fold one manifest over the predecessor's state. A FULL manifest is its
     * own state (checkpoint semantics — `prev` may be None, which is how a
-    * log whose old manifests were archived still plans). A DELTA appends
-    * its files to `prev` and accumulates its batch id.
+    * log whose old manifests were archived still plans). A DELTA delists
+    * its removes, appends its adds, and accumulates its batch id.
     */
   private def fold(prev: Option[Version], raw: Raw): Version = {
     val opTxn: Set[Long] = raw.op match {
@@ -185,8 +247,11 @@ object Versioned {
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
-      Version(raw.n, raw.op, raw.parent, base.files ++ raw.entries.map(_.path),
-        base.stats ++ raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
+      val removed = raw.removed.toSet
+      Version(raw.n, raw.op, raw.parent,
+        base.files.filterNot(removed) ++ raw.entries.map(_.path),
+        (base.stats -- removed) ++
+          raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
         if (raw.statsCols.nonEmpty) raw.statsCols else base.statsCols,
         base.txns ++ opTxn,
         raw.schema.orElse(base.schema)) // deltas inherit; checked at commit
@@ -195,8 +260,9 @@ object Versioned {
 
   /** All committed versions with fully-reconstructed state, ascending. This
     * is the HISTORY api (vacuum, audit, the spec's assertions) and reads
-    * every manifest once; hot paths ([[currentVersion]], every commit) use
-    * [[stateAt]]'s checkpoint-bounded read instead.
+    * every live manifest once (archived ones are out of scope); hot paths
+    * ([[currentVersion]], every commit) use [[stateAt]]'s checkpoint-bounded
+    * probe instead.
     */
   def versions(root: String): Seq[Version] =
     listManifests(root).foldLeft(Vector.empty[Version]) { case (acc, (n, p)) =>
@@ -204,38 +270,75 @@ object Versioned {
     }
 
   /** The state of version `n`, reading AT MOST [[CheckpointInterval]]
-    * manifests: scan back from `n` to the nearest full manifest, fold the
-    * delta suffix forward. This is the per-commit planning cost — O(1) in
-    * the table's age, which is what lets ST17 run as a long-lived
-    * per-micro-batch sink.
+    * manifests and LISTING NOTHING: probe backward by constructed name from
+    * `n` to the nearest full manifest (version numbers are contiguous — the
+    * CAS admits no gaps), fold the delta suffix forward. This is the
+    * per-commit planning cost — O(1) in the table's age, which is what lets
+    * ST17 run as a long-lived per-micro-batch sink.
     */
   private def stateAt(root: String, n: Int): Version = {
-    val manifests = listManifests(root).toMap
-    require(manifests.contains(n), s"version $n does not exist at $root")
-    // read backwards until a checkpoint; manifests is name-listing only
-    val suffix = Iterator.iterate(n)(_ - 1)
-      .takeWhile(manifests.contains)
-      .map(i => parseManifest(i, manifests(i)))
-      .span(!_.full) match { case (deltas, rest) =>
-        val deltaSeq = deltas.toSeq
-        val base = rest.nextOption().getOrElse(throw new IllegalStateException(
-          s"no checkpoint manifest at or below v$n at $root"))
-        base +: deltaSeq.reverse
-      }
-    suffix.foldLeft(Option.empty[Version])((st, raw) => Some(fold(st, raw))).get
+    require(Files.exists(manifestPath(root, n)),
+      s"version $n does not exist at $root (never committed, or archived)")
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Raw]
+    var i = n
+    var base: Option[Raw] = None
+    while (base.isEmpty) {
+      if (!Files.exists(manifestPath(root, i)))
+        throw new IllegalStateException(
+          s"no checkpoint manifest at or below v$n at $root (over-archived or corrupt log)")
+      val raw = parseManifest(i, manifestPath(root, i))
+      if (raw.full) base = Some(raw) else { deltas += raw; i -= 1 }
+    }
+    (base.get +: deltas.reverse.toSeq)
+      .foldLeft(Option.empty[Version])((st, raw) => Some(fold(st, raw))).get
   }
 
+  /** The head version NUMBER without listing the log directory: read the
+    * `_last_checkpoint` pointer (one known-committed version), then probe
+    * FORWARD by constructed name until the first gap — at most one
+    * checkpoint interval of existence stats, independent of table age. A
+    * stale or regressed pointer (concurrent checkpoint writers race the
+    * hint) only adds probes, never breaks correctness; a missing pointer
+    * (legacy log) falls back to one listing.
+    */
+  private def headNumber(root: String): Option[Int] =
+    readPointer(root).filter(k => Files.exists(manifestPath(root, k))) match {
+      case Some(k) =>
+        var n = k
+        while (Files.exists(manifestPath(root, n + 1))) n += 1
+        Some(n)
+      case None => listManifests(root).lastOption.map(_._1)
+    }
+
+  private def readPointer(root: String): Option[Int] =
+    if (!Files.exists(pointerPath(root))) None
+    else try Some(Files.readString(pointerPath(root)).trim.toInt)
+    catch { case _: Exception => None } // garbage pointer = no pointer (hint only)
+
+  /** Best-effort monotonic hint, written after every FULL manifest promotes.
+    * ATOMIC_MOVE with replace is correct here precisely because it's a
+    * HINT: a racing checkpoint writer can regress it one interval, which
+    * costs the next reader a few forward probes and nothing else.
+    */
+  private def writePointer(root: String, n: Int): Unit =
+    try {
+      val tmp = Files.createTempFile(vlogDir(root), ".ckpt-", ".tmp")
+      Files.writeString(tmp, n.toString)
+      Files.move(tmp, pointerPath(root),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: java.io.IOException => () }
+
   def currentVersion(root: String): Option[Version] =
-    listManifests(root).lastOption.map { case (n, _) => stateAt(root, n) }
+    headNumber(root).map(stateAt(root, _))
 
   // private[graft] so the spec can drive the CAS with a racing version
   // number directly — a single-threaded test can't interleave two appends
   // between version selection and promote
   private[graft] def writeManifest(root: String, v: Version): Version =
-    promoteState(root, v, renderFull(v))
+    promoteState(root, v, renderFull(v), full = true)
 
   private def renderFull(v: Version): String = {
-    val head = s"op=${v.op} parent=${v.parent} full=1" +
+    val head = s"op=${v.op} parent=${v.parent} fmt=$ManifestFormat full=1" +
       (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
     (head +: (v.schema.map(s => s"schema=$s").toSeq ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
@@ -245,26 +348,32 @@ object Versioned {
   }
 
   private def renderDelta(op: String, parent: Int, statsCols: Seq[String],
-      added: Seq[FileEntry]): String = {
-    val head = s"op=$op parent=$parent" +
+      added: Seq[FileEntry], removed: Seq[String]): String = {
+    val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
       (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "")
-    (head +: added.map { e =>
+    (head +: (removed.map("-" + _) ++ added.map { e =>
       "+" + (if (e.ranges.isEmpty) e.path
              else (e.path +: e.ranges.flatMap { case (mn, mx) => Seq(mn, mx) }).mkString("|"))
-    }).mkString("\n")
+    })).mkString("\n")
   }
 
-  /** Commit `added` files as the next version on top of the current state —
-    * the ONE metadata write path behind [[append]], [[appendWithStats]] and
-    * [[appendStreamBatch]]. Writes a DELTA manifest (O(commit) bytes)
+  /** Commit `added` (and delist `removed`) as the next version on top of
+    * the current state — the ONE metadata write path behind every append
+    * and the copy-on-write DML. Writes a DELTA manifest (O(commit) bytes)
     * unless this version number is a checkpoint multiple or the log is
     * empty, in which case it writes a FULL one. `private[graft]` so the
     * checkpoint-cadence spec can drive a 1000-commit log without a thousand
-    * Spark writes.
+    * Spark writes. Re-reads the log each call; [[commitOn]] is the
+    * single-read variant for callers that already planned the head.
     */
   private[graft] def commitFiles(root: String, op: String, added: Seq[FileEntry],
-      statsCols: Seq[String], schemaDDL: Option[String] = None): Version = {
-    val cur = currentVersion(root)
+      statsCols: Seq[String], schemaDDL: Option[String] = None,
+      removed: Seq[String] = Nil): Version =
+    commitOn(root, currentVersion(root), op, added, removed, statsCols, schemaDDL)
+
+  private def commitOn(root: String, cur: Option[Version], op: String,
+      added: Seq[FileEntry], removed: Seq[String], statsCols: Seq[String],
+      schemaDDL: Option[String]): Version = {
     require(statsCols.isEmpty || cur.forall(c => c.statsCols.isEmpty || c.statsCols == statsCols),
       s"table tracks stats on ${cur.map(_.statsCols)}, not $statsCols")
     // schema guard: a multi-file parquet read takes ONE footer's schema, so
@@ -274,23 +383,30 @@ object Versioned {
     for (s <- schemaDDL; c <- cur; t <- c.schema)
       require(t == s, s"schema drift on append: table at $root is `$t`, commit is `$s` — " +
         "appends must match; evolve the schema with overwrite()")
+    val curFiles = cur.map(_.files.toSet).getOrElse(Set.empty)
+    removed.foreach(f => require(curFiles.contains(f),
+      s"commit removes $f, which the current version does not list"))
     val n = cur.map(_.n + 1).getOrElse(1)
     val opTxn: Set[Long] = op match {
       case StreamBatchOp(id) => Set(id.toLong)
       case _ => Set.empty
     }
+    val removedSet = removed.toSet
     val cols = if (statsCols.nonEmpty) statsCols else cur.map(_.statsCols).getOrElse(Nil)
     val state = Version(n, op, cur.map(_.n).getOrElse(0),
-      cur.map(_.files).getOrElse(Nil) ++ added.map(_.path),
-      cur.map(_.stats).getOrElse(Map.empty) ++
+      cur.map(_.files).getOrElse(Nil).filterNot(removedSet) ++ added.map(_.path),
+      (cur.map(_.stats).getOrElse(Map.empty) -- removedSet) ++
         added.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
       cols, cur.map(_.txns).getOrElse(Set.empty) ++ opTxn,
       schemaDDL.orElse(cur.flatMap(_.schema)))
-    if (n == 1 || n % CheckpointInterval == 0) promoteState(root, state, renderFull(state))
-    else promoteState(root, state, renderDelta(op, state.parent, cols, added))
+    if (n == 1 || n % CheckpointInterval == 0)
+      promoteState(root, state, renderFull(state), full = true)
+    else
+      promoteState(root, state, renderDelta(op, state.parent, cols, added, removed), full = false)
   }
 
-  private def promoteState(root: String, state: Version, body: String): Version = {
+  private def promoteState(root: String, state: Version, body: String,
+      full: Boolean): Version = {
     Files.createDirectories(vlogDir(root))
     val tmp = Files.createTempFile(vlogDir(root), s".v${state.n}-", ".staged")
     Files.writeString(tmp, body)
@@ -305,6 +421,7 @@ object Versioned {
           "(re-read the log and retry on top of it)", e)
     }
     finally Files.deleteIfExists(tmp)
+    if (full) writePointer(root, state.n) // after the link: never points ahead
     state
   }
 
@@ -319,23 +436,42 @@ object Versioned {
         .toSeq).sorted
   }
 
+  /** Land `df`'s files in a fresh commit-scoped dir, returning (files,
+    * in-flight marker). The marker (`data/c<n>-<uuid>.inflight`, written
+    * BEFORE the data) is the writer-liveness signal [[gcOrphans]] honors:
+    * job-commit renames preserve task-write mtimes, so file age alone
+    * cannot distinguish a slow in-flight commit from a dead one — the
+    * marker's age (= when the write STARTED) can. Callers delete it right
+    * after their manifest commits; a crashed writer leaves it to age out.
+    */
   private def writeData(df: DataFrame, root: String, n: Int,
-      options: Map[String, String]): Seq[String] = {
+      options: Map[String, String]): (Seq[String], Path) = {
     val dataDir = Paths.get(root, "data", s"c$n-${java.util.UUID.randomUUID()}")
+    Files.createDirectories(dataDir.getParent)
+    val marker = dataDir.getParent.resolve(dataDir.getFileName.toString + ".inflight")
+    Files.writeString(marker, "")
     df.write.options(options).parquet(dataDir.toString)
-    listParquet(root, dataDir)
+    (listParquet(root, dataDir), marker)
+  }
+
+  private def sealing[A](marker: Path)(commit: => A): A = {
+    val v = commit
+    Files.deleteIfExists(marker)
+    v
   }
 
   /** Append `df` as the next version. Carried files keep their skipping
     * stats; the new commit's files have none (use [[appendWithStats]] to
-    * collect them). Metadata cost: one delta manifest (O(commit) bytes) and
-    * at most [[CheckpointInterval]] manifest reads — independent of how
-    * many commits the table has seen.
+    * collect them). Metadata cost: one delta manifest (O(commit) bytes),
+    * at most [[CheckpointInterval]] manifest reads, and ZERO directory
+    * listings — independent of how many commits the table has seen.
     */
   def append(df: DataFrame, root: String): Version = {
-    val n = currentVersion(root).map(_.n + 1).getOrElse(1)
-    commitFiles(root, "append", writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)),
-      Nil, Some(normalizedDDL(df)))
+    val cur = currentVersion(root)
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val (files, marker) = writeData(df, root, n, Map.empty)
+    sealing(marker)(commitOn(root, cur, "append", files.map(FileEntry(_, Nil)),
+      Nil, Nil, Some(normalizedDDL(df))))
   }
 
   /** VT6: append WITH manifest-level skipping stats — after the commit's
@@ -346,7 +482,9 @@ object Versioned {
     * metadata (the Delta/Iceberg published design); it composes with
     * z-order inside each file (row-group pruning — see the vt7 query) and
     * costs O(commit) at write time, never O(table). Stats columns must be
-    * integral (exact long min/max — no float edges in the trust path) and
+    * integral, DATE, or TIMESTAMP — encoded as exact longs (value /
+    * epoch-day / epoch-micros; enforced loudly, because a truncating float
+    * cast could shrink a range and prune a file that matches) — and
     * consistent across commits of one table. A file where any stats column
     * is all-NULL gets NO entry (read conservatively, never a NULL range);
     * an empty commit (zero part files) skips the stats pass entirely.
@@ -357,49 +495,81 @@ object Versioned {
   def appendWithStats(df: DataFrame, root: String, statsCols: Seq[String],
       options: Map[String, String] = Map.empty): Version = {
     require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
-    val n = currentVersion(root).map(_.n + 1).getOrElse(1)
-    val files = writeData(df, root, n, options)
-    commitFiles(root, "append", statsEntries(df.sparkSession, root, files, statsCols),
-      statsCols, Some(normalizedDDL(df)))
+    statsCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail BEFORE writing
+    val cur = currentVersion(root)
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val (files, marker) = writeData(df, root, n, options)
+    sealing(marker)(commitOn(root, cur, "append",
+      statsEntries(df.sparkSession, root, files, statsCols), Nil, statsCols,
+      Some(normalizedDDL(df))))
   }
 
+  /** The exact-long encoding of a stats/pruning column — the write-side
+    * twin of [[org.apache.spark.sql.graft.ColumnBridge.predicateRanges]]'
+    * literal encoding. Integral as-is, DATE as epoch days, TIMESTAMP as
+    * epoch micros; anything else (floats especially: a long cast truncates
+    * toward zero and can SHRINK a range — silent wrong pruning) is refused
+    * loudly.
+    */
+  private def statsLongExpr(c: String, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => col(c).cast("long")
+      case DateType => expr(s"unix_date(`$c`)").cast("long")
+      case TimestampType => expr(s"unix_micros(`$c`)")
+      case other => throw new IllegalArgumentException(
+        s"stats column `$c` is ${other.simpleString}: skipping stats need an exact long " +
+          "encoding (integral, DATE, or TIMESTAMP) — a truncating cast could shrink a " +
+          "range and prune files that match; cast the column or track another")
+    }
+  }
+
+  private def statsTypeSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    try { statsLongExpr("x", dt); true } catch { case _: IllegalArgumentException => false }
+
   /** One commit-sized stats pass over freshly-written `files`: per file,
-    * (min, max) of each stats column. A file where any stats column is
-    * all-NULL gets a stats-less entry (conservative read — never a NULL
-    * range in the manifest); an empty file list yields no entries.
-    * Shared by [[appendWithStats]] and [[compact]].
+    * (min, max) of each stats column, exact-long-encoded per
+    * [[statsLongExpr]]. TOTAL over `files`: a file the scan yields no rows
+    * for (empty part file) — or where any stats column is all-NULL — gets a
+    * stats-less entry (conservative read, never a NULL range, never a
+    * dropped file). Shared by [[appendWithStats]], [[compact]],
+    * [[overwrite]], [[deleteWhere]] and [[mergeInto]].
     */
   private def statsEntries(spark: SparkSession, root: String, files: Seq[String],
       statsCols: Seq[String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
-    val aggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
-    spark.read.parquet(files.map(f => rootP.resolve(f).toString): _*)
+    val df = spark.read.parquet(files.map(f => rootP.resolve(f).toString): _*)
+    val aggs = statsCols.flatMap { c =>
+      val e = statsLongExpr(c, df.schema(c).dataType)
+      Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
+    }
+    val byFile = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-        if ((1 until r.length).exists(r.isNullAt)) FileEntry(rel, Nil)
-        else FileEntry(rel, (0 until statsCols.length).map(i =>
+        if ((1 until r.length).exists(r.isNullAt)) rel -> FileEntry(rel, Nil)
+        else rel -> FileEntry(rel, (0 until statsCols.length).map(i =>
           (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
-      }
+      }.toMap
+    files.map(f => byFile.getOrElse(f, FileEntry(f, Nil)))
   }
 
   /** VT8: optimistic-retry append — the CAS loser's side of the concurrency
     * story. The data files land ONCE (immutable, commit-scoped); on a lost
     * race (`concurrent commit` from the manifest CAS) only the METADATA
     * retry runs: re-read the log, re-commit the same files on top of the
-    * winner. Bounded by `maxRetries`, then the loss propagates loudly.
-    * Safe under any interleaving: every retry re-reads the current state,
-    * and the hard-link promote guarantees exactly one writer per version
-    * number.
+    * winner. Bounded by `maxRetries`, then the loss propagates loudly (the
+    * landed files age into [[gcOrphans]]' reclaim). Safe under any
+    * interleaving: every retry re-reads the current state, and the
+    * hard-link promote guarantees exactly one writer per version number.
     */
   def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
     val n0 = currentVersion(root).map(_.n + 1).getOrElse(1)
-    retryCommit(root, "append",
-      writeData(df, root, n0, Map.empty).map(FileEntry(_, Nil)), Nil, maxRetries,
-      Some(normalizedDDL(df)))
+    val (files, marker) = writeData(df, root, n0, Map.empty)
+    sealing(marker)(retryCommit(root, "append", files.map(FileEntry(_, Nil)), Nil,
+      maxRetries, Some(normalizedDDL(df))))
   }
 
   /** The metadata retry loop behind [[appendWithRetry]] — `private[graft]`
@@ -444,23 +614,46 @@ object Versioned {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     val n = cur.n + 1
-    val files = writeData(read(spark, root, Some(cur.n)).repartition(nFiles), root, n, Map.empty)
+    val (files, marker) =
+      writeData(read(spark, root, Some(cur.n)).repartition(nFiles), root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
       else statsEntries(spark, root, files, cur.statsCols)
-    writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
+    sealing(marker)(writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-      cur.statsCols, cur.txns, cur.schema))
+      cur.statsCols, cur.txns, cur.schema)))
   }
 
   /** Single-column convenience overload. */
   def appendWithStats(df: DataFrame, root: String, statsCol: String): Version =
     appendWithStats(df, root, Seq(statsCol))
 
+  /** The files of version `v` whose recorded ranges overlap EVERY bound in
+    * `bounds` (per column, overlap with ANY of its ranges — the disjunctive
+    * form OR/IN predicates produce). Files without stats are kept
+    * (conservative); a column with an EMPTY range list is a proven
+    * contradiction and excludes every stats-bearing file.
+    */
+  private def overlappingFiles(v: Version,
+      bounds: Map[String, Seq[(Long, Long)]]): Seq[String] =
+    if (bounds.isEmpty) v.files
+    else v.files.filter { f =>
+      v.stats.get(f).forall { rs =>
+        bounds.forall { case (c, ranges) =>
+          rs.lift(v.statsCols.indexOf(c)).forall { case (mn, mx) =>
+            ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+          }
+        }
+      }
+    }
+
   /** VT6 (read half): the version's rows with `statsCol` in [lo, hi],
     * planned from ONLY the manifest entries whose (min, max) on that column
     * overlaps — files without stats are read conservatively; the residual
     * filter still applies (stats prune files, they never decide rows).
+    * `lo`/`hi` are in the column's stats encoding (the raw value for
+    * integral columns); for DATE/TIMESTAMP-tracked columns prefer
+    * [[readWhere]], whose residual re-applies the typed predicate.
     */
   def readPruned(spark: SparkSession, root: String, statsCol: String, lo: Long, hi: Long,
       asOf: Option[Int] = None): DataFrame = {
@@ -482,54 +675,154 @@ object Versioned {
   }
 
   /** VT10: filter-driven automatic data skipping — [[readPruned]] without
-    * the caller doing the range algebra. The predicate's Catalyst tree is
-    * walked for per-column [lo, hi] bounds (conjunctions of `=`, `<`, `<=`,
-    * `>`, `>=`, BETWEEN on tracked stats columns; strict bounds are
-    * widened by one — files prune, rows never), the manifest plans only
-    * range-overlapping files, and the FULL predicate applies as the
-    * residual filter. Anything the walker cannot bound — `OR` subtrees,
-    * non-literal comparisons, untracked columns, nulls tests — contributes
-    * NO constraint (conservative: more files read, same rows out). This is
-    * the read a user actually writes: `readWhere(s, root, $"k" >= 5 &&
-    * $"d" < 100)` skips like the hand-ranged call, proven equivalent in
-    * VersionedSpec.
+    * the caller doing the range algebra. The predicate's node tree is
+    * walked for per-column range SETS ([[org.apache.spark.sql.graft
+    * .ColumnBridge.predicateRanges]]: conjunctions intersect, OR/IN
+    * disjunctions union — so the reference's progressive day-rotation
+    * windows prune too; DATE/TIMESTAMP literals encode as epoch days/
+    * micros, matching the stats encoding; strict bounds widen by one —
+    * files prune, rows never), the manifest plans only range-overlapping
+    * files, and the FULL predicate applies as the residual filter.
+    * Anything the walker cannot bound — non-literal comparisons, untracked
+    * columns, null tests — contributes NO constraint (conservative: more
+    * files read, same rows out). This is the read a user actually writes:
+    * `readWhere(s, root, $"k" >= 5 && $"d" < 100)` skips like the
+    * hand-ranged call, proven equivalent in VersionedSpec.
     */
   def readWhere(spark: SparkSession, root: String, predicate: Column,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
-    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateBounds(predicate)
+    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateRanges(predicate)
       .filter { case (c, _) => v.statsCols.contains(c) }
-    val candidates =
-      if (bounds.isEmpty) v.files
-      else v.files.filter { f =>
-        v.stats.get(f).forall { rs =>
-          bounds.forall { case (c, (lo, hi)) =>
-            rs.lift(v.statsCols.indexOf(c)).forall { case (mn, mx) => mx >= lo && mn <= hi }
-          }
-        }
-      }
+    val candidates = overlappingFiles(v, bounds)
     val base =
       if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
       else spark.read.parquet(candidates.map(f => Paths.get(root).resolve(f).toString): _*)
     base.filter(predicate)
   }
 
+  /** VT12b: copy-on-write row-level DELETE through the log — the versioned
+    * substrate's answer to [[Dml]]'s smart delete (ref `work_item_budget_vs
+    * _actual_pipeline/work_item_budget_vs_actual_sync_daily/main.py:368-408`
+    * deletes a reporting-date window before re-sync). The predicate's range
+    * sets pick the AFFECTED files from the manifest stats (any file that
+    * could hold a matching row); ONLY those are read, their surviving rows
+    * (predicate false or NULL — SQL DELETE keeps null-predicate rows) are
+    * rewritten into a fresh commit dir, and one DELTA manifest delists the
+    * affected files and lists the rewrites. Non-overlapping files are
+    * neither scanned nor rewritten (spec-pinned), old versions still read
+    * the pre-delete state (immutability), and skipping stats are recomputed
+    * for the rewritten files. A no-match predicate (zero affected files) is
+    * a metadata no-op returning the current version. At 100 TB a
+    * date-windowed delete touches ±window files of a date-clustered table;
+    * without stats the honest cost is a full rewrite (Delta's behavior
+    * without stats too).
+    */
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Version = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateRanges(predicate)
+      .filter { case (c, _) => cur.statsCols.contains(c) }
+    val affected = overlappingFiles(cur, bounds)
+    if (affected.isEmpty) return cur // provably nothing to delete
+    val survivors = spark.read
+      .parquet(affected.map(f => Paths.get(root).resolve(f).toString): _*)
+      .filter(!coalesce(predicate, lit(false)))
+    val n = cur.n + 1
+    val (files, marker) = writeData(survivors, root, n, Map.empty)
+    val entries =
+      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      else statsEntries(spark, root, files, cur.statsCols)
+    sealing(marker)(commitOn(root, Some(cur), "delete", entries, affected,
+      cur.statsCols, Some(normalizedDDL(survivors))))
+  }
+
+  /** VT12: copy-on-write MERGE through the log — the reference's signature
+    * staged upsert (`snowflake_bq_sync_daily Time Details/main.py:197-206`:
+    * MERGE ON keys, matched UPDATE all, not-matched INSERT all; latest-wins
+    * within the staging batch via `orderCol`) landing on the TIME-TRAVELABLE
+    * substrate instead of plain parquet. The AFFECTED files are those whose
+    * stats ranges on every stats-tracked merge key overlap the source's
+    * key envelope (a matched row agrees on ALL keys, so any tracked key
+    * bounds the blast radius); only those are read and merged with the
+    * source ([[MergeInto.merge]] semantics), the result lands in a fresh
+    * commit dir, and one DELTA manifest swaps affected for rewritten.
+    * Untouched files carry over with their stats — never scanned, never
+    * rewritten (spec-pinned); old versions keep the pre-merge state. An
+    * empty source is a metadata no-op; a source with no fully-keyed row
+    * rewrites nothing and lands pure inserts. Source rows must carry the
+    * table's columns; the commit re-checks the schema contract.
+    */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame, keys: Seq[String],
+      orderCol: Option[String] = None): Version = {
+    require(keys.nonEmpty, "mergeInto needs at least one merge key")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val trackedKeys = keys.filter(cur.statsCols.contains)
+    // one control-plane agg over the source: row count, fully-keyed row
+    // count, and the [min, max] envelope of every tracked key (encoded the
+    // same way the stats were)
+    val keyedCond = keys.map(col(_).isNotNull).reduce(_ && _)
+    val aggs = Seq(count(lit(1)).as("n"), count(when(keyedCond, lit(1))).as("keyed")) ++
+      trackedKeys.flatMap { k =>
+        val e = statsLongExpr(k, source.schema(k).dataType)
+        Seq(min(e).as(s"mn_$k"), max(e).as(s"mx_$k"))
+      }
+    val r = source.agg(aggs.head, aggs.tail: _*).head
+    if (r.getLong(0) == 0L) return cur // empty source: metadata no-op
+    val bounds: Map[String, Seq[(Long, Long)]] = trackedKeys.zipWithIndex.flatMap {
+      case (k, i) =>
+        if (r.isNullAt(2 + 2 * i)) None
+        else Some(k -> Seq((r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))))
+    }.toMap
+    val affected =
+      if (r.getLong(1) == 0L) Nil // no fully-keyed source row can match anything
+      else if (trackedKeys.isEmpty) cur.files // no stats on any key: honest full rewrite
+      else overlappingFiles(cur, bounds)
+    val target =
+      if (affected.isEmpty) read(spark, root, Some(cur.n)).limit(0)
+      else spark.read.parquet(affected.map(f => Paths.get(root).resolve(f).toString): _*)
+    val merged = MergeInto.merge(
+      target, source.select(target.columns.map(col).toIndexedSeq: _*), keys, orderCol)
+    val n = cur.n + 1
+    val (files, marker) = writeData(merged, root, n, Map.empty)
+    val entries =
+      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      else statsEntries(spark, root, files, cur.statsCols)
+    sealing(marker)(commitOn(root, Some(cur), "merge", entries, affected,
+      cur.statsCols, Some(normalizedDDL(merged))))
+  }
 
   /** Replace the table contents with `df` as the next version — always a
     * FULL manifest (it IS the new state, and it doubles as a checkpoint).
     * Old files stay on disk (they back earlier versions) — retention is a
     * separate, deliberate vacuum, never a side effect of a write.
+    *
+    * If the table tracks skipping stats, they are RECOMPUTED for the new
+    * files in one overwrite-sized pass (same pass [[compact]] uses) — a
+    * schema evolution or full replacement must not silently degrade every
+    * later pruned read to a conservative full scan. Tracked columns the new
+    * schema drops (or re-types to something without an exact long encoding)
+    * fall out of the tracked set; the full manifest records the new
+    * contract either way.
     */
   def overwrite(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    val keptStats = cur.map(_.statsCols).getOrElse(Nil).filter(c =>
+      df.schema.fieldNames.contains(c) && statsTypeSupported(df.schema(c).dataType))
+    val (files, marker) = writeData(df, root, n, Map.empty)
+    val entries =
+      if (keptStats.isEmpty) files.map(FileEntry(_, Nil))
+      else statsEntries(df.sparkSession, root, files, keptStats)
     // overwrite IS the schema-evolution op: the full manifest records the
     // new contract, and later appends are checked against it
-    writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
-      writeData(df, root, n, Map.empty), Map.empty,
-      cur.map(_.statsCols).getOrElse(Nil), cur.map(_.txns).getOrElse(Set.empty),
-      Some(normalizedDDL(df))))
+    sealing(marker)(writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
+      entries.map(_.path),
+      entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
+      keptStats, cur.map(_.txns).getOrElse(Set.empty),
+      Some(normalizedDDL(df)))))
   }
 
   /** Roll the table back to version `to` by committing a NEW version with
@@ -560,10 +853,12 @@ object Versioned {
   /** Retention (VT3): delete data files referenced ONLY by versions older
     * than the last `keepLast` — the deliberate counterpart to writes never
     * deleting anything. Returns (deleted, retained) root-relative paths.
-    * Manifests stay (history remains auditable); reading an expired version
-    * fails at scan time, which is the honest signal that its data aged out.
-    * Scale: pure metadata set-difference over manifests (vocabulary of file
-    * names, never data), then unlink — no rewrite of surviving files.
+    * Manifests stay (history remains auditable — [[archiveManifests]] is
+    * the separate op that moves the dead ones out of the hot directory);
+    * reading an expired version fails at scan time, which is the honest
+    * signal that its data aged out. Scale: pure metadata set-difference
+    * over manifests (vocabulary of file names, never data), then unlink —
+    * no rewrite of surviving files.
     */
   def vacuum(root: String, keepLast: Int): (Seq[String], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
@@ -575,30 +870,94 @@ object Versioned {
     (expired.sorted, live.toSeq.sorted)
   }
 
+  /** Move manifests that no RETAINED version needs out of the hot `_vlog`
+    * directory into `_vlog/_archive` — the directory-growth counterpart to
+    * [[vacuum]]'s data retention (run it AFTER vacuum with the same
+    * `keepLast`, since archived versions stop being visible to
+    * [[versions]]/vacuum). A per-minute ST17 sink accretes ~500k manifests
+    * a year; the hot path never LISTS them (the `_last_checkpoint` design),
+    * but any admin listing — and the object-store namespace itself — still
+    * pays for the dead ones. The cut is the nearest CHECKPOINT at or below
+    * the oldest retained version, so every retained version still
+    * reconstructs (its backward probe lands on a surviving full manifest)
+    * and the archive boundary is always a valid fold base. Returns the
+    * archived manifest file names.
+    */
+  def archiveManifests(root: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val head = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")).n
+    val oldest = math.max(1, head - keepLast + 1)
+    // nearest checkpoint at-or-below the oldest retained version; stop at a
+    // missing manifest (a previous archival already cut there)
+    var cut = oldest
+    while (cut >= 1 && Files.exists(manifestPath(root, cut)) &&
+      !parseManifest(cut, manifestPath(root, cut)).full) cut -= 1
+    if (cut < 1 || !Files.exists(manifestPath(root, cut))) return Nil
+    val archive = vlogDir(root).resolve("_archive")
+    listManifests(root).collect { case (n, p) if n < cut =>
+      Files.createDirectories(archive)
+      Files.move(p, archive.resolve(p.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+      p.getFileName.toString
+    }
+  }
+
   /** Reclaim data files referenced by NO manifest — the counterpart gap
     * [[vacuum]] cannot cover: vacuum expires HISTORY (files old versions
     * reference), while an orphan was never history at all. Orphans arise
     * when a writer lands its data but never wins a commit — an
     * [[appendWithRetry]] that exhausted its budget, or a crashed writer
-    * (data files land before the manifest CAS by design). Age-gated like
-    * Delta's published vacuum default: a file younger than `olderThanMs`
-    * may belong to an IN-FLIGHT commit whose manifest hasn't linked yet,
-    * so it is never touched. Returns the reclaimed root-relative paths.
-    * Cost: one manifest fold + one data-dir listing — metadata-plane only.
+    * (data files land before the manifest CAS by design).
+    *
+    * TWO guards protect in-flight commits, because file mtimes alone
+    * cannot: Spark's rename-based job commit preserves task-write mtimes
+    * and the stats pass runs between data landing and the manifest CAS, so
+    * a write merely RUNNING longer than the age gate would otherwise lose
+    * its files mid-commit (and the late manifest would link to deleted
+    * data — silent corruption). (1) The default gate is 7 DAYS (Delta's
+    * published default) — it must exceed the longest plausible in-flight
+    * write, and callers shortening it own that contract. (2) Every writer
+    * drops a `…inflight` marker BESIDE its commit dir before writing
+    * ([[writeData]]) and removes it right after its manifest commits; a
+    * commit dir whose marker is younger than the gate is never touched
+    * regardless of its files' mtimes (the marker's age is when the write
+    * STARTED — the signal rename-preserved mtimes destroy). Stale markers
+    * (dead writers) are swept once their dir holds nothing referenced.
+    * Returns the reclaimed root-relative parquet paths. Cost: one manifest
+    * fold + one data-dir listing — metadata-plane only.
     */
-  def gcOrphans(root: String, olderThanMs: Long = 60L * 60 * 1000): Seq[String] = {
+  def gcOrphans(root: String, olderThanMs: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
     val referenced = versions(root).flatMap(_.files).toSet
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val rootP = Paths.get(root)
     val cutoff = System.currentTimeMillis() - olderThanMs
+    def inflightFresh(rel: String): Boolean = {
+      // rel = data/<commitDir>/…; the liveness marker is data/<commitDir>.inflight
+      val parts = rel.split('/')
+      parts.length >= 3 && {
+        val m = dataDir.resolve(parts(1) + ".inflight")
+        Files.exists(m) && Files.getLastModifiedTime(m).toMillis >= cutoff
+      }
+    }
     val orphans = listClosing(Files.walk(dataDir))(
       _.filter(p => p.getFileName.toString.endsWith(".parquet"))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .map(p => (p, rootP.relativize(p).toString))
-        .filter(e => !referenced.contains(e._2))
+        .filter(e => !referenced.contains(e._2) && !inflightFresh(e._2))
         .toSeq)
     orphans.foreach { case (p, _) => Files.deleteIfExists(p) }
+    // stale markers (writer died before sealing): sweep once their commit
+    // dir holds no referenced file
+    listClosing(Files.list(dataDir))(
+      _.filter(_.getFileName.toString.endsWith(".inflight"))
+        .filter(m => Files.getLastModifiedTime(m).toMillis < cutoff)
+        .toSeq)
+      .foreach { m =>
+        val dirName = m.getFileName.toString.stripSuffix(".inflight")
+        if (!referenced.exists(_.startsWith(s"data/$dirName/"))) Files.deleteIfExists(m)
+      }
     orphans.map(_._2).sorted
   }
 
@@ -633,7 +992,10 @@ object Versioned {
     * store; checkpoint manifests carry it forward, so the check reads at
     * most [[CheckpointInterval]] manifests however old the table is), and
     * the manifest CAS makes a concurrent retry of the same batch resolve to
-    * one commit. Returns None when skipped.
+    * one commit. The log is planned ONCE per micro-batch: the same head
+    * state answers the dedup check, numbers the commit dir, and bases the
+    * commit (a racing writer still surfaces at the CAS). Returns None when
+    * skipped.
     *
     * Contract fine print: Spark guarantees a given batch id maps to the
     * same data only WITHIN one checkpoint lineage — that replay is what
@@ -645,12 +1007,13 @@ object Versioned {
     * it. Keep one checkpoint per sink for the general guarantee.
     */
   def appendStreamBatch(df: DataFrame, root: String, batchId: Long): Option[Version] = {
-    if (currentVersion(root).exists(_.txns.contains(batchId))) None
+    val cur = currentVersion(root)
+    if (cur.exists(_.txns.contains(batchId))) None
     else {
-      val n = currentVersion(root).map(_.n + 1).getOrElse(1)
-      Some(commitFiles(root, s"stream-batch-$batchId",
-        writeData(df, root, n, Map.empty).map(FileEntry(_, Nil)), Nil,
-        Some(normalizedDDL(df))))
+      val n = cur.map(_.n + 1).getOrElse(1)
+      val (files, marker) = writeData(df, root, n, Map.empty)
+      Some(sealing(marker)(commitOn(root, cur, s"stream-batch-$batchId",
+        files.map(FileEntry(_, Nil)), Nil, Nil, Some(normalizedDDL(df)))))
     }
   }
 
@@ -674,6 +1037,21 @@ object Versioned {
     replica.exceptAll(del).unionAll(ins)
   }
 
+  /** The partition-scoping predicate for [[applyChangesPartitioned]]: ONE
+    * `In` node (Catalyst folds it to an `InSet` hash lookup past the
+    * conversion threshold), never an OR-of-ANDs literal tree — a change set
+    * naming 10k partitions would otherwise plan a 10k-term disjunction that
+    * Catalyst transforms quadratically. Partition pruning is unaffected:
+    * the FileIndex evaluates ANY partition-column-only predicate per
+    * partition value, In/InSet included (spec pins the scan set). Multi-
+    * column keys compare as a named struct so field types line up.
+    */
+  private[graft] def changedPartsPredicate(partitionCols: Seq[String],
+      rows: Seq[org.apache.spark.sql.Row]): Column =
+    if (partitionCols.length == 1) col(partitionCols.head).isin(rows.map(_.get(0)): _*)
+    else struct(partitionCols.map(col): _*).isin(rows.map(r =>
+      struct(partitionCols.zipWithIndex.map { case (c, i) => lit(r.get(i)).as(c) }: _*)): _*)
+
   /** VT5b: partition-scoped CDC apply — roll a PARTITIONED parquet replica
     * forward in place, touching ONLY the partitions the change set names.
     * The multiset algebra is [[applyChanges]]' exactly, but scoped: deletes
@@ -687,7 +1065,10 @@ object Versioned {
     * Changed partitions whose post-apply row count is ZERO are deleted
     * explicitly: dynamic partition overwrite only replaces partitions
     * present in the output, so an all-rows-deleted partition would
-    * otherwise silently keep its old files.
+    * otherwise silently keep its old files. The directory path is built
+    * with Spark's own partition-path escaping
+    * (`ExternalCatalogUtils.escapePathName`) — raw interpolation would miss
+    * URL-encoded values (spaces, ':', '=') and silently delete nothing.
     *
     * The distinct changed-partition list is collected driver-side — it is
     * control-plane-sized (one value per touched partition, the same
@@ -703,8 +1084,8 @@ object Versioned {
     val pcols = partitionCols.map(col(_))
     val changedParts = changeSet.select(pcols: _*).distinct().collect().toSeq
     if (changedParts.isEmpty) return Nil // empty change set: nothing to touch
-    // a NULL partition value would silently vanish from the equality
-    // predicate (NULL === x is never true) and its rows would never apply —
+    // a NULL partition value would silently vanish from the scoping
+    // predicate (NULL = x is never true) and its rows would never apply —
     // refuse loudly; null-keyed rows belong in a dedicated default partition
     // upstream, not implicitly dropped here
     changedParts.find(r => (0 until partitionCols.length).exists(r.isNullAt)).foreach { r =>
@@ -712,9 +1093,7 @@ object Versioned {
         s"change set carries a NULL partition value ($r) — applyChangesPartitioned " +
           "cannot scope a NULL key; map it to an explicit default value upstream")
     }
-    def partPredicate(r: org.apache.spark.sql.Row): Column =
-      partitionCols.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _)
-    val pred = changedParts.map(partPredicate).reduce(_ || _)
+    val pred = changedPartsPredicate(partitionCols, changedParts)
     val replica = spark.read.parquet(replicaPath)
     val dataCols = replica.columns.toSeq.map(col(_))
     val slice = replica.filter(pred) // partition-pruned: untouched dirs never scanned
@@ -735,9 +1114,10 @@ object Versioned {
     val survivors = updated.select(pcols: _*).distinct().collect().toSet
     val fs = new org.apache.hadoop.fs.Path(replicaPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
     changedParts.filterNot(survivors).foreach { r =>
       val dir = partitionCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        .map { case (c, i) => s"${esc(c)}=${esc(r.get(i).toString)}" }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(s"$replicaPath/$dir"), true)
     }
     scanned

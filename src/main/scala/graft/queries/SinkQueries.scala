@@ -365,6 +365,85 @@ object SinkQueries extends QueryModule {
         col("o_orderkey").between(1000L, 5000L) && col("o_orderstatus") === "F")
     }),
 
+    // VT12: copy-on-write MERGE through the log — the reference's signature
+    // staged upsert (`snowflake_bq_sync_daily Time Details/main.py:197-206`)
+    // landing on the TIME-TRAVELABLE substrate: a stats-tracked table of F
+    // orders takes a source of updates (keys 1000-3000, price := key*2) plus
+    // O-order inserts in the same window; mergeInto rewrites ONLY the
+    // stats-overlapping files (spec-pinned in VersionedDmlSpec) and commits
+    // removed+added as one delta. BOTH versions read back: v1 must be the
+    // pre-merge state (copy-on-write, never mutate), v2 the upserted one —
+    // which is exactly what the oracle states row-for-row.
+    "vt12_merge_versioned" -> ((s, dir) => {
+      val root = tmp("graft_vt12") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val window = col("o_orderkey").between(1000L, 3000L)
+      val src = o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"), (col("o_orderkey") * 2).cast("double").as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "O" && window)
+          .select(col("o_orderkey"), lit(-1.0).as("o_totalprice")))
+      V.mergeInto(s, root, src, Seq("o_orderkey"))
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(V.read(s, root)
+          .select(lit(2).as("version"), col("o_orderkey"), col("o_totalprice")))
+    }),
+
+    // VT12b: copy-on-write DELETE through the log — the reference's smart
+    // date-window delete (`work_item_budget_vs_actual_…/main.py:368-408`)
+    // against the versioned substrate: deleteWhere picks the affected files
+    // from the manifest stats (boundable key window; the status term rides
+    // as residual), rewrites only their surviving rows, delists the rest in
+    // one delta. v1 still reads the full pre-delete table.
+    "vt12b_delete_where" -> ((s, dir) => {
+      val root = tmp("graft_vt12b") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      V.appendWithStats(o.repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.deleteWhere(s, root,
+        col("o_orderkey").between(1000L, 5000L) && col("o_orderstatus") === "F")
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_orderstatus"))
+        .unionAll(V.read(s, root)
+          .select(lit(2).as("version"), col("o_orderkey"), col("o_orderstatus")))
+    }),
+
+    // VT10b: DATE-typed automatic skipping — the reference's canonical
+    // predicate shape (`REPORTING_DATE BETWEEN …`, `snowflake_bq_sync_daily
+    // Time Details/main.py:139-145`) pruning a versioned read directly:
+    // stats on a DATE column encode as epoch days, the predicate's DATE
+    // literals encode the same way, and the BETWEEN plans only overlapping
+    // files (file-set equivalence with the hand-ranged read is spec-pinned).
+    "vt10b_date_read_where" -> ((s, dir) => {
+      val root = tmp("graft_vt10b") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderdate").cast("date").as("o_date"), col("o_orderkey"))
+      V.appendWithStats(o.repartitionByRange(8, col("o_date")), root, "o_date")
+      V.readWhere(s, root, col("o_date").between(
+        lit(java.sql.Date.valueOf("1996-01-01")), lit(java.sql.Date.valueOf("1996-12-31"))))
+    }),
+
+    // VT10c: OR/IN range-UNION skipping — the reference's progressive
+    // rotation windows (`main_progressive.py:31-54`) are disjunctions of
+    // ranges; predicateRanges unions them per column, so BOTH windows prune
+    // (round 14's walker read the whole file list on any OR). The untracked
+    // status term stays residual.
+    "vt10c_or_read_where" -> ((s, dir) => {
+      val root = tmp("graft_vt10c") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      V.appendWithStats(o.repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.readWhere(s, root,
+        (col("o_orderkey").between(1000L, 2000L) || col("o_orderkey").between(8000L, 9000L))
+          && col("o_orderstatus") === "F")
+    }),
+
     // VT11: SCHEMA EVOLUTION through the log — the column-set contract is
     // tracked per version (a schema= line in full manifests; appends are
     // CHECKED against it, because a multi-file parquet read takes one
@@ -555,6 +634,30 @@ object SinkQueries extends QueryModule {
     "vt10_read_where" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "vt12_merge_versioned" ->
+      """SELECT 1 AS version, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN CAST(o_orderkey * 2 AS DOUBLE) ELSE o_totalprice END
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, o_orderkey, CAST(-1 AS DOUBLE)
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    "vt12b_delete_where" ->
+      """SELECT 1 AS version, o_orderkey, o_orderstatus FROM orders
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT (o_orderkey BETWEEN 1000 AND 5000 AND o_orderstatus = 'F')""".stripMargin,
+    "vt10b_date_read_where" ->
+      """SELECT CAST(o_orderdate AS DATE) AS o_date, o_orderkey FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'""".stripMargin,
+    "vt10c_or_read_where" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE (o_orderkey BETWEEN 1000 AND 2000 OR o_orderkey BETWEEN 8000 AND 9000)
+        |  AND o_orderstatus = 'F'""".stripMargin,
     "vt11_schema_evolution" ->
       """SELECT 1 AS version, o_orderkey, o_orderstatus,
         |  CAST(NULL AS DOUBLE) AS o_totalprice

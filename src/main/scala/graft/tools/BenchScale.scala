@@ -419,6 +419,49 @@ object BenchScale {
       s""""full_read_sec":${f3(readSec)}}"""
   }
 
+  /** Log-AGE leg (round 15, VERDICT r14 item 4): the [[vtLeg]] block holds
+    * commits constant and scales DATA — necessary but uninformative for a
+    * log whose real cost axis is COMMIT COUNT. This leg times that axis:
+    * a metadata-only table driven to 100/300/1000 commits (4 stats-carrying
+    * file entries per commit — the micro-batch shape ST17 accretes), then
+    * measured seconds for (a) planning the head (`currentVersion`: pointer
+    * read + forward probes + ≤ CheckpointInterval manifest reads, ZERO
+    * directory listing) and (b) one more delta append (none of the measured
+    * appends lands on a checkpoint multiple, so every rep prices the same
+    * delta path). Flat-in-commits is the `_last_checkpoint` design's claim;
+    * these are its seconds, beside the spec's read/listing counters.
+    */
+  private def logAgeLeg(): String = {
+    import graft.merge.Versioned
+    import graft.merge.Versioned.FileEntry
+    def f5(v: Double) = "%.5f".formatLocal(java.util.Locale.ROOT, v)
+    val pts = Seq(100, 300, 1000).map { commits =>
+      val root = java.nio.file.Files.createTempDirectory("graft_logage").toString + "/t"
+      (1 to commits).foreach { i =>
+        Versioned.commitFiles(root, "append",
+          (0 until 4).map(j => FileEntry(s"data/c$i/f$j.parquet",
+            Seq((i.toLong * 4 + j, i.toLong * 4 + j + 1)))), Seq("k"))
+      }
+      def med(reps: Int)(f: => Unit): Double = {
+        f // untimed warm-up, same policy as measure()
+        (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.sorted.apply(reps / 2)
+      }
+      val planSec = med(9) { Versioned.currentVersion(root); () }
+      var j = 0
+      val appendSec = med(5) {
+        j += 1
+        Versioned.commitFiles(root, "append",
+          Seq(FileEntry(s"data/extra$j/f.parquet", Nil)), Nil); ()
+      }
+      System.err.println(
+        f"[scale] log-age $commits commits: plan $planSec%.5f s, append $appendSec%.5f s")
+      s""""$commits":{"plan_sec":${f5(planSec)},"append_sec":${f5(appendSec)}}"""
+    }
+    s"""{"entries_per_commit":4,"points":${pts.mkString("{", ",", "}")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -455,6 +498,25 @@ object BenchScale {
       dirs.map { case (n, d) => (n, measure(spark, d, infraQueries)) }
     val vtJson = dirs.map { case (n, d) => s""""${n}":${vtLeg(spark, n, d)}""" }
       .mkString("{", ",", "}")
+    val logAgeJson = logAgeLeg()
+    // dd15's from-scratch rebuild — retired from Bench's per-run suite
+    // (round 15): priced ONCE per round here, single-shot (every shot IS a
+    // from-scratch rebuild; warm-up would only rebuild it again)
+    val dd15Json: String = {
+      val name = "dd15_incremental_groups"
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dirs.head._2)
+          .write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          failures.getOrElseUpdate(s"${dirs.head._2} $name", e.toString); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.PinnedCaches.release(blocking = true)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache(); System.gc()
+      System.err.println(f"[scale] dd15 from-scratch (1x, single-shot): $dt%.2f s")
+      if (ok) "%.3f".formatLocal(java.util.Locale.ROOT, dt) else "null"
+    }
     // skew leg: same queries, same volume (first scale point), zipf keys
     val skewBase = dirs(1)
     val skewDir = s"/tmp/graft_scale_skew${skewBase._1}x"
@@ -527,9 +589,9 @@ object BenchScale {
       s""","deep":{"copies":$n,"queries":${obj(cxs)},""" +
         s""""ratio_vs_${llmAt.last._1}x":${obj(r)}}"""
     }.getOrElse("")
-    val contrastsJson = s""","contrasts":{"note":"labeled knee measurements (ann4 fixed-block quadratic via contrast=true; ann7 nlist flat-clamp at depth) — excluded from all composites","points":$contrastsCurve$contrastsDeepJson}"""
+    val contrastsJson = s""","contrasts":{"note":"labeled knee measurements (ann4 fixed-block quadratic via contrast=true; ann7 nlist flat-clamp at depth; dd15 from-scratch rebuild, single-shot at 1x — retired from the per-run Bench suite in r15) — excluded from all composites","dd15_from_scratch_1x_sec":$dd15Json,"points":$contrastsCurve$contrastsDeepJson}"""
     val infraCurve = curveOf(infraAt, infraAt.head._2.map(_._2).sum)
-    val infraJson = s""","infra_points":$infraCurve,"vt":$vtJson"""
+    val infraJson = s""","infra_points":$infraCurve,"vt":$vtJson,"vt_log_age":$logAgeJson"""
     val headlineDeepJson = headlineDeepOpt.map { case (n, xs, atLast) =>
       val lastMap = atLast.toMap
       val r = xs.map { case (q, v) => q -> v / lastMap(q) }

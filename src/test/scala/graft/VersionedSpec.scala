@@ -457,10 +457,15 @@ class VersionedSpec extends SparkSuite {
     // equivalent to the hand-ranged read, minus the algebra
     val hand = Versioned.readPruned(spark, root, "k", 5, 8).filter(col("d") =!= 60)
     assert(got.inputFiles.toSet === hand.inputFiles.toSet)
-    // an unboundable predicate reads everything but computes exactly
+    // an OR of ranges prunes too (round 15: readWhere consumes range SETS,
+    // so the two-sided window plans only the two boundary files)
     val orPred = col("k") <= 2 || col("k") >= 39
-    val conservative = Versioned.readWhere(spark, root, orPred)
-    assert(conservative.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 39L, 40L))
+    val orRead = Versioned.readWhere(spark, root, orPred)
+    assert(orRead.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 39L, 40L))
+    assert(orRead.inputFiles.length < all, "OR-of-ranges must prune the scan")
+    // a genuinely unboundable predicate reads everything but computes exactly
+    val conservative = Versioned.readWhere(spark, root, col("k") =!= 5)
+    assert(conservative.count() === 39L)
     assert(conservative.inputFiles.length === all)
     // disjoint bounds: zero files planned, empty result, schema intact
     assert(Versioned.readWhere(spark, root, col("k") > 1000 && col("k") < 2000).count() === 0L)
