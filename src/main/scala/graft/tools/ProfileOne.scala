@@ -88,6 +88,17 @@ object ProfileOne {
     }
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     if (args.contains("simple")) fn(spark, sfDir).explain() // shows codegen '*' spans
+    // AQE-FINAL plan: the static explain above shows the pre-runtime plan
+    // (e.g. an SMJ that AQE converts to broadcast once the build side's
+    // runtime size is known). Execute THIS DataFrame's own plan (foreach —
+    // a write would build a separate QueryExecution) and print the
+    // finalized adaptive plan; fingerprint audits must say which of the
+    // two views they counted.
+    if (args.contains("finalplan")) {
+      val df = fn(spark, sfDir)
+      df.foreach(_ => ())
+      println("[finalplan]\n" + df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
