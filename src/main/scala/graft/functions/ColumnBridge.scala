@@ -70,20 +70,9 @@ object ColumnBridge {
       case a: NAttr => Some(a.nameParts.mkString("."))
       case _ => None
     }
-    // normalize: drop empty, sort, merge overlapping/adjacent
-    def norm(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
-      val sorted = rs.filter { case (lo, hi) => lo <= hi }.sortBy(_._1)
-      sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
-        acc.lastOption match {
-          case Some((plo, phi)) if phi == Long.MaxValue || lo <= phi + 1 =>
-            acc.init :+ (plo, math.max(phi, hi))
-          case _ => acc :+ (lo, hi)
-        }
-      }
-    }
-    def inter(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
-      norm(for ((al, ah) <- a; (bl, bh) <- b; lo = math.max(al, bl); hi = math.min(ah, bh)
-        if lo <= hi) yield (lo, hi))
+    // interval-set algebra shared with the Expression-side walker
+    // (ManifestFileIndex.exprRanges); only the cap is parameterized here
+    import RangeAlgebra.{norm, inter}
     def union(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] = {
       val u = norm(a ++ b)
       if (u.length > maxDisjuncts) Seq((u.head._1, u.last._2)) else u // envelope past the cap

@@ -1,0 +1,215 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** The versioned table as a NATIVE Spark relation (VT14): a [[FileIndex]]
+  * whose file listing is the manifest's reconstructed state and whose
+  * `listFiles` applies manifest-stats pruning to whatever data filters
+  * CATALYST pushed down. `Versioned.table(spark, root)` returns a plain
+  * DataFrame backed by this index, so ANY query shape — SQL over a temp
+  * view, joins, aggregates, the reference's `REPORTING_DATE BETWEEN`
+  * windows — gets file skipping at planning time without calling
+  * `readWhere`: FileSourceStrategy hands every scan's pushed predicates to
+  * the index, exactly the hook Spark's own catalog file index uses for
+  * partition pruning.
+  *
+  * Pruning algebra is [[RangeAlgebra]]'s — the same conservative
+  * intersect/union the Column-side walker uses, but over ANALYZED catalyst
+  * expressions (attributes + literals, so DATE/TIMESTAMP literals are
+  * already epoch-encoded ints/longs and match the stats encoding for
+  * free). Anything unrecognized contributes no constraint; Spark always
+  * re-applies the full predicate to the rows, so pruning here can only
+  * drop files proven row-free, never rows.
+  *
+  * Lives in the `org.apache.spark.sql` tree: `HadoopFsRelation`'s session
+  * parameter and `Dataset.ofRows` are `private[sql]` in Spark 4.
+  */
+private[sql] class ManifestFileIndex(
+    spark: SparkSession,
+    root: String,
+    files: Seq[String],
+    stats: Map[String, Seq[(Long, Long)]],
+    statsCols: Seq[String],
+    dataSchema: StructType) extends FileIndex {
+
+  private val rootPath = new Path(root)
+  private val statuses: Seq[(String, FileStatus)] = {
+    // one listStatus per commit DIRECTORY, never one getFileStatus per file:
+    // at 10^6 files a per-file stat is a driver-side RPC storm; per-dir
+    // listing is O(live commit dirs) and each call returns a whole commit's
+    // statuses (the manifest still decides membership — leftover files in a
+    // dir are simply not looked up)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
+    byDir.toSeq.flatMap { case (dir, inDir) =>
+      val listed = fs.listStatus(new Path(rootPath, dir))
+        .map(st => st.getPath.getName -> st).toMap
+      inDir.map { f =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        f -> listed.getOrElse(name, throw new IllegalStateException(
+          s"manifest lists $f but it is not on disk (vacuumed or corrupt)"))
+      }
+    }.sortBy(_._1)
+  }
+
+  override def rootPaths: Seq[Path] = Seq(rootPath)
+  override def partitionSchema: StructType = new StructType()
+  override def inputFiles: Array[String] = statuses.map(_._2.getPath.toString).toArray
+  override def refresh(): Unit = () // snapshot semantics: a version never changes
+  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = ManifestFileIndex.exprRanges(dataFilters)
+      .filter { case (c, _) => statsCols.contains(c) }
+    val kept =
+      if (bounds.isEmpty) statuses
+      else statuses.filter { case (rel, _) =>
+        stats.get(rel).forall { rs =>
+          bounds.forall { case (c, ranges) =>
+            rs.lift(statsCols.indexOf(c)).forall { case (mn, mx) =>
+              ranges.exists { case (lo, hi) => mx >= lo && mn <= hi }
+            }
+          }
+        }
+      }
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  }
+}
+
+object ManifestFileIndex {
+
+  /** Per-column range sets implied by ANALYZED catalyst predicates
+    * (implicitly conjoined, as FileSourceStrategy hands them over) — the
+    * Expression-side twin of [[ColumnBridge.predicateRanges]]. Analysis has
+    * already encoded DATE literals as epoch-day ints and TIMESTAMP literals
+    * as epoch-micros longs, so the stats encoding lines up with no calendar
+    * math here. Strict bounds widen by one (Spark re-applies the full
+    * predicate to rows; files prune, rows never).
+    */
+  def exprRanges(filters: Seq[Expression]): Map[String, Seq[(Long, Long)]] = {
+    import RangeAlgebra._
+    def longOf(e: Expression): Option[Long] = e match {
+      case Literal(v, _) => v match {
+        case i: java.lang.Integer => Some(i.toLong)
+        case i: java.lang.Long => Some(i.longValue)
+        case i: java.lang.Short => Some(i.toLong)
+        case i: java.lang.Byte => Some(i.toLong)
+        case _ => None // float/string/decimal: no bound (stats are long-exact)
+      }
+      case _ => None
+    }
+    def nameOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def one(attr: Expression, lo: Option[Long], hi: Option[Long]): Map[String, Seq[(Long, Long)]] =
+      nameOf(attr).map(c =>
+        Map(c -> Seq((lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))))
+        .getOrElse(Map.empty)
+    def walk(e: Expression): Map[String, Seq[(Long, Long)]] = e match {
+      case And(l, r) => intersectMaps(walk(l), walk(r))
+      case Or(l, r) => unionMaps(walk(l), walk(r))
+      case EqualTo(a, b) =>
+        longOf(b).map(v => one(a, Some(v), Some(v)))
+          .orElse(longOf(a).map(v => one(b, Some(v), Some(v)))).getOrElse(Map.empty)
+      case GreaterThan(a, b) =>
+        longOf(b).map(v => one(a, Some(v), None))
+          .orElse(longOf(a).map(v => one(b, None, Some(v)))).getOrElse(Map.empty)
+      case GreaterThanOrEqual(a, b) =>
+        longOf(b).map(v => one(a, Some(v), None))
+          .orElse(longOf(a).map(v => one(b, None, Some(v)))).getOrElse(Map.empty)
+      case LessThan(a, b) =>
+        longOf(b).map(v => one(a, None, Some(v)))
+          .orElse(longOf(a).map(v => one(b, Some(v), None))).getOrElse(Map.empty)
+      case LessThanOrEqual(a, b) =>
+        longOf(b).map(v => one(a, None, Some(v)))
+          .orElse(longOf(a).map(v => one(b, Some(v), None))).getOrElse(Map.empty)
+      case In(a, list) if list.nonEmpty =>
+        val vs = list.map(longOf)
+        if (vs.exists(_.isEmpty)) Map.empty
+        else nameOf(a).map(c => Map(c -> capped(norm(vs.flatten.map(v => (v, v))))))
+          .getOrElse(Map.empty)
+      case InSet(a, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case i: java.lang.Integer => Some(i.toLong)
+          case i: java.lang.Long => Some(i.longValue)
+          case i: java.lang.Short => Some(i.toLong)
+          case i: java.lang.Byte => Some(i.toLong)
+          case _ => None
+        }
+        if (vs.exists(_.isEmpty)) Map.empty
+        else nameOf(a).map(c => Map(c -> capped(norm(vs.flatten.map(v => (v, v))))))
+          .getOrElse(Map.empty)
+      case IsNotNull(_) => Map.empty // no range information
+      case _ => Map.empty // not / isNull / udf / subquery: conservative
+    }
+    filters.map(walk).foldLeft(Map.empty[String, Seq[(Long, Long)]])(intersectMaps)
+  }
+
+  /** `Versioned.table`'s backend: a DataFrame over a [[ManifestFileIndex]]
+    * via `HadoopFsRelation` + `LogicalRelation` (both `private[sql]` —
+    * hence this bridge). Parquet format, no buckets, no partition columns
+    * (the manifest, not the directory layout, scopes the scan).
+    */
+  def relation(spark: SparkSession, root: String, files: Seq[String],
+      stats: Map[String, Seq[(Long, Long)]], statsCols: Seq[String],
+      dataSchema: StructType): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val index = new ManifestFileIndex(spark, root, files, stats, statsCols, dataSchema)
+    val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
+      new ParquetFileFormat, Map.empty)(classic)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic, LogicalRelation(rel))
+  }
+}
+
+/** Sorted-disjoint interval-set algebra shared by the two predicate
+  * walkers ([[ColumnBridge.predicateRanges]] over Column nodes,
+  * [[ManifestFileIndex.exprRanges]] over catalyst expressions): normalize,
+  * intersect, union, and the disjunct-count cap that collapses a
+  * pathological union to its (still conservative) envelope.
+  */
+private[sql] object RangeAlgebra {
+  val MaxDisjuncts = 64
+  val Full: Seq[(Long, Long)] = Seq((Long.MinValue, Long.MaxValue))
+
+  def norm(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.filter { case (lo, hi) => lo <= hi }.sortBy(_._1)
+    sorted.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+      acc.lastOption match {
+        case Some((plo, phi)) if phi == Long.MaxValue || lo <= phi + 1 =>
+          acc.init :+ (plo, math.max(phi, hi))
+        case _ => acc :+ (lo, hi)
+      }
+    }
+  }
+
+  def capped(u: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    if (u.length > MaxDisjuncts) Seq((u.head._1, u.last._2)) else u
+
+  def inter(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    norm(for ((al, ah) <- a; (bl, bh) <- b; lo = math.max(al, bl); hi = math.min(ah, bh)
+      if lo <= hi) yield (lo, hi))
+
+  def union(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    capped(norm(a ++ b))
+
+  /** AND of two per-column maps: keys in either map stay, ranges intersect
+    * (absent = unconstrained).
+    */
+  def intersectMaps(a: Map[String, Seq[(Long, Long)]],
+      b: Map[String, Seq[(Long, Long)]]): Map[String, Seq[(Long, Long)]] =
+    (a.keySet ++ b.keySet).map(k =>
+      k -> inter(a.getOrElse(k, Full), b.getOrElse(k, Full))).toMap
+
+  /** OR of two per-column maps: only keys constrained in BOTH stay. */
+  def unionMaps(a: Map[String, Seq[(Long, Long)]],
+      b: Map[String, Seq[(Long, Long)]]): Map[String, Seq[(Long, Long)]] =
+    a.keySet.intersect(b.keySet).map(k => k -> union(a(k), b(k))).toMap
+}

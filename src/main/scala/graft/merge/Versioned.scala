@@ -320,13 +320,17 @@ object Versioned {
     * HINT: a racing checkpoint writer can regress it one interval, which
     * costs the next reader a few forward probes and nothing else.
     */
-  private def writePointer(root: String, n: Int): Unit =
+  private def writePointer(root: String, n: Int): Unit = {
+    var tmp: Path = null
     try {
-      val tmp = Files.createTempFile(vlogDir(root), ".ckpt-", ".tmp")
+      tmp = Files.createTempFile(vlogDir(root), ".ckpt-", ".tmp")
       Files.writeString(tmp, n.toString)
       Files.move(tmp, pointerPath(root),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: java.io.IOException => () }
+    } catch { case _: java.io.IOException =>
+      if (tmp != null) Files.deleteIfExists(tmp) // hint write failed: no leak, no error
+    }
+  }
 
   def currentVersion(root: String): Option[Version] =
     headNumber(root).map(stateAt(root, _))
@@ -1145,7 +1149,46 @@ object Versioned {
   def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
-    require(v.files.nonEmpty, s"version ${v.n} at $root lists no files")
-    spark.read.parquet(v.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    if (v.files.isEmpty) emptyVersion(spark, root, v)
+    else spark.read.parquet(v.files.map(f => Paths.get(root).resolve(f).toString): _*)
+  }
+
+  /** A version with no files is a legitimate state (a full-table
+    * [[deleteWhere]], an empty initial commit): serve it as an EMPTY frame
+    * under the version's recorded schema contract rather than failing — a
+    * reader of "the table right now" must not crash because the table is
+    * momentarily empty. Only a pre-contract log with no files has nothing
+    * to type the result with, and that fails loudly.
+    */
+  private def emptyVersion(spark: SparkSession, root: String, v: Version): DataFrame = {
+    val ddl = v.schema.getOrElse(throw new IllegalArgumentException(
+      s"version ${v.n} at $root lists no files and records no schema contract"))
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** VT14: the versioned table as a NATIVE Spark relation — a DataFrame
+    * whose file listing is a [[org.apache.spark.sql.graft
+    * .ManifestFileIndex]] over this version's manifest state, so CATALYST
+    * ITSELF pushes every scan's predicates into manifest-stats pruning at
+    * planning time. [[readWhere]] is the explicit-call form; this is the
+    * form a user composes freely: register it as a temp view and the
+    * reference's SQL (`REPORTING_DATE BETWEEN …`) skips files, join it and
+    * the join's pushed-down residuals skip files, no API beyond
+    * `spark.sql` required. Snapshot semantics are unchanged — the index is
+    * pinned to the version's reconstructed file list (immune to concurrent
+    * commits), and Spark re-applies every predicate to rows, so the
+    * conservative pruning can never change results. The schema comes from
+    * the version's recorded contract (vt11), falling back to footer
+    * inference for pre-contract logs.
+    */
+  def table(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    if (v.files.isEmpty) return emptyVersion(spark, root, v)
+    val schema = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(read(spark, root, Some(v.n)).schema)
+    org.apache.spark.sql.graft.ManifestFileIndex.relation(
+      spark, root, v.files, v.stats, v.statsCols, schema)
   }
 }

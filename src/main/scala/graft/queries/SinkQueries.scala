@@ -444,6 +444,28 @@ object SinkQueries extends QueryModule {
           && col("o_orderstatus") === "F")
     }),
 
+    // VT14: the versioned table as a NATIVE Spark relation — Versioned.table
+    // returns a ManifestFileIndex-backed DataFrame, so CATALYST pushes the
+    // predicates of ANY query shape into manifest-stats pruning at planning
+    // time: here the reference's windowed shape runs as PLAIN SQL over a
+    // temp view (`REPORTING_DATE BETWEEN`-style plus a disjunct tail), no
+    // readWhere call anywhere. The spec pins the planning-time scan set;
+    // correctness here is the full WHERE, which is what the oracle states.
+    "vt14_relation_sql_skipping" -> ((s, dir) => {
+      val root = tmp("graft_vt14") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      V.appendWithStats(o.repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.table(s, root).createOrReplaceTempView("graft_vt14_rel")
+      val out = s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice FROM graft_vt14_rel
+          |WHERE o_orderkey BETWEEN 1000 AND 5000 OR o_orderkey >= 12000""".stripMargin)
+        .localCheckpoint(true)
+      s.catalog.dropTempView("graft_vt14_rel")
+      out
+    }),
+
     // VT11: SCHEMA EVOLUTION through the log — the column-set contract is
     // tracked per version (a schema= line in full manifests; appends are
     // CHECKED against it, because a multi-file parquet read takes one
@@ -634,6 +656,9 @@ object SinkQueries extends QueryModule {
     "vt10_read_where" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    "vt14_relation_sql_skipping" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000 OR o_orderkey >= 12000""".stripMargin,
     "vt12_merge_versioned" ->
       """SELECT 1 AS version, o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F'

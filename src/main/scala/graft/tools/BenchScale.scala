@@ -435,18 +435,24 @@ object BenchScale {
     import graft.merge.Versioned
     import graft.merge.Versioned.FileEntry
     def f5(v: Double) = "%.5f".formatLocal(java.util.Locale.ROOT, v)
-    val pts = Seq(100, 300, 1000).map { commits =>
-      val root = java.nio.file.Files.createTempDirectory("graft_logage").toString + "/t"
+    def med(reps: Int)(f: => Unit): Double = {
+      f // untimed warm-up, same policy as measure()
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted.apply(reps / 2)
+    }
+    def measurePoint(commits: Int, steady: Boolean): (Double, Double) = {
+      val base = java.nio.file.Files.createTempDirectory("graft_logage").toString
+      val root = s"$base/t"
       (1 to commits).foreach { i =>
-        Versioned.commitFiles(root, "append",
-          (0 until 4).map(j => FileEntry(s"data/c$i/f$j.parquet",
-            Seq((i.toLong * 4 + j, i.toLong * 4 + j + 1)))), Seq("k"))
-      }
-      def med(reps: Int)(f: => Unit): Double = {
-        f // untimed warm-up, same policy as measure()
-        (1 to reps).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.sorted.apply(reps / 2)
+        val added = (0 until 4).map(j => FileEntry(s"data/c$i/f$j.parquet",
+          Seq((i.toLong * 4 + j, i.toLong * 4 + j + 1))))
+        // steady: each commit delists the previous commit's files (the vt12
+        // copy-on-write shape), so table STATE stays 4 files at any age
+        val removed = if (steady && i > 1)
+          (0 until 4).map(j => s"data/c${i - 1}/f$j.parquet") else Nil
+        Versioned.commitFiles(root, if (steady) "merge" else "append",
+          added, Seq("k"), removed = removed)
       }
       val planSec = med(9) { Versioned.currentVersion(root); () }
       var j = 0
@@ -455,11 +461,25 @@ object BenchScale {
         Versioned.commitFiles(root, "append",
           Seq(FileEntry(s"data/extra$j/f.parquet", Nil)), Nil); ()
       }
-      System.err.println(
-        f"[scale] log-age $commits commits: plan $planSec%.5f s, append $appendSec%.5f s")
-      s""""$commits":{"plan_sec":${f5(planSec)},"append_sec":${f5(appendSec)}}"""
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      (planSec, appendSec)
     }
-    s"""{"entries_per_commit":4,"points":${pts.mkString("{", ",", "}")}}"""
+    // growth series: state grows 4 files/commit, so plan cost tracks the
+    // CURRENT file count (a checkpoint manifest lists the state — inherent);
+    // steady series: adds+removes hold the state at 4 files, isolating the
+    // axis the pointer design must keep flat — pure COMMIT COUNT
+    val pts = Seq(100, 300, 1000).map { commits =>
+      val (gp, ga) = measurePoint(commits, steady = false)
+      val (sp, sa) = measurePoint(commits, steady = true)
+      System.err.println(f"[scale] log-age $commits commits: grow plan $gp%.5f s " +
+        f"append $ga%.5f s | steady plan $sp%.5f s append $sa%.5f s")
+      s""""$commits":{"plan_sec":${f5(gp)},"append_sec":${f5(ga)},""" +
+        s""""steady_plan_sec":${f5(sp)},"steady_append_sec":${f5(sa)}}"""
+    }
+    s"""{"entries_per_commit":4,"note":"grow = state accretes 4 files/commit """ +
+      s"""(plan cost tracks current file count, inherent); steady = copy-on-write """ +
+      s"""adds+removes hold state at 4 files (isolates pure commit-count cost — """ +
+      s"""must stay flat)","points":${pts.mkString("{", ",", "}")}}"""
   }
 
   def main(args: Array[String]): Unit = {

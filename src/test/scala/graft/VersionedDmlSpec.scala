@@ -84,6 +84,22 @@ class VersionedDmlSpec extends SparkSuite {
     assert(Versioned.read(spark, root2).select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("a full-table delete leaves a READABLE empty version; the table lives on") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.appendWithStats((1L to 8L).toDF("k"), root, "k")
+    Versioned.deleteWhere(spark, root, lit(true))
+    // the empty head reads as an empty frame UNDER THE SCHEMA CONTRACT —
+    // a momentary empty table must not crash its readers
+    val cur = Versioned.read(spark, root)
+    assert(cur.columns.toSeq === Seq("k") && cur.count() === 0L)
+    assert(Versioned.table(spark, root).count() === 0L)
+    // history intact; appends continue under the same contract
+    assert(Versioned.read(spark, root, Some(1)).count() === 8L)
+    Versioned.append(Seq(9L).toDF("k"), root)
+    assert(Versioned.read(spark, root).as[Long].collect().toSeq === Seq(9L))
+  }
+
   // ---- VT12: copy-on-write mergeInto ----
 
   test("mergeInto: upsert lands as a delta; non-overlapping files untouched; history intact") {
