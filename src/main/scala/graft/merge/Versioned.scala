@@ -723,7 +723,32 @@ object Versioned {
     * without stats the honest cost is a full rewrite (Delta's behavior
     * without stats too).
     */
-  def deleteWhere(spark: SparkSession, root: String, predicate: Column): Version = {
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      maxRetries: Int = 0): Version =
+    cowRetry(maxRetries)(deleteWhereOnce(spark, root, predicate))
+
+  /** Optimistic-retry loop for the copy-on-write DML ops. Unlike
+    * [[retryCommit]] (append: the same files re-commit on top of the
+    * winner), a lost COW race must re-run the WHOLE op — the winner may
+    * have changed the affected-file set — so each attempt re-plans and
+    * re-writes; the losing attempt's files are orphans [[gcOrphans]] ages
+    * out. Default 0 retries: the loss is loud and the caller owns the
+    * policy, same stance as a failed Delta transaction.
+    */
+  private def cowRetry(maxRetries: Int)(op: => Version): Version = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def deleteWhereOnce(spark: SparkSession, root: String, predicate: Column): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateRanges(predicate)
@@ -759,7 +784,11 @@ object Versioned {
     * table's columns; the commit re-checks the schema contract.
     */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame, keys: Seq[String],
-      orderCol: Option[String] = None): Version = {
+      orderCol: Option[String] = None, maxRetries: Int = 0): Version =
+    cowRetry(maxRetries)(mergeIntoOnce(spark, root, source, keys, orderCol))
+
+  private def mergeIntoOnce(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], orderCol: Option[String]): Version = {
     require(keys.nonEmpty, "mergeInto needs at least one merge key")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
@@ -1165,6 +1194,23 @@ object Versioned {
       s"version ${v.n} at $root lists no files and records no schema contract"))
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
+  /** VT15: DESCRIBE HISTORY — the audit surface every table format ships:
+    * one row per live (non-archived) version with its operation, parent,
+    * file count, accumulated stream-batch count, and schema contract.
+    * Answers "who changed this table, when, how" without touching a data
+    * file — pure manifest metadata, O(live versions), driver-built (a log's
+    * history is control-plane-sized by construction; archived manifests are
+    * deliberately out of scope, same as [[versions]]).
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = versions(root).map(v => org.apache.spark.sql.Row(
+      v.n, v.op, v.parent, v.files.length, v.txns.size, v.schema.orNull))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version INT, op STRING, parent INT, n_files INT, n_txns INT, schema STRING"))
   }
 
   /** VT14: the versioned table as a NATIVE Spark relation — a DataFrame

@@ -466,6 +466,22 @@ object SinkQueries extends QueryModule {
       out
     }),
 
+    // VT15: DESCRIBE HISTORY — the audit read every table format ships.
+    // Four controlled commits (two appends, a rollback, an overwrite) with
+    // pinned file counts (repartition(k) over non-empty frames writes
+    // exactly k files), read back as pure manifest metadata: no data file
+    // is opened, and the oracle is the literal expected ledger.
+    "vt15_history" -> ((s, dir) => {
+      val root = tmp("graft_vt15") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      V.append(o.filter(col("o_orderstatus") === "F").repartition(2), root)
+      V.append(o.filter(col("o_orderstatus") === "O").repartition(3), root)
+      V.rollback(root, to = 1)
+      V.overwrite(o.filter(col("o_orderstatus") === "P").repartition(1), root)
+      V.history(s, root).select(col("version"), col("op"), col("parent"), col("n_files"))
+    }),
+
     // VT11: SCHEMA EVOLUTION through the log — the column-set contract is
     // tracked per version (a schema= line in full manifests; appends are
     // CHECKED against it, because a multi-file parquet read takes one
@@ -656,6 +672,13 @@ object SinkQueries extends QueryModule {
     "vt10_read_where" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 5000""".stripMargin,
+    // n_files is the version's CUMULATIVE state size (a version IS its full
+    // file list), not the commit's own file count: v2 = v1's 2 + its own 3
+    "vt15_history" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'append', 0, 2), (2, 'append', 1, 5),
+        |  (3, 'rollback', 1, 2), (4, 'overwrite', 3, 1))
+        |AS t(version, op, parent, n_files)""".stripMargin,
     "vt14_relation_sql_skipping" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey BETWEEN 1000 AND 5000 OR o_orderkey >= 12000""".stripMargin,

@@ -147,6 +147,66 @@ class VersionedDmlSpec extends SparkSuite {
     assert(Versioned.read(spark, root).count() === 42L)
   }
 
+  test("COW DML retries re-plan against racing appends; every write survives") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.appendWithStats(
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(4, col("k")),
+      root, "k")
+    // thread A: merge updates for keys 1-3 (+1 insert); thread B: append
+    // DISJOINT keys 101-103. Whatever the interleaving, the CAS serializes
+    // them and the retries re-plan, so the final state is the same.
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[Throwable]()
+    val a = new Thread(() => {
+      try { Versioned.mergeInto(spark, root,
+        Seq((1L, "A1"), (2L, "A2"), (3L, "A3"), (50L, "A50")).toDF("k", "v"),
+        Seq("k"), maxRetries = 20); () }
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    val b = new Thread(() => {
+      try { Versioned.appendWithRetry(
+        Seq((101L, "b1"), (102L, "b2"), (103L, "b3")).toDF("k", "v"), root,
+        maxRetries = 20); () }
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    a.start(); b.start(); a.join(); b.join()
+    assert(errs.isEmpty, s"racing COW failed: $errs")
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(got.size === 44) // 40 base + insert 50 + appends 101-103
+    assert(got(1L) === "A1" && got(3L) === "A3" && got(50L) === "A50")
+    assert(got(101L) === "b1" && got(7L) === "v7")
+    // a deleteWhere racing an append: same contract
+    val c = new Thread(() => {
+      try { Versioned.deleteWhere(spark, root, col("k").between(5L, 8L),
+        maxRetries = 20); () }
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    val d = new Thread(() => {
+      try { Versioned.appendWithRetry(Seq((201L, "c1")).toDF("k", "v"), root,
+        maxRetries = 20); () }
+      catch { case t: Throwable => errs.add(t); () }
+    })
+    c.start(); d.start(); c.join(); d.join()
+    assert(errs.isEmpty, s"racing delete failed: $errs")
+    val after = Versioned.read(spark, root).as[(Long, String)].collect().toMap
+    assert(after.size === 41 && !after.contains(6L) && after(201L) === "c1")
+  }
+
+  test("history: one metadata row per version, no data files opened") {
+    import spark.implicits._
+    val root = freshRoot()
+    Versioned.append(Seq(1L, 2L).toDF("k").repartition(1), root)
+    Versioned.appendStreamBatch(Seq(3L).toDF("k").repartition(1), root, batchId = 7)
+    Versioned.rollback(root, to = 1)
+    val h = Versioned.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(h.toSeq === Seq(
+      (1, "append", 0, 1, 0), (2, "stream-batch-7", 1, 2, 1), (3, "rollback", 1, 1, 1)))
+    // schema contract rides along
+    assert(Versioned.history(spark, root).select("schema").as[String].collect()
+      .forall(_.contains("k BIGINT")))
+  }
+
   // ---- _last_checkpoint pointer: zero listing on the commit path ----
 
   test("a commit on a 1000-commit log lists ZERO directory names (pointer + probes)") {
