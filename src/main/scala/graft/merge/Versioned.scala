@@ -618,8 +618,18 @@ object Versioned {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     val n = cur.n + 1
-    val (files, marker) =
-      writeData(read(spark, root, Some(cur.n)).repartition(nFiles), root, n, Map.empty)
+    val df = read(spark, root, Some(cur.n))
+    // a stats-tracked table compacts RANGE-CLUSTERED on its primary stats
+    // column, not round-robin: bin-packing would leave every output file
+    // spanning the whole key domain, so the recomputed per-file ranges —
+    // while correct — would overlap every predicate and pruning silently
+    // degrades to a full scan. One shuffle either way; the clustered shape
+    // keeps a post-compact pruned read as selective as the pre-compact one
+    // (spec-pinned). Multi-dimension clustering stays ZOrder+overwrite's job.
+    val shaped =
+      if (cur.statsCols.nonEmpty) df.repartitionByRange(nFiles, col(cur.statsCols.head))
+      else df.repartition(nFiles)
+    val (files, marker) = writeData(shaped, root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
       else statsEntries(spark, root, files, cur.statsCols)

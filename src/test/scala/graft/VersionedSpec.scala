@@ -424,8 +424,14 @@ class VersionedSpec extends SparkSuite {
     // exactly as correct
     assert(v.statsCols === Seq("k"))
     assert(v.stats.keySet === v.files.toSet)
-    assert(Versioned.readPruned(spark, root, "k", 10, 20).as[Long].collect().sorted.toSeq
-      === (10L to 20L))
+    val prunedPost = Versioned.readPruned(spark, root, "k", 10, 20)
+    assert(prunedPost.as[Long].collect().sorted.toSeq === (10L to 20L))
+    // compaction range-clusters on the stats column, so the recomputed
+    // ranges stay SELECTIVE: a narrow window plans a strict subset of the
+    // compacted files (round-robin packing would leave every file spanning
+    // the whole domain and silently kill pruning)
+    assert(prunedPost.inputFiles.length < v.files.length,
+      s"post-compact pruning degenerated: ${prunedPost.inputFiles.length} of ${v.files.length}")
     // replay dedup survives compaction: batch 0 is still known-committed
     assert(Versioned.appendStreamBatch(Seq(9999L).toDF("k"), root, batchId = 0).isEmpty)
     // vacuum reclaims the pre-compact small files; the compacted read holds
