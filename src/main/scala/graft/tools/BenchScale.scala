@@ -411,12 +411,41 @@ object BenchScale {
     val cdcSec = med { noop(Versioned.changes(spark, root, 11, 12)) }
     val prunedSec = med { noop(Versioned.readPruned(spark, root, "o_orderkey", lo, hi)) }
     val readSec = med { noop(Versioned.read(spark, root)) }
+    // COW DML leg (round 15): merge a top-1/16-window source into a fresh
+    // RANGE-CLUSTERED 16-file table — the cost claim is O(affected files +
+    // source), never O(table), so the measured seconds should track the
+    // window's data (which grows with the corpus) while the affected file
+    // count stays ~1-2 of 16 at every point. Fresh tmp table per run (a
+    // merge commits, so reusing the cached corpus dir would accrete
+    // versions across rounds); reps are real merges on a state the window
+    // keeps bounded.
+    val dmlBase = java.nio.file.Files.createTempDirectory(s"graft_vtdml_${copies}x").toString
+    val dmlRoot = s"$dmlBase/t"
+    val o2 = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    Versioned.appendWithStats(o2.repartitionByRange(16, col("o_orderkey")),
+      dmlRoot, Seq("o_orderkey"))
+    val kst = o2.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+    val wlo = kst.getLong(1) - (kst.getLong(1) - kst.getLong(0)) / 16
+    val src = o2.filter(col("o_orderkey") >= wlo)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus")).localCheckpoint(true)
+    var affected = 0
+    var total = 0
+    val mergeSec = med {
+      val pre = Versioned.currentVersion(dmlRoot).get
+      val post = Versioned.mergeInto(spark, dmlRoot, src, Seq("o_orderkey"))
+      affected = (pre.files.toSet -- post.files.toSet).size
+      total = pre.files.length
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase))
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     System.err.println(f"[scale] vt leg ${copies}x: plan $planSec%.3f cdc $cdcSec%.3f " +
-      f"pruned $prunedSec%.3f read $readSec%.3f")
+      f"pruned $prunedSec%.3f read $readSec%.3f merge $mergeSec%.3f " +
+      f"(rewrote $affected of $total files)")
     s"""{"commits":12,"files":${cur.files.length},"plan_sec":${f3(planSec)},""" +
       s""""cdc_last_append_sec":${f3(cdcSec)},"pruned_read_sec":${f3(prunedSec)},""" +
-      s""""full_read_sec":${f3(readSec)}}"""
+      s""""full_read_sec":${f3(readSec)},"merge_window_sec":${f3(mergeSec)},""" +
+      s""""merge_affected_files":$affected,"merge_total_files":$total}"""
   }
 
   /** Log-AGE leg (round 15, VERDICT r14 item 4): the [[vtLeg]] block holds
