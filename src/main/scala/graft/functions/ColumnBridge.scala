@@ -16,6 +16,28 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The ENCODING a literal's long value is in — integral as-is, DATE as
+    * epoch days, TIMESTAMP as epoch micros. The Column-side walker runs on
+    * UNANALYZED nodes, so unlike the Expression-side twin it cannot assume
+    * the literal's encoding matches the column it compares against: Spark
+    * legally coerces a DATE literal against a TIMESTAMP column (and vice
+    * versa), and an epoch-day bound applied to epoch-micros stats would
+    * silently prune files that match. Callers must check the kind against
+    * the stats column's tracked type and DROP mismatched bounds as
+    * unconstrained (conservative: more files read, same rows out).
+    */
+  /** Public face of [[RangeAlgebra.MaxDisjuncts]] (that object is
+    * `private[sql]`) for callers outside the spark.sql tree.
+    */
+  val MaxDisjuncts: Int = RangeAlgebra.MaxDisjuncts
+
+  sealed trait LitKind
+  object LitKind {
+    case object Integral extends LitKind
+    case object DateDays extends LitKind
+    case object TsMicros extends LitKind
+  }
+
   /** Per-column range SETS implied by a predicate Column — the general form
     * behind [[predicateBounds]]. An entry `c -> ranges` means: every row
     * satisfying the predicate has `c` non-null and inside the UNION of
@@ -48,20 +70,32 @@ object ColumnBridge {
     * still conservative, never larger than one range.
     */
   def predicateRanges(predicate: Column,
-      maxDisjuncts: Int = 64): Map[String, Seq[(Long, Long)]] = {
+      maxDisjuncts: Int = 64): Map[String, Seq[(Long, Long)]] =
+    predicateRangesTyped(predicate, maxDisjuncts).map { case (c, (_, rs)) => c -> rs }
+
+  /** [[predicateRanges]] with each column's range set TAGGED by the literal
+    * kind ([[LitKind]]) its bounds are encoded in. Combining ranges of
+    * CONFLICTING kinds on one column (a date literal AND a timestamp literal
+    * both bounding `c` — Spark coerces, the long encodings don't) drops the
+    * column as unconstrained rather than intersecting apples with oranges.
+    */
+  def predicateRangesTyped(predicate: Column,
+      maxDisjuncts: Int = 64): Map[String, (LitKind, Seq[(Long, Long)])] = {
     import org.apache.spark.sql.internal.{ColumnNode, Literal => NLit,
       UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
-    val Full = Seq((Long.MinValue, Long.MaxValue))
-    def longOf(n: ColumnNode): Option[Long] = n match {
+    type Typed = Map[String, (LitKind, Seq[(Long, Long)])]
+    def longOf(n: ColumnNode): Option[(Long, LitKind)] = n match {
       case l: NLit => l.value match {
-        case i: java.lang.Integer => Some(i.toLong)
-        case i: java.lang.Long => Some(i.longValue)
-        case i: java.lang.Short => Some(i.toLong)
-        case i: java.lang.Byte => Some(i.toLong)
-        case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
-        case d: java.time.LocalDate => Some(d.toEpochDay)
-        case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
-        case t: java.time.Instant => Some(DateTimeUtils.instantToMicros(t))
+        case i: java.lang.Integer => Some((i.toLong, LitKind.Integral))
+        case i: java.lang.Long => Some((i.longValue, LitKind.Integral))
+        case i: java.lang.Short => Some((i.toLong, LitKind.Integral))
+        case i: java.lang.Byte => Some((i.toLong, LitKind.Integral))
+        case d: java.sql.Date => Some((DateTimeUtils.fromJavaDate(d).toLong, LitKind.DateDays))
+        case d: java.time.LocalDate => Some((d.toEpochDay, LitKind.DateDays))
+        case t: java.sql.Timestamp =>
+          Some((DateTimeUtils.fromJavaTimestamp(t), LitKind.TsMicros))
+        case t: java.time.Instant =>
+          Some((DateTimeUtils.instantToMicros(t), LitKind.TsMicros))
         case _ => None // float/string/…: no bound (skip stats are long-exact)
       }
       case _ => None
@@ -77,20 +111,35 @@ object ColumnBridge {
       val u = norm(a ++ b)
       if (u.length > maxDisjuncts) Seq((u.head._1, u.last._2)) else u // envelope past the cap
     }
-    def one(colN: ColumnNode, lo: Option[Long], hi: Option[Long]): Map[String, Seq[(Long, Long)]] =
-      nameOf(colN).map(c =>
-        Map(c -> Seq((lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue)))))
+    def one(colN: ColumnNode, lo: Option[(Long, LitKind)],
+        hi: Option[(Long, LitKind)]): Typed = {
+      val kind = lo.map(_._2).orElse(hi.map(_._2))
+      if (lo.nonEmpty && hi.nonEmpty && lo.map(_._2) != hi.map(_._2)) Map.empty
+      else nameOf(colN).flatMap(c => kind.map(k => Map(c -> (k,
+        Seq((lo.map(_._1).getOrElse(Long.MinValue), hi.map(_._1).getOrElse(Long.MaxValue)))))))
         .getOrElse(Map.empty)
-    def walk(e: ColumnNode): Map[String, Seq[(Long, Long)]] = e match {
+    }
+    // a column constrained with two different literal kinds drops out
+    // entirely — intersecting/unioning mixed-unit bounds would be garbage
+    def combine(a: Typed, b: Typed,
+        keys: Set[String])(f: (Seq[(Long, Long)], Seq[(Long, Long)]) => Seq[(Long, Long)],
+        oneSided: String => Option[(LitKind, Seq[(Long, Long)])]): Typed =
+      keys.flatMap { k =>
+        (a.get(k), b.get(k)) match {
+          case (Some((ka, ra)), Some((kb, rb))) =>
+            if (ka == kb) Some(k -> (ka, f(ra, rb))) else None
+          case _ => oneSided(k).map(k -> _)
+        }
+      }.toMap
+    def walk(e: ColumnNode): Typed = e match {
       case f: NFn => (f.functionName, f.arguments) match {
         case ("and", Seq(l, r)) =>
           val (a, b) = (walk(l), walk(r))
-          (a.keySet ++ b.keySet).map(k =>
-            k -> inter(a.getOrElse(k, Full), b.getOrElse(k, Full))).toMap
+          combine(a, b, a.keySet ++ b.keySet)(inter, k => a.get(k).orElse(b.get(k)))
         case ("or", Seq(l, r)) =>
           val (a, b) = (walk(l), walk(r))
           // only columns constrained in BOTH disjuncts stay constrained
-          a.keySet.intersect(b.keySet).map(k => k -> union(a(k), b(k))).toMap
+          combine(a, b, a.keySet.intersect(b.keySet))(union, _ => None)
         case ("=" | "==" | "equalTo", Seq(a, b)) =>
           longOf(b).map(v => one(a, Some(v), Some(v)))
             .orElse(longOf(a).map(v => one(b, Some(v), Some(v)))).getOrElse(Map.empty)
@@ -102,10 +151,12 @@ object ColumnBridge {
             .orElse(longOf(a).map(v => one(b, Some(v), None))).getOrElse(Map.empty)
         case ("in", valueExpr +: list) if list.nonEmpty =>
           val vs = list.map(longOf)
-          if (vs.exists(_.isEmpty)) Map.empty // any unboundable member: conservative
+          if (vs.exists(_.isEmpty) || vs.flatten.map(_._2).distinct.length != 1)
+            Map.empty // any unboundable or mixed-kind member: conservative
           else nameOf(valueExpr).map { c =>
-            val u = norm(vs.flatten.map(v => (v, v)))
-            Map(c -> (if (u.length > maxDisjuncts) Seq((u.head._1, u.last._2)) else u))
+            val u = norm(vs.flatten.map { case (v, _) => (v, v) })
+            Map(c -> ((vs.head.get._2,
+              if (u.length > maxDisjuncts) Seq((u.head._1, u.last._2)) else u)))
           }.getOrElse(Map.empty)
         case _ => Map.empty // not / isNull / udf / …: conservative
       }

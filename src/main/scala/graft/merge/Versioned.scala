@@ -117,6 +117,15 @@ object Versioned {
     */
   private[graft] val namesListed = new AtomicLong(0L)
 
+  /** `_last_checkpoint` pointer writes that failed since JVM start. The
+    * pointer is a hint, so a failed write is survivable — but a
+    * PERSISTENTLY failing one (a filesystem without atomic replace)
+    * silently degrades every currentVersion/commit back to O(log-size)
+    * directory listings; this counter (plus a stderr warning on the first
+    * failure) makes that degradation observable instead of silent.
+    */
+  private[graft] val pointerWriteFailures = new AtomicLong(0L)
+
   /** A version's fully-reconstructed state. `stats` holds optional per-file
     * (min, max) ranges of each of `statsCols` (aligned by position) —
     * manifest-level data skipping (VT6): a pruned read plans only files
@@ -327,13 +336,38 @@ object Versioned {
       Files.writeString(tmp, n.toString)
       Files.move(tmp, pointerPath(root),
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: java.io.IOException =>
+    } catch { case e: java.io.IOException =>
       if (tmp != null) Files.deleteIfExists(tmp) // hint write failed: no leak, no error
+      if (pointerWriteFailures.incrementAndGet() == 1L)
+        System.err.println(s"[graft.Versioned] WARNING: _last_checkpoint pointer write " +
+          s"failed at $root (${e.getMessage}) — head discovery degrades to directory " +
+          "listing until a pointer write succeeds")
     }
   }
 
   def currentVersion(root: String): Option[Version] =
     headNumber(root).map(stateAt(root, _))
+
+  /** Hot-path hooks for the STREAMING SOURCE half of the loop
+    * ([[graft.streaming.VersionedStreamSource]], ST19): head discovery and
+    * the per-version ADD set, both listing-free. `addedFiles(n)` is the
+    * micro-batch the streaming read of commit `n` serves — the Delta
+    * streaming-source shape (each commit = one batch of its added files;
+    * COW rewrites surface as re-added files, i.e. append-only semantics).
+    * Cost: two checkpoint-bounded state reconstructions, O(1) in table age.
+    */
+  private[graft] def headVersionNumber(root: String): Option[Int] = headNumber(root)
+
+  private[graft] def versionState(root: String, n: Int): Version = stateAt(root, n)
+
+  private[graft] def addedFiles(root: String, n: Int): Seq[String] = {
+    val cur = stateAt(root, n)
+    if (n <= 1) cur.files
+    else {
+      val prev = stateAt(root, n - 1).files.toSet
+      cur.files.filterNot(prev)
+    }
+  }
 
   // private[graft] so the spec can drive the CAS with a racing version
   // number directly — a single-threaded test can't interleave two appends
@@ -352,10 +386,13 @@ object Versioned {
   }
 
   private def renderDelta(op: String, parent: Int, statsCols: Seq[String],
-      added: Seq[FileEntry], removed: Seq[String]): String = {
+      added: Seq[FileEntry], removed: Seq[String],
+      schema: Option[String] = None): String = {
     val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
       (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "")
-    (head +: (removed.map("-" + _) ++ added.map { e =>
+    // a schema line on a DELTA overrides the inherited contract going
+    // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook
+    (head +: (schema.map(s => s"schema=$s").toSeq ++ removed.map("-" + _) ++ added.map { e =>
       "+" + (if (e.ranges.isEmpty) e.path
              else (e.path +: e.ranges.flatMap { case (mn, mx) => Seq(mn, mx) }).mkString("|"))
     })).mkString("\n")
@@ -531,6 +568,63 @@ object Versioned {
   private def statsTypeSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
     try { statsLongExpr("x", dt); true } catch { case _: IllegalArgumentException => false }
 
+  /** [[statsLongExpr]] as a SQL fragment — for call sites that compose it
+    * into `selectExpr` arithmetic (exact `div` bucketing in [[keyRangeSet]]).
+    */
+  private def statsLongSql(c: String, dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => s"CAST(`$c` AS BIGINT)"
+      case DateType => s"CAST(unix_date(`$c`) AS BIGINT)"
+      case TimestampType => s"unix_micros(`$c`)"
+      case other => throw new IllegalArgumentException(
+        s"stats column `$c` is ${other.simpleString}: no exact long encoding")
+    }
+  }
+
+  /** The [[org.apache.spark.sql.graft.ColumnBridge.LitKind]] a column of
+    * this type's stats are encoded in — the read-side contract
+    * [[statsLongExpr]] writes.
+    */
+  private def statsKind(dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.graft.ColumnBridge.LitKind] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.graft.ColumnBridge.LitKind
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(LitKind.Integral)
+      case DateType => Some(LitKind.DateDays)
+      case TimestampType => Some(LitKind.TsMicros)
+      case _ => None
+    }
+  }
+
+  /** The pruning bounds of `predicate` against version `v`, VALIDATED
+    * against the schema contract: a bound whose literal kind does not match
+    * the tracked column's stats encoding is DROPPED as unconstrained. The
+    * Column-side walker runs on unanalyzed nodes, so a predicate Spark
+    * legally coerces — a DATE literal against a TIMESTAMP-tracked column or
+    * vice versa — would otherwise yield wrong-UNIT bounds (epoch days vs
+    * epoch micros) and silently prune files holding matching rows. Dropping
+    * is conservative (more files read; the residual filter still decides
+    * rows); a pre-contract log (no recorded schema) keeps only bounds whose
+    * kind a legal Spark comparison could not have coerced away from the
+    * column's own type — i.e. nothing is assumed, every non-verifiable
+    * bound is dropped too.
+    */
+  private def validatedBounds(v: Version, predicate: Column)
+      : Map[String, Seq[(Long, Long)]] = {
+    val typed = org.apache.spark.sql.graft.ColumnBridge.predicateRangesTyped(predicate)
+    val contract = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+    typed.flatMap { case (c, (kind, rs)) =>
+      if (!v.statsCols.contains(c)) None
+      else contract.flatMap(st => st.fields.find(_.name == c)).map(_.dataType)
+        .flatMap(statsKind) match {
+        case Some(k) if k == kind => Some(c -> rs)
+        case _ => None // cross-type coercion, untrackable type, or no contract
+      }
+    }
+  }
+
   /** One commit-sized stats pass over freshly-written `files`: per file,
     * (min, max) of each stats column, exact-long-encoded per
     * [[statsLongExpr]]. TOTAL over `files`: a file the scan yields no rows
@@ -684,7 +778,7 @@ object Versioned {
     val cc = col(statsCol)
     val base =
       if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
-      else spark.read.parquet(candidates.map(f => Paths.get(root).resolve(f).toString): _*)
+      else readFiles(spark, root, v, candidates)
     base.filter(cc >= lo && cc <= hi)
   }
 
@@ -707,12 +801,10 @@ object Versioned {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
-    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateRanges(predicate)
-      .filter { case (c, _) => v.statsCols.contains(c) }
-    val candidates = overlappingFiles(v, bounds)
+    val candidates = overlappingFiles(v, validatedBounds(v, predicate))
     val base =
       if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
-      else spark.read.parquet(candidates.map(f => Paths.get(root).resolve(f).toString): _*)
+      else readFiles(spark, root, v, candidates)
     base.filter(predicate)
   }
 
@@ -761,12 +853,9 @@ object Versioned {
   private def deleteWhereOnce(spark: SparkSession, root: String, predicate: Column): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
-    val bounds = org.apache.spark.sql.graft.ColumnBridge.predicateRanges(predicate)
-      .filter { case (c, _) => cur.statsCols.contains(c) }
-    val affected = overlappingFiles(cur, bounds)
+    val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
     if (affected.isEmpty) return cur // provably nothing to delete
-    val survivors = spark.read
-      .parquet(affected.map(f => Paths.get(root).resolve(f).toString): _*)
+    val survivors = readFiles(spark, root, cur, affected)
       .filter(!coalesce(predicate, lit(false)))
     val n = cur.n + 1
     val (files, marker) = writeData(survivors, root, n, Map.empty)
@@ -795,14 +884,78 @@ object Versioned {
     */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame, keys: Seq[String],
       orderCol: Option[String] = None, maxRetries: Int = 0): Version =
-    cowRetry(maxRetries)(mergeIntoOnce(spark, root, source, keys, orderCol))
+    cowRetry(maxRetries)(mergeIntoOnce(spark, root, source, keys, orderCol, "merge"))
+
+  /** ST18: exactly-once streaming MERGE — the reference's scheduled
+    * incremental upsert (`snowflake_bq_sync_daily Time Details/main.py:
+    * 197-206`) run CONTINUOUSLY from `foreachBatch` onto the versioned
+    * substrate. [[appendStreamBatch]]'s batch-id dedup extended to
+    * copy-on-write commits: a micro-batch already in the log's accumulated
+    * `txns` set is a metadata no-op (returns None), so a replayed batch
+    * after a crash neither double-applies its updates nor re-inserts its
+    * rows; an unseen batch runs the full COW merge and commits under
+    * `stream-batch-<id>` (one CAS — a racing replay of the SAME id loses
+    * the link and, on re-plan, finds the id committed and skips). The
+    * blast radius is [[mergeInto]]'s: only stats-overlapping files rewrite.
+    * An EMPTY batch still commits a zero-file delta to record its id —
+    * dedup state must advance even when the batch carries nothing.
+    */
+  def mergeStreamBatch(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], batchId: Long, orderCol: Option[String] = None,
+      maxRetries: Int = 5): Option[Version] = {
+    val op = s"stream-batch-$batchId"
+    var attempt = 0
+    while (true) {
+      // each attempt re-reads head AND re-checks the txn set: the racing
+      // writer that beat us may have been a replay of this very batch
+      val cur = currentVersion(root)
+      if (cur.exists(_.txns.contains(batchId))) return None
+      try {
+        return Some(cur match {
+          case None =>
+            // first batch onto an empty log: plain append under the op name
+            val (files, marker) = writeData(source, root, 1, Map.empty)
+            sealing(marker)(commitOn(root, None, op, files.map(FileEntry(_, Nil)),
+              Nil, Nil, Some(normalizedDDL(source))))
+          case Some(c) =>
+            val merged = mergeOnState(spark, root, c, source, keys, orderCol, op)
+            // empty source returned the same version: commit a zero-file
+            // delta anyway so the batch id lands in the txn set
+            if (merged.n == c.n) commitOn(root, Some(c), op, Nil, Nil, Nil, None)
+            else merged
+        })
+      } catch {
+        case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
 
   private def mergeIntoOnce(spark: SparkSession, root: String, source: DataFrame,
-      keys: Seq[String], orderCol: Option[String]): Version = {
-    require(keys.nonEmpty, "mergeInto needs at least one merge key")
+      keys: Seq[String], orderCol: Option[String], op: String): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
-    val trackedKeys = keys.filter(cur.statsCols.contains)
+    mergeOnState(spark, root, cur, source, keys, orderCol, op)
+  }
+
+  private def mergeOnState(spark: SparkSession, root: String, cur: Version,
+      source: DataFrame, keys: Seq[String], orderCol: Option[String],
+      op: String): Version = {
+    require(keys.nonEmpty, "mergeInto needs at least one merge key")
+    // a tracked key bounds the blast radius only if the SOURCE column's
+    // stats encoding matches the table contract's (a DATE source key against
+    // a TIMESTAMP-tracked table would bound in the wrong unit — treat the
+    // key as untracked instead: wider rewrite, never a wrong one)
+    val contract = cur.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+    val trackedKeys = keys.filter { k =>
+      cur.statsCols.contains(k) && {
+        val srcKind = statsKind(source.schema(k).dataType)
+        srcKind.nonEmpty && srcKind == contract
+          .flatMap(st => st.fields.find(_.name == k)).map(_.dataType).flatMap(statsKind)
+      }
+    }
     // one control-plane agg over the source: row count, fully-keyed row
     // count, and the [min, max] envelope of every tracked key (encoded the
     // same way the stats were)
@@ -814,10 +967,17 @@ object Versioned {
       }
     val r = source.agg(aggs.head, aggs.tail: _*).head
     if (r.getLong(0) == 0L) return cur // empty source: metadata no-op
+    // per-key range SETS, not a single envelope: a two-window backfill
+    // source (the classic Jan+Dec shape) would widen one [min, max] to
+    // near-table span and degrade the COW to a full rewrite; bucketing the
+    // source's keys inside the envelope and keeping only populated runs
+    // (keyRangeSet) scopes `affected` to the actual windows, same algebra
+    // the OR/IN predicate walker feeds overlappingFiles
     val bounds: Map[String, Seq[(Long, Long)]] = trackedKeys.zipWithIndex.flatMap {
       case (k, i) =>
         if (r.isNullAt(2 + 2 * i)) None
-        else Some(k -> Seq((r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))))
+        else Some(k -> keyRangeSet(source, k,
+          r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
     }.toMap
     val affected =
       if (r.getLong(1) == 0L) Nil // no fully-keyed source row can match anything
@@ -825,7 +985,7 @@ object Versioned {
       else overlappingFiles(cur, bounds)
     val target =
       if (affected.isEmpty) read(spark, root, Some(cur.n)).limit(0)
-      else spark.read.parquet(affected.map(f => Paths.get(root).resolve(f).toString): _*)
+      else readFiles(spark, root, cur, affected)
     val merged = MergeInto.merge(
       target, source.select(target.columns.map(col).toIndexedSeq: _*), keys, orderCol)
     val n = cur.n + 1
@@ -833,8 +993,64 @@ object Versioned {
     val entries =
       if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
       else statsEntries(spark, root, files, cur.statsCols)
-    sealing(marker)(commitOn(root, Some(cur), "merge", entries, affected,
+    sealing(marker)(commitOn(root, Some(cur), op, entries, affected,
       cur.statsCols, Some(normalizedDDL(merged))))
+  }
+
+  /** The COVERING range set of `source`'s key `k` inside its known
+    * [mn, mx] envelope, as ≤[[org.apache.spark.sql.graft.RangeAlgebra
+    * .MaxDisjuncts]] intervals: bucket the encoded key into ≤4096
+    * equal-width buckets, collect the POPULATED bucket ids (one
+    * control-plane distinct over the batch-sized source — ≤4096 rows back,
+    * never data), merge adjacent ids into runs, convert runs to value
+    * intervals, and merge across the SMALLEST inter-run gaps until the cap
+    * holds. Every source key value lies inside some returned interval
+    * (bucket-granular, so coverage is by construction — conservative for
+    * pruning: a file overlapping an interval may still hold no matching
+    * key, and MergeInto carries its unmatched rows through unchanged), so
+    * using these intervals to pick `affected` files can widen the rewrite
+    * but never lose a matching target row. A two-window backfill thus
+    * rewrites two windows' files; the degenerate envelope (every bucket
+    * populated, or a span too wide to bucket without overflow) falls back
+    * to the single [mn, mx] range — exactly the pre-range-set behavior.
+    */
+  private[graft] def keyRangeSet(source: DataFrame, k: String, mn: Long, mx: Long,
+      maxDisjuncts: Int = org.apache.spark.sql.graft.ColumnBridge.MaxDisjuncts)
+      : Seq[(Long, Long)] = {
+    val span = BigInt(mx) - BigInt(mn)
+    if (span <= 0) return Seq((mn, mx)) // single point (or degenerate): one range
+    val nBuckets = 4096
+    val w = (span / nBuckets + 1).toLong // fits: span/4096+1 ≤ 2^64/4096 < 2^63
+    // (e - mn) can only overflow if span itself exceeds Long range — the
+    // BigInt w above already absorbed that; the subtraction below is then
+    // still exact because e ∈ [mn, mx] and w ≥ span/4096
+    if (span >= BigInt(Long.MaxValue)) return Seq((mn, mx)) // unbucketable span
+    // exact integral `div`, never `/`: double division rounds past 2^53 and
+    // a value bucketed off-by-one would escape its covering interval
+    val encSql = statsLongSql(k, source.schema(k).dataType)
+    val ids = source.filter(col(k).isNotNull)
+      .selectExpr(s"(($encSql) - (${mn}L)) div ${w}L AS b")
+      .distinct().collect().map(_.getLong(0)).sorted
+    val runs = ids.foldLeft(Vector.empty[(Long, Long)]) { case (acc, b) =>
+      acc.lastOption match {
+        case Some((lo, hi)) if b == hi + 1 => acc.init :+ (lo, b)
+        case _ => acc :+ (b, b)
+      }
+    }
+    val ranges = runs.map { case (b0, b1) =>
+      (mn + b0 * w, List(BigInt(mn) + (BigInt(b1) + 1) * w - 1, BigInt(mx)).min.toLong)
+    }
+    if (ranges.length <= maxDisjuncts) ranges
+    else {
+      // keep the (maxDisjuncts - 1) LARGEST gaps as split points; merge the rest
+      val splitAfter = (0 until ranges.length - 1)
+        .sortBy(i => -(BigInt(ranges(i + 1)._1) - BigInt(ranges(i)._2)))
+        .take(maxDisjuncts - 1).toSet
+      ranges.zipWithIndex.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (rg, i)) =>
+        if (acc.isEmpty || splitAfter.contains(i - 1)) acc :+ rg
+        else acc.init :+ (acc.last._1, rg._2)
+      }
+    }
   }
 
   /** Replace the table contents with `df` as the next version — always a
@@ -971,7 +1187,23 @@ object Versioned {
     * fold + one data-dir listing — metadata-plane only.
     */
   def gcOrphans(root: String, olderThanMs: Long = 7L * 24 * 60 * 60 * 1000): Seq[String] = {
-    val referenced = versions(root).flatMap(_.files).toSet
+    // ARCHIVED manifests count as references too: a file referenced only by
+    // archived history was COMMITTED once — deleting data is vacuum's
+    // deliberate job, never a side effect of running archiveManifests
+    // without vacuuming first. Archived deltas list their own adds and
+    // archived fulls their whole state, so the union over both covers every
+    // file any archived version could name. O(archived manifests) reads on
+    // this rare admin op only.
+    val archiveDir = vlogDir(root).resolve("_archive")
+    val archivedRefs: Set[String] =
+      if (!Files.isDirectory(archiveDir)) Set.empty
+      else listClosing(Files.list(archiveDir))(_.flatMap { p =>
+        p.getFileName.toString match {
+          case ManifestName(n) => parseManifest(n.toInt, p).entries.map(_.path)
+          case _ => Nil
+        }
+      }.toSeq).toSet
+    val referenced = versions(root).flatMap(_.files).toSet ++ archivedRefs
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val rootP = Paths.get(root)
@@ -1017,16 +1249,51 @@ object Versioned {
     * files) however large the table — VersionedSpec pins the scan set.
     */
   def changes(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
-    val (fa, fb) = (stateAt(root, from).files.toSet, stateAt(root, to).files.toSet)
+    val vTo = stateAt(root, to)
+    val (fa, fb) = (stateAt(root, from).files.toSet, vTo.files.toSet)
     val schemaSrc = read(spark, root, Some(to)) // lazy; schema only
+    // both sides read under the TO version's contract (the Delta-CDF
+    // stance): across an evolve() the from-side files project the added
+    // column as NULL, exactly as version `to` itself reads them — and a
+    // PURE evolve shares every file, so its change set is empty
     def rd(files: Set[String]): DataFrame =
       if (files.isEmpty) schemaSrc.limit(0)
-      else spark.read.parquet(files.toSeq.sorted.map(f => Paths.get(root).resolve(f).toString): _*)
+      else readFiles(spark, root, vTo, files.toSeq.sorted)
     val onlyFrom = rd(fa -- fb)
     val onlyTo = rd(fb -- fa)
     onlyTo.exceptAll(onlyFrom).withColumn("change_type", lit("insert"))
       .unionByName(
         onlyFrom.exceptAll(onlyTo).withColumn("change_type", lit("delete")))
+  }
+
+  /** VT17: KEYED CDC — [[changes]] with MERGE-driven updates surfaced as
+    * linked `update_pre`/`update_post` pairs instead of an unlinked
+    * delete+insert (the Delta Change Data Feed read shape). A key present
+    * on both sides of the multiset diff changed IN PLACE: its old row tags
+    * `update_pre`, its new row `update_post`; insert/delete keep their
+    * tags. Requires (and assumes) at most one row per key in each version —
+    * the reference's MERGE world guarantees exactly that — so a downstream
+    * keyed replica can apply updates as point writes instead of full-set
+    * algebra. The pairing joins run on the CHANGE SET (changed-files-sized,
+    * never O(table)); the both-sides key list is one semi-joinable frame
+    * Catalyst can broadcast.
+    */
+  def changesByKey(spark: SparkSession, root: String, from: Int, to: Int,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changesByKey needs at least one key column")
+    val ch = changes(spark, root, from, to).localCheckpoint(true) // two passes below
+    val cols = ch.columns.filterNot(_ == "change_type").toSeq.map(col(_))
+    val kc = keys.map(col(_))
+    val ins = ch.filter(col("change_type") === "insert").select(cols: _*)
+    val del = ch.filter(col("change_type") === "delete").select(cols: _*)
+    val both = ins.select(kc: _*).intersect(del.select(kc: _*))
+    ins.join(both, keys, "left_semi").withColumn("_change_type", lit("update_post"))
+      .unionByName(ins.join(both, keys, "left_anti")
+        .withColumn("_change_type", lit("insert")))
+      .unionByName(del.join(both, keys, "left_semi")
+        .withColumn("_change_type", lit("update_pre")))
+      .unionByName(del.join(both, keys, "left_anti")
+        .withColumn("_change_type", lit("delete")))
   }
 
   /** Exactly-once streaming sink (ST17): append a micro-batch under its
@@ -1189,7 +1456,62 @@ object Versioned {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
     if (v.files.isEmpty) emptyVersion(spark, root, v)
-    else spark.read.parquet(v.files.map(f => Paths.get(root).resolve(f).toString): _*)
+    else readFiles(spark, root, v, v.files)
+  }
+
+  /** Scan `files` (a subset of version `v`'s list) UNDER v's schema
+    * contract when one is recorded: an explicit read schema makes parquet
+    * fill columns a file lacks with typed NULLs, which is what lets
+    * [[evolve]] add a column without rewriting a byte — every file
+    * generation reads under the version's contract, and each version time-
+    * travels under its OWN contract. (It also skips footer schema
+    * inference, one less driver pass.) Pre-contract logs fall back to
+    * footer inference, the old behavior.
+    */
+  private def readFiles(spark: SparkSession, root: String, v: Version,
+      files: Seq[String]): DataFrame = {
+    val paths = files.map(f => Paths.get(root).resolve(f).toString)
+    v.schema match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** VT16: metadata-only ADD COLUMN — schema evolution WITHOUT the full
+    * rewrite [[overwrite]] costs. The published Delta/Iceberg design: an
+    * additive column is a CONTRACT-ONLY commit (zero data files added or
+    * removed — at 100 TB, the difference between a sub-second metadata op
+    * and rewriting the table); readers under the new contract project the
+    * column as typed NULLs over old-generation files (the explicit-read-
+    * schema semantics [[readFiles]] applies and s13's mergeSchema story
+    * proves), later appends are checked against the evolved contract, and
+    * time travel reads each version under its own. Added columns are
+    * forced nullable (old files MUST read as NULL), must not already
+    * exist, and the tracked-stats set is unchanged (a brand-new column has
+    * no values to track). `addColumnsDDL` is DDL like `"note STRING, n INT"`.
+    */
+  def evolve(root: String, addColumnsDDL: String): Version = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val added = org.apache.spark.sql.types.StructType.fromDDL(addColumnsDDL)
+    require(added.fields.nonEmpty, "evolve needs at least one column to add")
+    val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $root records no schema contract — evolve() needs one " +
+          "(pre-contract logs evolve via overwrite())")))
+    added.fieldNames.foreach(c => require(!old.fieldNames.contains(c),
+      s"evolve: column `$c` already exists in the contract"))
+    val newDDL = org.apache.spark.sql.types.StructType(
+      (old.fields ++ added.fields).map(_.copy(nullable = true))).toDDL
+    val state = cur.copy(n = cur.n + 1, op = "evolve", parent = cur.n,
+      schema = Some(newDDL))
+    if (state.n % CheckpointInterval == 0)
+      promoteState(root, state, renderFull(state), full = true)
+    else
+      promoteState(root, state,
+        renderDelta("evolve", cur.n, cur.statsCols, Nil, Nil, Some(newDDL)), full = false)
   }
 
   /** A version with no files is a legitimate state (a full-table

@@ -114,13 +114,15 @@ class VersionedDmlSpec extends SparkSuite {
     val v2 = Versioned.mergeInto(spark, root, source, Seq("k"))
     assert(v2.op === "merge" && v2.n === 2)
     val removed = v1.files.toSet -- v2.files.toSet
-    // blast radius: source keys 5..100 overlap ALL four files' [1,40]-spanning
-    // ranges? No — per-file ranges are ~[1,10],[11,20],[21,30],[31,40]; the
-    // envelope [5,100] overlaps every file, so bound the check structurally:
-    // removed must be exactly the stats-overlapping set
+    // blast radius (round 16, per-key RANGE SETS): source keys {5, 6, 100}
+    // bound as ranges ≈ {[5,6], [100,100]} — NOT the [5,100] envelope that
+    // would have overlapped every file. Only the first file (≈[1,10])
+    // overlaps; key 100 exists in no file, so its range prunes everything.
     val expected = v1.files.filter(f =>
-      v1.stats(f).head match { case (mn, mx) => mx >= 5 && mn <= 100 }).toSet
+      v1.stats(f).head match { case (mn, mx) =>
+        (mx >= 5 && mn <= 6) || (mx >= 100 && mn <= 100) }).toSet
     assert(removed === expected)
+    assert(removed.size === 1, "the range set must beat the [5,100] envelope")
     val got = Versioned.read(spark, root).as[(Long, String)].collect().toMap
     assert(got.size === 41)
     assert(got(5L) === "V5" && got(6L) === "V6" && got(100L) === "V100" && got(7L) === "v7")
@@ -407,4 +409,102 @@ class VersionedDmlSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Versioned.currentVersion(root2))
     assert(e.getMessage.contains("unsupported manifest format"))
   }
+
+  // ---- cross-type literal coercion must never mis-prune ----
+
+  test("readWhere/deleteWhere drop wrong-unit bounds: date literal vs TIMESTAMP stats and vice versa") {
+    import spark.implicits._
+    // TIMESTAMP-tracked table, DATE-literal predicate: Spark legally coerces
+    // the comparison, but the walker's epoch-DAY bound against epoch-MICROS
+    // stats would prune every file (days ≪ micros) and silently return
+    // nothing. The typed walker must drop the bound instead: full scan,
+    // correct rows.
+    val root = freshRoot()
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val tdf = (0 until 96).map(i =>
+      (java.sql.Timestamp.from(t0.plusSeconds(i * 3600L)), i.toLong)).toDF("ts", "k")
+    Versioned.appendWithStats(tdf.repartitionByRange(4, col("ts")), root, "ts")
+    val nFiles = Versioned.currentVersion(root).get.files.length
+    val dLit = lit(java.sql.Date.valueOf("2024-01-02")) // rows 24.. have ts >= this
+    val got = Versioned.readWhere(spark, root, col("ts") >= dLit)
+    assert(got.select("k").as[Long].collect().sorted.toSeq === (24L to 95L),
+      "a coerced date literal must not drop matching files")
+    assert(got.inputFiles.length === nFiles, "mismatched-kind bound must be dropped, not applied")
+    // …and a SAME-kind timestamp literal still prunes (the fix must not
+    // disable legitimate skipping)
+    val tLit = lit(java.sql.Timestamp.from(t0.plusSeconds(90L * 3600)))
+    val pruned = Versioned.readWhere(spark, root, col("ts") >= tLit)
+    assert(pruned.select("k").as[Long].collect().sorted.toSeq === (90L to 95L))
+    assert(pruned.inputFiles.length < nFiles)
+    // deleteWhere with the coerced literal: every matching row must actually
+    // be deleted (a wrong-unit bound would mark zero files affected and the
+    // delete would silently no-op)
+    Versioned.deleteWhere(spark, root, col("ts") >= dLit)
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().sorted.toSeq ===
+      (0L to 23L), "the coerced-literal delete must remove every matching row")
+
+    // DATE-tracked table, TIMESTAMP-literal predicate: same contract,
+    // opposite units (micros bound vs day stats would keep/drop wrongly).
+    val root2 = freshRoot()
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val ddf = (0 until 120).map(i =>
+      (java.sql.Date.valueOf(base.plusDays(i.toLong)), i.toLong)).toDF("dt", "k")
+    Versioned.appendWithStats(ddf.repartitionByRange(4, col("dt")), root2, "dt")
+    val tsLit = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    val got2 = Versioned.readWhere(spark, root2, col("dt") < tsLit)
+    // under session-default coercion dt casts to timestamp midnight; rows
+    // 0..59 (dates before Mar 1) qualify
+    assert(got2.select("k").as[Long].collect().sorted.toSeq === (0L to 59L))
+
+    // mergeInto: a source whose key column is the WRONG temporal type for
+    // the tracked stats must treat the key as untracked (full rewrite),
+    // never bound in the wrong unit. The merged schema then fails the
+    // contract check loudly — no silent partial merge either way.
+    val typed = org.apache.spark.sql.graft.ColumnBridge.predicateRangesTyped(
+      col("dt") < tsLit)
+    import org.apache.spark.sql.graft.ColumnBridge.LitKind
+    assert(typed("dt")._1 === LitKind.TsMicros)
+    // mixed-kind constraints on ONE column drop the column entirely
+    assert(org.apache.spark.sql.graft.ColumnBridge.predicateRangesTyped(
+      col("dt") >= lit(java.sql.Date.valueOf("2024-01-01")) && col("dt") < tsLit)
+      .isEmpty)
+  }
+
+  test("gcOrphans never deletes files referenced only by ARCHIVED manifests") {
+    import graft.merge.Versioned.FileEntry
+    val root = freshRoot()
+    // v1..v25 each add one real (stub) data file; head state = all 25 files
+    (1 to 25).foreach { i =>
+      val dir = Paths.get(root, "data", f"c$i")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve("f.parquet"), "stub")
+      Versioned.commitFiles(root, "append", Seq(FileEntry(f"data/c$i/f.parquet", Nil)), Nil)
+    }
+    // v26 DROPS the first five files (they now back only history < 26)
+    val keep = (6 to 25).map(i => f"data/c$i/f.parquet")
+    Versioned.commitFiles(root, "overwrite-keep", keep.map(FileEntry(_, Nil)), Nil,
+      removed = (1 to 5).map(i => f"data/c$i/f.parquet"))
+    // archive WITHOUT vacuuming first — the mistake the guard covers
+    assert(Versioned.archiveManifests(root, keepLast = 3).nonEmpty)
+    // age everything past the gate
+    listClosing(Files.walk(Paths.get(root, "data")))(_.foreach(p =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(0))))
+    // files 1-5 are referenced ONLY by archived versions: gcOrphans must
+    // not touch them (data deletion is vacuum's deliberate job)
+    assert(Versioned.gcOrphans(root, olderThanMs = 60000).isEmpty)
+    (1 to 5).foreach(i => assert(Files.exists(Paths.get(root, f"data/c$i/f.parquet")),
+      s"archived-history file c$i deleted by gcOrphans"))
+    // a TRUE orphan (never committed) in the same table still reclaims
+    val orphanDir = Paths.get(root, "data", "c99-neverwon")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-lost.parquet")
+    Files.writeString(orphan, "stub")
+    Files.setLastModifiedTime(orphan, FileTime.fromMillis(0))
+    assert(Versioned.gcOrphans(root, olderThanMs = 60000) ===
+      Seq("data/c99-neverwon/part-lost.parquet"))
+  }
+
+  private def listClosing[A](s: java.util.stream.Stream[java.nio.file.Path])(
+      f: Iterator[java.nio.file.Path] => A): A =
+    try f(s.iterator().asScala) finally s.close()
 }
