@@ -39,38 +39,52 @@ private[sql] class ManifestFileIndex(
     dataSchema: StructType) extends FileIndex {
 
   private val rootPath = new Path(root)
-  private val statuses: Seq[(String, FileStatus)] = {
-    // one listStatus per commit DIRECTORY, never one getFileStatus per file:
-    // at 10^6 files a per-file stat is a driver-side RPC storm; per-dir
-    // listing is O(live commit dirs) and each call returns a whole commit's
-    // statuses (the manifest still decides membership — leftover files in a
-    // dir are simply not looked up)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val byDir = files.groupBy(f => f.substring(0, f.lastIndexOf('/')))
-    byDir.toSeq.flatMap { case (dir, inDir) =>
-      val listed = fs.listStatus(new Path(rootPath, dir))
-        .map(st => st.getPath.getName -> st).toMap
+  private lazy val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // LAZY per-directory status cache: relation construction does ZERO
+  // filesystem calls (a never-compacted table has ~commits dirs, and a
+  // `Versioned.table()` call must not pay O(dirs) driver RPCs before the
+  // first query's predicate even gets a chance to prune them away).
+  // listFiles prunes by MANIFEST stats first — those live in the log, no
+  // stat needed — then fetches statuses only for surviving files' dirs,
+  // one listStatus per DIRECTORY (never one getFileStatus per file: at
+  // 10^6 files a per-file stat is an RPC storm), memoized across queries
+  // on the same relation. Only inputFiles/sizeInBytes — the whole-relation
+  // surfaces (join-size estimates) — force the full fetch, and only when
+  // something actually asks.
+  private val dirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, FileStatus]]()
+
+  private def dirOf(rel: String): String = rel.substring(0, rel.lastIndexOf('/'))
+
+  private def statusesFor(rels: Seq[String]): Seq[(String, FileStatus)] =
+    rels.groupBy(dirOf).toSeq.flatMap { case (dir, inDir) =>
+      val listed = dirCache.computeIfAbsent(dir, d => {
+        ManifestFileIndex.dirsStatted.incrementAndGet()
+        fs.listStatus(new Path(rootPath, d)).map(st => st.getPath.getName -> st).toMap
+      })
       inDir.map { f =>
         val name = f.substring(f.lastIndexOf('/') + 1)
         f -> listed.getOrElse(name, throw new IllegalStateException(
           s"manifest lists $f but it is not on disk (vacuumed or corrupt)"))
       }
     }.sortBy(_._1)
-  }
+
+  private lazy val allStatuses: Seq[(String, FileStatus)] = statusesFor(files)
 
   override def rootPaths: Seq[Path] = Seq(rootPath)
   override def partitionSchema: StructType = new StructType()
-  override def inputFiles: Array[String] = statuses.map(_._2.getPath.toString).toArray
+  override def inputFiles: Array[String] = allStatuses.map(_._2.getPath.toString).toArray
   override def refresh(): Unit = () // snapshot semantics: a version never changes
-  override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+  override def sizeInBytes: Long = allStatuses.map(_._2.getLen).sum
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val bounds = ManifestFileIndex.exprRanges(dataFilters)
       .filter { case (c, _) => statsCols.contains(c) }
     val kept =
-      if (bounds.isEmpty) statuses
-      else statuses.filter { case (rel, _) =>
+      if (bounds.isEmpty) files
+      else files.filter { rel =>
         stats.get(rel).forall { rs =>
           bounds.forall { case (c, ranges) =>
             rs.lift(statsCols.indexOf(c)).forall { case (mn, mx) =>
@@ -79,11 +93,17 @@ private[sql] class ManifestFileIndex(
           }
         }
       }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    Seq(PartitionDirectory(InternalRow.empty, statusesFor(kept).map(_._2).toArray))
   }
 }
 
 object ManifestFileIndex {
+
+  /** Commit DIRECTORIES listStatus'd since JVM start — spec instrumentation
+    * for the lazy-status design: relation construction must stat nothing,
+    * and a pruned query must stat only the dirs its surviving files live in.
+    */
+  val dirsStatted = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Per-column range sets implied by ANALYZED catalyst predicates
     * (implicitly conjoined, as FileSourceStrategy hands them over) — the

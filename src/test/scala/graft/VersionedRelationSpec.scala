@@ -105,4 +105,36 @@ class VersionedRelationSpec extends SparkSuite {
     // IsNotNull (always pushed alongside) contributes nothing
     assert(exprRanges(Seq(IsNotNull(k), EqualTo(k, lit(7)))) === Map("k" -> Seq((7L, 7L))))
   }
+
+  test("lazy status fetch: construction stats nothing; a pruned query stats only its dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ManifestFileIndex.dirsStatted
+    val root = freshRoot()
+    // 30 commits = 30 commit dirs, each one range-disjoint file
+    (0 until 30).foreach { i =>
+      Versioned.appendWithStats(
+        ((i * 10L + 1) to (i * 10L + 10)).toDF("k").repartition(1), root, "k")
+    }
+    assert(Versioned.currentVersion(root).get.files.length === 30)
+    val d0 = dirsStatted.get()
+    val t = Versioned.table(spark, root)
+    assert(dirsStatted.get() - d0 === 0L,
+      "relation construction must not stat any directory")
+    // a pruned query touching one file stats exactly that file's dir
+    val q = t.filter(col("k").between(105L, 108L))
+    assert(q.as[Long].collect().sorted.toSeq === (105L to 108L))
+    assert(dirsStatted.get() - d0 === 1L,
+      s"pruned query must stat 1 dir, statted ${dirsStatted.get() - d0}")
+    // a second window: only ITS dir is fetched (the first is cached)
+    assert(t.filter(col("k").between(205L, 208L)).count() === 4L)
+    assert(dirsStatted.get() - d0 === 2L)
+    // re-querying the first window pays nothing (memoized per relation)
+    assert(t.filter(col("k").between(105L, 108L)).count() === 4L)
+    assert(dirsStatted.get() - d0 === 2L)
+    // an unpruned scan fetches the rest, once
+    assert(t.count() === 300L)
+    assert(dirsStatted.get() - d0 === 30L)
+    assert(t.count() === 300L)
+    assert(dirsStatted.get() - d0 === 30L)
+  }
 }
