@@ -1,0 +1,185 @@
+package graft.streaming
+
+import graft.merge.Versioned
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** ST19: the versioned table as a STREAMING SOURCE — the other half of the
+  * loop st17/st18 close as a sink. The published Delta streaming-source
+  * design: the transaction log IS the offset log. An offset is a version
+  * number; each committed version is one micro-batch whose rows are the
+  * files that version ADDED (append-only semantics — a copy-on-write
+  * rewrite surfaces its rewritten files as re-adds, same as Delta without
+  * `ignoreChanges`). Offsets checkpoint as plain version numbers, so a
+  * restarted query resumes from exactly the commit after the last one it
+  * processed — no directory listing, no file-mtime races: the manifest
+  * decides batch membership, the same property the batch reader has.
+  *
+  * Spark-native plumbing: a DSv2 `TableProvider` whose `MicroBatchStream`
+  * paces one VERSION per micro-batch via `SupportsAdmissionControl`
+  * (inherited through [[SupportsTriggerAvailableNow]] — AvailableNow pins
+  * the head at start and drains to it, then stops). Each input partition is
+  * one parquet file of the version's add-set, read through Spark's own
+  * `ParquetFileFormat` reader (vectorized when the schema allows;
+  * batch-unwrapped here), so executor-side reading is identical to the
+  * batch path. Head discovery and per-version add-sets reuse the log's
+  * listing-free probes ([[Versioned.headVersionNumber]]/
+  * [[Versioned.addedFiles]]) — O(1) in table age per trigger, which is what
+  * a per-minute long-lived reader needs.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format(classOf[VersionedStreamSource].getName)
+  *     .option("path", root).load()
+  * }}}
+  */
+class VersionedStreamSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def rootOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-versioned source needs .option(\"path\", <table root>)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = rootOf(options)
+    val v = Versioned.currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    v.schema.map(StructType.fromDDL)
+      .getOrElse(Versioned.read(SparkSession.active, root).schema)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new VersionedStreamTable(properties.get("path"), schema)
+}
+
+private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-versioned:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new VersionedMicroBatchStream(root, tableSchema)
+      }
+    }
+}
+
+/** An offset in the version log: "everything up to and including version
+  * `v` has been emitted". Checkpoints as the bare number.
+  */
+private[streaming] case class VersionLogOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // AvailableNow contract: pin the head at query start, drain to exactly
+  // there, stop — commits racing the drain wait for the next run
+  private var availableTarget: Option[Int] = None
+
+  private def head: Int = Versioned.headVersionNumber(root).getOrElse(0)
+
+  private def ver(o: Offset): Int = o match {
+    case VersionLogOffset(v) => v
+    case other => other.json().trim.toInt // engine-side SerializedOffset
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit = { availableTarget = Some(head) }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** One VERSION per micro-batch: the natural unit (a commit is the
+    * producer's atomicity boundary) and the pacing that keeps a batch
+    * commit-sized however far behind the reader starts.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    VersionLogOffset(math.min(availableTarget.getOrElse(head), ver(start) + 1)
+      .max(ver(start)))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "admission-controlled stream: the engine calls latestOffset(start, limit)")
+
+  override def initialOffset(): Offset = VersionLogOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionLogOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val rootP = Paths.get(root)
+    (ver(start) + 1 to ver(end)).flatMap { n =>
+      Versioned.addedFiles(root, n).map { rel =>
+        val p = rootP.resolve(rel)
+        VersionedFilePartition(p.toString, Files.size(p)): InputPartition
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // Spark's own parquet reader, built once on the driver and shipped to
+    // executors — the closure ParquetFileFormat returns is exactly what
+    // FileScanRDD ships for the batch path
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = schema,
+      partitionSchema = new StructType(),
+      requiredSchema = schema,
+      filters = Seq.empty,
+      // rows, not ColumnarBatches: PartitionReader[InternalRow] is the
+      // row-level contract (the batch-masked-as-row hack would leak here)
+      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sparkContext.hadoopConfiguration)
+    new VersionedReaderFactory(readFunc)
+  }
+}
+
+private[streaming] case class VersionedFilePartition(path: String, length: Long)
+    extends InputPartition
+
+private[streaming] class VersionedReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vp = partition.asInstanceOf[VersionedFilePartition]
+    val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(vp.path),
+      0L, vp.length, Array.empty[String], 0L, vp.length)
+    // the parquet reader returns ColumnarBatch objects masked as
+    // InternalRow when vectorization kicks in — unwrap either shape
+    val it: Iterator[InternalRow] = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
