@@ -580,6 +580,126 @@ object SinkQueries extends QueryModule {
       graft.merge.Versioned.read(s, root)
     }),
 
+    // ST18: exactly-once streaming MERGE into the versioned log — the
+    // reference's signature scheduled upsert (`snowflake_bq_sync_daily Time
+    // Details/main.py:197-206`) run CONTINUOUSLY: foreachBatch hands each
+    // micro-batch to mergeStreamBatch, which is a copy-on-write MERGE
+    // (vt12) guarded by the log's accumulated batch-id txn set (st17).
+    // Run TWICE with fresh checkpoints (the st17 replay harness — same
+    // batch ids, same data): every second-run batch finds its id in the
+    // log and skips, so updates apply exactly once and no insert doubles.
+    // Target: F orders (stats-tracked); stream source: price updates for a
+    // key window + O-order inserts in the same window — the vt12 shape,
+    // arriving as micro-batches instead of one staged frame.
+    "st18_versioned_stream_merge" -> ((s, dir) => {
+      val base = tmp("graft_st18")
+      val srcDir = base + "/src"; val root = base + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val window = col("o_orderkey").between(1000L, 3000L)
+      // keys are UNIQUE across the source (o_orderkey is the orders PK), so
+      // however AvailableNow partitions the files into batches, the final
+      // merged state is batch-order-independent — deterministic oracle
+      o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"), (col("o_orderkey") * 2).cast("double").as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "O" && window)
+          .select(col("o_orderkey"), lit(-1.0).as("o_totalprice")))
+        .repartition(3).write.parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      def run(tag: String): Unit =
+        s.readStream.schema(schema).parquet(srcDir)
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt_$tag")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            V.mergeStreamBatch(s, root, df, Seq("o_orderkey"), id); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      run("a"); run("b") // fresh checkpoint: same ids replay → txn-skipped
+      V.read(s, root)
+    }),
+
+    // VT16: metadata-only ADD COLUMN — schema evolution as a CONTRACT-ONLY
+    // commit (zero files rewritten — spec-pinned): evolve() appends the
+    // column to the recorded schema, old-generation files read it as typed
+    // NULL under the new contract (explicit-read-schema semantics), a
+    // post-evolve append lands real values, and time travel still reads v1
+    // under the ORIGINAL 2-column contract. At 100 TB this is the
+    // difference between a sub-second metadata op and rewriting the table.
+    "vt16_add_column" -> ((s, dir) => {
+      val root = tmp("graft_vt16") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.append(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus")), root)
+      V.evolve(root, "o_totalprice DOUBLE")
+      V.append(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), root)
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"))
+        .unionAll(V.read(s, root)
+          .select(lit(3).as("version"), col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice")))
+    }),
+
+    // VT17: KEYED CDC — the Delta-CDF read shape: a MERGE-driven update
+    // surfaces as a LINKED update_pre/update_post pair (same key, old and
+    // new row) instead of an unlinked delete+insert, so a keyed downstream
+    // replica applies point writes. v1 = F orders; v2 = mergeInto with
+    // price updates for a key window plus O-order inserts: the window keys
+    // pair up, the new keys tag insert, nothing tags plain delete.
+    "vt17_cdc_by_key" -> ((s, dir) => {
+      val root = tmp("graft_vt17") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val window = col("o_orderkey").between(1000L, 3000L)
+      val src = o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"), (col("o_orderkey") * 2).cast("double").as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "O" && window)
+          .select(col("o_orderkey"), lit(-1.0).as("o_totalprice")))
+      V.mergeInto(s, root, src, Seq("o_orderkey"))
+      V.changesByKey(s, root, 1, 2, Seq("o_orderkey"))
+    }),
+
+    // ST19: the versioned table as a streaming SOURCE — the loop st17/st18
+    // close as a sink, read back out: three commits (F, O, P orders) become
+    // three commit-ordered micro-batches under AvailableNow (one VERSION
+    // per batch — the log IS the offset log), each row tagged with its
+    // batch id; a second drain from the SAME checkpoint emits nothing
+    // (offsets survive), which the unchanged row set proves. batch id b
+    // serves version b+1's added files, so the (batch, status) pairing is
+    // the deterministic ledger the oracle states.
+    "st19_versioned_stream_source" -> ((s, dir) => {
+      val base = tmp("graft_st19")
+      val root = base + "/t"; val out = base + "/out"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      V.append(o.filter(col("o_orderstatus") === "F"), root)
+      V.append(o.filter(col("o_orderstatus") === "O"), root)
+      V.append(o.filter(col("o_orderstatus") === "P"), root)
+      def drain(): Unit =
+        s.readStream.format(classOf[graft.streaming.VersionedStreamSource].getName)
+          .option("path", root).load()
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            df.withColumn("batch", lit(id)).write.mode("append").parquet(out); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      drain(); drain() // same checkpoint: the second drain must add nothing
+      s.read.parquet(out).select(col("batch"), col("o_orderkey"), col("o_orderstatus"))
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -718,6 +838,41 @@ object SinkQueries extends QueryModule {
     // st17: one copy of every pre-cutoff event despite the double run
     "st17_versioned_stream_sink" ->
       """SELECT event_id, user_id, event_type FROM events
-        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin
+        |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'""".stripMargin,
+    // st18: the merged end state, exactly once — window updates applied
+    // once, O inserts present once, everything else untouched
+    "st18_versioned_stream_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN CAST(o_orderkey * 2 AS DOUBLE) ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, CAST(-1 AS DOUBLE)
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    "vt16_add_column" ->
+      """SELECT 1 AS version, o_orderkey, o_orderstatus,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE CAST(NULL AS DOUBLE) END
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+    // st19: batch id = commit order (F→0, O→1, P→2), one copy of every row
+    // despite the double drain
+    "st19_versioned_stream_source" ->
+      """SELECT CAST(CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END
+        |  AS BIGINT) AS batch, o_orderkey, o_orderstatus
+        |FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')""".stripMargin,
+    // vt17: window keys present in BOTH versions pair as update_pre (old
+    // price) + update_post (key*2); O-window keys are pure inserts
+    "vt17_cdc_by_key" ->
+      """SELECT o_orderkey, o_totalprice, 'update_pre' AS _change_type
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(o_orderkey * 2 AS DOUBLE), 'update_post'
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
+        |UNION ALL
+        |SELECT o_orderkey, CAST(-1 AS DOUBLE), 'insert'
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin
   )
 }
