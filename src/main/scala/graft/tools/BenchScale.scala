@@ -438,14 +438,40 @@ object BenchScale {
       total = pre.files.length
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase))
+    // SPLIT-window variant (round 16): the classic two-month backfill —
+    // source keys in the BOTTOM and TOP 1/32 of the domain, nothing
+    // between. The per-key range SET scopes `affected` to the two end
+    // windows (~2 of 16 files); the retired single-envelope radius spanned
+    // [min, max] and rewrote all 16. Fresh table: the single-window reps
+    // above fragmented the top window's files.
+    val dmlBase2 = java.nio.file.Files.createTempDirectory(s"graft_vtdml2_${copies}x").toString
+    val dmlRoot2 = s"$dmlBase2/t"
+    Versioned.appendWithStats(o2.repartitionByRange(16, col("o_orderkey")),
+      dmlRoot2, Seq("o_orderkey"))
+    val span = kst.getLong(1) - kst.getLong(0)
+    val src2 = o2.filter(col("o_orderkey") <= kst.getLong(0) + span / 32 ||
+        col("o_orderkey") >= kst.getLong(1) - span / 32)
+      .select(col("o_orderkey"), lit("Y").as("o_orderstatus")).localCheckpoint(true)
+    var affected2 = -1
+    val merge2Sec = med {
+      val pre = Versioned.currentVersion(dmlRoot2).get
+      val post = Versioned.mergeInto(spark, dmlRoot2, src2, Seq("o_orderkey"))
+      // report the PRISTINE-table blast radius (first run): later reps
+      // re-merge over their own rewrites, whose shuffled files mix both end
+      // windows and so re-affect — bounded, but not the 2-of-16 claim
+      if (affected2 < 0) affected2 = (pre.files.toSet -- post.files.toSet).size
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase2))
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     System.err.println(f"[scale] vt leg ${copies}x: plan $planSec%.3f cdc $cdcSec%.3f " +
       f"pruned $prunedSec%.3f read $readSec%.3f merge $mergeSec%.3f " +
-      f"(rewrote $affected of $total files)")
+      f"(rewrote $affected of $total files) splitmerge $merge2Sec%.3f " +
+      f"(rewrote $affected2 of $total files)")
     s"""{"commits":12,"files":${cur.files.length},"plan_sec":${f3(planSec)},""" +
       s""""cdc_last_append_sec":${f3(cdcSec)},"pruned_read_sec":${f3(prunedSec)},""" +
       s""""full_read_sec":${f3(readSec)},"merge_window_sec":${f3(mergeSec)},""" +
-      s""""merge_affected_files":$affected,"merge_total_files":$total}"""
+      s""""merge_affected_files":$affected,"merge_total_files":$total,""" +
+      s""""merge_split_window_sec":${f3(merge2Sec)},"merge_split_affected_files":$affected2}"""
   }
 
   /** Log-AGE leg (round 15, VERDICT r14 item 4): the [[vtLeg]] block holds
