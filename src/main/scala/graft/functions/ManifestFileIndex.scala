@@ -36,22 +36,23 @@ private[sql] class ManifestFileIndex(
     files: Seq[String],
     stats: Map[String, Seq[(Long, Long)]],
     statsCols: Seq[String],
-    dataSchema: StructType) extends FileIndex {
+    dataSchema: StructType,
+    sizes: Map[String, Long] = Map.empty) extends FileIndex {
 
   private val rootPath = new Path(root)
   private lazy val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  // LAZY per-directory status cache: relation construction does ZERO
-  // filesystem calls (a never-compacted table has ~commits dirs, and a
-  // `Versioned.table()` call must not pay O(dirs) driver RPCs before the
-  // first query's predicate even gets a chance to prune them away).
-  // listFiles prunes by MANIFEST stats first — those live in the log, no
-  // stat needed — then fetches statuses only for surviving files' dirs,
-  // one listStatus per DIRECTORY (never one getFileStatus per file: at
-  // 10^6 files a per-file stat is an RPC storm), memoized across queries
-  // on the same relation. Only inputFiles/sizeInBytes — the whole-relation
-  // surfaces (join-size estimates) — force the full fetch, and only when
-  // something actually asks.
+  // STATUSES FROM THE LOG, not the filesystem: a file whose byte size the
+  // manifest records (fmt=3 — every commit captures sizes from its own
+  // write) gets a SYNTHESIZED FileStatus, so the whole scan-planning path
+  // — pruning, splitting, sizeInBytes — runs on pure log metadata with
+  // ZERO driver filesystem calls at any table size (the Delta/Iceberg
+  // design: the log, not the namespace, is the source of truth). Only
+  // files from pre-fmt-3 manifests fall back to the LAZY per-directory
+  // cache below: listFiles prunes by manifest stats first, then
+  // listStatus'es only surviving files' dirs (one call per DIRECTORY —
+  // at 10^6 files a per-file stat is an RPC storm), memoized across
+  // queries on the same relation.
   private val dirCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, FileStatus]]()
 
@@ -59,14 +60,21 @@ private[sql] class ManifestFileIndex(
 
   private def statusesFor(rels: Seq[String]): Seq[(String, FileStatus)] =
     rels.groupBy(dirOf).toSeq.flatMap { case (dir, inDir) =>
-      val listed = dirCache.computeIfAbsent(dir, d => {
+      lazy val listed = dirCache.computeIfAbsent(dir, d => {
         ManifestFileIndex.dirsStatted.incrementAndGet()
         fs.listStatus(new Path(rootPath, d)).map(st => st.getPath.getName -> st).toMap
       })
       inDir.map { f =>
-        val name = f.substring(f.lastIndexOf('/') + 1)
-        f -> listed.getOrElse(name, throw new IllegalStateException(
-          s"manifest lists $f but it is not on disk (vacuumed or corrupt)"))
+        f -> (sizes.get(f) match {
+          case Some(len) =>
+            // mod time 0 / blocksize 128M: batch planning reads only length
+            // and path (splitting uses maxPartitionBytes, not blocksize)
+            new FileStatus(len, false, 1, 128L << 20, 0L, new Path(rootPath, f))
+          case None =>
+            val name = f.substring(f.lastIndexOf('/') + 1)
+            listed.getOrElse(name, throw new IllegalStateException(
+              s"manifest lists $f but it is not on disk (vacuumed or corrupt)"))
+        })
       }
     }.sortBy(_._1)
 
@@ -180,9 +188,9 @@ object ManifestFileIndex {
     */
   def relation(spark: SparkSession, root: String, files: Seq[String],
       stats: Map[String, Seq[(Long, Long)]], statsCols: Seq[String],
-      dataSchema: StructType): DataFrame = {
+      dataSchema: StructType, sizes: Map[String, Long] = Map.empty): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val index = new ManifestFileIndex(spark, root, files, stats, statsCols, dataSchema)
+    val index = new ManifestFileIndex(spark, root, files, stats, statsCols, dataSchema, sizes)
     val rel = HadoopFsRelation(index, new StructType(), dataSchema, None,
       new ParquetFileFormat, Map.empty)(classic)
     org.apache.spark.sql.classic.Dataset.ofRows(classic, LogicalRelation(rel))

@@ -98,9 +98,16 @@ object Versioned {
 
   /** Highest manifest format this code writes and reads. Bumped when the
     * on-disk contract changes incompatibly; a higher value on disk fails
-    * loudly instead of misparsing.
+    * loudly instead of misparsing. fmt=3 (round 16) adds the file SIZE as
+    * the first `|`-field of every file line (`path|size[|mn|mx…]`, -1 =
+    * unknown), captured from the commit's own directory walk — so the
+    * native relation can synthesize `FileStatus`es from pure log metadata
+    * (zero filesystem calls on the read path, the Delta/Iceberg design)
+    * and the streaming source can plan partitions without stat-ing files.
+    * fmt≤2 manifests (no size field) parse as before; mixed logs are fine
+    * because parsing is per-manifest.
     */
-  private[graft] val ManifestFormat: Int = 2
+  private[graft] val ManifestFormat: Int = 3
 
   /** Manifest files read since JVM start — spec instrumentation proving the
     * checkpoint bound (a 1000-commit log's planning cost must not be 1000
@@ -138,12 +145,15 @@ object Versioned {
   final case class Version(n: Int, op: String, parent: Int, files: Seq[String],
       stats: Map[String, Seq[(Long, Long)]] = Map.empty,
       statsCols: Seq[String] = Nil, txns: Set[Long] = Set.empty,
-      schema: Option[String] = None)
+      schema: Option[String] = None,
+      sizes: Map[String, Long] = Map.empty)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
-    * (empty = no skipping stats, read conservatively).
+    * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
+    * -1 = unknown, callers fall back to a filesystem stat).
     */
-  private[graft] final case class FileEntry(path: String, ranges: Seq[(Long, Long)])
+  private[graft] final case class FileEntry(path: String, ranges: Seq[(Long, Long)],
+      size: Long = -1L)
 
   /** A manifest as written on disk (delta or full), before folding. */
   private final case class Raw(n: Int, op: String, parent: Int, full: Boolean,
@@ -192,12 +202,16 @@ object Versioned {
     }.toSeq).sortBy(_._1)
   }
 
-  private def parseEntry(line: String): FileEntry = {
-    // a file line is `path` or `path|mn|mx[|mn|mx…]` ('|' never appears in
-    // the uuid-named data paths this log writes)
+  private def parseEntry(line: String, fmt: Int): FileEntry = {
+    // fmt≥3: `path|size[|mn|mx…]`; fmt≤2: `path[|mn|mx…]` ('|' never
+    // appears in the uuid-named data paths this log writes)
     val parts = line.split('|')
+    val (size, rangeParts) =
+      if (fmt >= 3 && parts.length >= 2) (parts(1).toLong, parts.drop(2))
+      else (-1L, parts.tail)
     FileEntry(parts.head,
-      parts.tail.grouped(2).collect { case Array(mn, mx) => (mn.toLong, mx.toLong) }.toSeq)
+      rangeParts.grouped(2).collect { case Array(mn, mx) => (mn.toLong, mx.toLong) }.toSeq,
+      size)
   }
 
   private def parseManifest(n: Int, p: Path): Raw = {
@@ -214,10 +228,11 @@ object Versioned {
     val schema = body.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema="))
     val full = header.get("full").contains("1")
+    val fmt = header.get("fmt").map(_.toInt).getOrElse(1)
     if (full)
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-        fileLines.map(parseEntry), Nil, txns, schema)
+        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -229,11 +244,11 @@ object Versioned {
           s"manifest $p mixes prefixed and unprefixed file lines — corrupt or unsupported")
         Raw(n, header("op"), header("parent").toInt, full = true,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-          unprefixed.map(parseEntry), Nil, txns, schema)
+          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema)
       } else
         Raw(n, header("op"), header("parent").toInt, full = false,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-          prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1))),
+          prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
           txns, schema)
     }
@@ -252,7 +267,8 @@ object Versioned {
     if (raw.full)
       Version(raw.n, raw.op, raw.parent, raw.entries.map(_.path),
         raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-        raw.statsCols, raw.txns ++ opTxn, raw.schema)
+        raw.statsCols, raw.txns ++ opTxn, raw.schema,
+        raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -263,7 +279,9 @@ object Versioned {
           raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
         if (raw.statsCols.nonEmpty) raw.statsCols else base.statsCols,
         base.txns ++ opTxn,
-        raw.schema.orElse(base.schema)) // deltas inherit; checked at commit
+        raw.schema.orElse(base.schema), // deltas inherit; checked at commit
+        (base.sizes -- removed) ++
+          raw.entries.collect { case e if e.size >= 0 => e.path -> e.size })
     }
   }
 
@@ -360,13 +378,18 @@ object Versioned {
 
   private[graft] def versionState(root: String, n: Int): Version = stateAt(root, n)
 
-  private[graft] def addedFiles(root: String, n: Int): Seq[String] = {
+  /** Root-relative (path, size) of the files version `n` ADDED over its
+    * predecessor; size -1 when the manifest predates fmt=3 (callers stat).
+    */
+  private[graft] def addedFiles(root: String, n: Int): Seq[(String, Long)] = {
     val cur = stateAt(root, n)
-    if (n <= 1) cur.files
-    else {
-      val prev = stateAt(root, n - 1).files.toSet
-      cur.files.filterNot(prev)
-    }
+    val added =
+      if (n <= 1) cur.files
+      else {
+        val prev = stateAt(root, n - 1).files.toSet
+        cur.files.filterNot(prev)
+      }
+    added.map(f => (f, cur.sizes.getOrElse(f, -1L)))
   }
 
   // private[graft] so the spec can drive the CAS with a racing version
@@ -380,8 +403,10 @@ object Versioned {
       (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
     (head +: (v.schema.map(s => s"schema=$s").toSeq ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
-      v.stats.get(f).map(rs => (f +: rs.flatMap { case (mn, mx) => Seq(mn, mx) }).mkString("|"))
-        .getOrElse(f)
+      val sz = v.sizes.getOrElse(f, -1L)
+      (Seq(f, sz.toString) ++
+        v.stats.getOrElse(f, Nil).flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) })
+        .mkString("|")
     })).mkString("\n")
   }
 
@@ -393,8 +418,8 @@ object Versioned {
     // a schema line on a DELTA overrides the inherited contract going
     // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook
     (head +: (schema.map(s => s"schema=$s").toSeq ++ removed.map("-" + _) ++ added.map { e =>
-      "+" + (if (e.ranges.isEmpty) e.path
-             else (e.path +: e.ranges.flatMap { case (mn, mx) => Seq(mn, mx) }).mkString("|"))
+      "+" + (Seq(e.path, e.size.toString) ++
+        e.ranges.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
     })).mkString("\n")
   }
 
@@ -439,7 +464,9 @@ object Versioned {
       (cur.map(_.stats).getOrElse(Map.empty) -- removedSet) ++
         added.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
       cols, cur.map(_.txns).getOrElse(Set.empty) ++ opTxn,
-      schemaDDL.orElse(cur.flatMap(_.schema)))
+      schemaDDL.orElse(cur.flatMap(_.schema)),
+      (cur.map(_.sizes).getOrElse(Map.empty) -- removedSet) ++
+        added.collect { case e if e.size >= 0 => e.path -> e.size })
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
@@ -467,14 +494,16 @@ object Versioned {
   }
 
   /** List the parquet files a finished Spark write left under `dataDir`,
-    * as root-relative paths (manifests must survive a table relocation).
+    * as root-relative (path, byte size) pairs — sizes captured here, during
+    * the commit's own walk, are what fmt=3 manifests record (manifests must
+    * survive a table relocation, hence relative paths).
     */
-  private def listParquet(root: String, dataDir: Path): Seq[String] = {
+  private def listParquet(root: String, dataDir: Path): Seq[(String, Long)] = {
     val rootP = Paths.get(root)
     listClosing(Files.walk(dataDir))(
       _.filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .map(p => rootP.relativize(p).toString)
-        .toSeq).sorted
+        .map(p => (rootP.relativize(p).toString, Files.size(p)))
+        .toSeq).sortBy(_._1)
   }
 
   /** Land `df`'s files in a fresh commit-scoped dir, returning (files,
@@ -486,7 +515,7 @@ object Versioned {
     * after their manifest commits; a crashed writer leaves it to age out.
     */
   private def writeData(df: DataFrame, root: String, n: Int,
-      options: Map[String, String]): (Seq[String], Path) = {
+      options: Map[String, String]): (Seq[(String, Long)], Path) = {
     val dataDir = Paths.get(root, "data", s"c$n-${java.util.UUID.randomUUID()}")
     Files.createDirectories(dataDir.getParent)
     val marker = dataDir.getParent.resolve(dataDir.getFileName.toString + ".inflight")
@@ -494,6 +523,9 @@ object Versioned {
     df.write.options(options).parquet(dataDir.toString)
     (listParquet(root, dataDir), marker)
   }
+
+  private def plainEntries(files: Seq[(String, Long)]): Seq[FileEntry] =
+    files.map { case (f, sz) => FileEntry(f, Nil, sz) }
 
   private def sealing[A](marker: Path)(commit: => A): A = {
     val v = commit
@@ -511,7 +543,7 @@ object Versioned {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
     val (files, marker) = writeData(df, root, n, Map.empty)
-    sealing(marker)(commitOn(root, cur, "append", files.map(FileEntry(_, Nil)),
+    sealing(marker)(commitOn(root, cur, "append", plainEntries(files),
       Nil, Nil, Some(normalizedDDL(df))))
   }
 
@@ -633,11 +665,11 @@ object Versioned {
     * dropped file). Shared by [[appendWithStats]], [[compact]],
     * [[overwrite]], [[deleteWhere]] and [[mergeInto]].
     */
-  private def statsEntries(spark: SparkSession, root: String, files: Seq[String],
+  private def statsEntries(spark: SparkSession, root: String, files: Seq[(String, Long)],
       statsCols: Seq[String]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
-    val df = spark.read.parquet(files.map(f => rootP.resolve(f).toString): _*)
+    val df = spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*)
     val aggs = statsCols.flatMap { c =>
       val e = statsLongExpr(c, df.schema(c).dataType)
       Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
@@ -647,11 +679,11 @@ object Versioned {
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq.map { r =>
         val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-        if ((1 until r.length).exists(r.isNullAt)) rel -> FileEntry(rel, Nil)
-        else rel -> FileEntry(rel, (0 until statsCols.length).map(i =>
-          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))))
+        if ((1 until r.length).exists(r.isNullAt)) rel -> Seq.empty[(Long, Long)]
+        else rel -> (0 until statsCols.length).map(i =>
+          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
       }.toMap
-    files.map(f => byFile.getOrElse(f, FileEntry(f, Nil)))
+    files.map { case (f, sz) => FileEntry(f, byFile.getOrElse(f, Nil), sz) }
   }
 
   /** VT8: optimistic-retry append — the CAS loser's side of the concurrency
@@ -666,7 +698,7 @@ object Versioned {
   def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
     val n0 = currentVersion(root).map(_.n + 1).getOrElse(1)
     val (files, marker) = writeData(df, root, n0, Map.empty)
-    sealing(marker)(retryCommit(root, "append", files.map(FileEntry(_, Nil)), Nil,
+    sealing(marker)(retryCommit(root, "append", plainEntries(files), Nil,
       maxRetries, Some(normalizedDDL(df))))
   }
 
@@ -725,11 +757,12 @@ object Versioned {
       else df.repartition(nFiles)
     val (files, marker) = writeData(shaped, root, n, Map.empty)
     val entries =
-      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      if (cur.statsCols.isEmpty) plainEntries(files)
       else statsEntries(spark, root, files, cur.statsCols)
     sealing(marker)(writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-      cur.statsCols, cur.txns, cur.schema)))
+      cur.statsCols, cur.txns, cur.schema,
+      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
   }
 
   /** Single-column convenience overload. */
@@ -860,7 +893,7 @@ object Versioned {
     val n = cur.n + 1
     val (files, marker) = writeData(survivors, root, n, Map.empty)
     val entries =
-      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      if (cur.statsCols.isEmpty) plainEntries(files)
       else statsEntries(spark, root, files, cur.statsCols)
     sealing(marker)(commitOn(root, Some(cur), "delete", entries, affected,
       cur.statsCols, Some(normalizedDDL(survivors))))
@@ -915,7 +948,7 @@ object Versioned {
           case None =>
             // first batch onto an empty log: plain append under the op name
             val (files, marker) = writeData(source, root, 1, Map.empty)
-            sealing(marker)(commitOn(root, None, op, files.map(FileEntry(_, Nil)),
+            sealing(marker)(commitOn(root, None, op, plainEntries(files),
               Nil, Nil, Some(normalizedDDL(source))))
           case Some(c) =>
             val merged = mergeOnState(spark, root, c, source, keys, orderCol, op)
@@ -991,7 +1024,7 @@ object Versioned {
     val n = cur.n + 1
     val (files, marker) = writeData(merged, root, n, Map.empty)
     val entries =
-      if (cur.statsCols.isEmpty) files.map(FileEntry(_, Nil))
+      if (cur.statsCols.isEmpty) plainEntries(files)
       else statsEntries(spark, root, files, cur.statsCols)
     sealing(marker)(commitOn(root, Some(cur), op, entries, affected,
       cur.statsCols, Some(normalizedDDL(merged))))
@@ -1073,7 +1106,7 @@ object Versioned {
       df.schema.fieldNames.contains(c) && statsTypeSupported(df.schema(c).dataType))
     val (files, marker) = writeData(df, root, n, Map.empty)
     val entries =
-      if (keptStats.isEmpty) files.map(FileEntry(_, Nil))
+      if (keptStats.isEmpty) plainEntries(files)
       else statsEntries(df.sparkSession, root, files, keptStats)
     // overwrite IS the schema-evolution op: the full manifest records the
     // new contract, and later appends are checked against it
@@ -1081,7 +1114,8 @@ object Versioned {
       entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
       keptStats, cur.map(_.txns).getOrElse(Set.empty),
-      Some(normalizedDDL(df)))))
+      Some(normalizedDDL(df)),
+      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
   }
 
   /** Roll the table back to version `to` by committing a NEW version with
@@ -1106,7 +1140,7 @@ object Versioned {
     // the rollback restores the target's schema contract along with its
     // files (they ARE that schema)
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
-      target.stats, target.statsCols, cur.txns, target.schema))
+      target.stats, target.statsCols, cur.txns, target.schema, target.sizes))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -1323,7 +1357,7 @@ object Versioned {
       val n = cur.map(_.n + 1).getOrElse(1)
       val (files, marker) = writeData(df, root, n, Map.empty)
       Some(sealing(marker)(commitOn(root, cur, s"stream-batch-$batchId",
-        files.map(FileEntry(_, Nil)), Nil, Nil, Some(normalizedDDL(df)))))
+        plainEntries(files), Nil, Nil, Some(normalizedDDL(df)))))
     }
   }
 
@@ -1567,6 +1601,6 @@ object Versioned {
     val schema = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(read(spark, root, Some(v.n)).schema)
     org.apache.spark.sql.graft.ManifestFileIndex.relation(
-      spark, root, v.files, v.stats, v.statsCols, schema)
+      spark, root, v.files, v.stats, v.statsCols, schema, v.sizes)
   }
 }

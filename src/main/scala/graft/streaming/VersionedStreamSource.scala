@@ -64,11 +64,15 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new VersionedStreamTable(properties.get("path"), schema)
+    new VersionedStreamTable(properties.get("path"), schema,
+      // startingVersion: first version to EMIT (Delta's option) — default 1
+      // (everything). Only consulted for a fresh checkpoint: a checkpointed
+      // offset always wins (deserializeOffset, not initialOffset).
+      Option(properties.get("startingVersion")).map(_.trim.toInt).getOrElse(1))
 }
 
-private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType,
+    startingVersion: Int) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -78,7 +82,7 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(root, tableSchema)
+          new VersionedMicroBatchStream(root, tableSchema, startingVersion)
       }
     }
 }
@@ -90,7 +94,8 @@ private[streaming] case class VersionLogOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
-private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType)
+private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType,
+    startingVersion: Int = 1)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // AvailableNow contract: pin the head at query start, drain to exactly
@@ -119,7 +124,7 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "admission-controlled stream: the engine calls latestOffset(start, limit)")
 
-  override def initialOffset(): Offset = VersionLogOffset(0)
+  override def initialOffset(): Offset = VersionLogOffset(math.max(0, startingVersion - 1))
 
   override def deserializeOffset(json: String): Offset =
     VersionLogOffset(json.trim.toInt)
@@ -130,9 +135,12 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rootP = Paths.get(root)
     (ver(start) + 1 to ver(end)).flatMap { n =>
-      Versioned.addedFiles(root, n).map { rel =>
+      Versioned.addedFiles(root, n).map { case (rel, size) =>
         val p = rootP.resolve(rel)
-        VersionedFilePartition(p.toString, Files.size(p)): InputPartition
+        // fmt=3 manifests carry sizes — zero stats per trigger; pre-fmt-3
+        // files (size -1) fall back to one driver stat each
+        VersionedFilePartition(p.toString,
+          if (size >= 0) size else Files.size(p)): InputPartition
       }
     }.toArray
   }

@@ -429,13 +429,16 @@ object BenchScale {
     val wlo = kst.getLong(1) - (kst.getLong(1) - kst.getLong(0)) / 16
     val src = o2.filter(col("o_orderkey") >= wlo)
       .select(col("o_orderkey"), lit("X").as("o_orderstatus")).localCheckpoint(true)
-    var affected = 0
-    var total = 0
+    var affected = -1
+    var total = -1
     val mergeSec = med {
       val pre = Versioned.currentVersion(dmlRoot).get
       val post = Versioned.mergeInto(spark, dmlRoot, src, Seq("o_orderkey"))
-      affected = (pre.files.toSet -- post.files.toSet).size
-      total = pre.files.length
+      // PRISTINE-table blast radius (first run): later reps re-merge over
+      // their own rewrites — the window's file count then reflects the
+      // previous merge's output partitioning, not the operator's scoping
+      if (affected < 0) { affected = (pre.files.toSet -- post.files.toSet).size
+        total = pre.files.length }
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase))
     // SPLIT-window variant (round 16): the classic two-month backfill —

@@ -106,7 +106,7 @@ class VersionedRelationSpec extends SparkSuite {
     assert(exprRanges(Seq(IsNotNull(k), EqualTo(k, lit(7)))) === Map("k" -> Seq((7L, 7L))))
   }
 
-  test("lazy status fetch: construction stats nothing; a pruned query stats only its dirs") {
+  test("statuses come from the log: fmt-3 tables never stat; legacy files fall back lazily") {
     import spark.implicits._
     import org.apache.spark.sql.graft.ManifestFileIndex.dirsStatted
     val root = freshRoot()
@@ -115,26 +115,49 @@ class VersionedRelationSpec extends SparkSuite {
       Versioned.appendWithStats(
         ((i * 10L + 1) to (i * 10L + 10)).toDF("k").repartition(1), root, "k")
     }
-    assert(Versioned.currentVersion(root).get.files.length === 30)
+    val cur = Versioned.currentVersion(root).get
+    assert(cur.files.length === 30)
+    // fmt=3 manifests recorded every file's size at commit time
+    assert(cur.sizes.keySet === cur.files.toSet)
     val d0 = dirsStatted.get()
     val t = Versioned.table(spark, root)
-    assert(dirsStatted.get() - d0 === 0L,
-      "relation construction must not stat any directory")
-    // a pruned query touching one file stats exactly that file's dir
+    // construction, pruned queries, AND full scans: zero filesystem calls —
+    // the synthesized statuses carry the manifest-recorded lengths
     val q = t.filter(col("k").between(105L, 108L))
     assert(q.as[Long].collect().sorted.toSeq === (105L to 108L))
-    assert(dirsStatted.get() - d0 === 1L,
-      s"pruned query must stat 1 dir, statted ${dirsStatted.get() - d0}")
-    // a second window: only ITS dir is fetched (the first is cached)
-    assert(t.filter(col("k").between(205L, 208L)).count() === 4L)
-    assert(dirsStatted.get() - d0 === 2L)
-    // re-querying the first window pays nothing (memoized per relation)
-    assert(t.filter(col("k").between(105L, 108L)).count() === 4L)
-    assert(dirsStatted.get() - d0 === 2L)
-    // an unpruned scan fetches the rest, once
     assert(t.count() === 300L)
-    assert(dirsStatted.get() - d0 === 30L)
-    assert(t.count() === 300L)
-    assert(dirsStatted.get() - d0 === 30L)
+    assert(dirsStatted.get() - d0 === 0L,
+      s"a fmt-3 table must plan from the log alone, statted ${dirsStatted.get() - d0} dirs")
+    // and the recorded sizes are the REAL on-disk lengths (splitting and
+    // join-size estimates depend on them)
+    cur.sizes.foreach { case (f, sz) =>
+      assert(java.nio.file.Files.size(java.nio.file.Paths.get(root).resolve(f)) === sz) }
+
+    // LEGACY fallback: a hand-written pre-fmt-3 manifest (no sizes) takes
+    // the lazy per-dir path — construction stats nothing, a pruned query
+    // stats only the surviving file's dir, memoized across queries
+    val root2 = freshRoot()
+    Versioned.appendWithStats((1L to 10L).toDF("k").repartition(1), root2, "k")
+    Versioned.appendWithStats((11L to 20L).toDF("k").repartition(1), root2, "k")
+    val v2 = Versioned.currentVersion(root2).get
+    // strip the size fields: rewrite the head as a legacy fmt-2-style FULL
+    // manifest (path|mn|mx lines, no size)
+    val legacyLines = "op=overwrite parent=2 fmt=2 full=1 stats=k" +:
+      v2.schema.map(s => s"schema=$s").toSeq ++: v2.files.map { f =>
+        val rs = v2.stats(f)
+        (f +: rs.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
+      }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root2, "_vlog", "v00003.txt"), legacyLines.mkString("\n"))
+    val d1 = dirsStatted.get()
+    val t2 = Versioned.table(spark, root2)
+    assert(dirsStatted.get() - d1 === 0L, "construction must not stat even without sizes")
+    assert(t2.filter(col("k").between(3L, 5L)).count() === 3L)
+    assert(dirsStatted.get() - d1 === 1L,
+      s"legacy pruned query must stat 1 dir, statted ${dirsStatted.get() - d1}")
+    assert(t2.count() === 20L)
+    assert(dirsStatted.get() - d1 === 2L)
+    assert(t2.count() === 20L)
+    assert(dirsStatted.get() - d1 === 2L, "statuses are memoized per relation")
   }
 }

@@ -241,7 +241,7 @@ class VersionedSpec extends SparkSuite {
     val manifest = Files.readAllLines(
       Paths.get(root, "_vlog", "v01001.txt")).asScala
     assert(manifest.length === 2, s"delta manifest should be header + 1 file, got:\n$manifest")
-    assert(manifest(1) === "+data/c1001/f.parquet")
+    assert(manifest(1) === "+data/c1001/f.parquet|-1") // fmt=3: size field (-1 = unknown)
     // checkpoint manifests exist at the interval and are self-contained
     val ck = Files.readAllLines(Paths.get(root, "_vlog", "v01000.txt")).asScala
     assert(ck.head.contains("full=1") && ck.length === 1 + 1000)

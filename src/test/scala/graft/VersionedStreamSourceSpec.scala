@@ -82,4 +82,26 @@ class VersionedStreamSourceSpec extends SparkSuite {
     assert(batches(1L).forall { case (k, _) => k <= 10 },
       "only the affected file's rows re-stream")
   }
+
+  test("startingVersion skips earlier commits on a fresh checkpoint") {
+    import spark.implicits._
+    val base = freshBase()
+    val root = base + "/t"
+    Versioned.append(Seq((1L, "a")).toDF("k", "tag"), root)
+    Versioned.append(Seq((2L, "b")).toDF("k", "tag"), root)
+    Versioned.append(Seq((3L, "c")).toDF("k", "tag"), root)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.readStream.format(classOf[VersionedStreamSource].getName)
+      .option("path", root).option("startingVersion", "3").load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k").as[Long].collect().foreach(seen.add); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(seen.iterator().asScala.toSeq === Seq(3L),
+      "startingVersion=3 must emit only the third commit's rows")
+  }
 }
