@@ -769,6 +769,50 @@ object Versioned {
   def appendWithStats(df: DataFrame, root: String, statsCol: String): Version =
     appendWithStats(df, root, Seq(statsCol))
 
+  /** VT18: OPTIMIZE ZORDER BY through the log — [[compact]]'s file-count
+    * lever fused with [[graft.ops.ZOrder]]'s multi-dimension clustering,
+    * as one atomic `compact-zorder` commit (the Delta OPTIMIZE ZORDER
+    * maintenance op, from its published design). The current version's
+    * rows are re-laid-out along the Morton curve of `zCols` (one agg for
+    * the dims' ranges + one clustered shuffle — O(current version), never
+    * O(history)) and committed FULL with the skipping stats RETRACKED to
+    * `zCols`: after the rewrite, a pruned read on ANY clustered dimension
+    * plans a strict subset of files (the full manifest records the new
+    * stats contract, so later appends must carry the same columns). All
+    * of compact's snapshot semantics hold: old versions still plan their
+    * old files, reclaim stays vacuum's job, accumulated stream-batch ids
+    * ride along. Dim columns must be range-boundable (integral/DATE/
+    * TIMESTAMP, the [[statsLongExpr]] contract) and non-degenerate.
+    * `options` passes to the parquet writer (`parquet.block.size` sets
+    * the row-group granularity the in-file z-layout skips at).
+    */
+  def compactZOrder(spark: SparkSession, root: String, zCols: Seq[String],
+      nFiles: Int, bits: Int = 12,
+      options: Map[String, String] = Map.empty): Version = {
+    require(zCols.nonEmpty, "compactZOrder needs at least one clustering column")
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val df = read(spark, root, Some(cur.n))
+    zCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail before shuffling
+    val encoded = zCols.map(c => statsLongExpr(c, df.schema(c).dataType))
+    val aggs = encoded.flatMap(e => Seq(min(e), max(e)))
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    require(!(0 until 2 * zCols.length).exists(r.isNullAt),
+      s"z-order dims $zCols must have at least one non-NULL value each")
+    val dimStats = zCols.indices.map(i => (r.getLong(2 * i), r.getLong(2 * i + 1)))
+    val shaped = graft.ops.ZOrder.zCluster(
+      df.select(df.columns.map(col).toIndexedSeq: _*), encoded, dimStats, bits, nFiles)
+    val n = cur.n + 1
+    val (files, marker) = writeData(shaped, root, n, options)
+    val entries = statsEntries(spark, root, files, zCols)
+    sealing(marker)(writeManifest(root, Version(n, "compact-zorder", cur.n,
+      entries.map(_.path),
+      entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
+      zCols, cur.txns, cur.schema,
+      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
+  }
+
   /** The files of version `v` whose recorded ranges overlap EVERY bound in
     * `bounds` (per column, overlap with ANY of its ranges — the disjunctive
     * form OR/IN predicates produce). Files without stats are kept

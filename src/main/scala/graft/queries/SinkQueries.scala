@@ -700,6 +700,62 @@ object SinkQueries extends QueryModule {
       s.read.parquet(out).select(col("batch"), col("o_orderkey"), col("o_orderstatus"))
     }),
 
+    // VT18: OPTIMIZE ZORDER BY through the log — six single-column-tracked
+    // micro-batch commits (the st17 accretion shape) rewritten by ONE
+    // atomic compact-zorder commit clustering on (o_orderkey, o_custkey)
+    // with the skipping stats RETRACKED to both dims; the read then prunes
+    // on the SECOND dimension, which the pre-compact layout couldn't skip
+    // at all (each commit's files spanned the whole custkey domain). Old
+    // versions still plan their old files; the result is exactly the
+    // BETWEEN, which is what the oracle states.
+    "vt18_zorder_compact" -> ((s, dir) => {
+      val root = tmp("graft_vt18") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      (0 until 6).foreach { i =>
+        V.appendWithStats(
+          o.filter(pmod(col("o_orderkey"), lit(6)) === i)
+            .repartitionByRange(2, col("o_orderkey")), root, "o_orderkey")
+      }
+      V.compactZOrder(s, root, Seq("o_orderkey", "o_custkey"), nFiles = 16,
+        options = Map("parquet.block.size" -> (64L << 10).toString))
+      val st = o.agg(min(col("o_custkey")), max(col("o_custkey"))).head
+      V.readWhere(s, root, col("o_custkey").between(
+        st.getLong(0), st.getLong(0) + (st.getLong(1) - st.getLong(0)) / 16))
+    }),
+
+    // ST20: the END-TO-END versioned streaming pipeline — bronze→silver
+    // through the log on BOTH sides: a versioned BRONZE table (three
+    // commits) is read as a stream (st19's source, one commit per batch),
+    // a transform filters it (drop P orders — the curation step), and each
+    // micro-batch lands EXACTLY-ONCE in a versioned SILVER table via the
+    // batch-id txn guard (st17's sink). Run twice with fresh checkpoints:
+    // the second run replays the same batch ids and every one skips, so
+    // silver holds one copy of exactly the F∪O rows — the medallion loop
+    // closed with time travel on both ends.
+    "st20_versioned_pipeline" -> ((s, dir) => {
+      val base = tmp("graft_st20")
+      val bronze = base + "/bronze"; val silver = base + "/silver"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      V.append(o.filter(col("o_orderstatus") === "F"), bronze)
+      V.append(o.filter(col("o_orderstatus") === "O"), bronze)
+      V.append(o.filter(col("o_orderstatus") === "P"), bronze)
+      def run(tag: String): Unit =
+        s.readStream.format(classOf[graft.streaming.VersionedStreamSource].getName)
+          .option("path", bronze).load()
+          .filter(col("o_orderstatus") =!= "P")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt_$tag")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            V.appendStreamBatch(df, silver, id); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      run("a"); run("b") // fresh checkpoint: same ids replay → txn-skipped
+      V.read(s, silver)
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -863,6 +919,14 @@ object SinkQueries extends QueryModule {
       """SELECT CAST(CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END
         |  AS BIGINT) AS batch, o_orderkey, o_orderstatus
         |FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')""".stripMargin,
+    "vt18_zorder_compact" ->
+      """WITH b AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx FROM orders)
+        |SELECT o_orderkey, o_custkey FROM orders, b
+        |WHERE o_custkey BETWEEN b.mn AND b.mn + (b.mx - b.mn) // 16""".stripMargin,
+    // st20: one copy of the non-P rows despite the double run
+    "st20_versioned_pipeline" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
     "vt17_cdc_by_key" ->

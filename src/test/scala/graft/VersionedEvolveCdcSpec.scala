@@ -189,4 +189,40 @@ class VersionedEvolveCdcSpec extends SparkSuite {
     val v3 = Versioned.read(spark, root).as[(Long, String)].collect().toMap
     assert(rolled === v3)
   }
+
+  // ---- vt18: OPTIMIZE ZORDER through the log ----
+
+  test("compactZOrder retracks stats to the z dims; second-dim reads prune only after") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 40x40 grid over (a, b), committed in 4 a-clustered slices tracking
+    // only `a` — pre-compact, a `b` predicate cannot prune at all
+    val grid = for (a <- 1L to 40L; b <- 1L to 40L) yield (a, b)
+    (0 until 4).foreach { i =>
+      Versioned.appendWithStats(
+        grid.filter(_._1 % 4 == i).toDF("a", "b").repartitionByRange(2, col("a")),
+        root, "a")
+    }
+    Versioned.appendStreamBatch(Seq((0L, 0L)).toDF("a", "b"), root, batchId = 9)
+    val pre = Versioned.currentVersion(root).get
+    val preRead = Versioned.readWhere(spark, root, col("b").between(1L, 5L))
+    assert(preRead.inputFiles.length === pre.files.length,
+      "untracked dim must read conservatively pre-compact")
+    val v = Versioned.compactZOrder(spark, root, Seq("a", "b"), nFiles = 8)
+    assert(v.op === "compact-zorder" && v.statsCols === Seq("a", "b"))
+    assert(v.files.length === 8 && v.stats.keySet === v.files.toSet)
+    assert(v.txns.contains(9L), "stream-batch dedup state must survive the rewrite")
+    // NOW both dims prune, rows identical
+    val byB = Versioned.readWhere(spark, root, col("b").between(1L, 5L))
+    assert(byB.inputFiles.length < v.files.length, "z layout must prune on the second dim")
+    assert(byB.count() === 200L) // 40 a-values x 5 b-values; (0,0) is outside [1,5]
+    val byA = Versioned.readWhere(spark, root, col("a").between(1L, 5L))
+    assert(byA.inputFiles.length < v.files.length)
+    assert(byA.count() === 200L)
+    // snapshot semantics: the pre-compact version still plans its old files
+    assert(Versioned.read(spark, root, Some(pre.n)).count() === 1601L)
+    // the new stats contract binds later appends (same columns required)
+    Versioned.appendWithStats(Seq((50L, 50L)).toDF("a", "b"), root, Seq("a", "b"))
+    assert(Versioned.read(spark, root).count() === 1602L)
+  }
 }
