@@ -146,7 +146,9 @@ object Versioned {
       stats: Map[String, Seq[(Long, Long)]] = Map.empty,
       statsCols: Seq[String] = Nil, txns: Set[Long] = Set.empty,
       schema: Option[String] = None,
-      sizes: Map[String, Long] = Map.empty)
+      sizes: Map[String, Long] = Map.empty,
+      ts: Long = -1L,
+      constraints: Seq[(String, String)] = Nil)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
@@ -155,10 +157,16 @@ object Versioned {
   private[graft] final case class FileEntry(path: String, ranges: Seq[(Long, Long)],
       size: Long = -1L)
 
-  /** A manifest as written on disk (delta or full), before folding. */
+  /** A manifest as written on disk (delta or full), before folding. `ts` is
+    * the commit's wall-clock epoch millis (header `ts=`, -1 on pre-vt19
+    * manifests); `constraints` are the CHECK constraints this manifest
+    * carries (a FULL manifest lists the complete set, a delta only the ones
+    * its commit ADDED).
+    */
   private final case class Raw(n: Int, op: String, parent: Int, full: Boolean,
       statsCols: Seq[String], entries: Seq[FileEntry], removed: Seq[String],
-      txns: Set[Long], schema: Option[String])
+      txns: Set[Long], schema: Option[String], ts: Long = -1L,
+      constraints: Seq[(String, String)] = Nil)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -226,13 +234,25 @@ object Versioned {
     // schema rides the BODY (one `schema=<ddl>` line): DDL contains spaces,
     // which the k=v header line cannot carry
     val schema = body.find(_.startsWith("schema=")).map(_.stripPrefix("schema="))
-    val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema="))
+    // CHECK constraints ride the body too (`constraint=<name>:<sql>`, one
+    // per line — SQL contains spaces); names cannot contain ':'
+    val constraints = body.filter(_.startsWith("constraint=")).map { l =>
+      val kv = l.stripPrefix("constraint=").split(":", 2)
+      require(kv.length == 2, s"malformed constraint line in $p: $l")
+      (kv(0), kv(1))
+    }
+    val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
+      l.startsWith("constraint="))
     val full = header.get("full").contains("1")
     val fmt = header.get("fmt").map(_.toInt).getOrElse(1)
+    // commit wall-time (vt19): an OPTIONAL header key — pre-vt19 manifests
+    // (no `ts=`) read as -1 (unknown), which timestamp travel treats as
+    // "older than any queried instant"
+    val ts = header.get("ts").map(_.toLong).getOrElse(-1L)
     if (full)
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema)
+        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -244,13 +264,13 @@ object Versioned {
           s"manifest $p mixes prefixed and unprefixed file lines — corrupt or unsupported")
         Raw(n, header("op"), header("parent").toInt, full = true,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema)
+          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints)
       } else
         Raw(n, header("op"), header("parent").toInt, full = false,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
-          txns, schema)
+          txns, schema, ts, constraints)
     }
   }
 
@@ -268,7 +288,8 @@ object Versioned {
       Version(raw.n, raw.op, raw.parent, raw.entries.map(_.path),
         raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
         raw.statsCols, raw.txns ++ opTxn, raw.schema,
-        raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)
+        raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
+        raw.ts, raw.constraints)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -281,7 +302,9 @@ object Versioned {
         base.txns ++ opTxn,
         raw.schema.orElse(base.schema), // deltas inherit; checked at commit
         (base.sizes -- removed) ++
-          raw.entries.collect { case e if e.size >= 0 => e.path -> e.size })
+          raw.entries.collect { case e if e.size >= 0 => e.path -> e.size },
+        raw.ts, // each version's OWN commit time, never inherited
+        base.constraints ++ raw.constraints) // deltas only ever ADD constraints
     }
   }
 
@@ -381,15 +404,25 @@ object Versioned {
   /** Root-relative (path, size) of the files version `n` ADDED over its
     * predecessor; size -1 when the manifest predates fmt=3 (callers stat).
     */
-  private[graft] def addedFiles(root: String, n: Int): Seq[(String, Long)] = {
+  private[graft] def addedFiles(root: String, n: Int): Seq[(String, Long)] =
+    addedAndRemoved(root, n)._1
+
+  /** The files version `n` ADDED and the count it REMOVED, in one pair of
+    * checkpoint-bounded state reads. A nonzero removed count marks a
+    * CHANGE commit (COW merge/delete, compact, zorder) — the signal the
+    * streaming source's fail-on-changes guard keys off: such a commit's
+    * "adds" are rewrites of already-streamed rows, not new data.
+    */
+  private[graft] def addedAndRemoved(root: String, n: Int): (Seq[(String, Long)], Int) = {
     val cur = stateAt(root, n)
-    val added =
-      if (n <= 1) cur.files
+    val (added, removedCount) =
+      if (n <= 1) (cur.files, 0)
       else {
-        val prev = stateAt(root, n - 1).files.toSet
-        cur.files.filterNot(prev)
+        val prev = stateAt(root, n - 1).files
+        val curSet = cur.files.toSet
+        (cur.files.filterNot(prev.toSet), prev.count(f => !curSet.contains(f)))
       }
-    added.map(f => (f, cur.sizes.getOrElse(f, -1L)))
+    (added.map(f => (f, cur.sizes.getOrElse(f, -1L))), removedCount)
   }
 
   // private[graft] so the spec can drive the CAS with a racing version
@@ -400,8 +433,10 @@ object Versioned {
 
   private def renderFull(v: Version): String = {
     val head = s"op=${v.op} parent=${v.parent} fmt=$ManifestFormat full=1" +
+      (if (v.ts >= 0) s" ts=${v.ts}" else "") +
       (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
     (head +: (v.schema.map(s => s"schema=$s").toSeq ++
+      v.constraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       val sz = v.sizes.getOrElse(f, -1L)
       (Seq(f, sz.toString) ++
@@ -412,12 +447,17 @@ object Versioned {
 
   private def renderDelta(op: String, parent: Int, statsCols: Seq[String],
       added: Seq[FileEntry], removed: Seq[String],
-      schema: Option[String] = None): String = {
+      schema: Option[String] = None, ts: Long = -1L,
+      addedConstraints: Seq[(String, String)] = Nil): String = {
     val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
+      (if (ts >= 0) s" ts=$ts" else "") +
       (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "")
     // a schema line on a DELTA overrides the inherited contract going
-    // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook
-    (head +: (schema.map(s => s"schema=$s").toSeq ++ removed.map("-" + _) ++ added.map { e =>
+    // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook;
+    // constraint lines on a delta are the commit's ADDED constraints
+    (head +: (schema.map(s => s"schema=$s").toSeq ++
+      addedConstraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
+      removed.map("-" + _) ++ added.map { e =>
       "+" + (Seq(e.path, e.size.toString) ++
         e.ranges.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
     })).mkString("\n")
@@ -466,12 +506,23 @@ object Versioned {
       cols, cur.map(_.txns).getOrElse(Set.empty) ++ opTxn,
       schemaDDL.orElse(cur.flatMap(_.schema)),
       (cur.map(_.sizes).getOrElse(Map.empty) -- removedSet) ++
-        added.collect { case e if e.size >= 0 => e.path -> e.size })
+        added.collect { case e if e.size >= 0 => e.path -> e.size },
+      commitTs(cur), cur.map(_.constraints).getOrElse(Nil))
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
-      promoteState(root, state, renderDelta(op, state.parent, cols, added, removed), full = false)
+      promoteState(root, state,
+        renderDelta(op, state.parent, cols, added, removed, ts = state.ts), full = false)
   }
+
+  /** The wall-time a commit records (vt19): now, clamped MONOTONIC against
+    * the parent's — a clock that steps backward (NTP correction, VM
+    * migration) must not produce a version log where timestamp travel's
+    * "greatest version at or before t" is ambiguous. Delta applies the same
+    * clamp to its commit timestamps.
+    */
+  private def commitTs(parent: Option[Version]): Long =
+    math.max(System.currentTimeMillis(), parent.map(_.ts).getOrElse(-1L))
 
   private def promoteState(root: String, state: Version, body: String,
       full: Boolean): Version = {
@@ -542,9 +593,13 @@ object Versioned {
   def append(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, Map.empty)
-    sealing(marker)(commitOn(root, cur, "append", plainEntries(files),
-      Nil, Nil, Some(normalizedDDL(df))))
+    sealing(marker) {
+      validateConstraints(df.sparkSession, root,
+        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+      commitOn(root, cur, "append", plainEntries(files), Nil, Nil, Some(ddl))
+    }
   }
 
   /** VT6: append WITH manifest-level skipping stats — after the commit's
@@ -571,10 +626,14 @@ object Versioned {
     statsCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail BEFORE writing
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, options)
-    sealing(marker)(commitOn(root, cur, "append",
-      statsEntries(df.sparkSession, root, files, statsCols), Nil, statsCols,
-      Some(normalizedDDL(df))))
+    sealing(marker) {
+      validateConstraints(df.sparkSession, root,
+        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+      commitOn(root, cur, "append",
+        statsEntries(df.sparkSession, root, files, statsCols), Nil, statsCols, Some(ddl))
+    }
   }
 
   /** The exact-long encoding of a stats/pruning column — the write-side
@@ -696,10 +755,17 @@ object Versioned {
     * hard-link promote guarantees exactly one writer per version number.
     */
   def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
-    val n0 = currentVersion(root).map(_.n + 1).getOrElse(1)
+    val cur = currentVersion(root)
+    val n0 = cur.map(_.n + 1).getOrElse(1)
+    val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n0, Map.empty)
-    sealing(marker)(retryCommit(root, "append", plainEntries(files), Nil,
-      maxRetries, Some(normalizedDDL(df))))
+    sealing(marker) {
+      // validated against the constraints at plan time — a constraint a
+      // RACING commit adds mid-retry is that commit's admission check's job
+      validateConstraints(df.sparkSession, root,
+        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+      retryCommit(root, "append", plainEntries(files), Nil, maxRetries, Some(ddl))
+    }
   }
 
   /** The metadata retry loop behind [[appendWithRetry]] — `private[graft]`
@@ -762,7 +828,8 @@ object Versioned {
     sealing(marker)(writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
       cur.statsCols, cur.txns, cur.schema,
-      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
+      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
+      commitTs(Some(cur)), cur.constraints)))
   }
 
   /** Single-column convenience overload. */
@@ -810,7 +877,8 @@ object Versioned {
       entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
       zCols, cur.txns, cur.schema,
-      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
+      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
+      commitTs(Some(cur)), cur.constraints)))
   }
 
   /** The files of version `v` whose recorded ranges overlap EVERY bound in
@@ -1066,12 +1134,17 @@ object Versioned {
     val merged = MergeInto.merge(
       target, source.select(target.columns.map(col).toIndexedSeq: _*), keys, orderCol)
     val n = cur.n + 1
+    val ddl = normalizedDDL(merged)
     val (files, marker) = writeData(merged, root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
       else statsEntries(spark, root, files, cur.statsCols)
-    sealing(marker)(commitOn(root, Some(cur), op, entries, affected,
-      cur.statsCols, Some(normalizedDDL(merged))))
+    sealing(marker) {
+      // the merge RESULT (updates included) must pass — carried-through
+      // rows were already valid, so violations can only come from source
+      validateConstraints(spark, root, cur.constraints, files, Some(ddl))
+      commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
+    }
   }
 
   /** The COVERING range set of `source`'s key `k` inside its known
@@ -1148,18 +1221,30 @@ object Versioned {
     val n = cur.map(_.n + 1).getOrElse(1)
     val keptStats = cur.map(_.statsCols).getOrElse(Nil).filter(c =>
       df.schema.fieldNames.contains(c) && statsTypeSupported(df.schema(c).dataType))
+    // constraints whose SQL no longer resolves against the new schema fall
+    // out of the contract (the stats-column stance); surviving ones must
+    // hold on the replacement data
+    val keptConstraints = cur.map(_.constraints).getOrElse(Nil).filter { case (_, sql) =>
+      try { df.select(expr(sql)); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    }
+    val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, Map.empty)
     val entries =
       if (keptStats.isEmpty) plainEntries(files)
       else statsEntries(df.sparkSession, root, files, keptStats)
     // overwrite IS the schema-evolution op: the full manifest records the
     // new contract, and later appends are checked against it
-    sealing(marker)(writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
-      entries.map(_.path),
-      entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
-      keptStats, cur.map(_.txns).getOrElse(Set.empty),
-      Some(normalizedDDL(df)),
-      entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap)))
+    sealing(marker) {
+      validateConstraints(df.sparkSession, root, keptConstraints, files, Some(ddl))
+      writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
+        entries.map(_.path),
+        entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
+        keptStats, cur.map(_.txns).getOrElse(Set.empty),
+        Some(ddl),
+        entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
+        commitTs(cur), keptConstraints))
+    }
   }
 
   /** Roll the table back to version `to` by committing a NEW version with
@@ -1181,10 +1266,12 @@ object Versioned {
       s"cannot roll back to version $to: ${missing.size} of its data files were vacuumed " +
         s"(first: ${missing.headOption.getOrElse("")})")
     val cur = currentVersion(root).get
-    // the rollback restores the target's schema contract along with its
-    // files (they ARE that schema)
+    // the rollback restores the target's schema contract — and its
+    // CONSTRAINT set — along with its files (they ARE that schema, and they
+    // were validated under exactly those constraints)
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
-      target.stats, target.statsCols, cur.txns, target.schema, target.sizes))
+      target.stats, target.statsCols, cur.txns, target.schema, target.sizes,
+      commitTs(Some(cur)), target.constraints))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -1205,6 +1292,149 @@ object Versioned {
     val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live).distinct
     expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
     (expired.sorted, live.toSeq.sorted)
+  }
+
+  /** VT19 (retention half): age-based retention — [[vacuum]] with the cut
+    * decided by COMMIT TIME instead of version count, the form every table
+    * format actually ships (`VACUUM t RETAIN n HOURS`): delete data files
+    * referenced ONLY by versions whose commit timestamp is older than
+    * `olderThanMs` before `nowMs`. The HEAD version is always retained
+    * regardless of age (the table's current state must survive any
+    * retention setting), and versions with NO recorded timestamp
+    * (pre-vt19 manifests) are retained conservatively — age-unknown data
+    * is never deleted on an age policy; use the version-count form for
+    * legacy logs. `nowMs` is injectable so retention policy is testable
+    * without wall-clock waits. Returns (deleted, retained) paths, same
+    * contract as [[vacuum]].
+    */
+  def vacuumOlderThan(root: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): (Seq[String], Seq[String]) = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val all = versions(root)
+    require(all.nonEmpty, s"no committed versions at $root")
+    val cutoff = nowMs - olderThanMs
+    val head = all.last.n
+    def retained(v: Version): Boolean = v.n == head || v.ts < 0 || v.ts >= cutoff
+    val live = all.filter(retained).flatMap(_.files).toSet
+    val expired = all.filterNot(retained).flatMap(_.files).filterNot(live).distinct
+    expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
+    (expired.sorted, live.toSeq.sorted)
+  }
+
+  /** VT19 (travel half): the version the table was at wall-clock instant
+    * `tsMillis` — the greatest version whose commit timestamp is ≤ the
+    * instant (Delta's `timestampAsOf` semantics: "the table as a reader at
+    * that moment saw it"). Commit timestamps are monotonic by construction
+    * ([[commitTs]] clamps against the parent), so the answer is unique;
+    * versions with no recorded timestamp (pre-vt19) count as "at or before
+    * any instant", which makes the probe's stopping rule total. Probes
+    * BACKWARD from the head reading only manifest HEADERS — O(versions
+    * newer than the instant), the audit-read cost profile (recent instants
+    * are near-free; an ancient instant on a never-archived log pays a log
+    * walk, which is what [[archiveManifests]] bounds). Fails loudly when
+    * the instant predates the first commit, or when the walk falls off the
+    * archived edge of the log.
+    */
+  def versionAtTimestamp(root: String, tsMillis: Long): Int = {
+    val head = headNumber(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    var n = head
+    while (n >= 1 && {
+      val p = manifestPath(root, n)
+      if (!Files.exists(p)) throw new IllegalStateException(
+        s"version $n at $root is archived — timestamp $tsMillis predates the " +
+          "retained log (read it from the archive, or loosen archival)")
+      parseManifest(n, p).ts > tsMillis
+    }) n -= 1
+    require(n >= 1, s"timestamp $tsMillis predates the first commit at $root " +
+      s"(v1 committed at ${parseManifest(1, manifestPath(root, 1)).ts})")
+    n
+  }
+
+  /** Read the table AS OF a wall-clock instant — [[read]] with the version
+    * resolved by [[versionAtTimestamp]]. The natural audit read for the
+    * reference's daily-snapshot data model ("the table as of REPORTING_DATE
+    * X's close").
+    */
+  def readAsOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, Some(versionAtTimestamp(root, tsMillis)))
+
+  /** VT20: add a CHECK constraint to the schema contract — named SQL
+    * predicates every later write must satisfy (the reference validates
+    * required columns before each merge, `snowflake_bq_sync Time details/
+    * daily_sync.py:159-166`; Delta's `ALTER TABLE ADD CONSTRAINT` is the
+    * published shape). Standard SQL CHECK semantics: a row violates only
+    * when the predicate evaluates FALSE — NULL passes (so NOT NULL is its
+    * own constraint, [[addNotNull]]). The constraint is admitted only if
+    * the CURRENT version's data passes (one count aggregate over the
+    * table); the commit itself is metadata-only (a delta carrying the
+    * constraint line — zero data files touched, evolve-style). Every later
+    * [[append]]/[[appendWithStats]]/[[mergeInto]]/[[overwrite]]/stream
+    * commit validates its landed files with one commit-sized count
+    * aggregate and REFUSES loudly on violation (the refused files age into
+    * [[gcOrphans]]' reclaim — the log never references them).
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      checkSql: String): Version = {
+    require(name.nonEmpty && !name.contains(':') && !name.contains('\n'),
+      s"constraint name must be non-empty and contain no ':' or newline: `$name`")
+    require(!checkSql.contains('\n'), "constraint SQL must be a single line")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    require(!cur.constraints.exists(_._1 == name),
+      s"constraint `$name` already exists on $root")
+    val violations = // admission check: current data must already pass
+      if (cur.files.isEmpty) 0L
+      else readFiles(spark, root, cur, cur.files)
+        .filter(!coalesce(expr(checkSql), lit(true))).count()
+    require(violations == 0L,
+      s"cannot add constraint `$name` ($checkSql): $violations existing row(s) violate it")
+    val state = cur.copy(n = cur.n + 1, op = "constrain", parent = cur.n,
+      ts = commitTs(Some(cur)), constraints = cur.constraints :+ (name -> checkSql))
+    if (state.n % CheckpointInterval == 0)
+      promoteState(root, state, renderFull(state), full = true)
+    else
+      promoteState(root, state,
+        renderDelta("constrain", cur.n, cur.statsCols, Nil, Nil, ts = state.ts,
+          addedConstraints = Seq(name -> checkSql)), full = false)
+  }
+
+  /** NOT NULL as a CHECK constraint: `col IS NOT NULL` is never unknown, so
+    * the NULL-passes CHECK semantics reduce to exactly the NOT NULL rule.
+    */
+  def addNotNull(spark: SparkSession, root: String, column: String): Version =
+    addConstraint(spark, root, s"nn_$column", s"`$column` IS NOT NULL")
+
+  /** One commit-sized count aggregate proving `files` satisfy every
+    * constraint — the write-side enforcement behind vt20. Runs over the
+    * LANDED parquet (what will actually be referenced), not the input
+    * frame, so the check never recomputes upstream lineage and validates
+    * precisely what readers will see; a violation throws BEFORE the
+    * manifest commit, so the log never references the bad files (they age
+    * into [[gcOrphans]]' reclaim). No-op when the table has no constraints
+    * or the commit no files.
+    */
+  private def validateConstraints(spark: SparkSession, root: String,
+      constraints: Seq[(String, String)], files: Seq[(String, Long)],
+      schemaDDL: Option[String]): Unit = {
+    if (constraints.isEmpty || files.isEmpty) return
+    val rootP = Paths.get(root)
+    val paths = files.map { case (f, _) => rootP.resolve(f).toString }
+    val df = schemaDDL match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val aggs = constraints.map { case (nm, sql) =>
+      count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(nm)
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head
+    val bad = constraints.zipWithIndex.collect {
+      case ((nm, sql), i) if r.getLong(i) > 0 => s"`$nm` ($sql): ${r.getLong(i)} row(s)"
+    }
+    require(bad.isEmpty,
+      s"commit to $root violates CHECK constraint(s) — refused, no metadata written: " +
+        bad.mkString("; "))
   }
 
   /** Move manifests that no RETAINED version needs out of the hot `_vlog`
@@ -1349,10 +1579,13 @@ object Versioned {
     * delete+insert (the Delta Change Data Feed read shape). A key present
     * on both sides of the multiset diff changed IN PLACE: its old row tags
     * `update_pre`, its new row `update_post`; insert/delete keep their
-    * tags. Requires (and assumes) at most one row per key in each version —
-    * the reference's MERGE world guarantees exactly that — so a downstream
-    * keyed replica can apply updates as point writes instead of full-set
-    * algebra. The pairing joins run on the CHANGE SET (changed-files-sized,
+    * tags. Requires at most one row per key in each version — the
+    * reference's MERGE world guarantees exactly that — and ENFORCES it
+    * with one change-set-sized aggregate (a duplicate key would silently
+    * mislabel the pairs; the guard throws instead, pointing at
+    * [[changes]]' multiset form). A downstream keyed replica can therefore
+    * apply updates as point writes instead of full-set algebra.
+    * The pairing joins run on the CHANGE SET (changed-files-sized,
     * never O(table)); the both-sides key list is one semi-joinable frame
     * Catalyst can broadcast.
     */
@@ -1362,6 +1595,19 @@ object Versioned {
     val ch = changes(spark, root, from, to).localCheckpoint(true) // two passes below
     val cols = ch.columns.filterNot(_ == "change_type").toSeq.map(col(_))
     val kc = keys.map(col(_))
+    // ENFORCE the at-most-one-row-per-key contract instead of documenting
+    // it: a duplicate key inside either side of the diff would silently
+    // mislabel update_pre/update_post pairs and corrupt a keyed replica
+    // applying point writes. One change-set-sized aggregate (a key may
+    // legitimately appear once per SIDE — that IS an update — so the group
+    // includes the side tag).
+    val dup = ch.groupBy((col("change_type") +: kc): _*).count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"changesByKey($from, $to) on keys $keys: key ${dup.head.toSeq.dropRight(1).tail} " +
+        s"appears ${dup.head.getLong(dup.head.length - 1)} times on the " +
+        s"${dup.head.getString(0)} side — the table is not key-unique under these keys; " +
+        "use changes() (multiset CDC) instead")
     val ins = ch.filter(col("change_type") === "insert").select(cols: _*)
     val del = ch.filter(col("change_type") === "delete").select(cols: _*)
     val both = ins.select(kc: _*).intersect(del.select(kc: _*))
@@ -1399,9 +1645,14 @@ object Versioned {
     if (cur.exists(_.txns.contains(batchId))) None
     else {
       val n = cur.map(_.n + 1).getOrElse(1)
+      val ddl = normalizedDDL(df)
       val (files, marker) = writeData(df, root, n, Map.empty)
-      Some(sealing(marker)(commitOn(root, cur, s"stream-batch-$batchId",
-        plainEntries(files), Nil, Nil, Some(normalizedDDL(df)))))
+      Some(sealing(marker) {
+        validateConstraints(df.sparkSession, root,
+          cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+        commitOn(root, cur, s"stream-batch-$batchId",
+          plainEntries(files), Nil, Nil, Some(ddl))
+      })
     }
   }
 
@@ -1584,12 +1835,13 @@ object Versioned {
     val newDDL = org.apache.spark.sql.types.StructType(
       (old.fields ++ added.fields).map(_.copy(nullable = true))).toDDL
     val state = cur.copy(n = cur.n + 1, op = "evolve", parent = cur.n,
-      schema = Some(newDDL))
+      schema = Some(newDDL), ts = commitTs(Some(cur)))
     if (state.n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
       promoteState(root, state,
-        renderDelta("evolve", cur.n, cur.statsCols, Nil, Nil, Some(newDDL)), full = false)
+        renderDelta("evolve", cur.n, cur.statsCols, Nil, Nil, Some(newDDL),
+          ts = state.ts), full = false)
   }
 
   /** A version with no files is a legitimate state (a full-table
@@ -1616,11 +1868,13 @@ object Versioned {
     */
   def history(spark: SparkSession, root: String): DataFrame = {
     val rows = versions(root).map(v => org.apache.spark.sql.Row(
-      v.n, v.op, v.parent, v.files.length, v.txns.size, v.schema.orNull))
+      v.n, v.op, v.parent, v.files.length, v.txns.size, v.schema.orNull,
+      if (v.ts >= 0) v.ts else null, v.constraints.size))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
       org.apache.spark.sql.types.StructType.fromDDL(
-        "version INT, op STRING, parent INT, n_files INT, n_txns INT, schema STRING"))
+        "version INT, op STRING, parent INT, n_files INT, n_txns INT, schema STRING, " +
+          "commit_ts BIGINT, n_constraints INT"))
   }
 
   /** VT14: the versioned table as a NATIVE Spark relation — a DataFrame

@@ -756,6 +756,69 @@ object SinkQueries extends QueryModule {
       V.read(s, silver)
     }),
 
+    // VT19: timestamp-based TIME TRAVEL — every commit records wall-time in
+    // its manifest header (monotonic-clamped), and readAsOfTimestamp
+    // resolves "the table as a reader at instant t saw it" = the greatest
+    // version committed at or before t (Delta's timestampAsOf semantics).
+    // Three spaced commits (F, O, P orders); probes pin the boundary rules:
+    // exactly AT a commit's ts sees that commit, one millisecond BEFORE it
+    // sees the predecessor, far in the future sees the head. The natural
+    // audit read for the reference's daily-snapshot model ("the table as of
+    // REPORTING_DATE X's close").
+    "vt19_time_travel_ts" -> ((s, dir) => {
+      val root = tmp("graft_vt19") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      // 15 ms gaps make the three commit timestamps STRICTLY increasing
+      // (millisecond clock + monotonic clamp), so every probe is exact
+      V.append(o.filter(col("o_orderstatus") === "F"), root)
+      Thread.sleep(15)
+      V.append(o.filter(col("o_orderstatus") === "O"), root)
+      Thread.sleep(15)
+      V.append(o.filter(col("o_orderstatus") === "P"), root)
+      val ts = V.history(s, root).select(col("commit_ts")).collect()
+        .map(_.getLong(0)).sorted
+      def probe(tag: String, at: Long) =
+        V.readAsOfTimestamp(s, root, at).select(lit(tag).as("probe"),
+          col("o_orderkey"), col("o_orderstatus"))
+      probe("at_v1", ts(0))
+        .unionAll(probe("before_v2", ts(1) - 1))
+        .unionAll(probe("at_v2", ts(1)))
+        .unionAll(probe("late", ts(2) + 3600L * 1000))
+    }),
+
+    // VT20: CHECK / NOT NULL constraints in the schema contract — the
+    // reference validates required columns before each merge
+    // (`snowflake_bq_sync Time details/daily_sync.py:159-166`); here the
+    // constraint is RECORDED in the log (a metadata-only `constrain`
+    // commit, admitted only because current data passes) and every later
+    // write validates its landed files with one count aggregate, refusing
+    // loudly on violation. The query proves the whole lifecycle: add two
+    // constraints, a violating append (negative price + NULL key) REFUSES
+    // and leaves the table untouched, a valid append lands — the
+    // `violation_refused` flag rides every row so a silently-accepted bad
+    // append would hash-mismatch twice over.
+    "vt20_constraints" -> ((s, dir) => {
+      val root = tmp("graft_vt20") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.append(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice")), root)
+      V.addConstraint(s, root, "price_pos", "o_totalprice > 0")
+      V.addNotNull(s, root, "o_orderkey")
+      val bad = o.filter(col("o_orderstatus") === "F").limit(5)
+        .select(col("o_orderkey"), (-col("o_totalprice")).as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "F").limit(3)
+          .select(lit(null).cast("bigint").as("o_orderkey"), col("o_totalprice")))
+      val refused =
+        try { V.append(bad, root); false }
+        catch { case e: IllegalArgumentException
+          if e.getMessage.contains("CHECK constraint") => true }
+      V.append(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice")), root)
+      V.read(s, root).withColumn("violation_refused", lit(if (refused) 1 else 0))
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -926,6 +989,25 @@ object SinkQueries extends QueryModule {
     // st20: one copy of the non-P rows despite the double run
     "st20_versioned_pipeline" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+    // vt19: at/before/after each commit's recorded wall-time, the probe
+    // sees exactly that version's accumulated state
+    "vt19_time_travel_ts" ->
+      """SELECT 'at_v1' AS probe, o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'before_v2', o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'at_v2', o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')
+        |UNION ALL
+        |SELECT 'late', o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus IN ('F', 'O', 'P')""".stripMargin,
+    // vt20: the violating append left no rows behind and the refusal was
+    // observed (flag = 1 on every surviving row)
+    "vt20_constraints" ->
+      """SELECT o_orderkey, o_totalprice, 1 AS violation_refused FROM orders
         |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts

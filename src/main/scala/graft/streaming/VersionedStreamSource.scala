@@ -21,24 +21,45 @@ import scala.jdk.CollectionConverters._
   * loop st17/st18 close as a sink. The published Delta streaming-source
   * design: the transaction log IS the offset log. An offset is a version
   * number; each committed version is one micro-batch whose rows are the
-  * files that version ADDED (append-only semantics — a copy-on-write
-  * rewrite surfaces its rewritten files as re-adds, same as Delta without
-  * `ignoreChanges`). Offsets checkpoint as plain version numbers, so a
-  * restarted query resumes from exactly the commit after the last one it
-  * processed — no directory listing, no file-mtime races: the manifest
+  * files that version ADDED. Offsets checkpoint as plain version numbers,
+  * so a restarted query resumes from exactly the commit after the last one
+  * it processed — no directory listing, no file-mtime races: the manifest
   * decides batch membership, the same property the batch reader has.
   *
+  * CHANGE commits (COW merge/delete, compact, zorder — anything that
+  * REMOVES files) FAIL the stream by default, exactly Delta's default
+  * stance: such a commit's "adds" are rewrites of rows already streamed,
+  * so replaying them as appends would silently duplicate downstream data,
+  * and its deletes can never be retracted through an append-only source.
+  * `.option("ignoreChanges", "true")` opts into Delta's `ignoreChanges`
+  * semantics instead: rewritten files re-stream as appends (downstream
+  * must dedup by key) and deletes are dropped.
+  *
+  * Admission control: by default ONE version per micro-batch — a commit is
+  * the producer's atomicity boundary, so batches stay commit-sized however
+  * far behind the reader starts. A reader resuming 10k commits behind
+  * would pay 10k micro-batches of fixed trigger overhead, though, so
+  * `.option("maxVersionsPerTrigger", k)` admits up to k consecutive
+  * versions per batch (batch membership still manifest-decided; the
+  * change-commit guard still inspects every admitted version).
+  *
   * Spark-native plumbing: a DSv2 `TableProvider` whose `MicroBatchStream`
-  * paces one VERSION per micro-batch via `SupportsAdmissionControl`
-  * (inherited through [[SupportsTriggerAvailableNow]] — AvailableNow pins
-  * the head at start and drains to it, then stops). Each input partition is
-  * one parquet file of the version's add-set, read through Spark's own
-  * `ParquetFileFormat` reader (vectorized when the schema allows;
-  * batch-unwrapped here), so executor-side reading is identical to the
-  * batch path. Head discovery and per-version add-sets reuse the log's
-  * listing-free probes ([[Versioned.headVersionNumber]]/
-  * [[Versioned.addedFiles]]) — O(1) in table age per trigger, which is what
-  * a per-minute long-lived reader needs.
+  * paces versions via `SupportsAdmissionControl` (inherited through
+  * [[SupportsTriggerAvailableNow]] — AvailableNow pins the head at start
+  * and drains to it, then stops). Each input partition is one parquet file
+  * of a version's add-set, read through Spark's own `ParquetFileFormat`
+  * reader (vectorized when the schema allows; batch-unwrapped here), so
+  * executor-side reading is identical to the batch path. Head discovery
+  * and per-version add-sets reuse the log's listing-free probes
+  * ([[Versioned.headVersionNumber]]/[[Versioned.addedAndRemoved]]) — O(1)
+  * in table age per trigger, which is what a per-minute long-lived reader
+  * needs.
+  *
+  * Schema is pinned at query start (the version contract at that moment).
+  * A mid-stream [[Versioned.evolve]] does NOT fail the stream (it removes
+  * no files); post-evolve commits stream through the PINNED schema — the
+  * added column is absent until the query restarts, when the new contract
+  * pins. Spec-pinned in VersionedStreamSourceSpec.
   *
   * Usage:
   * {{{
@@ -49,6 +70,12 @@ import scala.jdk.CollectionConverters._
 class VersionedStreamSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  // accept a user-specified schema: that is exactly how a long-running
+  // query reads post-evolve commits under its PINNED pre-evolve contract
+  // (ParquetFileFormat projects the subset), spec-pinned in
+  // VersionedStreamSourceSpec
+  override def supportsExternalMetadata(): Boolean = true
 
   private def rootOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
@@ -63,16 +90,24 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new VersionedStreamTable(properties.get("path"), schema,
+      properties: java.util.Map[String, String]): Table = {
+    // the same path validation inferSchema applies — a load() with a
+    // user-supplied schema skips inferSchema, and a missing path must fail
+    // HERE with an actionable message, not later as an NPE in Paths.get
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VersionedStreamTable(rootOf(opts), schema,
       // startingVersion: first version to EMIT (Delta's option) — default 1
       // (everything). Only consulted for a fresh checkpoint: a checkpointed
       // offset always wins (deserializeOffset, not initialOffset).
-      Option(properties.get("startingVersion")).map(_.trim.toInt).getOrElse(1))
+      Option(properties.get("startingVersion")).map(_.trim.toInt).getOrElse(1),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt).getOrElse(1),
+      Option(properties.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")))
+  }
 }
 
 private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType,
-    startingVersion: Int) extends Table with SupportsRead {
+    startingVersion: Int, maxVersionsPerTrigger: Int,
+    ignoreChanges: Boolean) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -82,7 +117,8 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(root, tableSchema, startingVersion)
+          new VersionedMicroBatchStream(root, tableSchema, startingVersion,
+            maxVersionsPerTrigger, ignoreChanges)
       }
     }
 }
@@ -95,8 +131,12 @@ private[streaming] case class VersionLogOffset(v: Int) extends Offset {
 }
 
 private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType,
-    startingVersion: Int = 1)
+    startingVersion: Int = 1, maxVersionsPerTrigger: Int = 1,
+    ignoreChanges: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger >= 1,
+    s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
 
   // AvailableNow contract: pin the head at query start, drain to exactly
   // there, stop — commits racing the drain wait for the next run
@@ -113,13 +153,15 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** One VERSION per micro-batch: the natural unit (a commit is the
-    * producer's atomicity boundary) and the pacing that keeps a batch
-    * commit-sized however far behind the reader starts.
+  /** Up to `maxVersionsPerTrigger` versions per micro-batch (default 1 —
+    * the natural unit: a commit is the producer's atomicity boundary). A
+    * backlog of B commits drains in ⌈B/k⌉ batches; batch membership is
+    * still decided by the manifests, never by listing.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VersionLogOffset(math.min(availableTarget.getOrElse(head), ver(start) + 1)
-      .max(ver(start)))
+    VersionLogOffset(
+      math.min(availableTarget.getOrElse(head), ver(start) + maxVersionsPerTrigger)
+        .max(ver(start)))
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "admission-controlled stream: the engine calls latestOffset(start, limit)")
@@ -135,7 +177,21 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rootP = Paths.get(root)
     (ver(start) + 1 to ver(end)).flatMap { n =>
-      Versioned.addedFiles(root, n).map { case (rel, size) =>
+      val (added, removed) = Versioned.addedAndRemoved(root, n)
+      // a commit that REMOVES files rewrote or deleted already-streamed
+      // rows: replaying its adds would duplicate downstream data, and its
+      // deletes cannot be retracted through an append-only source. Fail by
+      // default (Delta's stance); ignoreChanges opts into re-streaming the
+      // rewrites (downstream dedups by key) and dropping the deletes.
+      if (removed > 0 && !ignoreChanges)
+        throw new IllegalStateException(
+          s"graft-versioned stream at $root: version $n removed $removed file(s) " +
+            "(copy-on-write merge/delete/compact/zorder). Streaming past a change " +
+            "commit would duplicate rewritten rows downstream and silently drop " +
+            "deletes. Set .option(\"ignoreChanges\", \"true\") to re-stream rewrites " +
+            "as appends (downstream must dedup by key), or restart the stream from " +
+            "a fresh checkpoint past this version.")
+      added.map { case (rel, size) =>
         val p = rootP.resolve(rel)
         // fmt=3 manifests carry sizes — zero stats per trigger; pre-fmt-3
         // files (size -1) fall back to one driver stat each

@@ -58,7 +58,30 @@ class VersionedStreamSourceSpec extends SparkSuite {
     val _ = out
   }
 
-  test("a merge commit streams its rewritten files (append-only re-add semantics)") {
+  test("a change commit (COW merge) FAILS the stream by default — no silent duplication") {
+    import spark.implicits._
+    val base = freshBase()
+    val root = base + "/t"
+    Versioned.appendWithStats(
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(2, col("k")),
+      root, "k")
+    Versioned.mergeInto(spark, root, Seq((5L, "NEW5")).toDF("k", "v"), Seq("k"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      readVersioned(root).writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    // the root cause names the change commit and the opt-out
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("removed") && c.getMessage.contains("ignoreChanges")),
+      s"expected the change-commit guard in the cause chain, got $e")
+  }
+
+  test("ignoreChanges opts into re-streaming a merge's rewritten files") {
     import spark.implicits._
     val base = freshBase()
     val root = base + "/t"
@@ -67,7 +90,9 @@ class VersionedStreamSourceSpec extends SparkSuite {
       root, "k")
     Versioned.mergeInto(spark, root, Seq((5L, "NEW5")).toDF("k", "v"), Seq("k"))
     val batches = scala.collection.mutable.Map.empty[Long, Set[(Long, String)]]
-    readVersioned(root).writeStream
+    spark.readStream.format(classOf[VersionedStreamSource].getName)
+      .option("path", root).option("ignoreChanges", "true").load()
+      .writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         batches.synchronized {
@@ -76,11 +101,91 @@ class VersionedStreamSourceSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .start().awaitTermination()
     // batch 0 = the original 20 rows; batch 1 = the merge's REWRITTEN file
-    // (the affected half, with the update applied) — append-only semantics
+    // (the affected half, with the update applied) — the caller opted into
+    // dedup-by-key downstream
     assert(batches(0L).size === 20)
     assert(batches(1L).contains((5L, "NEW5")))
     assert(batches(1L).forall { case (k, _) => k <= 10 },
       "only the affected file's rows re-stream")
+  }
+
+  test("maxVersionsPerTrigger drains a 12-commit backlog in ceil(12/k) batches, same rows") {
+    import spark.implicits._
+    for (k <- Seq(4, 5)) {
+      val base = freshBase()
+      val root = base + "/t"
+      (1 to 12).foreach(i => Versioned.append(Seq((i.toLong, s"c$i")).toDF("k", "tag"), root))
+      val batches = scala.collection.mutable.Map.empty[Long, Set[(Long, String)]]
+      spark.readStream.format(classOf[VersionedStreamSource].getName)
+        .option("path", root).option("maxVersionsPerTrigger", k.toString).load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized {
+            batches(id) = df.as[(Long, String)].collect().toSet }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      val expectBatches = (12 + k - 1) / k
+      assert(batches.size === expectBatches,
+        s"k=$k: expected $expectBatches batches, got ${batches.keySet}")
+      assert(batches.values.flatten.toSet ===
+        (1 to 12).map(i => (i.toLong, s"c$i")).toSet, s"k=$k: row set must be complete")
+      // batch membership is contiguous version runs: batch 0 = v1..vk
+      assert(batches(0L) === (1 to k).map(i => (i.toLong, s"c$i")).toSet)
+    }
+  }
+
+  test("evolve() does not fail the stream; commits stream under the PINNED schema until restart") {
+    import spark.implicits._
+    val base = freshBase()
+    val root = base + "/t"
+    Versioned.append(Seq((1L, "a")).toDF("k", "tag"), root)
+    def drain(pin: Option[org.apache.spark.sql.types.StructType])
+        : Seq[(Long, Set[String], Long)] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[String], Long)]
+      val rd = spark.readStream.format(classOf[VersionedStreamSource].getName)
+      pin.foreach(rd.schema)
+      rd.option("path", root).load().writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.synchronized { seen += ((id, df.columns.toSet, df.count())) }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      seen.toSeq
+    }
+    assert(drain(None).map(_._2) === Seq(Set("k", "tag")))
+    // evolve adds a column (removes no files — must NOT trip the change
+    // guard), then a post-evolve append carries the new column
+    Versioned.evolve(root, "extra STRING")
+    Versioned.append(Seq((2L, "b", "x")).toDF("k", "tag", "extra"), root)
+    // a query whose schema was pinned BEFORE the evolve (what a long-running
+    // stream holds at that point) streams the new-generation file through
+    // the OLD 2-column schema — the added column is silently absent, the
+    // rows are not (Delta restarts on schema change; here the behavior is
+    // explicit and pinned)
+    val pinned = drain(Some(org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, tag STRING")))
+    assert(pinned.forall(_._2 === Set("k", "tag")), s"got $pinned")
+    assert(pinned.map(_._3).sum === 1L, "the appended row must still stream")
+    // after a restart (fresh query start, schema re-inferred) the evolved
+    // contract pins, and a further commit streams with the added column
+    Versioned.append(Seq((3L, "c", "y")).toDF("k", "tag", "extra"), root)
+    val restarted = drain(None)
+    assert(restarted.map(_._2) === Seq(Set("k", "tag", "extra")), s"got $restarted")
+  }
+
+  test("load() with a user schema and no path fails actionably, not with an NPE") {
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[VersionedStreamSource].getName)
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, tag STRING"))
+        .load()
+        .writeStream.format("noop").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", freshBase() + "/ckpt")
+        .start().awaitTermination()
+    }
+    assert(e.getMessage.contains("path"), s"expected the path hint, got: ${e.getMessage}")
   }
 
   test("startingVersion skips earlier commits on a fresh checkpoint") {

@@ -1,0 +1,221 @@
+package graft
+
+import graft.merge.Versioned
+import org.apache.spark.sql.functions._
+
+/** VT19 (timestamp time travel + age-based retention) and VT20 (CHECK /
+  * NOT NULL constraints in the schema contract).
+  */
+class VersionedTimeConstraintsSpec extends SparkSuite {
+
+  private def root(): String = tmpDir() + "/t"
+
+  // ---------------------------------------------------------------- vt19
+
+  test("vt19: versionAtTimestamp resolves boundaries exactly (at / before / after)") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.append(Seq((2L, "b")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.append(Seq((3L, "c")).toDF("k", "v"), r)
+    val ts = Versioned.versions(r).map(_.ts)
+    assert(ts.length === 3 && ts(0) < ts(1) && ts(1) < ts(2),
+      s"15ms-spaced commits must have strictly increasing timestamps, got $ts")
+    assert(Versioned.versionAtTimestamp(r, ts(0)) === 1) // exactly AT a commit
+    assert(Versioned.versionAtTimestamp(r, ts(1) - 1) === 1) // 1ms before v2
+    assert(Versioned.versionAtTimestamp(r, ts(1)) === 2)
+    assert(Versioned.versionAtTimestamp(r, ts(2) + 1000000) === 3) // future = head
+    // an instant before the first commit has no version to serve
+    val e = intercept[IllegalArgumentException] {
+      Versioned.versionAtTimestamp(r, ts(0) - 1)
+    }
+    assert(e.getMessage.contains("predates"))
+    // the read form serves the resolved version's rows
+    assert(Versioned.readAsOfTimestamp(spark, r, ts(1)).select("k")
+      .as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("vt19: commit timestamps are monotonic and survive the delta/checkpoint fold") {
+    import spark.implicits._
+    val r = root()
+    // 12 commits cross the checkpoint-interval boundary (v10 is FULL):
+    // parsed-back timestamps must be each commit's own, nondecreasing
+    (1 to 12).foreach(i => Versioned.append(Seq((i.toLong, s"c$i")).toDF("k", "v"), r))
+    val ts = Versioned.versions(r).map(_.ts)
+    assert(ts.forall(_ > 0), s"every commit records a timestamp, got $ts")
+    assert(ts === ts.sorted, s"timestamps must be nondecreasing, got $ts")
+    // history surfaces them (audit column)
+    val h = Versioned.history(spark, r).select("version", "commit_ts").collect()
+    assert(h.length === 12 && h.forall(!_.isNullAt(1)))
+  }
+
+  test("vt19: vacuumOlderThan expires by age, always keeps the head, and is testable via nowMs") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.append(Seq((2L, "b")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.overwrite(Seq((3L, "c")).toDF("k", "v"), r)
+    val ts = Versioned.versions(r).map(_.ts)
+    // retention window covering only v3 (the overwrite): v1/v2's files —
+    // referenced by no retained version — are reclaimed; v3's survive
+    val now = ts(2) + 1000
+    val (del1, _) = Versioned.vacuumOlderThan(r, olderThanMs = now - ts(2), nowMs = now)
+    assert(del1.nonEmpty, "the pre-overwrite files age out")
+    assert(Versioned.read(spark, r).select("k").as[Long].collect().toSeq === Seq(3L))
+    intercept[Exception] { Versioned.read(spark, r, Some(1)).collect() } // data gone
+    // a zero-width window (everything is 'too old') must STILL keep the head
+    val (_, kept) = Versioned.vacuumOlderThan(r, olderThanMs = 0, nowMs = now + 1000000)
+    assert(kept.nonEmpty, "the head version's files are always retained")
+    assert(Versioned.read(spark, r).select("k").as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("vt19: rollback refuses a target whose data aged out under vacuumOlderThan") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.overwrite(Seq((2L, "b")).toDF("k", "v"), r)
+    val ts = Versioned.versions(r).map(_.ts)
+    val now = ts(1) + 1000
+    Versioned.vacuumOlderThan(r, olderThanMs = now - ts(1), nowMs = now)
+    val e = intercept[IllegalArgumentException] { Versioned.rollback(r, 1) }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  // ---------------------------------------------------------------- vt20
+
+  test("vt20: addConstraint is admitted only when current data passes; violating appends refuse") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "price"), r)
+    // admission check: current data violates → refused, log untouched
+    val eAdd = intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, r, "price_big", "price > 15")
+    }
+    assert(eAdd.getMessage.contains("existing row"))
+    assert(Versioned.versions(r).length === 1)
+    // a passing constraint lands as a METADATA-ONLY commit (zero new files)
+    val before = Versioned.currentVersion(r).get.files
+    val v2 = Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    assert(v2.op === "constrain" && v2.files === before, "constrain commits no data")
+    assert(v2.constraints === Seq("price_pos" -> "price > 0"))
+    // violating append: refused BEFORE any metadata lands; table unchanged
+    val eApp = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3L, -1.0)).toDF("k", "price"), r)
+    }
+    assert(eApp.getMessage.contains("price_pos") && eApp.getMessage.contains("refused"))
+    assert(Versioned.currentVersion(r).get.n === 2)
+    assert(Versioned.read(spark, r).count() === 2)
+    // valid append still lands
+    Versioned.append(Seq((3L, 5.0)).toDF("k", "price"), r)
+    assert(Versioned.read(spark, r).count() === 3)
+  }
+
+  test("vt20: NULL passes CHECK (SQL semantics); NOT NULL is its own constraint") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, Some(10.0))).toDF("k", "price"), r)
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    // a NULL price row passes the CHECK (unknown, not false)
+    Versioned.append(Seq((2L, Option.empty[Double])).toDF("k", "price"), r)
+    assert(Versioned.read(spark, r).count() === 2)
+    // NOT NULL admission fails now (a NULL exists)...
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addNotNull(spark, r, "price")
+    }
+    assert(e.getMessage.contains("violate"))
+    // ...but on the key column it lands, and then rejects NULL keys
+    Versioned.addNotNull(spark, r, "k")
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((Option.empty[Long], Some(1.0))).toDF("k", "price"), r)
+    }
+    assert(e2.getMessage.contains("nn_k"))
+  }
+
+  test("vt20: mergeInto validates the MERGE RESULT; a violating update refuses the commit") {
+    import spark.implicits._
+    val r = root()
+    Versioned.appendWithStats(
+      (1L to 10L).map(k => (k, 10.0)).toDF("k", "price").repartitionByRange(2, col("k")),
+      r, "k")
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.mergeInto(spark, r, Seq((5L, -99.0)).toDF("k", "price"), Seq("k"))
+    }
+    assert(e.getMessage.contains("price_pos"))
+    assert(Versioned.currentVersion(r).get.n === 2, "refused merge commits nothing")
+    assert(Versioned.read(spark, r).filter(col("price") < 0).count() === 0)
+    // a valid merge still lands and the constraint rides forward
+    Versioned.mergeInto(spark, r, Seq((5L, 50.0)).toDF("k", "price"), Seq("k"))
+    assert(Versioned.currentVersion(r).get.constraints.map(_._1) === Seq("price_pos"))
+  }
+
+  test("vt20: constraints survive the checkpoint fold and an archive cut") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 1.0)).toDF("k", "price"), r)
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    // push past a checkpoint boundary (v10 FULL) so the constraint must be
+    // re-read from the checkpoint manifest, not the original delta
+    (3 to 12).foreach(i => Versioned.append(Seq((i.toLong, i.toDouble)).toDF("k", "price"), r))
+    assert(Versioned.currentVersion(r).get.constraints === Seq("price_pos" -> "price > 0"))
+    Versioned.archiveManifests(r, keepLast = 3) // cut lands at the v10 checkpoint
+    assert(Versioned.currentVersion(r).get.constraints === Seq("price_pos" -> "price > 0"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((99L, -1.0)).toDF("k", "price"), r)
+    }
+    assert(e.getMessage.contains("price_pos"))
+  }
+
+  test("vt20: overwrite drops constraints whose SQL no longer resolves, keeps and enforces the rest") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 1.0, "x")).toDF("k", "price", "note"), r)
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    Versioned.addConstraint(spark, r, "note_nonempty", "length(note) > 0")
+    // the replacement schema drops `note`: its constraint falls out of the
+    // contract (the stats-column stance); price_pos survives and validates
+    Versioned.overwrite(Seq((2L, 5.0)).toDF("k", "price"), r)
+    assert(Versioned.currentVersion(r).get.constraints === Seq("price_pos" -> "price > 0"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.overwrite(Seq((3L, -5.0)).toDF("k", "price"), r)
+    }
+    assert(e.getMessage.contains("price_pos"))
+  }
+
+  test("vt20: streaming appends and merges enforce constraints (st17/st18 write paths)") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 10.0)).toDF("k", "price"), r)
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.appendStreamBatch(Seq((2L, -1.0)).toDF("k", "price"), r, batchId = 0L)
+    }
+    assert(e.getMessage.contains("price_pos"))
+    // the refused batch id is NOT recorded: a corrected retry of the same
+    // id must be able to land
+    assert(Versioned.appendStreamBatch(Seq((2L, 2.0)).toDF("k", "price"), r, 0L).nonEmpty)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeStreamBatch(spark, r, Seq((1L, -9.0)).toDF("k", "price"),
+        Seq("k"), batchId = 1L)
+    }
+    assert(e2.getMessage.contains("price_pos"))
+    assert(Versioned.mergeStreamBatch(spark, r, Seq((1L, 9.0)).toDF("k", "price"),
+      Seq("k"), 1L).nonEmpty)
+  }
+
+  test("vt20: rollback restores the target's constraint set") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 1.0)).toDF("k", "price"), r) // v1: unconstrained
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0") // v2
+    Versioned.rollback(r, 1) // v3: back to the unconstrained state
+    assert(Versioned.currentVersion(r).get.constraints.isEmpty)
+    Versioned.append(Seq((2L, -1.0)).toDF("k", "price"), r) // legal again
+    assert(Versioned.read(spark, r).count() === 2)
+  }
+}
