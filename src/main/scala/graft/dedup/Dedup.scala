@@ -159,6 +159,33 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String, numHashes: Int = 64,
       bands: Int = 16, threshold: Double = 0.5, portableHash: Boolean = false,
+      maxBucket: Int = 1024): DataFrame =
+    minhashLshOnSigs(
+      pinnedSignatures(df, idCol, textCol, numHashes, portableHash),
+      numHashes, bands, threshold, portableHash, maxBucket)
+
+  /** The pinned `(doc, sig)` frame every multi-consumer MinHash pipeline
+    * starts from: signatures computed once, repartitioned by doc (the
+    * verify joins' layout), block-level persisted (see [[minhashLsh]]'s
+    * cache-lifecycle note). Public so a caller composing SEVERAL legs over
+    * ONE batch — the dd15b/st15 shape: index-serve pairs AND a
+    * within-batch LSH AND the index fold — pays the signature pass once
+    * and feeds all of them ([[minhashLshOnSigs]], the `incSigs` serve
+    * variants, [[appendLshIndex]]'s `precomputedSigs`).
+    */
+  def pinnedSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, portableHash: Boolean): DataFrame =
+    graft.ops.PinnedCaches.pin(
+      minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
+        .repartition(col("doc")))
+
+  /** [[minhashLsh]] over a PRE-PINNED signature frame ([[pinnedSignatures]]
+    * with the same `numHashes`/`portableHash`) — the banding/bucket/verify
+    * pipeline with the signature stage factored out so one batch pass can
+    * feed multiple legs.
+    */
+  def minhashLshOnSigs(sigs: DataFrame, numHashes: Int,
+      bands: Int, threshold: Double, portableHash: Boolean,
       maxBucket: Int = 1024): DataFrame = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
@@ -184,9 +211,6 @@ object Dedup {
     // prefer the persisted-artifact path (writeLshIndex +
     // incrementalLshFromIndex), whose base side is a parquet read, not a
     // session cache.
-    val sigs = graft.ops.PinnedCaches.pin(
-      minhashSignatures(df, idCol, textCol, numHashes, portableHash = portableHash)
-        .repartition(col("doc")))
     // Banding carries ONLY (doc, band, band_hash): the old shape dragged the
     // full signature array through the 16-way explode — `bands`× the sig
     // bytes through the band shuffle and again through the self-join (39 MB
@@ -306,13 +330,20 @@ object Dedup {
     * `excludeTag`) so a half-folded batch never matches itself.
     */
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      inc: DataFrame, idCol: String, textCol: String, batchTag: String): Unit = {
+      inc: DataFrame, idCol: String, textCol: String, batchTag: String,
+      precomputedSigs: Option[DataFrame] = None): Unit = {
     require(batchTag.nonEmpty && batchTag != "base" &&
       !batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace),
       s"batchTag '$batchTag' must be a plain partition label (not 'base')")
     val meta = spark.read.parquet(s"$path/meta").head()
-    minhashSignatures(inc, idCol, textCol, meta.getAs[Int]("num_hashes"),
-        portableHash = meta.getAs[Boolean]("portable_hash"))
+    // precomputedSigs: the serve-then-fold shape passes its own
+    // pinnedSignatures frame so the batch is minhashed once across both
+    // legs. CONTRACT: the caller computed them with the index's meta
+    // params — guaranteed when the serve call already meta-validated the
+    // same numbers (indexSigs refuses a mismatch before any sigs exist).
+    precomputedSigs.getOrElse(
+      minhashSignatures(inc, idCol, textCol, meta.getAs[Int]("num_hashes"),
+        portableHash = meta.getAs[Boolean]("portable_hash")))
       .write.mode("overwrite").parquet(s"$path/sigs/part=$batchTag")
   }
 
@@ -331,11 +362,12 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       portableHash: Boolean = true, maxBucket: Int = 1024,
       excludeTag: Option[String] = None,
-      includeTags: Option[Seq[String]] = None): DataFrame =
+      includeTags: Option[Seq[String]] = None,
+      incSigs: Option[DataFrame] = None): DataFrame =
     incrementalLshOnSigs(indexSigs(spark, indexPath, numHashes, portableHash,
         excludeTag, includeTags), inc, idCol,
       textCol, numHashes, bands, threshold, portableHash, maxBucket,
-      persistBase = false)
+      persistBase = false, incSigs = incSigs)
 
   /** Meta-validated read of a persisted signature index: the serve-side
     * parameters must match the index's meta row — a mismatch would
@@ -400,10 +432,11 @@ object Dedup {
       indexPath: String, inc: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       portableHash: Boolean = true, maxBucket: Int = 1024,
-      excludeTag: Option[String] = None): DataFrame =
+      excludeTag: Option[String] = None,
+      incSigs: Option[DataFrame] = None): DataFrame =
     incrementalVerified(indexSigs(spark, indexPath, numHashes, portableHash,
         excludeTag), inc, idCol, textCol, numHashes, bands, threshold,
-      portableHash, maxBucket, persistBase = false)._1
+      portableHash, maxBucket, persistBase = false, incSigs = incSigs)._1
       .select(col("id_inc").as("id_a"), col("id_base").as("id_b"),
         col("est_jaccard"))
 
@@ -426,9 +459,9 @@ object Dedup {
   private def incrementalLshOnSigs(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
       threshold: Double, portableHash: Boolean, maxBucket: Int,
-      persistBase: Boolean = true): DataFrame = {
+      persistBase: Boolean = true, incSigs: Option[DataFrame] = None): DataFrame = {
     val (verified, sigI) = incrementalVerified(baseSigs, inc, idCol, textCol,
-      numHashes, bands, threshold, portableHash, maxBucket, persistBase)
+      numHashes, bands, threshold, portableHash, maxBucket, persistBase, incSigs)
     // best base match per increment doc: highest jaccard, ties → min base id
     val best = verified
       .groupBy(col("id_inc"))
@@ -449,7 +482,7 @@ object Dedup {
   private def incrementalVerified(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
       threshold: Double, portableHash: Boolean, maxBucket: Int,
-      persistBase: Boolean): (DataFrame, DataFrame) = {
+      persistBase: Boolean, incSigs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
     def banded(sigs: DataFrame): DataFrame =
@@ -472,9 +505,11 @@ object Dedup {
     val sigB =
       if (persistBase) graft.ops.PinnedCaches.pin(sigB0)
       else sigB0
-    val sigI = graft.ops.PinnedCaches.pin(
-      minhashSignatures(inc, idCol, textCol, numHashes, portableHash = portableHash)
-        .repartition(col("doc")))
+    // incSigs: a caller composing several legs over one batch (dd15b/st15)
+    // passes its pinnedSignatures frame so the batch is minhashed ONCE
+    // across the serve, the within-batch LSH, and the index fold
+    val sigI = incSigs.getOrElse(
+      pinnedSignatures(inc, idCol, textCol, numHashes, portableHash))
     val docHash =
       if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
       else xxhash64(col("doc"))

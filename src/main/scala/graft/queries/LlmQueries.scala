@@ -409,13 +409,19 @@ object LlmQueries extends QueryModule {
             // own tag not listed, so a retry never matches itself); the
             // overwrite keyed by batchId makes the flag write idempotent
             val lineage = "base" +: (0L until batchId).map(i => s"${runId}_b$i")
+            // one signature pass per batch, shared by the serve AND the
+            // fold (the serve meta-validates the same params, so the fold's
+            // precomputedSigs contract holds)
+            val sigs = Dedup.pinnedSignatures(arrived, "doc_id", "text",
+              numHashes = 16, portableHash = true)
             Dedup.incrementalLshFromIndex(s, idx, arrived, "doc_id", "text",
                 numHashes = 16, bands = 4, threshold = 0.5, portableHash = true,
-                includeTags = Some(lineage))
+                includeTags = Some(lineage), incSigs = Some(sigs))
               .write.mode("overwrite").parquet(s"$tmp/out/batch=b$batchId")
             // the flag write above is an ACTION — the serve scan has
             // drained before the fold lands
-            Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text", tag)
+            Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text", tag,
+              precomputedSigs = Some(sigs))
             s.sqlContext.clearCache() // per-batch serve caches, never reusable
           }
           .trigger(Trigger.AvailableNow())
@@ -720,11 +726,16 @@ object LlmQueries extends QueryModule {
           .select((col("doc_id") + 600000).as("doc_id"),
             concat(col("text"), lit(" fresh family tail extra")).as("text")))
       val batch = gen3.unionByName(fresh).localCheckpoint(true)
+      // ONE signature pass over the batch feeds BOTH edge legs (the
+      // index-serve join and the within-batch LSH) — the r16-profiled ~3%
+      // double-minhash slack, folded
+      val batchSigs = Dedup.pinnedSignatures(batch, "doc_id", "text",
+        numHashes = 16, portableHash = true)
       val newPairs = Dedup.incrementalLshPairsFromIndex(s, idx, batch,
           "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.5,
-          portableHash = true)
+          portableHash = true, incSigs = Some(batchSigs))
         .select(col("id_a"), col("id_b"))
-        .unionByName(Dedup.minhashLsh(batch, "doc_id", "text",
+        .unionByName(Dedup.minhashLshOnSigs(batchSigs,
             numHashes = 16, bands = 4, threshold = 0.5, portableHash = true)
           .select(col("id_a"), col("id_b")))
       Dedup.incrementalDupGroups(Dedup.readGroups(s, grp), newPairs)
