@@ -391,11 +391,13 @@ object Versioned {
 
   /** Hot-path hooks for the STREAMING SOURCE half of the loop
     * ([[graft.streaming.VersionedStreamSource]], ST19): head discovery and
-    * the per-version ADD set, both listing-free. `addedFiles(n)` is the
-    * micro-batch the streaming read of commit `n` serves — the Delta
-    * streaming-source shape (each commit = one batch of its added files;
-    * COW rewrites surface as re-added files, i.e. append-only semantics).
-    * Cost: two checkpoint-bounded state reconstructions, O(1) in table age.
+    * the per-version ADD/REMOVE delta, both listing-free. `addedFiles(n)`
+    * is the micro-batch the streaming read of commit `n` serves — the
+    * Delta streaming-source shape (each commit = one batch of its added
+    * files); a nonzero REMOVE count marks a change commit, which the
+    * source fails on by default (rewrites re-add already-streamed rows —
+    * only `ignoreChanges` treats them as appends). Cost: two
+    * checkpoint-bounded state reconstructions, O(1) in table age.
     */
   private[graft] def headVersionNumber(root: String): Option[Int] = headNumber(root)
 
