@@ -1407,6 +1407,22 @@ object Versioned {
   def addNotNull(spark: SparkSession, root: String, column: String): Version =
     addConstraint(spark, root, s"nn_$column", s"`$column` IS NOT NULL")
 
+  /** Remove a named constraint from the contract (`ALTER TABLE DROP
+    * CONSTRAINT`). Deltas can only ADD constraint lines (the fold
+    * accumulates), so the drop commits a FULL manifest carrying the
+    * filtered set — metadata-only (zero data files touched), and it
+    * doubles as a checkpoint. Time travel still sees the constraint on
+    * older versions' state; later writes stop validating it.
+    */
+  def dropConstraint(root: String, name: String): Version = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    require(cur.constraints.exists(_._1 == name),
+      s"no constraint `$name` on $root (have: ${cur.constraints.map(_._1).mkString(", ")})")
+    writeManifest(root, cur.copy(n = cur.n + 1, op = "deconstrain", parent = cur.n,
+      ts = commitTs(Some(cur)), constraints = cur.constraints.filterNot(_._1 == name)))
+  }
+
   /** One commit-sized count aggregate proving `files` satisfy every
     * constraint — the write-side enforcement behind vt20. Runs over the
     * LANDED parquet (what will actually be referenced), not the input

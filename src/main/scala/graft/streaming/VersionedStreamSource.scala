@@ -95,11 +95,24 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     // user-supplied schema skips inferSchema, and a missing path must fail
     // HERE with an actionable message, not later as an NPE in Paths.get
     val opts = new CaseInsensitiveStringMap(properties)
-    new VersionedStreamTable(rootOf(opts), schema,
-      // startingVersion: first version to EMIT (Delta's option) — default 1
-      // (everything). Only consulted for a fresh checkpoint: a checkpointed
-      // offset always wins (deserializeOffset, not initialOffset).
-      Option(properties.get("startingVersion")).map(_.trim.toInt).getOrElse(1),
+    val root = rootOf(opts)
+    // startingVersion: first version to EMIT (Delta's option) — default 1
+    // (everything). startingTimestamp (Delta's other form) resolves to the
+    // first version committed strictly AFTER the instant — "stream me what
+    // happened since t" (the version AT t is the snapshot a batch read
+    // serves; the vt19 probe makes the cut exact). Both only consulted for
+    // a fresh checkpoint: a checkpointed offset always wins
+    // (deserializeOffset, not initialOffset).
+    val startVer = Option(properties.get("startingVersion")).map(_.trim.toInt)
+      .orElse(Option(properties.get("startingTimestamp")).map { t =>
+        // an instant before the first commit means "everything" (Delta's
+        // lenient stance for streams), not an error like the batch probe
+        val ts = t.trim.toLong
+        val v1 = Versioned.versionState(root, 1)
+        if (v1.ts >= 0 && ts < v1.ts) 1
+        else Versioned.versionAtTimestamp(root, ts) + 1
+      }).getOrElse(1)
+    new VersionedStreamTable(root, schema, startVer,
       Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt).getOrElse(1),
       Option(properties.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")))
   }

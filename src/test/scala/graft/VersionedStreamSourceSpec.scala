@@ -188,6 +188,38 @@ class VersionedStreamSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("path"), s"expected the path hint, got: ${e.getMessage}")
   }
 
+  test("startingTimestamp streams what happened strictly after the instant; pre-table instants mean everything") {
+    import spark.implicits._
+    val base = freshBase()
+    val root = base + "/t"
+    Versioned.append(Seq((1L, "a")).toDF("k", "tag"), root)
+    Thread.sleep(15)
+    Versioned.append(Seq((2L, "b")).toDF("k", "tag"), root)
+    Thread.sleep(15)
+    Versioned.append(Seq((3L, "c")).toDF("k", "tag"), root)
+    val ts = Versioned.versions(root).map(_.ts)
+    def drainFrom(startTs: Long, tag: String): Seq[Long] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      spark.readStream.format(classOf[VersionedStreamSource].getName)
+        .option("path", root).option("startingTimestamp", startTs.toString).load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt_$tag")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k").as[Long].collect().foreach(seen.add); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      import scala.jdk.CollectionConverters._
+      seen.iterator().asScala.toSeq.sorted
+    }
+    // "since v1's commit": v1 itself is the snapshot AT that instant —
+    // the stream serves what came after
+    assert(drainFrom(ts(0), "a") === Seq(2L, 3L))
+    assert(drainFrom(ts(2), "b") === Seq.empty)
+    assert(drainFrom(ts(0) - 1000000, "c") === Seq(1L, 2L, 3L),
+      "a pre-table instant streams everything")
+  }
+
   test("startingVersion skips earlier commits on a fresh checkpoint") {
     import spark.implicits._
     val base = freshBase()

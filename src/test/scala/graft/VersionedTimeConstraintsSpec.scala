@@ -208,6 +208,27 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
       Seq("k"), 1L).nonEmpty)
   }
 
+  test("vt20: dropConstraint is metadata-only and later writes stop validating") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, 1.0)).toDF("k", "price"), r)
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    Versioned.addConstraint(spark, r, "k_pos", "k > 0")
+    intercept[IllegalArgumentException] { Versioned.dropConstraint(r, "nope") }
+    val before = Versioned.currentVersion(r).get.files
+    val v = Versioned.dropConstraint(r, "price_pos")
+    assert(v.op === "deconstrain" && v.files === before, "drop commits no data")
+    assert(v.constraints === Seq("k_pos" -> "k > 0"))
+    // the dropped rule no longer validates; the kept one still does
+    Versioned.append(Seq((2L, -5.0)).toDF("k", "price"), r)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((-3L, 1.0)).toDF("k", "price"), r)
+    }
+    assert(e.getMessage.contains("k_pos"))
+    // history: the pre-drop version still records both constraints
+    assert(Versioned.versions(r).find(_.n === 3).get.constraints.length === 2)
+  }
+
   test("vt20: rollback restores the target's constraint set") {
     import spark.implicits._
     val r = root()
