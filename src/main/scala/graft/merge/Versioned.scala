@@ -1291,9 +1291,52 @@ object Versioned {
     val all = versions(root)
     require(all.nonEmpty, s"no committed versions at $root")
     val live = all.takeRight(keepLast).flatMap(_.files).toSet
-    val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live).distinct
+    // absolute paths are INHERITED (shallow clone, vt21) — expiring them
+    // from this table's history must never delete the ORIGIN's data
+    val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live)
+      .filterNot(f => Paths.get(f).isAbsolute).distinct
     expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
     (expired.sorted, live.toSeq.sorted)
+  }
+
+  /** VT21: SHALLOW CLONE — a zero-copy writable copy of the table's current
+    * state (Delta's `CREATE TABLE ... SHALLOW CLONE`, from its published
+    * design): the clone's v1 is ONE full manifest referencing the SOURCE's
+    * data files by ABSOLUTE path — no data moved at any table size; the
+    * dev/test/experiment workflow every table format ships. Everything
+    * composes because the read path resolves paths against the clone root
+    * (`Paths.resolve` returns an absolute operand unchanged): skipping
+    * stats, the schema contract, and CHECK constraints carry over, reads
+    * and pruned reads serve the source's bytes, and WRITES land under the
+    * clone root only — an append adds clone-local files, a COW merge/
+    * delete rewrites affected source-referenced files INTO the clone and
+    * delists them from the clone's manifest while the source table never
+    * changes (its own log still references its files).
+    *
+    * Ownership rule: the clone's retention ops NEVER delete files they do
+    * not own — [[vacuum]]/[[vacuumOlderThan]] skip absolute (inherited)
+    * paths, and [[gcOrphans]] only walks the clone's own `data/` dir.
+    * Vacuuming the SOURCE can still break the clone (same hazard Delta
+    * documents — shallow clones borrow liveness from their origin).
+    * Stream-batch txn ids carry over (Delta clone parity): a replay of the
+    * SOURCE's exact ingest lineage into the clone stays deduplicated;
+    * point a genuinely new stream at the clone under a fresh checkpoint
+    * namespace (st17's fine print). Absolute paths make a clone
+    * machine-local — not relocatable, unlike a regular table.
+    */
+  def cloneTable(srcRoot: String, dstRoot: String): Version = {
+    val src = currentVersion(srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $srcRoot"))
+    require(currentVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot already has committed versions")
+    val srcP = Paths.get(srcRoot)
+    def abs(f: String): String = srcP.resolve(f).toString
+    writeManifest(dstRoot, Version(1, "clone", 0,
+      src.files.map(abs),
+      src.stats.map { case (f, r) => abs(f) -> r },
+      src.statsCols, src.txns, src.schema,
+      src.sizes.map { case (f, s) => abs(f) -> s },
+      commitTs(None), src.constraints))
   }
 
   /** VT19 (retention half): age-based retention — [[vacuum]] with the cut
@@ -1318,7 +1361,9 @@ object Versioned {
     val head = all.last.n
     def retained(v: Version): Boolean = v.n == head || v.ts < 0 || v.ts >= cutoff
     val live = all.filter(retained).flatMap(_.files).toSet
-    val expired = all.filterNot(retained).flatMap(_.files).filterNot(live).distinct
+    val expired = all.filterNot(retained).flatMap(_.files).filterNot(live)
+      .filterNot(f => Paths.get(f).isAbsolute) // inherited (clone) — not ours to delete
+      .distinct
     expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
     (expired.sorted, live.toSeq.sorted)
   }

@@ -819,6 +819,36 @@ object SinkQueries extends QueryModule {
       V.read(s, root).withColumn("violation_refused", lit(if (refused) 1 else 0))
     }),
 
+    // VT21: SHALLOW CLONE — a zero-copy writable copy through the manifest
+    // (Delta's SHALLOW CLONE): the clone's v1 references the source's data
+    // files by absolute path (no data moved), carried stats/schema/
+    // constraints intact; a COW merge on the CLONE rewrites only its
+    // affected inherited files clone-locally while the SOURCE stays
+    // byte-identical. The output reads both tables — the source must show
+    // the original prices, the clone the merged state — so any leak of
+    // the merge into the source (or a lost inherited file) hash-fails.
+    "vt21_shallow_clone" -> ((s, dir) => {
+      val base = tmp("graft_vt21")
+      val src = base + "/src"; val dst = base + "/clone"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), src, "o_orderkey")
+      V.cloneTable(src, dst)
+      val window = col("o_orderkey").between(1000L, 3000L)
+      val upd = o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"), (col("o_orderkey") * 2).cast("double").as("o_totalprice"))
+        .unionAll(o.filter(col("o_orderstatus") === "O" && window)
+          .select(col("o_orderkey"), lit(-1.0).as("o_totalprice")))
+      V.mergeInto(s, dst, upd, Seq("o_orderkey"))
+      V.read(s, src)
+        .select(lit("source").as("side"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(V.read(s, dst)
+          .select(lit("clone").as("side"), col("o_orderkey"), col("o_totalprice")))
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -1009,6 +1039,19 @@ object SinkQueries extends QueryModule {
     "vt20_constraints" ->
       """SELECT o_orderkey, o_totalprice, 1 AS violation_refused FROM orders
         |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+    // vt21: the source still reads original F prices; the clone reads the
+    // vt12-shape merged state (window updates + O-window inserts)
+    "vt21_shallow_clone" ->
+      """SELECT 'source' AS side, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'clone', o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN CAST(o_orderkey * 2 AS DOUBLE) ELSE o_totalprice END
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
     "vt17_cdc_by_key" ->

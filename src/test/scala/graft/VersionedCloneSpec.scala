@@ -1,0 +1,83 @@
+package graft
+
+import graft.merge.Versioned
+import org.apache.spark.sql.functions._
+
+/** VT21: shallow clone — zero-copy writable copy through the manifest. */
+class VersionedCloneSpec extends SparkSuite {
+
+  test("clone reads the source's bytes zero-copy; carries stats, schema, constraints, txns") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 10.0)).toDF("k", "price")
+        .repartitionByRange(4, col("k")), src, "k")
+    Versioned.addConstraint(spark, src, "price_pos", "price > 0")
+    val v = Versioned.cloneTable(src, dst)
+    assert(v.op === "clone" && v.n === 1)
+    // zero data files under the clone root
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dst, "data")))
+    // same rows, served from the SOURCE's files (absolute refs)
+    assert(Versioned.read(spark, dst).select("k").as[Long].collect().sorted
+      === (1L to 100L).toArray)
+    assert(v.files.forall(f => java.nio.file.Paths.get(f).isAbsolute))
+    // carried stats still prune: a one-quartile read plans a strict subset
+    val planned = Versioned.readWhere(spark, dst, col("k") <= 25L).inputFiles
+    assert(planned.length < v.files.length, s"pruning must survive the clone")
+    // carried constraint still enforces
+    val e = intercept[IllegalArgumentException] {
+      Versioned.append(Seq((200L, -1.0)).toDF("k", "price"), dst)
+    }
+    assert(e.getMessage.contains("price_pos"))
+    // a second clone into the same root refuses
+    intercept[IllegalArgumentException] { Versioned.cloneTable(src, dst) }
+  }
+
+  test("writes to the clone never touch the source; COW rewrites land clone-local") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, "old")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), src, "k")
+    val srcVer = Versioned.currentVersion(src).get
+    Versioned.cloneTable(src, dst)
+    // append + COW merge on the CLONE
+    Versioned.append(Seq((101L, "new")).toDF("k", "v"), dst)
+    Versioned.mergeInto(spark, dst, Seq((5L, "UPD")).toDF("k", "v"), Seq("k"))
+    // clone sees the update; source is byte-identical (same version, same
+    // files, same rows)
+    assert(Versioned.read(spark, dst).filter(col("k") === 5L)
+      .select("v").as[String].head() === "UPD")
+    assert(Versioned.currentVersion(src).get === srcVer)
+    assert(Versioned.read(spark, src).filter(col("k") === 5L)
+      .select("v").as[String].head() === "old")
+    // the merge delisted the affected INHERITED file and rewrote it
+    // clone-locally; untouched inherited files still serve
+    val cur = Versioned.currentVersion(dst).get
+    assert(cur.files.exists(f => !java.nio.file.Paths.get(f).isAbsolute),
+      "rewrite lands under the clone root")
+    assert(cur.files.count(f => java.nio.file.Paths.get(f).isAbsolute)
+      === srcVer.files.length - 1, "exactly the affected inherited file delisted")
+  }
+
+  test("clone retention never deletes inherited files (vacuum + vacuumOlderThan)") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    Versioned.append((1L to 50L).map(k => (k, "x")).toDF("k", "v"), src)
+    Versioned.cloneTable(src, dst)
+    Thread.sleep(15)
+    // replace the clone's content: the inherited files drop out of HEAD
+    Versioned.overwrite(Seq((999L, "z")).toDF("k", "v"), dst)
+    val ts = Versioned.versions(dst).map(_.ts)
+    val (del1, _) = Versioned.vacuum(dst, keepLast = 1)
+    val (del2, _) = Versioned.vacuumOlderThan(dst, olderThanMs = 0,
+      nowMs = ts.last + 1000000)
+    assert(del1.isEmpty && del2.isEmpty,
+      "expired inherited files are skipped — not ours to delete")
+    // the source still reads intact
+    assert(Versioned.read(spark, src).count() === 50L)
+  }
+}
