@@ -1324,9 +1324,9 @@ object Versioned {
     * namespace (st17's fine print). Absolute paths make a clone
     * machine-local — not relocatable, unlike a regular table.
     */
-  def cloneTable(srcRoot: String, dstRoot: String): Version = {
-    val src = currentVersion(srcRoot).getOrElse(
-      throw new IllegalArgumentException(s"no committed versions at $srcRoot"))
+  def cloneTable(srcRoot: String, dstRoot: String, asOf: Option[Int] = None): Version = {
+    val src = asOf.map(stateAt(srcRoot, _)).getOrElse(currentVersion(srcRoot).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $srcRoot")))
     require(currentVersion(dstRoot).isEmpty,
       s"clone target $dstRoot already has committed versions")
     val srcP = Paths.get(srcRoot)
@@ -1405,6 +1405,27 @@ object Versioned {
     */
   def readAsOfTimestamp(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     read(spark, root, Some(versionAtTimestamp(root, tsMillis)))
+
+  /** RESTORE to a wall-clock instant — [[rollback]] with the target
+    * resolved by [[versionAtTimestamp]] ("undo everything since t"). Same
+    * semantics: append-only history, pointer-flip cost, refusal when the
+    * target's data aged out.
+    */
+  def rollbackToTimestamp(root: String, tsMillis: Long): Version =
+    rollback(root, versionAtTimestamp(root, tsMillis))
+
+  /** CDC between two wall-clock instants — [[changes]] with both endpoints
+    * resolved by [[versionAtTimestamp]]: "what changed between Monday's
+    * close and Wednesday's close", the form an audit consumer actually
+    * asks. Endpoints resolve to the snapshots a reader AT those instants
+    * saw; equal resolved versions yield an empty change set.
+    */
+  def changesBetweenTimestamps(spark: SparkSession, root: String,
+      fromTs: Long, toTs: Long): DataFrame = {
+    require(fromTs <= toTs, s"fromTs $fromTs is after toTs $toTs")
+    changes(spark, root,
+      versionAtTimestamp(root, fromTs), versionAtTimestamp(root, toTs))
+  }
 
   /** VT20: add a CHECK constraint to the schema contract — named SQL
     * predicates every later write must satisfy (the reference validates

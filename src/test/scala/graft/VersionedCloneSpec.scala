@@ -62,6 +62,16 @@ class VersionedCloneSpec extends SparkSuite {
       === srcVer.files.length - 1, "exactly the affected inherited file delisted")
   }
 
+  test("clone of a PAST version (asOf) snapshots that state") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), src)
+    Versioned.append(Seq((2L, "b")).toDF("k", "v"), src)
+    Versioned.cloneTable(src, dst, asOf = Some(1))
+    assert(Versioned.read(spark, dst).select("k").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("clone retention never deletes inherited files (vacuum + vacuumOlderThan)") {
     import spark.implicits._
     val base = tmpDir()

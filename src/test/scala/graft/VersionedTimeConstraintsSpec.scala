@@ -86,6 +86,28 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("vt19: rollbackToTimestamp and changesBetweenTimestamps compose the probe") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.append(Seq((2L, "b")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.append(Seq((3L, "c")).toDF("k", "v"), r)
+    val ts = Versioned.versions(r).map(_.ts)
+    // "what changed between v1's close and head": inserts 2 and 3
+    val ch = Versioned.changesBetweenTimestamps(spark, r, ts(0), ts(2) + 1000)
+    assert(ch.filter(col("change_type") === "insert").select("k")
+      .as[Long].collect().toSet === Set(2L, 3L))
+    assert(ch.filter(col("change_type") === "delete").count() === 0)
+    // equal endpoints: empty change set
+    assert(Versioned.changesBetweenTimestamps(spark, r, ts(1), ts(1)).count() === 0)
+    // "undo everything since v1's commit instant"
+    val v = Versioned.rollbackToTimestamp(r, ts(0))
+    assert(v.op === "rollback" && v.parent === 1)
+    assert(Versioned.read(spark, r).select("k").as[Long].collect().toSeq === Seq(1L))
+  }
+
   // ---------------------------------------------------------------- vt20
 
   test("vt20: addConstraint is admitted only when current data passes; violating appends refuse") {
