@@ -1724,7 +1724,19 @@ object Versioned {
     * checkpoint can pair old ids with different data, and the skip drops
     * it. Keep one checkpoint per sink for the general guarantee.
     */
-  def appendStreamBatch(df: DataFrame, root: String, batchId: Long): Option[Version] = {
+  def appendStreamBatch(df: DataFrame, root: String, batchId: Long): Option[Version] =
+    appendStreamBatch(df, root, batchId, Nil)
+
+  /** [[appendStreamBatch]] carrying manifest SKIPPING STATS for the batch's
+    * files (the [[appendWithStats]] pass at micro-batch size): a long-lived
+    * sink's accreted files prune from day one instead of reading
+    * conservatively until the first [[compact]]/[[compactZOrder]] re-lays
+    * them. `statsCols` must match the table's tracked set when one exists
+    * (the commit re-checks); the stats pass costs O(batch), never O(table).
+    */
+  def appendStreamBatch(df: DataFrame, root: String, batchId: Long,
+      statsCols: Seq[String]): Option[Version] = {
+    statsCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail BEFORE writing
     val cur = currentVersion(root)
     if (cur.exists(_.txns.contains(batchId))) None
     else {
@@ -1734,8 +1746,11 @@ object Versioned {
       Some(sealing(marker) {
         validateConstraints(df.sparkSession, root,
           cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+        val entries =
+          if (statsCols.isEmpty) plainEntries(files)
+          else statsEntries(df.sparkSession, root, files, statsCols)
         commitOn(root, cur, s"stream-batch-$batchId",
-          plainEntries(files), Nil, Nil, Some(ddl))
+          entries, Nil, statsCols, Some(ddl))
       })
     }
   }

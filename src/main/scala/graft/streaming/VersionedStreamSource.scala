@@ -114,13 +114,15 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
       }).getOrElse(1)
     new VersionedStreamTable(root, schema, startVer,
       Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt).getOrElse(1),
-      Option(properties.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")))
+      Option(properties.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
+      Option(properties.get("maxBytesPerTrigger")).map(_.trim.toLong))
   }
 }
 
 private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType,
     startingVersion: Int, maxVersionsPerTrigger: Int,
-    ignoreChanges: Boolean) extends Table with SupportsRead {
+    ignoreChanges: Boolean,
+    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -131,7 +133,7 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(root, tableSchema, startingVersion,
-            maxVersionsPerTrigger, ignoreChanges)
+            maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger)
       }
     }
 }
@@ -145,11 +147,14 @@ private[streaming] case class VersionLogOffset(v: Int) extends Offset {
 
 private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType,
     startingVersion: Int = 1, maxVersionsPerTrigger: Int = 1,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+  maxBytesPerTrigger.foreach(b => require(b >= 1,
+    s"maxBytesPerTrigger must be >= 1, got $b"))
 
   // AvailableNow contract: pin the head at query start, drain to exactly
   // there, stop — commits racing the drain wait for the next run
@@ -167,14 +172,36 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Up to `maxVersionsPerTrigger` versions per micro-batch (default 1 —
-    * the natural unit: a commit is the producer's atomicity boundary). A
-    * backlog of B commits drains in ⌈B/k⌉ batches; batch membership is
-    * still decided by the manifests, never by listing.
+    * the natural unit: a commit is the producer's atomicity boundary),
+    * additionally capped by `maxBytesPerTrigger` when set: versions are
+    * admitted until their cumulative ADDED bytes (from the fmt=3 manifest
+    * sizes — zero filesystem stats; pre-fmt-3 files fall back to one
+    * driver stat) would exceed the cap, always admitting at least one so
+    * an oversized single commit still drains. A backlog of B commits
+    * drains in ⌈B/k⌉ batches; batch membership is still decided by the
+    * manifests, never by listing.
     */
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    VersionLogOffset(
-      math.min(availableTarget.getOrElse(head), ver(start) + maxVersionsPerTrigger)
-        .max(ver(start)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val ceiling = math.min(availableTarget.getOrElse(head),
+      ver(start) + maxVersionsPerTrigger)
+    val end = maxBytesPerTrigger match {
+      case None => ceiling
+      case Some(cap) =>
+        var n = ver(start)
+        var bytes = 0L
+        while (n < ceiling && (n == ver(start) || bytes < cap)) {
+          val vBytes = Versioned.addedAndRemoved(root, n + 1)._1.map { case (rel, sz) =>
+            if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
+          }.sum
+          // admit the first version unconditionally; later ones only if
+          // they fit under the cap
+          if (n == ver(start) || bytes + vBytes <= cap) { n += 1; bytes += vBytes }
+          else bytes = cap // stop
+        }
+        n
+    }
+    VersionLogOffset(end.max(ver(start)))
+  }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "admission-controlled stream: the engine calls latestOffset(start, limit)")

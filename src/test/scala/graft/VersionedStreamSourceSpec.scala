@@ -220,6 +220,34 @@ class VersionedStreamSourceSpec extends SparkSuite {
       "a pre-table instant streams everything")
   }
 
+  test("maxBytesPerTrigger bounds admission by the manifests' recorded sizes") {
+    import spark.implicits._
+    def run(cap: Long, maxVers: Int): (Int, Set[Long]) = {
+      val base = freshBase()
+      val root = base + "/t"
+      (1 to 6).foreach(i => Versioned.append(Seq((i.toLong, s"c$i")).toDF("k", "tag"), root))
+      val batches = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      spark.readStream.format(classOf[VersionedStreamSource].getName)
+        .option("path", root)
+        .option("maxVersionsPerTrigger", maxVers.toString)
+        .option("maxBytesPerTrigger", cap.toString).load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized { batches(id) = df.select("k").as[Long].collect().toSet }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      (batches.size, batches.values.flatten.toSet)
+    }
+    // a 1-byte cap degenerates to one version per batch (first always admits)
+    val (nTiny, rowsTiny) = run(cap = 1L, maxVers = 10)
+    assert(nTiny === 6 && rowsTiny === (1L to 6L).toSet)
+    // a huge cap leaves maxVersionsPerTrigger as the only bound
+    val (nHuge, rowsHuge) = run(cap = Long.MaxValue / 2, maxVers = 10)
+    assert(nHuge === 1 && rowsHuge === (1L to 6L).toSet)
+  }
+
   test("startingVersion skips earlier commits on a fresh checkpoint") {
     import spark.implicits._
     val base = freshBase()

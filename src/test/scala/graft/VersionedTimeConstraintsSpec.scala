@@ -251,6 +251,26 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
     assert(Versioned.versions(r).find(_.n === 3).get.constraints.length === 2)
   }
 
+  test("st17+: appendStreamBatch can carry skipping stats; replay still skips") {
+    import spark.implicits._
+    val r = root()
+    Versioned.appendStreamBatch(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(4, col("k")),
+      r, batchId = 0L, statsCols = Seq("k"))
+    Versioned.appendStreamBatch(
+      (101L to 200L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(4, col("k")),
+      r, 1L, Seq("k"))
+    // the accreted files prune NOW, without waiting for a compact
+    val cur = Versioned.currentVersion(r).get
+    assert(cur.statsCols === Seq("k") && cur.stats.nonEmpty)
+    val planned = Versioned.readWhere(spark, r, col("k") <= 20L).inputFiles
+    assert(planned.length < cur.files.length, "stream-landed files must prune")
+    // replayed id is still a no-op
+    assert(Versioned.appendStreamBatch(
+      Seq((999L, "x")).toDF("k", "v"), r, 0L, Seq("k")).isEmpty)
+    assert(Versioned.read(spark, r).count() === 200L)
+  }
+
   test("vt20: rollback restores the target's constraint set") {
     import spark.implicits._
     val r = root()
