@@ -631,10 +631,10 @@ object Versioned {
     val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, options)
     sealing(marker) {
-      validateConstraints(df.sparkSession, root,
-        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+      // constraint check fused into the stats pass: one landed-files scan
       commitOn(root, cur, "append",
-        statsEntries(df.sparkSession, root, files, statsCols), Nil, statsCols, Some(ddl))
+        statsEntriesValidating(df.sparkSession, root, files, statsCols,
+          cur.map(_.constraints).getOrElse(Nil)), Nil, statsCols, Some(ddl))
     }
   }
 
@@ -727,23 +727,53 @@ object Versioned {
     * [[overwrite]], [[deleteWhere]] and [[mergeInto]].
     */
   private def statsEntries(spark: SparkSession, root: String, files: Seq[(String, Long)],
-      statsCols: Seq[String]): Seq[FileEntry] = {
+      statsCols: Seq[String]): Seq[FileEntry] =
+    statsEntriesValidating(spark, root, files, statsCols, Nil)
+
+  /** [[statsEntries]] with the vt20 constraint check FUSED into the same
+    * commit-sized scan: the per-file groupBy that measures (min, max)
+    * ranges also counts each constraint's violations per file (summed
+    * driver-side), so a stats-tracked constrained table pays ONE read of
+    * its landed files per commit, not two. Violations throw BEFORE the
+    * entries are returned — the caller commits nothing ([[
+    * validateConstraints]]' contract). A file's stats columns being
+    * all-NULL still yields a stats-less conservative entry; constraint
+    * counts are unaffected (count never returns NULL).
+    */
+  private def statsEntriesValidating(spark: SparkSession, root: String,
+      files: Seq[(String, Long)], statsCols: Seq[String],
+      constraints: Seq[(String, String)]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
     val df = spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*)
-    val aggs = statsCols.flatMap { c =>
+    val statAggs = statsCols.flatMap { c =>
       val e = statsLongExpr(c, df.schema(c).dataType)
       Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
     }
-    val byFile = df
+    val conAggs = constraints.map { case (nm, sql) =>
+      count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(s"viol_$nm")
+    }
+    val aggs = statAggs ++ conAggs
+    val rows = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.map { r =>
-        val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-        if ((1 until r.length).exists(r.isNullAt)) rel -> Seq.empty[(Long, Long)]
-        else rel -> (0 until statsCols.length).map(i =>
-          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      }.toMap
+      .collect().toSeq
+    val nStat = 2 * statsCols.length
+    if (constraints.nonEmpty) {
+      val bad = constraints.zipWithIndex.collect {
+        case ((nm, sql), i) if rows.map(_.getLong(1 + nStat + i)).sum > 0 =>
+          s"`$nm` ($sql): ${rows.map(_.getLong(1 + nStat + i)).sum} row(s)"
+      }
+      require(bad.isEmpty,
+        s"commit to $root violates CHECK constraint(s) — refused, no metadata written: " +
+          bad.mkString("; "))
+    }
+    val byFile = rows.map { r =>
+      val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+      if ((1 to nStat).exists(r.isNullAt)) rel -> Seq.empty[(Long, Long)]
+      else rel -> (0 until statsCols.length).map(i =>
+        (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+    }.toMap
     files.map { case (f, sz) => FileEntry(f, byFile.getOrElse(f, Nil), sz) }
   }
 
@@ -1138,13 +1168,16 @@ object Versioned {
     val n = cur.n + 1
     val ddl = normalizedDDL(merged)
     val (files, marker) = writeData(merged, root, n, Map.empty)
-    val entries =
-      if (cur.statsCols.isEmpty) plainEntries(files)
-      else statsEntries(spark, root, files, cur.statsCols)
     sealing(marker) {
-      // the merge RESULT (updates included) must pass — carried-through
-      // rows were already valid, so violations can only come from source
-      validateConstraints(spark, root, cur.constraints, files, Some(ddl))
+      // the merge RESULT (updates included) must pass the constraints —
+      // carried-through rows were already valid, so violations can only
+      // come from source; the check is fused into the stats pass when one
+      // runs (one landed-files scan either way)
+      val entries =
+        if (cur.statsCols.isEmpty) {
+          validateConstraints(spark, root, cur.constraints, files, Some(ddl))
+          plainEntries(files)
+        } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints)
       commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
     }
   }
@@ -1232,13 +1265,15 @@ object Versioned {
     }
     val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, Map.empty)
-    val entries =
-      if (keptStats.isEmpty) plainEntries(files)
-      else statsEntries(df.sparkSession, root, files, keptStats)
     // overwrite IS the schema-evolution op: the full manifest records the
     // new contract, and later appends are checked against it
     sealing(marker) {
-      validateConstraints(df.sparkSession, root, keptConstraints, files, Some(ddl))
+      val entries =
+        if (keptStats.isEmpty) {
+          validateConstraints(df.sparkSession, root, keptConstraints, files, Some(ddl))
+          plainEntries(files)
+        } else statsEntriesValidating(df.sparkSession, root, files, keptStats,
+          keptConstraints)
       writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
         entries.map(_.path),
         entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
@@ -1744,11 +1779,12 @@ object Versioned {
       val ddl = normalizedDDL(df)
       val (files, marker) = writeData(df, root, n, Map.empty)
       Some(sealing(marker) {
-        validateConstraints(df.sparkSession, root,
-          cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+        val cons = cur.map(_.constraints).getOrElse(Nil)
         val entries =
-          if (statsCols.isEmpty) plainEntries(files)
-          else statsEntries(df.sparkSession, root, files, statsCols)
+          if (statsCols.isEmpty) {
+            validateConstraints(df.sparkSession, root, cons, files, Some(ddl))
+            plainEntries(files)
+          } else statsEntriesValidating(df.sparkSession, root, files, statsCols, cons)
         commitOn(root, cur, s"stream-batch-$batchId",
           entries, Nil, statsCols, Some(ddl))
       })

@@ -72,6 +72,26 @@ class VersionedCloneSpec extends SparkSuite {
     assert(Versioned.read(spark, dst).select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
+  test("the clone works as a native relation: SQL over Versioned.table prunes inherited files") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(4, col("k")), src, "k")
+    Versioned.cloneTable(src, dst)
+    val rel = Versioned.table(spark, dst)
+    rel.createOrReplaceTempView("clone_t")
+    val q = spark.sql("SELECT k, v FROM clone_t WHERE k BETWEEN 1 AND 20")
+    assert(q.as[(Long, Long)].collect().toSet === (1L to 20L).map(k => (k, k * 2)).toSet)
+    val scanned = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+    }.flatten
+    assert(scanned.nonEmpty && scanned.length < 4,
+      s"manifest-stats pruning must survive the clone's absolute paths, planned $scanned")
+  }
+
   test("clone retention never deletes inherited files (vacuum + vacuumOlderThan)") {
     import spark.implicits._
     val base = tmpDir()
