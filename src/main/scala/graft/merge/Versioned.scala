@@ -792,11 +792,30 @@ object Versioned {
     val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n0, Map.empty)
     sealing(marker) {
-      // validated against the constraints at plan time — a constraint a
-      // RACING commit adds mid-retry is that commit's admission check's job
-      validateConstraints(df.sparkSession, root,
-        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
-      retryCommit(root, "append", plainEntries(files), Nil, maxRetries, Some(ddl))
+      // constraints are re-validated per ATTEMPT against that attempt's
+      // head: a racing commit may have ADDED a constraint, and its own
+      // admission check scanned only committed data — never these not-yet-
+      // committed files. Validation reruns only when the constraint set
+      // actually changed (the common retry re-commits metadata-only).
+      var validated: Seq[(String, String)] = null
+      var attempt = 0
+      var committed: Option[Version] = None
+      while (committed.isEmpty) {
+        val head = currentVersion(root)
+        val cons = head.map(_.constraints).getOrElse(Nil)
+        if (cons != validated) {
+          validateConstraints(df.sparkSession, root, cons, files, Some(ddl))
+          validated = cons
+        }
+        try committed = Some(
+          commitOn(root, head, "append", plainEntries(files), Nil, Nil, Some(ddl)))
+        catch {
+          case e: IllegalStateException if e.getMessage.startsWith("concurrent commit") =>
+            attempt += 1
+            if (attempt > maxRetries) throw e
+        }
+      }
+      committed.get
     }
   }
 
@@ -1353,11 +1372,14 @@ object Versioned {
     * paths, and [[gcOrphans]] only walks the clone's own `data/` dir.
     * Vacuuming the SOURCE can still break the clone (same hazard Delta
     * documents — shallow clones borrow liveness from their origin).
-    * Stream-batch txn ids carry over (Delta clone parity): a replay of the
-    * SOURCE's exact ingest lineage into the clone stays deduplicated;
-    * point a genuinely new stream at the clone under a fresh checkpoint
-    * namespace (st17's fine print). Absolute paths make a clone
-    * machine-local — not relocatable, unlike a regular table.
+    * Stream-batch txn ids are NOT carried: this log's ids are bare longs
+    * with no stream identity (Delta's clone can carry txns because its
+    * dedup is scoped per appId), so inheriting the source's ids would make
+    * a NEW stream pointed at the clone silently skip its first batches —
+    * ids restart at 0 under a fresh checkpoint and would collide with the
+    * source's history. The clone starts with fresh dedup lineage; replays
+    * of the source's own ingest belong on the source. Absolute paths make
+    * a clone machine-local — not relocatable, unlike a regular table.
     */
   def cloneTable(srcRoot: String, dstRoot: String, asOf: Option[Int] = None): Version = {
     val src = asOf.map(stateAt(srcRoot, _)).getOrElse(currentVersion(srcRoot).getOrElse(
@@ -1369,7 +1391,7 @@ object Versioned {
     writeManifest(dstRoot, Version(1, "clone", 0,
       src.files.map(abs),
       src.stats.map { case (f, r) => abs(f) -> r },
-      src.statsCols, src.txns, src.schema,
+      src.statsCols, Set.empty, src.schema, // fresh txn lineage — see scaladoc
       src.sizes.map { case (f, s) => abs(f) -> s },
       commitTs(None), src.constraints))
   }
@@ -1426,11 +1448,25 @@ object Versioned {
       if (!Files.exists(p)) throw new IllegalStateException(
         s"version $n at $root is archived — timestamp $tsMillis predates the " +
           "retained log (read it from the archive, or loosen archival)")
-      parseManifest(n, p).ts > tsMillis
+      headerTs(p) > tsMillis
     }) n -= 1
     require(n >= 1, s"timestamp $tsMillis predates the first commit at $root " +
-      s"(v1 committed at ${parseManifest(1, manifestPath(root, 1)).ts})")
+      s"(v1 committed at ${headerTs(manifestPath(root, 1))})")
     n
+  }
+
+  /** The `ts=` of a manifest's HEADER LINE alone — the probe's per-step
+    * cost must not pay a full-checkpoint manifest's O(files) entry parse
+    * just to read one long (a 100k-file checkpoint is ~10 MB of file
+    * lines; the header is its first line). -1 when absent (pre-vt19).
+    */
+  private def headerTs(p: Path): Long = {
+    manifestReads.incrementAndGet()
+    val in = Files.newBufferedReader(p)
+    val first = try in.readLine() finally in.close()
+    if (first == null) -1L
+    else first.split(" ").iterator.map(_.split("=", 2))
+      .collectFirst { case Array("ts", v) => v.toLong }.getOrElse(-1L)
   }
 
   /** Read the table AS OF a wall-clock instant — [[read]] with the version

@@ -94,6 +94,9 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     // the same path validation inferSchema applies — a load() with a
     // user-supplied schema skips inferSchema, and a missing path must fail
     // HERE with an actionable message, not later as an NPE in Paths.get
+    // every option reads through the SAME CaseInsensitiveStringMap as
+    // `path` — a differently-cased key must be honored, not silently
+    // dropped (Delta reader options are case-insensitive too)
     val opts = new CaseInsensitiveStringMap(properties)
     val root = rootOf(opts)
     // startingVersion: first version to EMIT (Delta's option) — default 1
@@ -103,19 +106,29 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     // serves; the vt19 probe makes the cut exact). Both only consulted for
     // a fresh checkpoint: a checkpointed offset always wins
     // (deserializeOffset, not initialOffset).
-    val startVer = Option(properties.get("startingVersion")).map(_.trim.toInt)
-      .orElse(Option(properties.get("startingTimestamp")).map { t =>
+    val startVer = Option(opts.get("startingVersion")).map(_.trim.toInt)
+      .orElse(Option(opts.get("startingTimestamp")).map { t =>
         // an instant before the first commit means "everything" (Delta's
-        // lenient stance for streams), not an error like the batch probe
+        // lenient stance for streams), not an error like the batch probe;
+        // an UNKNOWN-age first commit (pre-vt19 log, ts = -1) also means
+        // everything — versionAtTimestamp would count ts=-1 as "at or
+        // before any instant" and resolve to the HEAD, silently skipping
+        // all existing data
         val ts = t.trim.toLong
         val v1 = Versioned.versionState(root, 1)
-        if (v1.ts >= 0 && ts < v1.ts) 1
+        if (v1.ts < 0 || ts < v1.ts) 1
         else Versioned.versionAtTimestamp(root, ts) + 1
       }).getOrElse(1)
-    new VersionedStreamTable(root, schema, startVer,
-      Option(properties.get("maxVersionsPerTrigger")).map(_.trim.toInt).getOrElse(1),
-      Option(properties.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
-      Option(properties.get("maxBytesPerTrigger")).map(_.trim.toLong))
+    val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.trim.toLong)
+    // maxBytesPerTrigger ALONE means "size-bounded batches" (Delta
+    // semantics): the version cap then defaults to unbounded, not 1 —
+    // otherwise the byte cap could only ever shrink a one-version batch
+    // and the option would be a silent no-op
+    val maxVers = Option(opts.get("maxVersionsPerTrigger")).map(_.trim.toInt)
+      .getOrElse(if (maxBytes.isDefined) Int.MaxValue else 1)
+    new VersionedStreamTable(root, schema, startVer, maxVers,
+      Option(opts.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
+      maxBytes)
   }
 }
 
@@ -162,6 +175,18 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
 
   private def head: Int = Versioned.headVersionNumber(root).getOrElse(0)
 
+  // per-version (added, removedCount) memo: byte-capped admission reads a
+  // version's delta in latestOffset and planInputPartitions reads it again
+  // (and a version rejected for size is re-asked next trigger) — each a
+  // pair of checkpoint-bounded state reconstructions. Versions are
+  // immutable, so the memo is exact; commit() prunes entries at or below
+  // the committed offset to bound driver memory on a long-lived stream.
+  private val deltaCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Seq[(String, Long)], Int)]()
+
+  private def versionDelta(n: Int): (Seq[(String, Long)], Int) =
+    deltaCache.computeIfAbsent(n, Versioned.addedAndRemoved(root, _))
+
   private def ver(o: Offset): Int = o match {
     case VersionLogOffset(v) => v
     case other => other.json().trim.toInt // engine-side SerializedOffset
@@ -182,15 +207,17 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
     * manifests, never by listing.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val ceiling = math.min(availableTarget.getOrElse(head),
-      ver(start) + maxVersionsPerTrigger)
+    // Long arithmetic: maxVersionsPerTrigger defaults to Int.MaxValue when
+    // only the byte cap is set, and an Int add would overflow
+    val ceiling = math.min(availableTarget.getOrElse(head).toLong,
+      ver(start).toLong + maxVersionsPerTrigger).toInt
     val end = maxBytesPerTrigger match {
       case None => ceiling
       case Some(cap) =>
         var n = ver(start)
         var bytes = 0L
         while (n < ceiling && (n == ver(start) || bytes < cap)) {
-          val vBytes = Versioned.addedAndRemoved(root, n + 1)._1.map { case (rel, sz) =>
+          val vBytes = versionDelta(n + 1)._1.map { case (rel, sz) =>
             if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
           }.sum
           // admit the first version unconditionally; later ones only if
@@ -211,13 +238,17 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def deserializeOffset(json: String): Offset =
     VersionLogOffset(json.trim.toInt)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    // bound the memo: everything at or below the committed offset is done
+    val e = ver(end)
+    deltaCache.keySet.removeIf(_ <= e)
+  }
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rootP = Paths.get(root)
     (ver(start) + 1 to ver(end)).flatMap { n =>
-      val (added, removed) = Versioned.addedAndRemoved(root, n)
+      val (added, removed) = versionDelta(n)
       // a commit that REMOVES files rewrote or deleted already-streamed
       // rows: replaying its adds would duplicate downstream data, and its
       // deletes cannot be retracted through an append-only source. Fail by

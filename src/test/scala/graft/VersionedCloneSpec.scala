@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** VT21: shallow clone — zero-copy writable copy through the manifest. */
 class VersionedCloneSpec extends SparkSuite {
 
-  test("clone reads the source's bytes zero-copy; carries stats, schema, constraints, txns") {
+  test("clone reads the source's bytes zero-copy; carries stats, schema, constraints — NOT txns") {
     import spark.implicits._
     val base = tmpDir()
     val src = base + "/src"; val dst = base + "/clone"
@@ -60,6 +60,19 @@ class VersionedCloneSpec extends SparkSuite {
       "rewrite lands under the clone root")
     assert(cur.files.count(f => java.nio.file.Paths.get(f).isAbsolute)
       === srcVer.files.length - 1, "exactly the affected inherited file delisted")
+  }
+
+  test("clone does NOT inherit stream-batch ids: a fresh stream's batch 0 lands") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/clone"
+    // the source was stream-fed: its dedup set holds id 0
+    Versioned.appendStreamBatch(Seq((1L, "a")).toDF("k", "v"), src, batchId = 0L)
+    val v = Versioned.cloneTable(src, dst)
+    assert(v.txns.isEmpty, "clone starts with fresh stream-dedup lineage — " +
+      "inherited bare-long ids would silently swallow a new stream's first batches")
+    assert(Versioned.appendStreamBatch(Seq((2L, "b")).toDF("k", "v"), dst, 0L).nonEmpty)
+    assert(Versioned.read(spark, dst).count() === 2)
   }
 
   test("clone of a PAST version (asOf) snapshots that state") {

@@ -222,15 +222,16 @@ class VersionedStreamSourceSpec extends SparkSuite {
 
   test("maxBytesPerTrigger bounds admission by the manifests' recorded sizes") {
     import spark.implicits._
-    def run(cap: Long, maxVers: Int): (Int, Set[Long]) = {
+    def run(cap: Long, maxVers: Option[Int]): (Int, Set[Long]) = {
       val base = freshBase()
       val root = base + "/t"
       (1 to 6).foreach(i => Versioned.append(Seq((i.toLong, s"c$i")).toDF("k", "tag"), root))
       val batches = scala.collection.mutable.Map.empty[Long, Set[Long]]
-      spark.readStream.format(classOf[VersionedStreamSource].getName)
+      val rd = spark.readStream.format(classOf[VersionedStreamSource].getName)
         .option("path", root)
-        .option("maxVersionsPerTrigger", maxVers.toString)
-        .option("maxBytesPerTrigger", cap.toString).load()
+        .option("maxBytesPerTrigger", cap.toString)
+      maxVers.foreach(v => rd.option("maxVersionsPerTrigger", v.toString))
+      rd.load()
         .writeStream
         .option("checkpointLocation", s"$base/ckpt")
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -241,11 +242,52 @@ class VersionedStreamSourceSpec extends SparkSuite {
       (batches.size, batches.values.flatten.toSet)
     }
     // a 1-byte cap degenerates to one version per batch (first always admits)
-    val (nTiny, rowsTiny) = run(cap = 1L, maxVers = 10)
+    val (nTiny, rowsTiny) = run(cap = 1L, maxVers = Some(10))
     assert(nTiny === 6 && rowsTiny === (1L to 6L).toSet)
     // a huge cap leaves maxVersionsPerTrigger as the only bound
-    val (nHuge, rowsHuge) = run(cap = Long.MaxValue / 2, maxVers = 10)
+    val (nHuge, rowsHuge) = run(cap = Long.MaxValue / 2, maxVers = Some(10))
     assert(nHuge === 1 && rowsHuge === (1L to 6L).toSet)
+    // the byte cap ALONE is size-based admission (Delta semantics): the
+    // version cap defaults to unbounded, so a huge cap drains the whole
+    // backlog in ONE batch — not a silent one-version-per-trigger no-op
+    val (nAlone, rowsAlone) = run(cap = Long.MaxValue / 2, maxVers = None)
+    assert(nAlone === 1 && rowsAlone === (1L to 6L).toSet,
+      s"byte cap alone must admit by size, got $nAlone batches")
+    // and a 1-byte cap alone still paces one version per batch
+    val (nAloneTiny, _) = run(cap = 1L, maxVers = None)
+    assert(nAloneTiny === 6)
+  }
+
+  test("startingTimestamp on a pre-vt19 (timestamp-less) log streams everything, not nothing") {
+    import spark.implicits._
+    val base = freshBase()
+    val root = base + "/t"
+    Versioned.append(Seq((1L, "a")).toDF("k", "tag"), root)
+    Versioned.append(Seq((2L, "b")).toDF("k", "tag"), root)
+    // strip the ts= header from every manifest — the pre-vt19 on-disk form
+    val vlog = java.nio.file.Paths.get(root, "_vlog")
+    java.nio.file.Files.list(vlog).forEach { p =>
+      if (p.getFileName.toString.matches("v\\d+\\.txt")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        lines.set(0, lines.get(0).replaceAll(" ts=\\d+", ""))
+        java.nio.file.Files.write(p, lines)
+      }
+    }
+    assert(Versioned.versions(root).forall(_.ts < 0), "fixture must be timestamp-less")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    spark.readStream.format(classOf[VersionedStreamSource].getName)
+      .option("path", root).option("startingTimestamp", "9999999999999").load()
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("k").as[Long].collect().foreach(seen.add); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    import scala.jdk.CollectionConverters._
+    // unknown-age commits: the conservative read is ALL data (resolving
+    // against ts=-1 would land on the head and silently skip everything)
+    assert(seen.iterator().asScala.toSeq.sorted === Seq(1L, 2L))
   }
 
   test("startingVersion skips earlier commits on a fresh checkpoint") {
