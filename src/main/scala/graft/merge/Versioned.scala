@@ -2015,6 +2015,73 @@ object Versioned {
           ts = state.ts), full = false)
   }
 
+  /** VT16b: metadata-only DROP COLUMN — the other half of [[evolve]]'s
+    * additive story, same economics (a contract-only commit; zero data
+    * files touched at any table size): readers under the shrunk contract
+    * simply never project the column (the explicit-read-schema semantics
+    * [[readFiles]] applies — parquet reads a subset of a file's columns
+    * natively), old versions time-travel with the column intact, and
+    * later appends are checked against the shrunk contract. RENAME is
+    * deliberately NOT offered: without per-field ids (Iceberg) or column
+    * mapping (Delta) a rename is indistinguishable from drop+add and
+    * would silently null the renamed data — drop+add states that
+    * honestly. Guards: at least one column must remain; a column a CHECK
+    * constraint references refuses (drop the constraint first — Delta's
+    * rule); dropping a STATS-TRACKED column re-aligns every file's
+    * recorded ranges (positional) and commits FULL — still metadata-only.
+    */
+  def evolveDrop(root: String, dropCols: Seq[String]): Version = {
+    require(dropCols.nonEmpty, "evolveDrop needs at least one column to drop")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $root records no schema contract — evolve via overwrite()")))
+    dropCols.foreach(c => require(old.fieldNames.contains(c),
+      s"evolveDrop: column `$c` is not in the contract (${old.fieldNames.mkString(", ")})"))
+    val remaining = old.fields.filterNot(f => dropCols.contains(f.name))
+    require(remaining.nonEmpty, "evolveDrop cannot drop every column")
+    // a CHECK constraint referencing a dropped column must go FIRST —
+    // silently carrying it would make every later write fail analysis,
+    // and silently dropping it would weaken the contract without consent
+    val refs = cur.constraints.filter { case (_, sql) =>
+      val ids = "`([^`]+)`|\\b([A-Za-z_][A-Za-z0-9_]*)\\b".r
+        .findAllMatchIn(sql).flatMap(m => Option(m.group(1)).orElse(Option(m.group(2))))
+        .toSet
+      dropCols.exists(ids.contains)
+    }
+    require(refs.isEmpty,
+      s"evolveDrop: constraint(s) ${refs.map(_._1).mkString(", ")} reference dropped " +
+        "column(s) — dropConstraint first")
+    val newDDL = org.apache.spark.sql.types.StructType(
+      remaining.map(_.copy(nullable = true))).toDDL
+    val droppedTrackedIdx = cur.statsCols.zipWithIndex
+      .filter { case (c, _) => dropCols.contains(c) }.map(_._2)
+    if (droppedTrackedIdx.isEmpty) {
+      // plain contract shrink: one delta line, evolve()'s shape
+      val state = cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
+        schema = Some(newDDL), ts = commitTs(Some(cur)))
+      if (state.n % CheckpointInterval == 0)
+        promoteState(root, state, renderFull(state), full = true)
+      else
+        promoteState(root, state,
+          renderDelta("evolve-drop", cur.n, cur.statsCols, Nil, Nil, Some(newDDL),
+            ts = state.ts), full = false)
+    } else {
+      // a tracked column drops out: per-file ranges are POSITIONAL against
+      // statsCols, so re-align both and commit FULL (it lists every file's
+      // entry with the shrunk ranges — still zero data files touched)
+      val keepIdx = cur.statsCols.indices.filterNot(droppedTrackedIdx.contains)
+      val state = cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
+        schema = Some(newDDL), ts = commitTs(Some(cur)),
+        statsCols = keepIdx.map(cur.statsCols),
+        stats = cur.stats.map { case (f, rs) =>
+          f -> keepIdx.collect { case i if i < rs.length => rs(i) }
+        }.filter(_._2.nonEmpty))
+      writeManifest(root, state)
+    }
+  }
+
   /** A version with no files is a legitimate state (a full-table
     * [[deleteWhere]], an empty initial commit): serve it as an EMPTY frame
     * under the version's recorded schema contract rather than failing — a

@@ -819,6 +819,29 @@ object SinkQueries extends QueryModule {
       V.read(s, root).withColumn("violation_refused", lit(if (refused) 1 else 0))
     }),
 
+    // VT16b: metadata-only DROP COLUMN — evolve()'s other half: the shrunk
+    // contract commits without touching a data file, the head reads
+    // WITHOUT the column (selecting it would throw — the query's head
+    // branch proves absence by construction), a post-drop 2-column append
+    // LANDS (it would refuse against the old 3-column contract — the
+    // lifecycle proof), and v1 time-travels with the column intact.
+    "vt16b_drop_column" -> ((s, dir) => {
+      val root = tmp("graft_vt16b") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.append(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")), root)
+      V.evolveDrop(root, Seq("o_totalprice"))
+      V.append(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderstatus")), root)
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .unionAll(V.read(s, root) // head: 2 columns only — price is GONE
+          .select(lit(3).as("version"), col("o_orderkey"), col("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice")))
+    }),
+
     // VT21: SHALLOW CLONE — a zero-copy writable copy through the manifest
     // (Delta's SHALLOW CLONE): the clone's v1 references the source's data
     // files by absolute path (no data moved), carried stats/schema/
@@ -1039,6 +1062,14 @@ object SinkQueries extends QueryModule {
     "vt20_constraints" ->
       """SELECT o_orderkey, o_totalprice, 1 AS violation_refused FROM orders
         |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
+    // vt16b: v1 keeps the real prices; the head (F∪O) reads without the
+    // dropped column (NULL-projected into the union's shared shape)
+    "vt16b_drop_column" ->
+      """SELECT 1 AS version, o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE)
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     // vt21: the source still reads original F prices; the clone reads the
     // vt12-shape merged state (window updates + O-window inserts)
     "vt21_shallow_clone" ->

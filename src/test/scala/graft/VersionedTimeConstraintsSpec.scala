@@ -108,7 +108,47 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
     assert(Versioned.read(spark, r).select("k").as[Long].collect().toSeq === Seq(1L))
   }
 
-  // ---------------------------------------------------------------- vt20
+  // ---------------------------------------------------------------- vt16b
+
+  test("vt16b: evolveDrop is metadata-only; old versions keep the column; appends check the shrunk contract") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a", 10.0)).toDF("k", "note", "price"), r)
+    val before = Versioned.currentVersion(r).get.files
+    val v = Versioned.evolveDrop(r, Seq("note"))
+    assert(v.op === "evolve-drop" && v.files === before, "zero data files touched")
+    assert(Versioned.read(spark, r).columns.toSeq === Seq("k", "price"))
+    // time travel: v1 still reads the column
+    assert(Versioned.read(spark, r, Some(1)).columns.contains("note"))
+    // old-shape appends refuse; new-shape land
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((2L, "b", 20.0)).toDF("k", "note", "price"), r)
+    }
+    Versioned.append(Seq((2L, 20.0)).toDF("k", "price"), r)
+    assert(Versioned.read(spark, r).count() === 2)
+    // guards: unknown column, last column, constraint reference
+    intercept[IllegalArgumentException] { Versioned.evolveDrop(r, Seq("nope")) }
+    intercept[IllegalArgumentException] { Versioned.evolveDrop(r, Seq("k", "price")) }
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    val e = intercept[IllegalArgumentException] { Versioned.evolveDrop(r, Seq("price")) }
+    assert(e.getMessage.contains("price_pos"))
+  }
+
+  test("vt16b: dropping a stats-TRACKED column re-aligns ranges; pruning on the survivor still plans subsets") {
+    import spark.implicits._
+    val r = root()
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 7, s"v$k")).toDF("a", "b", "v")
+        .repartitionByRange(4, col("a")), r, Seq("a", "b"))
+    Versioned.evolveDrop(r, Seq("a"))
+    val cur = Versioned.currentVersion(r).get
+    assert(cur.statsCols === Seq("b"))
+    // the surviving column's ranges are the ORIGINAL b-ranges (re-aligned,
+    // not a's): a b-window read plans a strict subset
+    val planned = Versioned.readWhere(spark, r, col("b") <= 7L * 20).inputFiles
+    assert(planned.length < cur.files.length)
+    assert(Versioned.readWhere(spark, r, col("b") <= 7L * 20).count() === 20)
+  }
 
   test("vt20: addConstraint is admitted only when current data passes; violating appends refuse") {
     import spark.implicits._
