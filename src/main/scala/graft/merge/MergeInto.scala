@@ -54,6 +54,94 @@ object MergeInto {
     kept.unionByName(deduped.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** One WHEN MATCHED action of the full MERGE grammar ([[mergeClauses]]).
+    * `condition`/`set` expressions reference the two sides through the
+    * aliases `t` (target) and `s` (source): `col("s.price") < 0`,
+    * `Map("price" -> col("s.price") * 2)`. An [[MergeAction.Update]] with
+    * an empty `set` updates ALL columns from the source (the reference's
+    * update-all shape).
+    */
+  sealed trait MergeAction
+  object MergeAction {
+    final case class Update(condition: Option[Column] = None,
+        set: Map[String, Column] = Map.empty) extends MergeAction
+    final case class Delete(condition: Option[Column] = None) extends MergeAction
+  }
+
+  /** M10: the FULL conditional-clause MERGE grammar (Delta's published
+    * clause model — `WHEN MATCHED [AND cond] THEN UPDATE SET …/DELETE`,
+    * repeated, plus `WHEN NOT MATCHED [AND cond] THEN INSERT`), as the
+    * relational rewrite on plain frames:
+    *
+    *  - `matched` clauses evaluate IN ORDER per matched (target, source)
+    *    pair; the FIRST clause whose condition holds applies (update or
+    *    delete); no applicable clause leaves the target row unchanged.
+    *  - unmatched target rows always carry through.
+    *  - `insert`: None = no insert clause (matched-only merge); Some(cond)
+    *    inserts source rows matching nothing, where `cond` holds
+    *    (`lit(true)` = insert all — the classic upsert).
+    *
+    * One left-outer join on the keys decides matched actions (a nested
+    * CASE over the clause list — pure codegen, no UDFs), one anti join
+    * feeds inserts; both shuffle on the merge keys only. Source is
+    * deduped latest-wins per key first (`orderCol`), same as [[merge]] —
+    * SQL MERGE's "multiple source rows match" error case cannot arise.
+    */
+  def mergeClauses(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeAction],
+      insert: Option[Column] = None,
+      orderCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "mergeClauses needs at least one merge key")
+    require(matched.nonEmpty || insert.nonEmpty, "at least one clause required")
+    val deduped = orderCol match {
+      case Some(c) => Core.dedupByKey(source, keys, Seq(col(c).desc))
+      case None => source.dropDuplicates(keys)
+    }
+    val t = target.alias("t")
+    val s = deduped.withColumn("__matched", lit(true)).alias("s")
+    val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, keyCond, "left_outer")
+    // first applicable clause index; -1 = keep the target row as-is
+    val actionOfMatched: Column = matched.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((cl, i), els) =>
+        val cond = cl match {
+          case MergeAction.Update(c, _) => c.getOrElse(lit(true))
+          case MergeAction.Delete(c) => c.getOrElse(lit(true))
+        }
+        when(coalesce(cond, lit(false)), lit(i)).otherwise(els)
+    }
+    val withAction = joined.withColumn("__action",
+      when(col("s.__matched").isNull, lit(-1)).otherwise(actionOfMatched))
+    val deleteIdx = matched.zipWithIndex.collect {
+      case (MergeAction.Delete(_), i) => i }
+    val kept =
+      if (deleteIdx.isEmpty) withAction
+      else withAction.filter(!col("__action").isin(deleteIdx.map(Int.box): _*))
+    val outCols = target.columns.toIndexedSeq.map { c =>
+      matched.zipWithIndex.foldRight(col(s"t.$c"): Column) {
+        case ((MergeAction.Update(_, set), i), els) =>
+          // SQL SET semantics: columns not in the SET keep the TARGET value;
+          // an EMPTY set is the update-ALL-from-source shape
+          val v = if (set.isEmpty) col(s"s.$c") else set.getOrElse(c, col(s"t.$c"))
+          when(col("__action") === i, v).otherwise(els)
+        case (_, els) => els
+      }.as(c)
+    }
+    val updated = kept.select(outCols: _*)
+    insert match {
+      case None => updated
+      case Some(cond) =>
+        val ins = deduped.alias("s")
+          .join(target.alias("t"), keyCond, "left_anti")
+          .filter(coalesce(cond, lit(false)))
+          .select(target.columns.toIndexedSeq.map(c => col(s"s.$c").as(c)): _*)
+        updated.unionByName(ins)
+    }
+  }
+
   /** M2: upsert with audit columns. Matched rows keep their existing
     * `row_uuid` but refresh the ingestion timestamp; new rows get a fresh
     * uuid + timestamp (ref: `daily_sync.py:252-269`).

@@ -1136,9 +1136,31 @@ object Versioned {
     mergeOnState(spark, root, cur, source, keys, orderCol, op)
   }
 
+  /** VT22: the FULL conditional-clause MERGE grammar through the log —
+    * [[MergeInto.mergeClauses]] (`WHEN MATCHED [AND cond] THEN UPDATE/
+    * DELETE …, WHEN NOT MATCHED [AND cond] THEN INSERT`, Delta's clause
+    * model) with [[mergeInto]]'s copy-on-write machinery: the same per-key
+    * range-set blast radius (a matched update OR DELETE shares its full
+    * key with a source row, so the affected-file algebra is unchanged),
+    * the same stats recompute, constraint validation and CAS/retry. Clause
+    * expressions reference the sides as `t.<col>`/`s.<col>`.
+    */
+  def mergeIntoClauses(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[MergeInto.MergeAction],
+      insert: Option[Column] = None, orderCol: Option[String] = None,
+      maxRetries: Int = 0): Version =
+    cowRetry(maxRetries) {
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $root"))
+      mergeOnState(spark, root, cur, source, keys, orderCol, "merge-clauses",
+        combine = Some((t, s) =>
+          MergeInto.mergeClauses(t, s, keys, matched, insert, orderCol)))
+    }
+
   private def mergeOnState(spark: SparkSession, root: String, cur: Version,
       source: DataFrame, keys: Seq[String], orderCol: Option[String],
-      op: String): Version = {
+      op: String,
+      combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Version = {
     require(keys.nonEmpty, "mergeInto needs at least one merge key")
     // a tracked key bounds the blast radius only if the SOURCE column's
     // stats encoding matches the table contract's (a DATE source key against
@@ -1182,8 +1204,9 @@ object Versioned {
     val target =
       if (affected.isEmpty) read(spark, root, Some(cur.n)).limit(0)
       else readFiles(spark, root, cur, affected)
-    val merged = MergeInto.merge(
-      target, source.select(target.columns.map(col).toIndexedSeq: _*), keys, orderCol)
+    val srcSel = source.select(target.columns.map(col).toIndexedSeq: _*)
+    val merged = combine.map(f => f(target, srcSel))
+      .getOrElse(MergeInto.merge(target, srcSel, keys, orderCol))
     val n = cur.n + 1
     val ddl = normalizedDDL(merged)
     val (files, marker) = writeData(merged, root, n, Map.empty)

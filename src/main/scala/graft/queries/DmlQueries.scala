@@ -137,6 +137,33 @@ object DmlQueries extends QueryModule {
           col("valid_to").isNull.as("is_current"))
     }),
 
+    // M10: the FULL conditional-clause MERGE grammar (Delta's clause model;
+    // beyond the reference's update-all/insert-all shape at
+    // `main.py:197-206`): WHEN MATCHED AND s.price<0 THEN DELETE,
+    // WHEN MATCHED THEN UPDATE SET price doubled (partial SET — status
+    // keeps the target value), WHEN NOT MATCHED AND cond THEN INSERT.
+    // Target = F orders; source = O-window restatements (negative price =
+    // retraction) + P orders as insert candidates gated on price.
+    "m10_merge_clauses" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val target = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val window = col("o_orderkey").between(1000L, 3000L)
+      val source = o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(2)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus"))
+        .unionAll(o.filter(col("o_orderstatus") === "P")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+      MergeInto.mergeClauses(target, source, Seq("o_orderkey"),
+        matched = Seq(
+          MergeInto.MergeAction.Delete(Some(col("s.o_totalprice") < 0)),
+          MergeInto.MergeAction.Update(None,
+            Map("o_totalprice" -> (col("s.o_totalprice") * 2)))),
+        insert = Some(col("s.o_totalprice") > lit(50000.0)))
+    }),
+
     // ST1: sliding date-window incremental pull merged into prior state
     // (`snowflake_bq_sync_daily Time Details/main.py:85-90`, ±window).
     "st1_incremental_merge" -> ((s, dir) => {
@@ -342,6 +369,18 @@ object DmlQueries extends QueryModule {
         | CAST(COALESCE(next_rn, n + 1) - rn AS BIGINT) AS n_events,
         | valid_to IS NULL AS is_current
         |FROM runs""".stripMargin,
+    // m10: deletes = even window keys; updates = odd window keys doubled
+    // (status kept — partial SET); inserts = P orders over the price gate
+    "m10_merge_clauses" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' AND NOT (o_orderkey BETWEEN 1000 AND 3000)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
+        |  AND o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'P' AND o_totalprice > 50000""".stripMargin,
     "st1_incremental_merge" ->
       s"""WITH tgt AS (SELECT $evCols FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
          |src AS (SELECT event_id, ts, user_id, event_type, value + 1000.0 AS value, props FROM events
