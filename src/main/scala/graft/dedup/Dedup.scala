@@ -331,19 +331,29 @@ object Dedup {
     */
   def appendLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       inc: DataFrame, idCol: String, textCol: String, batchTag: String,
-      precomputedSigs: Option[DataFrame] = None): Unit = {
+      precomputedSigs: Option[(DataFrame, Int, Boolean)] = None): Unit = {
     require(batchTag.nonEmpty && batchTag != "base" &&
       !batchTag.exists(c => c == '/' || c == '=' || c.isWhitespace),
       s"batchTag '$batchTag' must be a plain partition label (not 'base')")
     val meta = spark.read.parquet(s"$path/meta").head()
+    val (idxHashes, idxPortable) =
+      (meta.getAs[Int]("num_hashes"), meta.getAs[Boolean]("portable_hash"))
     // precomputedSigs: the serve-then-fold shape passes its own
-    // pinnedSignatures frame so the batch is minhashed once across both
-    // legs. CONTRACT: the caller computed them with the index's meta
-    // params — guaranteed when the serve call already meta-validated the
-    // same numbers (indexSigs refuses a mismatch before any sigs exist).
-    precomputedSigs.getOrElse(
-      minhashSignatures(inc, idCol, textCol, meta.getAs[Int]("num_hashes"),
-        portableHash = meta.getAs[Boolean]("portable_hash")))
+    // pinnedSignatures frame — WITH the (numHashes, portableHash) it was
+    // built under — so the batch is minhashed once across both legs. The
+    // params are ASSERTED against the index's meta row here: sigs built
+    // under different params would silently write incompatible signatures
+    // into the persisted index (later serves band-hash them to garbage),
+    // so caller discipline is not the contract — the assert is.
+    precomputedSigs.foreach { case (_, nh, ph) =>
+      require(nh == idxHashes && ph == idxPortable,
+        s"appendLshIndex at $path: precomputed signatures were built with " +
+          s"numHashes=$nh, portableHash=$ph but the index records " +
+          s"numHashes=$idxHashes, portableHash=$idxPortable — folding them would " +
+          "corrupt the index; recompute with the index's parameters")
+    }
+    precomputedSigs.map(_._1).getOrElse(
+      minhashSignatures(inc, idCol, textCol, idxHashes, portableHash = idxPortable))
       .write.mode("overwrite").parquet(s"$path/sigs/part=$batchTag")
   }
 

@@ -96,6 +96,14 @@ object MergeInto {
       orderCol: Option[String] = None): DataFrame = {
     require(keys.nonEmpty, "mergeClauses needs at least one merge key")
     require(matched.nonEmpty || insert.nonEmpty, "at least one clause required")
+    // the rewrite claims two working columns; a side already carrying either
+    // name would fail later as an opaque ambiguous-reference
+    // AnalysisException — refuse up front with the actual contract instead
+    Seq("__matched", "__action").foreach { r =>
+      require(!target.columns.contains(r) && !source.columns.contains(r),
+        s"mergeClauses reserves the working column name `$r` — rename it on the " +
+          "input frames before merging")
+    }
     val deduped = orderCol match {
       case Some(c) => Core.dedupByKey(source, keys, Seq(col(c).desc))
       case None => source.dropDuplicates(keys)

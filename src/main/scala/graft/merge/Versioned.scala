@@ -1466,15 +1466,29 @@ object Versioned {
     val head = headNumber(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     var n = head
+    var resolvedTs = Long.MinValue // the ts the probe actually read at n
     while (n >= 1 && {
       val p = manifestPath(root, n)
       if (!Files.exists(p)) throw new IllegalStateException(
         s"version $n at $root is archived — timestamp $tsMillis predates the " +
           "retained log (read it from the archive, or loosen archival)")
-      headerTs(p) > tsMillis
+      resolvedTs = headerTs(p)
+      resolvedTs > tsMillis
     }) n -= 1
     require(n >= 1, s"timestamp $tsMillis predates the first commit at $root " +
       s"(v1 committed at ${headerTs(manifestPath(root, 1))})")
+    // a timestamp-LESS resolved version (pre-vt19 manifest, ts = -1) would
+    // otherwise count as "at or before any instant" — on a fully legacy log
+    // EVERY instant silently resolves to HEAD, turning
+    // rollbackToTimestamp("last week") into a no-op. Fail loudly instead
+    // (the streaming startingTimestamp path guards the same hazard with its
+    // own lenient stance — a stream's "everything" is safe; a batch
+    // rollback/read resolving wrong is not).
+    require(resolvedTs >= 0,
+      s"instant $tsMillis resolves to version $n at $root, which records no commit " +
+        "timestamp (pre-timestamp manifest) — timestamp travel is ambiguous on a " +
+        "timestamp-less log segment; use version-count travel (read/rollback by " +
+        "version number) instead")
     n
   }
 
@@ -1546,7 +1560,24 @@ object Versioned {
     require(!cur.constraints.exists(_._1 == name),
       s"constraint `$name` already exists on $root")
     val violations = // admission check: current data must already pass
-      if (cur.files.isEmpty) 0L
+      if (cur.files.isEmpty) {
+        // zero files ≠ zero validation: an unresolvable/malformed checkSql
+        // admitted here would poison EVERY later write with a raw analysis
+        // error until dropConstraint — analyze it against the recorded
+        // schema contract now so the add itself is what fails
+        cur.schema.foreach { ddl =>
+          val empty = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          try empty.select(expr(checkSql)).queryExecution.analyzed
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"cannot add constraint `$name` ($checkSql): it does not analyze " +
+                s"against the table's schema contract ($ddl)", e)
+          }
+        }
+        0L
+      }
       else readFiles(spark, root, cur, cur.files)
         .filter(!coalesce(expr(checkSql), lit(true))).count()
     require(violations == 0L,

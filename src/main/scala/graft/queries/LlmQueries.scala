@@ -421,7 +421,7 @@ object LlmQueries extends QueryModule {
             // the flag write above is an ACTION — the serve scan has
             // drained before the fold lands
             Dedup.appendLshIndex(s, idx, arrived, "doc_id", "text", tag,
-              precomputedSigs = Some(sigs))
+              precomputedSigs = Some((sigs, 16, true)))
             s.sqlContext.clearCache() // per-batch serve caches, never reusable
           }
           .trigger(Trigger.AvailableNow())

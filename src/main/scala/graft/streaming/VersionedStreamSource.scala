@@ -101,23 +101,27 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     val root = rootOf(opts)
     // startingVersion: first version to EMIT (Delta's option) — default 1
     // (everything). startingTimestamp (Delta's other form) resolves to the
-    // first version committed strictly AFTER the instant — "stream me what
-    // happened since t" (the version AT t is the snapshot a batch read
-    // serves; the vt19 probe makes the cut exact). Both only consulted for
-    // a fresh checkpoint: a checkpointed offset always wins
+    // first version committed AT OR AFTER the instant — Delta's inclusive
+    // boundary ("all changes committed at or after the timestamp"): a
+    // commit whose ts exactly equals the instant streams. Both only
+    // consulted for a fresh checkpoint: a checkpointed offset always wins
     // (deserializeOffset, not initialOffset).
     val startVer = Option(opts.get("startingVersion")).map(_.trim.toInt)
       .orElse(Option(opts.get("startingTimestamp")).map { t =>
-        // an instant before the first commit means "everything" (Delta's
-        // lenient stance for streams), not an error like the batch probe;
-        // an UNKNOWN-age first commit (pre-vt19 log, ts = -1) also means
-        // everything — versionAtTimestamp would count ts=-1 as "at or
-        // before any instant" and resolve to the HEAD, silently skipping
-        // all existing data
+        // an instant at-or-before the first commit means "everything"
+        // (Delta's lenient stance for streams), not an error like the batch
+        // probe; an UNKNOWN-age first commit (pre-vt19 log, ts = -1) also
+        // means everything — versionAtTimestamp would refuse a timestamp-
+        // less resolution, and skipping all data silently is the hazard
         val ts = t.trim.toLong
         val v1 = Versioned.versionState(root, 1)
-        if (v1.ts < 0 || ts < v1.ts) 1
-        else Versioned.versionAtTimestamp(root, ts) + 1
+        if (v1.ts < 0 || ts <= v1.ts) 1
+        // first version with commit ts >= instant = (greatest version with
+        // ts < instant) + 1; millisecond-granular longs make that the
+        // probe at ts-1 — commits SHARING the boundary instant (monotonic
+        // clamp under fast commits) all stream, exactly Delta's inclusive
+        // contract
+        else Versioned.versionAtTimestamp(root, ts - 1) + 1
       }).getOrElse(1)
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.trim.toLong)
     // maxBytesPerTrigger ALONE means "size-bounded batches" (Delta

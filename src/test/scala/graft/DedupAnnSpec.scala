@@ -540,6 +540,28 @@ class DedupAnnSpec extends SparkSuite {
     }
   }
 
+  test("appendLshIndex: precomputed sigs built under OTHER params refuse the fold") {
+    val idx = tmpDir() + "/sig_index_params"
+    Dedup.writeLshIndex(docs, "doc_id", "text", idx, numHashes = 64, portableHash = false)
+    // sigs built 16-wide against a 64-wide index: folding them would write
+    // incompatible signatures into the persisted partition — refused, and
+    // the index is untouched
+    val wrong = Dedup.pinnedSignatures(incBatch, "doc_id", "text",
+      numHashes = 16, portableHash = false)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendLshIndex(spark, idx, incBatch, "doc_id", "text", "bp",
+        precomputedSigs = Some((wrong, 16, false)))
+    }
+    assert(e.getMessage.contains("corrupt"))
+    assert(spark.read.parquet(s"$idx/sigs").count() === docs.count())
+    // matching params fold fine
+    val right = Dedup.pinnedSignatures(incBatch, "doc_id", "text",
+      numHashes = 64, portableHash = false)
+    Dedup.appendLshIndex(spark, idx, incBatch, "doc_id", "text", "bp",
+      precomputedSigs = Some((right, 64, false)))
+    assert(spark.read.parquet(s"$idx/sigs").count() === docs.count() + incBatch.count())
+  }
+
   test("excludeTag: a half-folded batch never matches itself under retry") {
     val idx = tmpDir() + "/sig_index_retry"
     Dedup.writeLshIndex(docs, "doc_id", "text", idx, numHashes = 64, portableHash = false)

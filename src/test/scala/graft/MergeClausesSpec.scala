@@ -84,4 +84,20 @@ class MergeClausesSpec extends SparkSuite {
     // time travel: v1 still holds the deleted row
     assert(Versioned.read(spark, root, Some(1)).filter(col("k") === 5L).count() === 1)
   }
+
+  test("reserved working-column names refuse up front, not as an ambiguous-reference error") {
+    import spark.implicits._
+    val t = Seq((1L, "__matched")).toDF("k", "__matched")
+    val s = Seq((1L, "x")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      mergeClauses(t, s.withColumnRenamed("v", "__matched"), Seq("k"),
+        matched = Seq(MergeAction.Update()), insert = None)
+    }
+    assert(e.getMessage.contains("__matched") && e.getMessage.contains("reserves"))
+    val e2 = intercept[IllegalArgumentException] {
+      mergeClauses(Seq((1L, 1.0)).toDF("k", "__action"), Seq((1L, 1.0)).toDF("k", "__action"),
+        Seq("k"), matched = Seq(MergeAction.Update()), insert = None)
+    }
+    assert(e2.getMessage.contains("__action"))
+  }
 }

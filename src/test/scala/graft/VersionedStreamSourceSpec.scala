@@ -188,7 +188,7 @@ class VersionedStreamSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("path"), s"expected the path hint, got: ${e.getMessage}")
   }
 
-  test("startingTimestamp streams what happened strictly after the instant; pre-table instants mean everything") {
+  test("startingTimestamp is inclusive (Delta's 'at or after'); pre-table instants mean everything") {
     import spark.implicits._
     val base = freshBase()
     val root = base + "/t"
@@ -212,12 +212,18 @@ class VersionedStreamSourceSpec extends SparkSuite {
       import scala.jdk.CollectionConverters._
       seen.iterator().asScala.toSeq.sorted
     }
-    // "since v1's commit": v1 itself is the snapshot AT that instant —
-    // the stream serves what came after
-    assert(drainFrom(ts(0), "a") === Seq(2L, 3L))
-    assert(drainFrom(ts(2), "b") === Seq.empty)
+    // INCLUSIVE boundary (Delta: "all changes committed at or after the
+    // timestamp"): an instant exactly AT a commit's ts streams that commit
+    assert(drainFrom(ts(1), "a") === Seq(2L, 3L))
+    assert(drainFrom(ts(2), "b") === Seq(3L))
+    assert(drainFrom(ts(2) + 1, "b2") === Seq.empty,
+      "one ms past the last commit streams nothing")
+    assert(drainFrom(ts(1) - 1, "mid") === Seq(2L, 3L),
+      "a between-commits instant streams the next commit onward")
     assert(drainFrom(ts(0) - 1000000, "c") === Seq(1L, 2L, 3L),
       "a pre-table instant streams everything")
+    assert(drainFrom(ts(0), "d") === Seq(1L, 2L, 3L),
+      "exactly at v1's commit streams everything (inclusive)")
   }
 
   test("maxBytesPerTrigger bounds admission by the manifests' recorded sizes") {

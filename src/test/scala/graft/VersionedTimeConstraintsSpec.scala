@@ -311,6 +311,65 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
     assert(Versioned.read(spark, r).count() === 200L)
   }
 
+  test("vt19: timestamp travel REFUSES a timestamp-less (pre-vt19) resolution instead of silently serving HEAD") {
+    import spark.implicits._
+    val r = root()
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Versioned.append(Seq((2L, "b")).toDF("k", "v"), r)
+    // strip ts= from every manifest header — the pre-vt19 on-disk form
+    val vlog = java.nio.file.Paths.get(r, "_vlog")
+    java.nio.file.Files.list(vlog).forEach { p =>
+      if (p.getFileName.toString.matches("v\\d+\\.txt")) {
+        val lines = java.nio.file.Files.readAllLines(p)
+        lines.set(0, lines.get(0).replaceAll(" ts=\\d+", ""))
+        java.nio.file.Files.write(p, lines)
+      }
+    }
+    assert(Versioned.versions(r).forall(_.ts < 0), "fixture must be timestamp-less")
+    // on a fully legacy log ANY instant would resolve to HEAD —
+    // rollbackToTimestamp("last week") as a silent no-op. Refuse loudly.
+    val e = intercept[IllegalArgumentException] {
+      Versioned.versionAtTimestamp(r, System.currentTimeMillis())
+    }
+    assert(e.getMessage.contains("no commit timestamp") &&
+      e.getMessage.contains("version-count travel"))
+    intercept[IllegalArgumentException] {
+      Versioned.rollbackToTimestamp(r, System.currentTimeMillis())
+    }
+    assert(Versioned.currentVersion(r).get.n === 2, "the refused rollback commits nothing")
+    // a MIXED log (legacy base, vt19 tail) still resolves instants that
+    // land on timestamped versions
+    Thread.sleep(15)
+    Versioned.append(Seq((3L, "c")).toDF("k", "v"), r)
+    val ts3 = Versioned.versions(r).last.ts
+    assert(ts3 > 0 && Versioned.versionAtTimestamp(r, ts3) === 3)
+    // …but an instant that falls into the timestamp-less segment refuses
+    intercept[IllegalArgumentException] { Versioned.versionAtTimestamp(r, ts3 - 1) }
+  }
+
+  test("vt20: addConstraint on an EMPTY table still analyzes the SQL against the contract") {
+    import spark.implicits._
+    val r = root()
+    // a zero-FILE version with a recorded contract (the create-table-then-
+    // constrain-before-first-load shape): one empty commit
+    Versioned.commitFiles(r, "append", Nil, Nil,
+      Some(org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, price DOUBLE").toDDL))
+    assert(Versioned.currentVersion(r).get.files.isEmpty)
+    // unresolvable SQL: refused AT ADD TIME, not on the first later write
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addConstraint(spark, r, "bad", "no_such_col > 0")
+    }
+    assert(e.getMessage.contains("does not analyze"))
+    assert(Versioned.currentVersion(r).get.constraints.isEmpty)
+    // a well-formed constraint on the empty table lands and enforces
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((2L, -1.0)).toDF("k", "price"), r)
+    }
+    Versioned.append(Seq((2L, 2.0)).toDF("k", "price"), r)
+    assert(Versioned.read(spark, r).count() === 1)
+  }
+
   test("vt20: rollback restores the target's constraint set") {
     import spark.implicits._
     val r = root()
