@@ -872,6 +872,47 @@ object SinkQueries extends QueryModule {
           .select(lit("clone").as("side"), col("o_orderkey"), col("o_totalprice")))
     }),
 
+    // VT22: the FULL conditional-clause MERGE grammar THROUGH the log —
+    // m10's Delta clause model (WHEN MATCHED AND price<0 THEN DELETE /
+    // WHEN MATCHED THEN UPDATE SET doubled / WHEN NOT MATCHED AND gated
+    // THEN INSERT) running as a copy-on-write commit on the versioned
+    // substrate: only key-overlapping files rewrite (the flag column
+    // hash-fails if the COW ever degrades to a full rewrite), and v1
+    // time-travels with the pre-merge rows — deleted ones included.
+    "vt22_merge_clauses_versioned" -> ((s, dir) => {
+      val root = tmp("graft_vt22") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val window = col("o_orderkey").between(1000L, 3000L)
+      val source = o.filter(col("o_orderstatus") === "F" && window)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(2)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        // insert candidates share the window: a source whose keys spray the
+        // whole domain would honestly widen the COW to every file (the
+        // range-set algebra covers what COULD match) — the windowed shape
+        // is what keeps the rewrite bounded, same as a real backfill
+        .unionAll(o.filter(col("o_orderstatus") === "P" && window)
+          .select(col("o_orderkey"), col("o_totalprice")))
+      val pre = V.currentVersion(root).get
+      val post = V.mergeIntoClauses(s, root, source, Seq("o_orderkey"),
+        matched = Seq(
+          graft.merge.MergeInto.MergeAction.Delete(Some(col("s.o_totalprice") < 0)),
+          graft.merge.MergeInto.MergeAction.Update(None,
+            Map("o_totalprice" -> (col("s.o_totalprice") * 2)))),
+        insert = Some(col("s.o_totalprice") > lit(50000.0)))
+      val cowBounded = (pre.files.toSet -- post.files.toSet).size < pre.files.size
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(V.read(s, root)
+          .select(lit(2).as("version"), col("o_orderkey"), col("o_totalprice")))
+        .withColumn("cow_bounded", lit(if (cowBounded) 1 else 0))
+    }),
+
     // ST3: foreachBatch upsert sink, run TWICE from a fresh checkpoint — the
     // replay must be idempotent because every micro-batch is MERGEd by key
     // (`streaming/Streaming.scala`; ref merge `main.py:197-206`).
@@ -1083,6 +1124,24 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt22: v1 = the pre-merge F snapshot intact (deleted rows included);
+    // head replays the clause CASE — even window keys deleted, odd ones
+    // doubled, P orders inserted only past the price gate. cow_bounded = 1
+    // on every row records that the COW rewrote a strict file subset.
+    "vt22_merge_clauses_versioned" ->
+      """SELECT 1 AS version, o_orderkey, o_totalprice, 1 AS cow_bounded
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_totalprice, 1 FROM orders
+        |WHERE o_orderstatus = 'F' AND NOT (o_orderkey BETWEEN 1000 AND 3000)
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_totalprice * 2, 1 FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
+        |  AND o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT 2, o_orderkey, o_totalprice, 1 FROM orders
+        |WHERE o_orderstatus = 'P' AND o_orderkey BETWEEN 1000 AND 3000
+        |  AND o_totalprice > 50000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
     "vt17_cdc_by_key" ->
