@@ -124,22 +124,28 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
         else Versioned.versionAtTimestamp(root, ts - 1) + 1
       }).getOrElse(1)
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.trim.toLong)
-    // maxBytesPerTrigger ALONE means "size-bounded batches" (Delta
+    // maxFilesPerTrigger: the third Delta admission form — versions are
+    // admitted until their cumulative ADDED file count would exceed the
+    // cap. File lists are already in the fmt-agnostic manifests, so this
+    // costs nothing beyond the memoized per-version delta.
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    // a byte or file cap ALONE means "size-bounded batches" (Delta
     // semantics): the version cap then defaults to unbounded, not 1 —
-    // otherwise the byte cap could only ever shrink a one-version batch
+    // otherwise the cap could only ever shrink a one-version batch
     // and the option would be a silent no-op
     val maxVers = Option(opts.get("maxVersionsPerTrigger")).map(_.trim.toInt)
-      .getOrElse(if (maxBytes.isDefined) Int.MaxValue else 1)
+      .getOrElse(if (maxBytes.isDefined || maxFiles.isDefined) Int.MaxValue else 1)
     new VersionedStreamTable(root, schema, startVer, maxVers,
       Option(opts.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
-      maxBytes)
+      maxBytes, maxFiles)
   }
 }
 
 private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     ignoreChanges: Boolean,
-    maxBytesPerTrigger: Option[Long] = None) extends Table with SupportsRead {
+    maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -150,7 +156,8 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(root, tableSchema, startingVersion,
-            maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger)
+            maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
+            maxFilesPerTrigger)
       }
     }
 }
@@ -165,13 +172,16 @@ private[streaming] case class VersionLogOffset(v: Int) extends Offset {
 private[streaming] class VersionedMicroBatchStream(root: String, schema: StructType,
     startingVersion: Int = 1, maxVersionsPerTrigger: Int = 1,
     ignoreChanges: Boolean = false,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
   maxBytesPerTrigger.foreach(b => require(b >= 1,
     s"maxBytesPerTrigger must be >= 1, got $b"))
+  maxFilesPerTrigger.foreach(f => require(f >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $f"))
 
   // AvailableNow contract: pin the head at query start, drain to exactly
   // there, stop — commits racing the drain wait for the next run
@@ -202,35 +212,46 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
 
   /** Up to `maxVersionsPerTrigger` versions per micro-batch (default 1 —
     * the natural unit: a commit is the producer's atomicity boundary),
-    * additionally capped by `maxBytesPerTrigger` when set: versions are
-    * admitted until their cumulative ADDED bytes (from the fmt=3 manifest
-    * sizes — zero filesystem stats; pre-fmt-3 files fall back to one
-    * driver stat) would exceed the cap, always admitting at least one so
-    * an oversized single commit still drains. A backlog of B commits
-    * drains in ⌈B/k⌉ batches; batch membership is still decided by the
-    * manifests, never by listing.
+    * additionally capped by `maxBytesPerTrigger` and/or
+    * `maxFilesPerTrigger` when set: versions are admitted until their
+    * cumulative ADDED bytes (from the fmt=3 manifest sizes — zero
+    * filesystem stats; pre-fmt-3 files fall back to one driver stat) or
+    * ADDED file count would exceed its cap, always admitting at least one
+    * version so an oversized single commit still drains. The caps COMPOSE:
+    * the batch ends at the first version any active cap rejects. A backlog
+    * of B commits drains in ⌈B/k⌉ batches; batch membership is still
+    * decided by the manifests, never by listing.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     // Long arithmetic: maxVersionsPerTrigger defaults to Int.MaxValue when
-    // only the byte cap is set, and an Int add would overflow
+    // only a size cap is set, and an Int add would overflow
     val ceiling = math.min(availableTarget.getOrElse(head).toLong,
       ver(start).toLong + maxVersionsPerTrigger).toInt
-    val end = maxBytesPerTrigger match {
-      case None => ceiling
-      case Some(cap) =>
+    val end =
+      if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) ceiling
+      else {
         var n = ver(start)
         var bytes = 0L
-        while (n < ceiling && (n == ver(start) || bytes < cap)) {
-          val vBytes = versionDelta(n + 1)._1.map { case (rel, sz) =>
-            if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
-          }.sum
+        var files = 0L
+        var stopped = false
+        while (n < ceiling && !stopped) {
+          val added = versionDelta(n + 1)._1
+          // only pay for the bytes walk (and any pre-fmt-3 stat) when a
+          // byte cap is actually active
+          val vBytes =
+            if (maxBytesPerTrigger.isEmpty) 0L
+            else added.map { case (rel, sz) =>
+              if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
+            }.sum
+          val fits = maxBytesPerTrigger.forall(bytes + vBytes <= _) &&
+            maxFilesPerTrigger.forall(files + added.length <= _)
           // admit the first version unconditionally; later ones only if
-          // they fit under the cap
-          if (n == ver(start) || bytes + vBytes <= cap) { n += 1; bytes += vBytes }
-          else bytes = cap // stop
+          // they fit under every active cap
+          if (n == ver(start) || fits) { n += 1; bytes += vBytes; files += added.length }
+          else stopped = true
         }
         n
-    }
+      }
     VersionLogOffset(end.max(ver(start)))
   }
 

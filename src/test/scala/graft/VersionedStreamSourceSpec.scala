@@ -264,6 +264,43 @@ class VersionedStreamSourceSpec extends SparkSuite {
     assert(nAloneTiny === 6)
   }
 
+  test("maxFilesPerTrigger bounds admission by manifest file counts; caps compose") {
+    import spark.implicits._
+    def run(maxFiles: Option[Int], maxVers: Option[Int]): (Int, Set[Long]) = {
+      val base = freshBase()
+      val root = base + "/t"
+      // 6 commits × 2 files each = 12 files of backlog
+      (1 to 6).foreach(i => Versioned.append(
+        Seq((i.toLong, "a"), (i.toLong + 100, "b")).toDF("k", "tag").repartition(2), root))
+      assert(Versioned.currentVersion(root).get.files.length === 12)
+      val batches = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      val rd = spark.readStream.format(classOf[VersionedStreamSource].getName)
+        .option("path", root)
+      maxFiles.foreach(f => rd.option("maxFilesPerTrigger", f.toString))
+      maxVers.foreach(v => rd.option("maxVersionsPerTrigger", v.toString))
+      rd.load()
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized { batches(id) = df.select("k").as[Long].collect().toSet }; ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      (batches.size, batches.values.flatten.toSet)
+    }
+    val all = ((1L to 6L) ++ (101L to 106L)).toSet
+    // 12-file backlog at 4 files/trigger: ⌈12/4⌉ = 3 batches, identical rows
+    val (n4, rows4) = run(maxFiles = Some(4), maxVers = None)
+    assert(n4 === 3 && rows4 === all, s"expected 3 batches, got $n4")
+    // a 1-file cap still drains (first version always admits): one
+    // 2-file version per batch
+    val (n1, rows1) = run(maxFiles = Some(1), maxVers = None)
+    assert(n1 === 6 && rows1 === all)
+    // composition: a huge file cap leaves the version cap as the bound
+    val (nBoth, rowsBoth) = run(maxFiles = Some(1000), maxVers = Some(2))
+    assert(nBoth === 3 && rowsBoth === all)
+  }
+
   test("startingTimestamp on a pre-vt19 (timestamp-less) log streams everything, not nothing") {
     import spark.implicits._
     val base = freshBase()
