@@ -745,18 +745,7 @@ object Versioned {
       constraints: Seq[(String, String)]): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
-    val df = spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*)
-    val statAggs = statsCols.flatMap { c =>
-      val e = statsLongExpr(c, df.schema(c).dataType)
-      Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
-    }
-    val conAggs = constraints.map { case (nm, sql) =>
-      count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(s"viol_$nm")
-    }
-    val aggs = statAggs ++ conAggs
-    val rows = df
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
+    val rows = statsValidationFrame(spark, root, files, statsCols, constraints)
       .collect().toSeq
     val nStat = 2 * statsCols.length
     if (constraints.nonEmpty) {
@@ -775,6 +764,29 @@ object Versioned {
         (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
     }.toMap
     files.map { case (f, sz) => FileEntry(f, byFile.getOrElse(f, Nil), sz) }
+  }
+
+  /** The fused stats+constraint aggregate of [[statsEntriesValidating]] as
+    * a frame — `private[graft]` so the spec can pin its SCAN SCHEMA: the
+    * aggregate references only the stats columns and the columns the
+    * constraint SQL names, so Catalyst's column pruning reduces the parquet
+    * read to exactly that subset — a wide table with one constrained
+    * column never pays full-row decode on the per-commit validation pass.
+    */
+  private[graft] def statsValidationFrame(spark: SparkSession, root: String,
+      files: Seq[(String, Long)], statsCols: Seq[String],
+      constraints: Seq[(String, String)]): DataFrame = {
+    val rootP = Paths.get(root)
+    val df = spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*)
+    val statAggs = statsCols.flatMap { c =>
+      val e = statsLongExpr(c, df.schema(c).dataType)
+      Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
+    }
+    val conAggs = constraints.map { case (nm, sql) =>
+      count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(s"viol_$nm")
+    }
+    val aggs = statAggs ++ conAggs
+    df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** VT8: optimistic-retry append — the CAS loser's side of the concurrency
@@ -1627,6 +1639,24 @@ object Versioned {
       constraints: Seq[(String, String)], files: Seq[(String, Long)],
       schemaDDL: Option[String]): Unit = {
     if (constraints.isEmpty || files.isEmpty) return
+    val r = constraintViolationCounts(spark, root, constraints, files, schemaDDL).head
+    val bad = constraints.zipWithIndex.collect {
+      case ((nm, sql), i) if r.getLong(i) > 0 => s"`$nm` ($sql): ${r.getLong(i)} row(s)"
+    }
+    require(bad.isEmpty,
+      s"commit to $root violates CHECK constraint(s) — refused, no metadata written: " +
+        bad.mkString("; "))
+  }
+
+  /** [[validateConstraints]]' aggregate as a frame — `private[graft]` so
+    * the spec can pin its SCAN SCHEMA: the count aggregates reference only
+    * the columns the constraint SQL names, so Catalyst's column pruning
+    * reduces the parquet read to that subset (a 100-column table with a
+    * 1-column constraint decodes one column per commit, not 100).
+    */
+  private[graft] def constraintViolationCounts(spark: SparkSession, root: String,
+      constraints: Seq[(String, String)], files: Seq[(String, Long)],
+      schemaDDL: Option[String]): DataFrame = {
     val rootP = Paths.get(root)
     val paths = files.map { case (f, _) => rootP.resolve(f).toString }
     val df = schemaDDL match {
@@ -1637,13 +1667,7 @@ object Versioned {
     val aggs = constraints.map { case (nm, sql) =>
       count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(nm)
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head
-    val bad = constraints.zipWithIndex.collect {
-      case ((nm, sql), i) if r.getLong(i) > 0 => s"`$nm` ($sql): ${r.getLong(i)} row(s)"
-    }
-    require(bad.isEmpty,
-      s"commit to $root violates CHECK constraint(s) — refused, no metadata written: " +
-        bad.mkString("; "))
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Move manifests that no RETAINED version needs out of the hot `_vlog`

@@ -370,6 +370,36 @@ class VersionedTimeConstraintsSpec extends SparkSuite {
     assert(Versioned.read(spark, r).count() === 1)
   }
 
+  test("vt20: the validation pass scans ONLY the constrained/tracked columns (column pruning)") {
+    import spark.implicits._
+    val r = root()
+    // a WIDE table (6 columns) with a constraint naming one column: the
+    // per-commit validation scan must decode that column, not the row
+    val wide = (1L to 50L).map(k => (k, k * 1.0, s"a$k", s"b$k", s"c$k", s"d$k"))
+      .toDF("k", "price", "a", "b", "c", "d")
+    Versioned.append(wide, r)
+    val files = Versioned.currentVersion(r).get.files.map(f => (f, -1L))
+    def scanCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.requiredSchema.fieldNames.toSeq
+      }.flatten.distinct
+    // plain validation (no stats): one constrained column → one-column scan
+    val vc = Versioned.constraintViolationCounts(spark, r,
+      Seq("price_pos" -> "price > 0"), files, Versioned.currentVersion(r).get.schema)
+    assert(scanCols(vc) === Seq("price"), s"got ${scanCols(vc)}")
+    // fused stats+constraint pass: tracked column + constrained columns,
+    // nothing else (input_file_name needs no data column)
+    val sv = Versioned.statsValidationFrame(spark, r, files,
+      statsCols = Seq("k"), constraints = Seq(
+        "price_pos" -> "price > 0", "a_nonempty" -> "length(a) > 0"))
+    assert(scanCols(sv).toSet === Set("k", "price", "a"), s"got ${scanCols(sv)}")
+    // and the real write paths stay green under the same shapes
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    Versioned.append(wide.withColumn("k", col("k") + 100), r)
+    assert(Versioned.read(spark, r).count() === 100)
+  }
+
   test("vt20: rollback restores the target's constraint set") {
     import spark.implicits._
     val r = root()
