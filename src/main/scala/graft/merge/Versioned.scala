@@ -1415,20 +1415,57 @@ object Versioned {
     * source's history. The clone starts with fresh dedup lineage; replays
     * of the source's own ingest belong on the source. Absolute paths make
     * a clone machine-local — not relocatable, unlike a regular table.
+    *
+    * `deep = true` is the materializing form (Delta's non-shallow CLONE):
+    * source files are COPIED clone-local and referenced relatively, so
+    * vacuum behaves symmetrically, the source is deletable afterward, and
+    * a shallow clone can be materialized by deep-cloning it.
     */
-  def cloneTable(srcRoot: String, dstRoot: String, asOf: Option[Int] = None): Version = {
+  def cloneTable(srcRoot: String, dstRoot: String, asOf: Option[Int] = None,
+      deep: Boolean = false): Version = {
     val src = asOf.map(stateAt(srcRoot, _)).getOrElse(currentVersion(srcRoot).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $srcRoot")))
     require(currentVersion(dstRoot).isEmpty,
       s"clone target $dstRoot already has committed versions")
     val srcP = Paths.get(srcRoot)
-    def abs(f: String): String = srcP.resolve(f).toString
-    writeManifest(dstRoot, Version(1, "clone", 0,
-      src.files.map(abs),
-      src.stats.map { case (f, r) => abs(f) -> r },
-      src.statsCols, Set.empty, src.schema, // fresh txn lineage — see scaladoc
-      src.sizes.map { case (f, s) => abs(f) -> s },
-      commitTs(None), src.constraints))
+    if (!deep) {
+      def abs(f: String): String = srcP.resolve(f).toString
+      writeManifest(dstRoot, Version(1, "clone", 0,
+        src.files.map(abs),
+        src.stats.map { case (f, r) => abs(f) -> r },
+        src.statsCols, Set.empty, src.schema, // fresh txn lineage — see scaladoc
+        src.sizes.map { case (f, s) => abs(f) -> s },
+        commitTs(None), src.constraints))
+    } else {
+      // DEEP clone (Delta's `CLONE` without SHALLOW — the materializing
+      // form): every source file is COPIED into one clone-local commit dir
+      // and the manifest references the copies by RELATIVE path, so the
+      // ownership asymmetry disappears — the clone vacuums its own files
+      // like any regular table, the source is deletable afterward, and the
+      // clone is relocatable (no absolute paths). Deep-cloning a SHALLOW
+      // clone materializes it (inherited absolute paths resolve unchanged
+      // and copy like any other source file). Stats/sizes/schema/
+      // constraints re-key to the copied paths; file bytes are identical,
+      // so recorded ranges stay exact. Cost is an honest O(table bytes)
+      // copy — driver-side here (an admin op, one stream per file); a
+      // cluster filesystem would use its own distributed copy.
+      val dataDir = Paths.get(dstRoot, "data", s"c1-${java.util.UUID.randomUUID()}")
+      Files.createDirectories(dataDir)
+      // an index prefix keeps copies collision-free: files from different
+      // source commit dirs legally share part-file names
+      val mapping: Map[String, String] = src.files.zipWithIndex.map { case (f, i) =>
+        val from = srcP.resolve(f)
+        val name = f"f$i%05d-${from.getFileName}"
+        Files.copy(from, dataDir.resolve(name))
+        f -> s"data/${dataDir.getFileName}/$name"
+      }.toMap
+      writeManifest(dstRoot, Version(1, "clone-deep", 0,
+        src.files.map(mapping),
+        src.stats.map { case (f, r) => mapping(f) -> r },
+        src.statsCols, Set.empty, src.schema,
+        src.sizes.map { case (f, s) => mapping(f) -> s },
+        commitTs(None), src.constraints))
+    }
   }
 
   /** VT19 (retention half): age-based retention — [[vacuum]] with the cut

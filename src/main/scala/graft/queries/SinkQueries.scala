@@ -872,6 +872,25 @@ object SinkQueries extends QueryModule {
           .select(lit("clone").as("side"), col("o_orderkey"), col("o_totalprice")))
     }),
 
+    // VT21b: DEEP clone — the materializing form: the clone copies the
+    // source's bytes clone-local (relative paths, symmetric vacuum) and the
+    // SOURCE IS DELETED OUTRIGHT before the read — a shallow clone would
+    // fail at scan time here, so the row itself proves ownership transfer.
+    "vt21b_deep_clone" -> ((s, dir) => {
+      val base = tmp("graft_vt21b")
+      val src = base + "/src"; val dst = base + "/deep"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), src, "o_orderkey")
+      V.cloneTable(src, dst, deep = true)
+      val p = new org.apache.hadoop.fs.Path(src)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      V.read(s, dst)
+    }),
+
     // VT22: the FULL conditional-clause MERGE grammar THROUGH the log —
     // m10's Delta clause model (WHEN MATCHED AND price<0 THEN DELETE /
     // WHEN MATCHED THEN UPDATE SET doubled / WHEN NOT MATCHED AND gated
@@ -1124,6 +1143,11 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt21b: the deep clone serves the full F snapshot from its own copied
+    // bytes — the source was deleted before the read
+    "vt21b_deep_clone" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     // vt22: v1 = the pre-merge F snapshot intact (deleted rows included);
     // head replays the clause CASE — even window keys deleted, odd ones
     // doubled, P orders inserted only past the price gate. cow_bounded = 1

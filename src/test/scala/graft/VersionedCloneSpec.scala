@@ -105,6 +105,61 @@ class VersionedCloneSpec extends SparkSuite {
       s"manifest-stats pruning must survive the clone's absolute paths, planned $scanned")
   }
 
+  test("deep clone: reads identical, relocatable paths, symmetric vacuum, source deletable") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val dst = base + "/deep"
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 10.0)).toDF("k", "price")
+        .repartitionByRange(4, col("k")), src, "k")
+    Versioned.addConstraint(spark, src, "price_pos", "price > 0")
+    val v = Versioned.cloneTable(src, dst, deep = true)
+    assert(v.op === "clone-deep" && v.n === 1)
+    // every reference is clone-local and RELATIVE (relocatable, vacuumable)
+    assert(v.files.nonEmpty && v.files.forall(f =>
+      !java.nio.file.Paths.get(f).isAbsolute && f.startsWith("data/")))
+    assert(Versioned.read(spark, dst).select("k").as[Long].collect().sorted
+      === (1L to 100L).toArray)
+    // stats re-keyed to the copies: pruning is as selective as the source's
+    assert(Versioned.readWhere(spark, dst, col("k") <= 25L).inputFiles.length
+      < v.files.length)
+    // constraints carried
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((200L, -1.0)).toDF("k", "price"), dst)
+    }
+    // the SOURCE is deletable afterward — the deep clone owns its bytes
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(src))
+    assert(Versioned.read(spark, dst).count() === 100)
+    // vacuum is SYMMETRIC: after an overwrite, the copied v1 files (owned,
+    // relative) DO reclaim — unlike a shallow clone's inherited paths
+    Versioned.overwrite(Seq((1L, 1.0)).toDF("k", "price"), dst)
+    val (deleted, _) = Versioned.vacuum(dst, keepLast = 1)
+    assert(deleted.toSet === v.files.toSet, "deep-cloned files are the clone's to reclaim")
+    assert(Versioned.read(spark, dst).count() === 1)
+  }
+
+  test("deep-cloning a SHALLOW clone materializes it") {
+    import spark.implicits._
+    val base = tmpDir()
+    val src = base + "/src"; val sh = base + "/shallow"; val mat = base + "/mat"
+    Versioned.append((1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), src)
+    Versioned.cloneTable(src, sh) // shallow: absolute refs into src
+    val v = Versioned.cloneTable(sh, mat, deep = true) // materialize
+    assert(v.files.forall(f => !java.nio.file.Paths.get(f).isAbsolute))
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(src)) // kills the shallow clone's liveness…
+    assert(Versioned.read(spark, mat).count() === 50) // …but not the deep one's
+  }
+
   test("clone retention never deletes inherited files (vacuum + vacuumOlderThan)") {
     import spark.implicits._
     val base = tmpDir()
