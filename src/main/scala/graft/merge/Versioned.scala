@@ -148,7 +148,8 @@ object Versioned {
       schema: Option[String] = None,
       sizes: Map[String, Long] = Map.empty,
       ts: Long = -1L,
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      colMap: Map[String, String] = Map.empty)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
@@ -166,7 +167,8 @@ object Versioned {
   private final case class Raw(n: Int, op: String, parent: Int, full: Boolean,
       statsCols: Seq[String], entries: Seq[FileEntry], removed: Seq[String],
       txns: Set[Long], schema: Option[String], ts: Long = -1L,
-      constraints: Seq[(String, String)] = Nil)
+      constraints: Seq[(String, String)] = Nil,
+      colMap: Map[String, String] = Map.empty)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -241,8 +243,16 @@ object Versioned {
       require(kv.length == 2, s"malformed constraint line in $p: $l")
       (kv(0), kv(1))
     }
+    // column mapping (vt24 RENAME): `colmap=<logical>:<physical>`, one per
+    // renamed column — identity entries are never written. Lives only on
+    // FULL manifests (a rename commits FULL; deltas inherit the base's map)
+    val colMap = body.filter(_.startsWith("colmap=")).map { l =>
+      val kv = l.stripPrefix("colmap=").split(":", 2)
+      require(kv.length == 2, s"malformed colmap line in $p: $l")
+      (kv(0), kv(1))
+    }.toMap
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
-      l.startsWith("constraint="))
+      l.startsWith("constraint=") || l.startsWith("colmap="))
     val full = header.get("full").contains("1")
     val fmt = header.get("fmt").map(_.toInt).getOrElse(1)
     // commit wall-time (vt19): an OPTIONAL header key — pre-vt19 manifests
@@ -252,7 +262,7 @@ object Versioned {
     if (full)
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints)
+        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -264,13 +274,13 @@ object Versioned {
           s"manifest $p mixes prefixed and unprefixed file lines — corrupt or unsupported")
         Raw(n, header("op"), header("parent").toInt, full = true,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints)
+          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap)
       } else
         Raw(n, header("op"), header("parent").toInt, full = false,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
-          txns, schema, ts, constraints)
+          txns, schema, ts, constraints, colMap)
     }
   }
 
@@ -289,7 +299,7 @@ object Versioned {
         raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
         raw.statsCols, raw.txns ++ opTxn, raw.schema,
         raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
-        raw.ts, raw.constraints)
+        raw.ts, raw.constraints, raw.colMap)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -304,7 +314,8 @@ object Versioned {
         (base.sizes -- removed) ++
           raw.entries.collect { case e if e.size >= 0 => e.path -> e.size },
         raw.ts, // each version's OWN commit time, never inherited
-        base.constraints ++ raw.constraints) // deltas only ever ADD constraints
+        base.constraints ++ raw.constraints, // deltas only ever ADD constraints
+        base.colMap) // deltas never change the mapping (renames commit FULL)
     }
   }
 
@@ -439,6 +450,7 @@ object Versioned {
       (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
     (head +: (v.schema.map(s => s"schema=$s").toSeq ++
       v.constraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
+      v.colMap.toSeq.sorted.map { case (l, p) => s"colmap=$l:$p" } ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       val sz = v.sizes.getOrElse(f, -1L)
       (Seq(f, sz.toString) ++
@@ -509,7 +521,11 @@ object Versioned {
       schemaDDL.orElse(cur.flatMap(_.schema)),
       (cur.map(_.sizes).getOrElse(Map.empty) -- removedSet) ++
         added.collect { case e if e.size >= 0 => e.path -> e.size },
-      commitTs(cur), cur.map(_.constraints).getOrElse(Nil))
+      commitTs(cur), cur.map(_.constraints).getOrElse(Nil),
+      // the mapping rides every commit: a checkpoint-numbered delta renders
+      // FULL, and a full manifest dropping the colmap would silently break
+      // every read of renamed columns
+      cur.map(_.colMap).getOrElse(Map.empty))
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
@@ -595,11 +611,12 @@ object Versioned {
   def append(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    val cmap = cur.map(_.colMap).getOrElse(Map.empty)
     val ddl = normalizedDDL(df)
-    val (files, marker) = writeData(df, root, n, Map.empty)
+    val (files, marker) = writeData(physicalize(df, cmap), root, n, Map.empty)
     sealing(marker) {
       validateConstraints(df.sparkSession, root,
-        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl))
+        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl), cmap)
       commitOn(root, cur, "append", plainEntries(files), Nil, Nil, Some(ddl))
     }
   }
@@ -628,13 +645,14 @@ object Versioned {
     statsCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail BEFORE writing
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
+    val cmap = cur.map(_.colMap).getOrElse(Map.empty)
     val ddl = normalizedDDL(df)
-    val (files, marker) = writeData(df, root, n, options)
+    val (files, marker) = writeData(physicalize(df, cmap), root, n, options)
     sealing(marker) {
       // constraint check fused into the stats pass: one landed-files scan
       commitOn(root, cur, "append",
         statsEntriesValidating(df.sparkSession, root, files, statsCols,
-          cur.map(_.constraints).getOrElse(Nil)), Nil, statsCols, Some(ddl))
+          cur.map(_.constraints).getOrElse(Nil), cmap), Nil, statsCols, Some(ddl))
     }
   }
 
@@ -727,8 +745,9 @@ object Versioned {
     * [[overwrite]], [[deleteWhere]] and [[mergeInto]].
     */
   private def statsEntries(spark: SparkSession, root: String, files: Seq[(String, Long)],
-      statsCols: Seq[String]): Seq[FileEntry] =
-    statsEntriesValidating(spark, root, files, statsCols, Nil)
+      statsCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): Seq[FileEntry] =
+    statsEntriesValidating(spark, root, files, statsCols, Nil, colMap)
 
   /** [[statsEntries]] with the vt20 constraint check FUSED into the same
     * commit-sized scan: the per-file groupBy that measures (min, max)
@@ -742,10 +761,11 @@ object Versioned {
     */
   private def statsEntriesValidating(spark: SparkSession, root: String,
       files: Seq[(String, Long)], statsCols: Seq[String],
-      constraints: Seq[(String, String)]): Seq[FileEntry] = {
+      constraints: Seq[(String, String)],
+      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
-    val rows = statsValidationFrame(spark, root, files, statsCols, constraints)
+    val rows = statsValidationFrame(spark, root, files, statsCols, constraints, colMap)
       .collect().toSeq
     val nStat = 2 * statsCols.length
     if (constraints.nonEmpty) {
@@ -775,9 +795,15 @@ object Versioned {
     */
   private[graft] def statsValidationFrame(spark: SparkSession, root: String,
       files: Seq[(String, Long)], statsCols: Seq[String],
-      constraints: Seq[(String, String)]): DataFrame = {
+      constraints: Seq[(String, String)],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     val rootP = Paths.get(root)
-    val df = spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*)
+    // landed files carry PHYSICAL names; stats columns and constraint SQL
+    // are LOGICAL — alias back before analyzing (the Project folds into
+    // the scan, no extra pass)
+    val df = logicalize(
+      spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*),
+      colMap)
     val statAggs = statsCols.flatMap { c =>
       val e = statsLongExpr(c, df.schema(c).dataType)
       Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
@@ -801,8 +827,9 @@ object Versioned {
   def appendWithRetry(df: DataFrame, root: String, maxRetries: Int = 5): Version = {
     val cur = currentVersion(root)
     val n0 = cur.map(_.n + 1).getOrElse(1)
+    val cmap = cur.map(_.colMap).getOrElse(Map.empty)
     val ddl = normalizedDDL(df)
-    val (files, marker) = writeData(df, root, n0, Map.empty)
+    val (files, marker) = writeData(physicalize(df, cmap), root, n0, Map.empty)
     sealing(marker) {
       // constraints are re-validated per ATTEMPT against that attempt's
       // head: a racing commit may have ADDED a constraint, and its own
@@ -814,9 +841,15 @@ object Versioned {
       var committed: Option[Version] = None
       while (committed.isEmpty) {
         val head = currentVersion(root)
+        // the landed files carry the PRE-WRITE physical names: a rename
+        // racing this append would pair a stale generation of names with a
+        // post-rename contract — refuse instead of committing wrong files
+        require(head.map(_.colMap).getOrElse(Map.empty) == cmap,
+          s"concurrent column rename at $root while this append was in flight — " +
+            "re-run the append (its files carry the pre-rename physical names)")
         val cons = head.map(_.constraints).getOrElse(Nil)
         if (cons != validated) {
-          validateConstraints(df.sparkSession, root, cons, files, Some(ddl))
+          validateConstraints(df.sparkSession, root, cons, files, Some(ddl), cmap)
           validated = cons
         }
         try committed = Some(
@@ -884,6 +917,9 @@ object Versioned {
     val shaped =
       if (cur.statsCols.nonEmpty) df.repartitionByRange(nFiles, col(cur.statsCols.head))
       else df.repartition(nFiles)
+    // the rewrite lands under LOGICAL names and the FULL manifest carries
+    // no colmap: compaction MATERIALIZES any pending column rename (every
+    // file is rewritten anyway — the one moment the mapping is free to drop)
     val (files, marker) = writeData(shaped, root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
@@ -1066,10 +1102,10 @@ object Versioned {
     val survivors = readFiles(spark, root, cur, affected)
       .filter(!coalesce(predicate, lit(false)))
     val n = cur.n + 1
-    val (files, marker) = writeData(survivors, root, n, Map.empty)
+    val (files, marker) = writeData(physicalize(survivors, cur.colMap), root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
-      else statsEntries(spark, root, files, cur.statsCols)
+      else statsEntries(spark, root, files, cur.statsCols, cur.colMap)
     sealing(marker)(commitOn(root, Some(cur), "delete", entries, affected,
       cur.statsCols, Some(normalizedDDL(survivors))))
   }
@@ -1221,7 +1257,7 @@ object Versioned {
       .getOrElse(MergeInto.merge(target, srcSel, keys, orderCol))
     val n = cur.n + 1
     val ddl = normalizedDDL(merged)
-    val (files, marker) = writeData(merged, root, n, Map.empty)
+    val (files, marker) = writeData(physicalize(merged, cur.colMap), root, n, Map.empty)
     sealing(marker) {
       // the merge RESULT (updates included) must pass the constraints —
       // carried-through rows were already valid, so violations can only
@@ -1229,9 +1265,10 @@ object Versioned {
       // runs (one landed-files scan either way)
       val entries =
         if (cur.statsCols.isEmpty) {
-          validateConstraints(spark, root, cur.constraints, files, Some(ddl))
+          validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
           plainEntries(files)
-        } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints)
+        } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
+          cur.colMap)
       commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
     }
   }
@@ -1362,7 +1399,8 @@ object Versioned {
     // were validated under exactly those constraints)
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
       target.stats, target.statsCols, cur.txns, target.schema, target.sizes,
-      commitTs(Some(cur)), target.constraints))
+      commitTs(Some(cur)), target.constraints,
+      target.colMap)) // the target's files ARE that mapping's generation
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -1435,7 +1473,8 @@ object Versioned {
         src.stats.map { case (f, r) => abs(f) -> r },
         src.statsCols, Set.empty, src.schema, // fresh txn lineage — see scaladoc
         src.sizes.map { case (f, s) => abs(f) -> s },
-        commitTs(None), src.constraints))
+        commitTs(None), src.constraints,
+        src.colMap)) // the borrowed bytes carry the source's physical names
     } else {
       // DEEP clone (Delta's `CLONE` without SHALLOW — the materializing
       // form): every source file is COPIED into one clone-local commit dir
@@ -1464,7 +1503,8 @@ object Versioned {
         src.stats.map { case (f, r) => mapping(f) -> r },
         src.statsCols, Set.empty, src.schema,
         src.sizes.map { case (f, s) => mapping(f) -> s },
-        commitTs(None), src.constraints))
+        commitTs(None), src.constraints,
+        src.colMap)) // byte-identical copies keep the physical column names
     }
   }
 
@@ -1674,9 +1714,10 @@ object Versioned {
     */
   private def validateConstraints(spark: SparkSession, root: String,
       constraints: Seq[(String, String)], files: Seq[(String, Long)],
-      schemaDDL: Option[String]): Unit = {
+      schemaDDL: Option[String],
+      colMap: Map[String, String] = Map.empty): Unit = {
     if (constraints.isEmpty || files.isEmpty) return
-    val r = constraintViolationCounts(spark, root, constraints, files, schemaDDL).head
+    val r = constraintViolationCounts(spark, root, constraints, files, schemaDDL, colMap).head
     val bad = constraints.zipWithIndex.collect {
       case ((nm, sql), i) if r.getLong(i) > 0 => s"`$nm` ($sql): ${r.getLong(i)} row(s)"
     }
@@ -1693,13 +1734,17 @@ object Versioned {
     */
   private[graft] def constraintViolationCounts(spark: SparkSession, root: String,
       constraints: Seq[(String, String)], files: Seq[(String, Long)],
-      schemaDDL: Option[String]): DataFrame = {
+      schemaDDL: Option[String],
+      colMap: Map[String, String] = Map.empty): DataFrame = {
     val rootP = Paths.get(root)
     val paths = files.map { case (f, _) => rootP.resolve(f).toString }
+    // the DDL and constraint SQL are LOGICAL; landed files carry PHYSICAL
+    // names — read under the physicalized struct and alias back
     val df = schemaDDL match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+      case Some(ddl) =>
+        val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        logicalize(spark.read.schema(physicalStruct(st, colMap)).parquet(paths: _*), colMap)
+      case None => logicalize(spark.read.parquet(paths: _*), colMap)
     }
     val aggs = constraints.map { case (nm, sql) =>
       count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(nm)
@@ -1927,15 +1972,16 @@ object Versioned {
     if (cur.exists(_.txns.contains(batchId))) None
     else {
       val n = cur.map(_.n + 1).getOrElse(1)
+      val cmap = cur.map(_.colMap).getOrElse(Map.empty)
       val ddl = normalizedDDL(df)
-      val (files, marker) = writeData(df, root, n, Map.empty)
+      val (files, marker) = writeData(physicalize(df, cmap), root, n, Map.empty)
       Some(sealing(marker) {
         val cons = cur.map(_.constraints).getOrElse(Nil)
         val entries =
           if (statsCols.isEmpty) {
-            validateConstraints(df.sparkSession, root, cons, files, Some(ddl))
+            validateConstraints(df.sparkSession, root, cons, files, Some(ddl), cmap)
             plainEntries(files)
-          } else statsEntriesValidating(df.sparkSession, root, files, statsCols, cons)
+          } else statsEntriesValidating(df.sparkSession, root, files, statsCols, cons, cmap)
         commitOn(root, cur, s"stream-batch-$batchId",
           entries, Nil, statsCols, Some(ddl))
       })
@@ -2088,11 +2134,58 @@ object Versioned {
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
     v.schema match {
       case Some(ddl) =>
-        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .parquet(paths: _*)
+        val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        if (v.colMap.isEmpty)
+          spark.read.schema(st).parquet(paths: _*)
+        else
+          // vt24 column mapping: files carry PHYSICAL names (a column's
+          // original name, stable across any number of renames), the
+          // contract carries LOGICAL ones — read under the physicalized
+          // struct (same order/types, renamed fields) and project back.
+          // Catalyst pushes filters/pruning through the alias Project, so
+          // scans stay as selective as the unmapped path.
+          spark.read.schema(physicalStruct(st, v.colMap)).parquet(paths: _*)
+            .select(st.fields.map(f =>
+              col(physicalName(v.colMap, f.name)).as(f.name)).toIndexedSeq: _*)
       case None => spark.read.parquet(paths: _*)
     }
   }
+
+  // ---- vt24 column mapping (Delta's published design, name-keyed form):
+  // the manifest records logical→physical per RENAMED column; physical
+  // names are the column's original name and never change once written,
+  // so every file generation stays readable under every later contract.
+
+  private def physicalName(colMap: Map[String, String], c: String): String =
+    colMap.getOrElse(c, c)
+
+  /** The contract's struct with fields renamed logical→physical — what the
+    * parquet files actually carry. Order and types are untouched (a rename
+    * is name-only), which is also what lets the streaming source read
+    * positionally under either name set.
+    */
+  private[graft] def physicalStruct(st: org.apache.spark.sql.types.StructType,
+      colMap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = physicalName(colMap, f.name))))
+
+  /** Rename a LOGICAL-named frame to physical names before its files land
+    * — every write path funnels through this so on-disk column names stay
+    * generation-stable across renames.
+    */
+  private def physicalize(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(physicalName(colMap, c))).toIndexedSeq: _*)
+
+  /** Rename a PHYSICAL-named frame (a landed-files scan) back to logical
+    * names so stats exprs and constraint SQL — both logical — analyze.
+    */
+  private def logicalize(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    if (colMap.isEmpty) df
+    else {
+      val inv = colMap.map(_.swap)
+      df.select(df.columns.map(c => col(c).as(inv.getOrElse(c, c))).toIndexedSeq: _*)
+    }
 
   /** VT16: metadata-only ADD COLUMN — schema evolution WITHOUT the full
     * rewrite [[overwrite]] costs. The published Delta/Iceberg design: an
@@ -2118,6 +2211,16 @@ object Versioned {
           "(pre-contract logs evolve via overwrite())")))
     added.fieldNames.foreach(c => require(!old.fieldNames.contains(c),
       s"evolve: column `$c` already exists in the contract"))
+    // under a column mapping the PHYSICAL namespace is a second contract: a
+    // new logical column lands with physical == logical, so its name must
+    // not collide with an existing column's physical name (the renamed-away
+    // original) — two fields would share one on-disk column and reads of
+    // either would silently serve the other's bytes
+    val physicalInUse = old.fieldNames.map(physicalName(cur.colMap, _)).toSet
+    added.fieldNames.foreach(c => require(!physicalInUse.contains(c),
+      s"evolve: `$c` is an existing column's PHYSICAL (pre-rename) name — old data " +
+        "files already carry it; choose another name, or compact first to " +
+        "materialize the rename and free the physical namespace"))
     val newDDL = org.apache.spark.sql.types.StructType(
       (old.fields ++ added.fields).map(_.copy(nullable = true))).toDDL
     val state = cur.copy(n = cur.n + 1, op = "evolve", parent = cur.n,
@@ -2136,11 +2239,10 @@ object Versioned {
     * simply never project the column (the explicit-read-schema semantics
     * [[readFiles]] applies — parquet reads a subset of a file's columns
     * natively), old versions time-travel with the column intact, and
-    * later appends are checked against the shrunk contract. RENAME is
-    * deliberately NOT offered: without per-field ids (Iceberg) or column
-    * mapping (Delta) a rename is indistinguishable from drop+add and
-    * would silently null the renamed data — drop+add states that
-    * honestly. Guards: at least one column must remain; a column a CHECK
+    * later appends are checked against the shrunk contract. RENAME is a
+    * separate op ([[evolveRename]], via column mapping — a bare drop+add
+    * would silently null the renamed data). Guards: at least one column
+    * must remain; a column a CHECK
     * constraint references refuses (drop the constraint first — Delta's
     * rule); dropping a STATS-TRACKED column re-aligns every file's
     * recorded ranges (positional) and commits FULL — still metadata-only.
@@ -2172,7 +2274,10 @@ object Versioned {
       remaining.map(_.copy(nullable = true))).toDDL
     val droppedTrackedIdx = cur.statsCols.zipWithIndex
       .filter { case (c, _) => dropCols.contains(c) }.map(_._2)
-    if (droppedTrackedIdx.isEmpty) {
+    // a dropped column's mapping entry goes with it; dropping a RENAMED
+    // column is a colmap change, and deltas never carry colmap — commit FULL
+    val dropsMapped = dropCols.exists(cur.colMap.contains)
+    if (droppedTrackedIdx.isEmpty && !dropsMapped) {
       // plain contract shrink: one delta line, evolve()'s shape
       val state = cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
         schema = Some(newDDL), ts = commitTs(Some(cur)))
@@ -2182,6 +2287,11 @@ object Versioned {
         promoteState(root, state,
           renderDelta("evolve-drop", cur.n, cur.statsCols, Nil, Nil, Some(newDDL),
             ts = state.ts), full = false)
+    } else if (droppedTrackedIdx.isEmpty) {
+      // mapped-column drop: metadata-only FULL manifest with the entry gone
+      writeManifest(root, cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
+        schema = Some(newDDL), ts = commitTs(Some(cur)),
+        colMap = cur.colMap -- dropCols))
     } else {
       // a tracked column drops out: per-file ranges are POSITIONAL against
       // statsCols, so re-align both and commit FULL (it lists every file's
@@ -2192,9 +2302,90 @@ object Versioned {
         statsCols = keepIdx.map(cur.statsCols),
         stats = cur.stats.map { case (f, rs) =>
           f -> keepIdx.collect { case i if i < rs.length => rs(i) }
-        }.filter(_._2.nonEmpty))
+        }.filter(_._2.nonEmpty),
+        colMap = cur.colMap -- dropCols)
       writeManifest(root, state)
     }
+  }
+
+  /** VT24: metadata-only column RENAME via COLUMN MAPPING — the published
+    * Delta design (Iceberg solves it with field ids): the schema contract
+    * carries LOGICAL names, the manifest records logical→physical per
+    * renamed column, and data files keep their PHYSICAL names (the
+    * column's original name — stable forever, so every file generation
+    * stays readable under every later contract). The commit is one FULL
+    * manifest, zero data files touched at any table size.
+    *
+    * Everything follows the rename: reads/pruned reads/the native relation
+    * project physical→logical; later appends land their files under the
+    * physical names (so the on-disk namespace never forks); skipping stats
+    * re-key to the new logical name with their recorded ranges intact (the
+    * bytes didn't move); CHECK constraints have the identifier rewritten in
+    * their SQL ([[renameInSql]] — string literals untouched); old versions
+    * time-travel under their OWN contract and mapping. [[compact]]/
+    * [[compactZOrder]]/[[overwrite]] rewrite every file anyway and thus
+    * MATERIALIZE the mapping away (the Delta "rewrite to drop mapping"
+    * story); [[evolve]] guards the physical namespace (adding a column
+    * whose name is a renamed-away physical name refuses). Round-trip
+    * renames collapse to identity (no mapping entry survives a→b→a).
+    */
+  def evolveRename(root: String, from: String, to: String): Version = {
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    require(from.matches(ident) && to.matches(ident),
+      s"evolveRename needs plain identifiers, got `$from` -> `$to`")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"table at $root records no schema contract — rename needs one")))
+    require(old.fieldNames.contains(from),
+      s"evolveRename: column `$from` is not in the contract (${old.fieldNames.mkString(", ")})")
+    require(!old.fieldNames.contains(to),
+      s"evolveRename: column `$to` already exists in the contract")
+    val physical = physicalName(cur.colMap, from)
+    // identity entries never persist: a→b→a leaves no mapping behind
+    val newMap = ((cur.colMap - from) + (to -> physical)).filter { case (l, p) => l != p }
+    val newDDL = org.apache.spark.sql.types.StructType(old.fields.map(f =>
+      (if (f.name == from) f.copy(name = to) else f).copy(nullable = true))).toDDL
+    writeManifest(root, cur.copy(n = cur.n + 1, op = "evolve-rename", parent = cur.n,
+      schema = Some(newDDL), ts = commitTs(Some(cur)),
+      statsCols = cur.statsCols.map(c => if (c == from) to else c),
+      constraints = cur.constraints.map { case (nm, sql) =>
+        (nm, renameInSql(sql, from, to)) },
+      colMap = newMap))
+  }
+
+  /** Rewrite identifier occurrences of `from` to `to` in one line of
+    * constraint SQL: bare words and backtick-quoted identifiers rename;
+    * single-quoted string literals pass through untouched (renaming column
+    * `active` must not corrupt `status != 'active'`). Token-level, not a
+    * parser — constraint SQL is single-line scalar predicates by contract.
+    */
+  private[graft] def renameInSql(sql: String, from: String, to: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' =>
+          val j = sql.indexOf('\'', i + 1)
+          val end = if (j < 0) sql.length - 1 else j
+          out.append(sql.substring(i, end + 1)); i = end + 1
+        case '`' =>
+          val j = sql.indexOf('`', i + 1)
+          val end = if (j < 0) sql.length - 1 else j
+          val inner = sql.substring(math.min(i + 1, end), end)
+          out.append(if (inner == from) s"`$to`" else sql.substring(i, end + 1))
+          i = end + 1
+        case c if c.isLetter || c == '_' =>
+          var j = i
+          while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+          val word = sql.substring(i, j)
+          out.append(if (word == from) to else word)
+          i = j
+        case c => out.append(c); i += 1
+      }
+    }
+    out.toString
   }
 
   /** A version with no files is a legitimate state (a full-table
@@ -2251,7 +2442,21 @@ object Versioned {
     if (v.files.isEmpty) return emptyVersion(spark, root, v)
     val schema = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(read(spark, root, Some(v.n)).schema)
-    org.apache.spark.sql.graft.ManifestFileIndex.relation(
-      spark, root, v.files, v.stats, v.statsCols, schema, v.sizes)
+    if (v.colMap.isEmpty)
+      org.apache.spark.sql.graft.ManifestFileIndex.relation(
+        spark, root, v.files, v.stats, v.statsCols, schema, v.sizes)
+    else {
+      // vt24: the relation itself runs in the PHYSICAL namespace (files and
+      // recorded statsCols alike — ranges are positional, unaffected by the
+      // rename) with a logical projection on top; Catalyst pushes predicate
+      // and column pruning through the aliases, so manifest-stats skipping
+      // on a renamed column is as selective as before the rename
+      val phys = physicalStruct(schema, v.colMap)
+      org.apache.spark.sql.graft.ManifestFileIndex.relation(
+          spark, root, v.files, v.stats,
+          v.statsCols.map(physicalName(v.colMap, _)), phys, v.sizes)
+        .select(schema.fields.map(f =>
+          col(physicalName(v.colMap, f.name)).as(f.name)).toIndexedSeq: _*)
+    }
   }
 }

@@ -872,6 +872,32 @@ object SinkQueries extends QueryModule {
           .select(lit("clone").as("side"), col("o_orderkey"), col("o_totalprice")))
     }),
 
+    // VT24: metadata-only column RENAME via column mapping — the contract
+    // carries the new LOGICAL name while data files keep their physical
+    // one (zero files touched; Delta's column-mapping design). The head
+    // reads `amount` (selecting it proves the rename landed), a post-rename
+    // append under the new shape lands and unifies with pre-rename file
+    // generations, and v1 time-travels under the ORIGINAL name.
+    "vt24_rename" -> ((s, dir) => {
+      val root = tmp("graft_vt24") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.evolveRename(root, "o_totalprice", "amount")
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_totalprice").as("amount")),
+        root, "o_orderkey")
+      V.read(s, root, Some(1))
+        .select(lit(1).as("version"), col("o_orderkey"),
+          col("o_totalprice").as("amount")) // v1: the OLD name, by name
+        .unionAll(V.read(s, root)
+          .select(lit(3).as("version"), col("o_orderkey"), col("amount")))
+    }),
+
     // VT21b: DEEP clone — the materializing form: the clone copies the
     // source's bytes clone-local (relative paths, symmetric vacuum) and the
     // SOURCE IS DELETED OUTRIGHT before the read — a shallow clone would
@@ -1143,6 +1169,14 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt24: v1 = the F snapshot under the original column; head = F (old
+    // file generation, read through the mapping) ∪ O (post-rename files)
+    "vt24_rename" ->
+      """SELECT 1 AS version, o_orderkey, o_totalprice AS amount FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus IN ('F', 'O')""".stripMargin,
     // vt21b: the deep clone serves the full F snapshot from its own copied
     // bytes — the source was deleted before the read
     "vt21b_deep_clone" ->

@@ -135,9 +135,17 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     // and the option would be a silent no-op
     val maxVers = Option(opts.get("maxVersionsPerTrigger")).map(_.trim.toInt)
       .getOrElse(if (maxBytes.isDefined || maxFiles.isDefined) Int.MaxValue else 1)
+    // vt24 column mapping: data files carry PHYSICAL column names; the
+    // query surface (schema) carries LOGICAL ones. A rename is name-only
+    // (order/types unchanged) and physical names are generation-stable, so
+    // the parquet reader runs under the physicalized struct while rows —
+    // positional — serve the logical schema unchanged. Resolved once at
+    // query start, like the schema pin; a mid-stream rename changes neither
+    // the files nor their physical names, so the pin stays valid.
+    val colMap = Versioned.currentVersion(root).map(_.colMap).getOrElse(Map.empty)
     new VersionedStreamTable(root, schema, startVer, maxVers,
       Option(opts.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
-      maxBytes, maxFiles)
+      maxBytes, maxFiles, colMap)
   }
 }
 
@@ -145,7 +153,8 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
     startingVersion: Int, maxVersionsPerTrigger: Int,
     ignoreChanges: Boolean,
     maxBytesPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Table with SupportsRead {
+    maxFilesPerTrigger: Option[Int] = None,
+    colMap: Map[String, String] = Map.empty) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -157,7 +166,7 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedMicroBatchStream(root, tableSchema, startingVersion,
             maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
-            maxFilesPerTrigger)
+            maxFilesPerTrigger, colMap)
       }
     }
 }
@@ -173,7 +182,8 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
     startingVersion: Int = 1, maxVersionsPerTrigger: Int = 1,
     ignoreChanges: Boolean = false,
     maxBytesPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    colMap: Map[String, String] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger >= 1,
@@ -299,14 +309,18 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
+    // files carry PHYSICAL names (vt24); a rename is name-only so the
+    // physicalized struct is positionally identical to the logical one —
+    // InternalRows read here serve the logical readSchema() unchanged
+    val fileSchema = Versioned.physicalStruct(schema, colMap)
     // Spark's own parquet reader, built once on the driver and shipped to
     // executors — the closure ParquetFileFormat returns is exactly what
     // FileScanRDD ships for the batch path
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
-      dataSchema = schema,
+      dataSchema = fileSchema,
       partitionSchema = new StructType(),
-      requiredSchema = schema,
+      requiredSchema = fileSchema,
       filters = Seq.empty,
       // rows, not ColumnarBatches: PartitionReader[InternalRow] is the
       // row-level contract (the batch-masked-as-row hack would leak here)
