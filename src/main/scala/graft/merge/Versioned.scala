@@ -149,7 +149,8 @@ object Versioned {
       sizes: Map[String, Long] = Map.empty,
       ts: Long = -1L,
       constraints: Seq[(String, String)] = Nil,
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      pendingTxn: Option[String] = None)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
@@ -168,7 +169,8 @@ object Versioned {
       statsCols: Seq[String], entries: Seq[FileEntry], removed: Seq[String],
       txns: Set[Long], schema: Option[String], ts: Long = -1L,
       constraints: Seq[(String, String)] = Nil,
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      txnMarker: Option[String] = None)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -251,9 +253,19 @@ object Versioned {
       require(kv.length == 2, s"malformed colmap line in $p: $l")
       (kv(0), kv(1))
     }.toMap
+    // multi-table transaction marker (vt23): `txnmarker=<abs path base>` —
+    // this version is part of a cross-table txn and counts only once
+    // `<base>.committed` exists (see [[fold]]'s resolution). Staged
+    // manifests are always DELTAS so an aborted one folds as a no-op.
+    val txnMarker = body.find(_.startsWith("txnmarker="))
+      .map(_.stripPrefix("txnmarker="))
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
-      l.startsWith("constraint=") || l.startsWith("colmap="))
+      l.startsWith("constraint=") || l.startsWith("colmap=") ||
+      l.startsWith("txnmarker="))
     val full = header.get("full").contains("1")
+    require(txnMarker.isEmpty || !full,
+      s"manifest $p is FULL but carries a txnmarker — staged txn manifests must be " +
+        "deltas (an aborted full manifest could not fold as a no-op); corrupt log?")
     val fmt = header.get("fmt").map(_.toInt).getOrElse(1)
     // commit wall-time (vt19): an OPTIONAL header key — pre-vt19 manifests
     // (no `ts=`) read as -1 (unknown), which timestamp travel treats as
@@ -280,7 +292,7 @@ object Versioned {
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
-          txns, schema, ts, constraints, colMap)
+          txns, schema, ts, constraints, colMap, txnMarker)
     }
   }
 
@@ -288,8 +300,38 @@ object Versioned {
     * own state (checkpoint semantics — `prev` may be None, which is how a
     * log whose old manifests were archived still plans). A DELTA delists
     * its removes, appends its adds, and accumulates its batch id.
+    *
+    * A manifest carrying a TXN MARKER (vt23, always a delta) folds by the
+    * marker's resolution: COMMITTED folds normally, PENDING folds as a
+    * state passthrough flagged `pendingTxn` (readers see the pre-txn state;
+    * writers refuse), ABORTED folds as a plain passthrough forever. One or
+    * two existence probes per staged manifest, only on staged manifests —
+    * and only until the next FULL checkpoint materializes the resolved
+    * state.
     */
-  private def fold(prev: Option[Version], raw: Raw): Version = {
+  private def fold(prev: Option[Version], raw: Raw): Version =
+    raw.txnMarker match {
+      case None => foldResolved(prev, raw)
+      case Some(m) => txnResolution(m) match {
+        case TxnState.Committed => foldResolved(prev, raw)
+        case TxnState.Pending => passthrough(prev, raw).copy(pendingTxn = Some(m))
+        case TxnState.Aborted => passthrough(prev, raw)
+      }
+    }
+
+  /** A pending/aborted txn version IS a version (its number is burnt) whose
+    * STATE is its parent's — files, stats, schema, constraints, mapping and
+    * batch ids all carry through untouched. A staged v1 with no parent is
+    * the empty state under the staged schema (so readers still type it).
+    */
+  private def passthrough(prev: Option[Version], raw: Raw): Version = prev match {
+    case Some(b) => b.copy(n = raw.n, op = raw.op, parent = raw.parent,
+      ts = raw.ts, pendingTxn = None)
+    case None => Version(raw.n, raw.op, raw.parent, Nil,
+      Map.empty, raw.statsCols, Set.empty, raw.schema, Map.empty, raw.ts)
+  }
+
+  private def foldResolved(prev: Option[Version], raw: Raw): Version = {
     val opTxn: Set[Long] = raw.op match {
       case StreamBatchOp(id) => Set(id.toLong)
       case _ => Set.empty
@@ -427,6 +469,19 @@ object Versioned {
     * "adds" are rewrites of already-streamed rows, not new data.
     */
   private[graft] def addedAndRemoved(root: String, n: Int): (Seq[(String, Long)], Int) = {
+    val (a, r, _) = addedRemovedPending(root, n)
+    (a, r)
+  }
+
+  /** [[addedAndRemoved]] plus whether version `n` is an UNRESOLVED staged
+    * txn commit (vt23) — the streaming source must not advance past one:
+    * its add-set is empty NOW but becomes the txn's files when the marker
+    * commits, and an offset already past it would silently skip them.
+    * Pending results must never be memoized (resolution changes them);
+    * committed/aborted resolutions are terminal and cache fine.
+    */
+  private[graft] def addedRemovedPending(root: String, n: Int)
+      : (Seq[(String, Long)], Int, Boolean) = {
     val cur = stateAt(root, n)
     val (added, removedCount) =
       if (n <= 1) (cur.files, 0)
@@ -435,7 +490,8 @@ object Versioned {
         val curSet = cur.files.toSet
         (cur.files.filterNot(prev.toSet), prev.count(f => !curSet.contains(f)))
       }
-    (added.map(f => (f, cur.sizes.getOrElse(f, -1L))), removedCount)
+    (added.map(f => (f, cur.sizes.getOrElse(f, -1L))), removedCount,
+      cur.pendingTxn.isDefined)
   }
 
   // private[graft] so the spec can drive the CAS with a racing version
@@ -462,7 +518,8 @@ object Versioned {
   private def renderDelta(op: String, parent: Int, statsCols: Seq[String],
       added: Seq[FileEntry], removed: Seq[String],
       schema: Option[String] = None, ts: Long = -1L,
-      addedConstraints: Seq[(String, String)] = Nil): String = {
+      addedConstraints: Seq[(String, String)] = Nil,
+      txnMarker: Option[String] = None): String = {
     val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
       (if (ts >= 0) s" ts=$ts" else "") +
       (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "")
@@ -470,6 +527,7 @@ object Versioned {
     // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook;
     // constraint lines on a delta are the commit's ADDED constraints
     (head +: (schema.map(s => s"schema=$s").toSeq ++
+      txnMarker.map(m => s"txnmarker=$m").toSeq ++
       addedConstraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
       removed.map("-" + _) ++ added.map { e =>
       "+" + (Seq(e.path, e.size.toString) ++
@@ -494,6 +552,7 @@ object Versioned {
   private def commitOn(root: String, cur: Option[Version], op: String,
       added: Seq[FileEntry], removed: Seq[String], statsCols: Seq[String],
       schemaDDL: Option[String]): Version = {
+    requireNoPendingTxn(cur, root)
     require(statsCols.isEmpty || cur.forall(c => c.statsCols.isEmpty || c.statsCols == statsCols),
       s"table tracks stats on ${cur.map(_.statsCols)}, not $statsCols")
     // schema guard: a multi-file parquet read takes ONE footer's schema, so
@@ -905,6 +964,7 @@ object Versioned {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val n = cur.n + 1
     val df = read(spark, root, Some(cur.n))
     // a stats-tracked table compacts RANGE-CLUSTERED on its primary stats
@@ -959,6 +1019,7 @@ object Versioned {
     require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val df = read(spark, root, Some(cur.n))
     zCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail before shuffling
     val encoded = zCols.map(c => statsLongExpr(c, df.schema(c).dataType))
@@ -1097,6 +1158,7 @@ object Versioned {
   private def deleteWhereOnce(spark: SparkSession, root: String, predicate: Column): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
     if (affected.isEmpty) return cur // provably nothing to delete
     val survivors = readFiles(spark, root, cur, affected)
@@ -1181,6 +1243,7 @@ object Versioned {
       keys: Seq[String], orderCol: Option[String], op: String): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     mergeOnState(spark, root, cur, source, keys, orderCol, op)
   }
 
@@ -1344,6 +1407,7 @@ object Versioned {
     */
   def overwrite(df: DataFrame, root: String): Version = {
     val cur = currentVersion(root)
+    requireNoPendingTxn(cur, root)
     val n = cur.map(_.n + 1).getOrElse(1)
     val keptStats = cur.map(_.statsCols).getOrElse(Nil).filter(c =>
       df.schema.fieldNames.contains(c) && statsTypeSupported(df.schema(c).dataType))
@@ -1394,6 +1458,7 @@ object Versioned {
       s"cannot roll back to version $to: ${missing.size} of its data files were vacuumed " +
         s"(first: ${missing.headOption.getOrElse("")})")
     val cur = currentVersion(root).get
+    requireNoPendingTxn(Some(cur), root)
     // the rollback restores the target's schema contract — and its
     // CONSTRAINT set — along with its files (they ARE that schema, and they
     // were validated under exactly those constraints)
@@ -1506,6 +1571,121 @@ object Versioned {
         commitTs(None), src.constraints,
         src.colMap)) // byte-identical copies keep the physical column names
     }
+  }
+
+  // ---- vt23: MULTI-TABLE ATOMIC TRANSACTIONS — a two-phase marker commit
+  // across N versioned roots (the catalog-level atomicity Iceberg/Nessie
+  // ship; Delta scopes txns per table). Phase 1 stages one delta manifest
+  // per table, each carrying the same txn marker path; readers resolve a
+  // staged version by the MARKER's state (pending = invisible, committed =
+  // visible, deleted = aborted forever), so phase 2 — one atomic rename of
+  // `<base>.pending` to `<base>.committed` — flips every table's staged
+  // version visible in a single filesystem operation. A crash between
+  // stage commits or before the publish leaves every table reading its
+  // pre-txn state (spec-raced); writers on a pending table refuse loudly
+  // (2PC is a blocking protocol — resolve or abort, or a janitor aborts a
+  // stale marker). Markers are tiny and persist so time travel onto staged
+  // versions stays resolvable; the next FULL checkpoint materializes the
+  // resolved state, after which hot-path probes stop consulting them.
+
+  private[graft] object TxnState extends Enumeration {
+    val Pending, Committed, Aborted = Value
+  }
+
+  private def txnResolution(markerBase: String): TxnState.Value =
+    if (Files.exists(Paths.get(markerBase + ".committed"))) TxnState.Committed
+    else if (Files.exists(Paths.get(markerBase + ".pending"))) TxnState.Pending
+    else TxnState.Aborted
+
+  private def requireNoPendingTxn(cur: Option[Version], root: String): Unit =
+    cur.flatMap(_.pendingTxn).foreach { m =>
+      throw new IllegalStateException(
+        s"table at $root has an in-flight multi-table transaction (marker $m) — " +
+          "commit or abort it first; a write landing on the unresolved state could " +
+          "silently drop the transaction's files when it resolves")
+    }
+
+  /** Open a transaction: create `<markerDir>/txn-<uuid>.pending` and return
+    * the marker BASE path (no extension) that [[appendStaged]] records and
+    * [[commitTransaction]]/[[abortTransaction]] resolve. The marker dir is
+    * the txn's coordination point — put it somewhere all participants and
+    * readers can reach (beside the tables, typically).
+    */
+  def beginTransaction(markerDir: String): String = {
+    Files.createDirectories(Paths.get(markerDir))
+    val base = Paths.get(markerDir)
+      .resolve(s"txn-${java.util.UUID.randomUUID()}").toAbsolutePath.toString
+    Files.writeString(Paths.get(base + ".pending"), "")
+    base
+  }
+
+  /** Phase 1: stage an append to `root` under the transaction. Lands the
+    * data files and commits a DELTA manifest carrying the marker — the
+    * version number is claimed via the normal CAS (concurrent writers still
+    * race fairly) but the version stays INVISIBLE to readers until the
+    * marker commits. All of append's guards run (schema contract, CHECK
+    * constraints — validated now, so a constraint violation fails the
+    * STAGE and the caller aborts the txn, not the commit). Always a delta,
+    * even at checkpoint numbers: an aborted full manifest could not fold
+    * as a no-op.
+    */
+  def appendStaged(df: DataFrame, root: String, txnMarkerBase: String): Version = {
+    require(txnResolution(txnMarkerBase) == TxnState.Pending,
+      s"transaction $txnMarkerBase is not open (commit it once, stage before committing)")
+    val cur = currentVersion(root)
+    requireNoPendingTxn(cur, root) // one in-flight txn per table
+    val cmap = cur.map(_.colMap).getOrElse(Map.empty)
+    val ddl = normalizedDDL(df)
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val (files, marker) = writeData(physicalize(df, cmap), root, n, Map.empty)
+    sealing(marker) {
+      validateConstraints(df.sparkSession, root,
+        cur.map(_.constraints).getOrElse(Nil), files, Some(ddl), cmap)
+      for (s <- Some(ddl); c <- cur; t <- c.schema)
+        require(t == s, s"schema drift on staged append: table at $root is `$t`, " +
+          s"commit is `$s`")
+      val state = Version(n, "txn-append", cur.map(_.n).getOrElse(0),
+        cur.map(_.files).getOrElse(Nil) ++ files.map(_._1),
+        cur.map(_.stats).getOrElse(Map.empty),
+        cur.map(_.statsCols).getOrElse(Nil), cur.map(_.txns).getOrElse(Set.empty),
+        Some(ddl),
+        cur.map(_.sizes).getOrElse(Map.empty) ++ files.toMap,
+        commitTs(cur), cur.map(_.constraints).getOrElse(Nil), cmap,
+        pendingTxn = Some(txnMarkerBase))
+      promoteState(root, state,
+        renderDelta("txn-append", state.parent, state.statsCols,
+          plainEntries(files), Nil,
+          schema = if (cur.isEmpty) Some(ddl) else None,
+          ts = state.ts, txnMarker = Some(txnMarkerBase)),
+        full = false)
+    }
+  }
+
+  /** Phase 2: publish — one atomic rename makes every staged version of
+    * this transaction visible at once. Idempotent (a replayed commit of a
+    * committed txn is a no-op); a vanished marker (aborted) refuses.
+    */
+  def commitTransaction(txnMarkerBase: String): Unit = {
+    val p = Paths.get(txnMarkerBase + ".pending")
+    val c = Paths.get(txnMarkerBase + ".committed")
+    if (Files.exists(c)) return // already committed: idempotent
+    require(Files.exists(p), s"transaction $txnMarkerBase was aborted (or never begun)")
+    try Files.move(p, c, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.NoSuchFileException =>
+      // lost a race: either a concurrent commit (fine) or an abort (not)
+      require(Files.exists(c), s"transaction $txnMarkerBase was aborted concurrently")
+    }
+  }
+
+  /** Abort: delete the pending marker — every staged version becomes a
+    * permanent no-op (its data files age into [[gcOrphans]]' reclaim once
+    * unresolved no longer protects them). Refuses after a commit; also the
+    * janitor's tool for a crashed coordinator's stale marker.
+    */
+  def abortTransaction(txnMarkerBase: String): Unit = {
+    require(!Files.exists(Paths.get(txnMarkerBase + ".committed")),
+      s"transaction $txnMarkerBase already committed — roll tables back instead")
+    Files.deleteIfExists(Paths.get(txnMarkerBase + ".pending"))
   }
 
   /** VT19 (retention half): age-based retention — [[vacuum]] with the cut
@@ -1646,6 +1826,7 @@ object Versioned {
     require(!checkSql.contains('\n'), "constraint SQL must be a single line")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     require(!cur.constraints.exists(_._1 == name),
       s"constraint `$name` already exists on $root")
     val violations = // admission check: current data must already pass
@@ -1697,6 +1878,7 @@ object Versioned {
   def dropConstraint(root: String, name: String): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     require(cur.constraints.exists(_._1 == name),
       s"no constraint `$name` on $root (have: ${cur.constraints.map(_._1).mkString(", ")})")
     writeManifest(root, cur.copy(n = cur.n + 1, op = "deconstrain", parent = cur.n,
@@ -1826,7 +2008,18 @@ object Versioned {
           case _ => Nil
         }
       }.toSeq).toSet
-    val referenced = versions(root).flatMap(_.files).toSet ++ archivedRefs
+    // a PENDING txn's staged files (vt23) are in NO folded state yet — but
+    // a late commitTransaction will make them live, so they are protected
+    // until the txn resolves (an ABORTED txn's files, by contrast, are
+    // orphans by design and age out normally)
+    val pendingRefs: Set[String] = listManifests(root).flatMap { case (n, p) =>
+      val raw = parseManifest(n, p)
+      raw.txnMarker match {
+        case Some(m) if txnResolution(m) == TxnState.Pending => raw.entries.map(_.path)
+        case _ => Nil
+      }
+    }.toSet
+    val referenced = versions(root).flatMap(_.files).toSet ++ archivedRefs ++ pendingRefs
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val rootP = Paths.get(root)
@@ -2203,6 +2396,7 @@ object Versioned {
   def evolve(root: String, addColumnsDDL: String): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val added = org.apache.spark.sql.types.StructType.fromDDL(addColumnsDDL)
     require(added.fields.nonEmpty, "evolve needs at least one column to add")
     val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
@@ -2251,6 +2445,7 @@ object Versioned {
     require(dropCols.nonEmpty, "evolveDrop needs at least one column to drop")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
       throw new IllegalArgumentException(
         s"table at $root records no schema contract — evolve via overwrite()")))
@@ -2335,6 +2530,7 @@ object Versioned {
       s"evolveRename needs plain identifiers, got `$from` -> `$to`")
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
     val old = org.apache.spark.sql.types.StructType.fromDDL(cur.schema.getOrElse(
       throw new IllegalArgumentException(
         s"table at $root records no schema contract — rename needs one")))

@@ -872,6 +872,40 @@ object SinkQueries extends QueryModule {
           .select(lit("clone").as("side"), col("o_orderkey"), col("o_totalprice")))
     }),
 
+    // VT23: multi-table ATOMIC transaction — two-phase marker commit across
+    // two versioned roots: staged versions are invisible until ONE atomic
+    // marker rename publishes both (st20's medallion gap: bronze and silver
+    // can now commit together). The row proves the whole lifecycle — a
+    // committed txn lands on BOTH tables, an aborted txn lands on NEITHER,
+    // and the pre_commit_excluded flag hash-fails if a reader ever saw
+    // staged state before the publish.
+    "vt23_multi_table_txn" -> ((s, dir) => {
+      val base = tmp("graft_vt23")
+      val (ta, tb) = (base + "/a", base + "/b")
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      def slice(st: String) = o.filter(col("o_orderstatus") === st)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      V.append(slice("F"), ta)
+      V.append(slice("O"), tb)
+      val preA = V.read(s, ta).count(); val preB = V.read(s, tb).count()
+      // txn 1: stage P into BOTH, verify invisibility, then publish
+      val txn1 = V.beginTransaction(base + "/_txns")
+      V.appendStaged(slice("P"), ta, txn1)
+      V.appendStaged(slice("P"), tb, txn1)
+      val excluded = V.read(s, ta).count() == preA && V.read(s, tb).count() == preB
+      V.commitTransaction(txn1)
+      // txn 2: stage more rows into both, then ABORT — nothing may land
+      val txn2 = V.beginTransaction(base + "/_txns")
+      V.appendStaged(slice("O"), ta, txn2)
+      V.appendStaged(slice("F"), tb, txn2)
+      V.abortTransaction(txn2)
+      V.read(s, ta).select(lit("a").as("side"), col("o_orderkey"), col("o_orderstatus"))
+        .unionAll(V.read(s, tb)
+          .select(lit("b").as("side"), col("o_orderkey"), col("o_orderstatus")))
+        .withColumn("pre_commit_excluded", lit(if (excluded) 1 else 0))
+    }),
+
     // VT24: metadata-only column RENAME via column mapping — the contract
     // carries the new LOGICAL name while data files keep their physical
     // one (zero files touched; Delta's column-mapping design). The head
@@ -1169,6 +1203,15 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt23: table a = F ∪ P (committed txn), table b = O ∪ P; the aborted
+    // txn's O-into-a / F-into-b rows must be absent, and the flag = 1
+    // records that staged state was invisible before the publish
+    "vt23_multi_table_txn" ->
+      """SELECT 'a' AS side, o_orderkey, o_orderstatus, 1 AS pre_commit_excluded
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')
+        |UNION ALL
+        |SELECT 'b', o_orderkey, o_orderstatus, 1
+        |FROM orders WHERE o_orderstatus IN ('O', 'P')""".stripMargin,
     // vt24: v1 = the F snapshot under the original column; head = F (old
     // file generation, read through the mapping) ∪ O (post-rename files)
     "vt24_rename" ->

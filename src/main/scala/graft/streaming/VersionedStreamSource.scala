@@ -199,17 +199,26 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
 
   private def head: Int = Versioned.headVersionNumber(root).getOrElse(0)
 
-  // per-version (added, removedCount) memo: byte-capped admission reads a
-  // version's delta in latestOffset and planInputPartitions reads it again
-  // (and a version rejected for size is re-asked next trigger) — each a
-  // pair of checkpoint-bounded state reconstructions. Versions are
-  // immutable, so the memo is exact; commit() prunes entries at or below
-  // the committed offset to bound driver memory on a long-lived stream.
+  // per-version (added, removedCount, pendingTxn) memo: byte-capped
+  // admission reads a version's delta in latestOffset and
+  // planInputPartitions reads it again (and a version rejected for size is
+  // re-asked next trigger) — each a pair of checkpoint-bounded state
+  // reconstructions. Versions are immutable EXCEPT an unresolved staged
+  // txn commit (vt23), whose add-set changes when its marker resolves —
+  // pending results are therefore never memoized; commit() prunes entries
+  // at or below the committed offset to bound driver memory.
   private val deltaCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Seq[(String, Long)], Int)]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (Seq[(String, Long)], Int, Boolean)]()
 
-  private def versionDelta(n: Int): (Seq[(String, Long)], Int) =
-    deltaCache.computeIfAbsent(n, Versioned.addedAndRemoved(root, _))
+  private def versionDelta(n: Int): (Seq[(String, Long)], Int, Boolean) = {
+    val cached = deltaCache.get(n)
+    if (cached != null) cached
+    else {
+      val v = Versioned.addedRemovedPending(root, n)
+      if (!v._3) deltaCache.put(n, v)
+      v
+    }
+  }
 
   private def ver(o: Offset): Int = o match {
     case VersionLogOffset(v) => v
@@ -237,32 +246,34 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
     // only a size cap is set, and an Int add would overflow
     val ceiling = math.min(availableTarget.getOrElse(head).toLong,
       ver(start).toLong + maxVersionsPerTrigger).toInt
-    val end =
-      if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) ceiling
+    // one admission walk covers every gate: the UNRESOLVED-txn stop (an
+    // offset past a pending staged version would silently skip its files
+    // when the marker commits — the stream waits at it instead), then the
+    // byte/file caps when active
+    var n = ver(start)
+    var bytes = 0L
+    var files = 0L
+    var stopped = false
+    while (n < ceiling && !stopped) {
+      val (added, _, pending) = versionDelta(n + 1)
+      if (pending) stopped = true // never admit past an unresolved txn
       else {
-        var n = ver(start)
-        var bytes = 0L
-        var files = 0L
-        var stopped = false
-        while (n < ceiling && !stopped) {
-          val added = versionDelta(n + 1)._1
-          // only pay for the bytes walk (and any pre-fmt-3 stat) when a
-          // byte cap is actually active
-          val vBytes =
-            if (maxBytesPerTrigger.isEmpty) 0L
-            else added.map { case (rel, sz) =>
-              if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
-            }.sum
-          val fits = maxBytesPerTrigger.forall(bytes + vBytes <= _) &&
-            maxFilesPerTrigger.forall(files + added.length <= _)
-          // admit the first version unconditionally; later ones only if
-          // they fit under every active cap
-          if (n == ver(start) || fits) { n += 1; bytes += vBytes; files += added.length }
-          else stopped = true
-        }
-        n
+        // only pay for the bytes walk (and any pre-fmt-3 stat) when a
+        // byte cap is actually active
+        val vBytes =
+          if (maxBytesPerTrigger.isEmpty) 0L
+          else added.map { case (rel, sz) =>
+            if (sz >= 0) sz else Files.size(Paths.get(root).resolve(rel))
+          }.sum
+        val fits = maxBytesPerTrigger.forall(bytes + vBytes <= _) &&
+          maxFilesPerTrigger.forall(files + added.length <= _)
+        // admit the first version unconditionally; later ones only if
+        // they fit under every active cap
+        if (n == ver(start) || fits) { n += 1; bytes += vBytes; files += added.length }
+        else stopped = true
       }
-    VersionLogOffset(end.max(ver(start)))
+    }
+    VersionLogOffset(n.max(ver(start)))
   }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
@@ -283,7 +294,7 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val rootP = Paths.get(root)
     (ver(start) + 1 to ver(end)).flatMap { n =>
-      val (added, removed) = versionDelta(n)
+      val (added, removed, _) = versionDelta(n)
       // a commit that REMOVES files rewrote or deleted already-streamed
       // rows: replaying its adds would duplicate downstream data, and its
       // deletes cannot be retracted through an append-only source. Fail by
