@@ -274,15 +274,17 @@ object BenchScale {
     */
   private val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+  private def isolate(spark: SparkSession): Unit = {
+    // release() drops the registry's strong refs too (clearCache alone
+    // leaves a few hundred plan trees pinned over a multi-hour run)
+    graft.ops.PinnedCaches.release(blocking = true)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.sqlContext.clearCache(); System.gc()
+  }
+
   private def measure(spark: SparkSession, dir: String,
       names: Seq[String]): Seq[(String, Double)] = {
-    def isolate(): Unit = {
-      // release() drops the registry's strong refs too (clearCache alone
-      // leaves a few hundred plan trees pinned over a multi-hour run)
-      graft.ops.PinnedCaches.release(blocking = true)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.sqlContext.clearCache(); System.gc()
-    }
+    def isolate(): Unit = BenchScale.isolate(spark)
     names.map { name =>
       val fn = SparkEntry.queries(name)
       // untimed warm-up (codegen + JIT), then median-of-3 — Bench.scala policy
@@ -308,6 +310,63 @@ object BenchScale {
       name -> (if (times.isEmpty) Double.NaN else times.sorted.apply(times.size / 2))
     }
   }
+
+  /** INTERLEAVED-pairs measurement (round 18 — the QuietReps adjudication
+    * method folded in as the default for deep and skew legs): each rep
+    * measures the SAME query at EVERY point back-to-back, so a rep's
+    * point-pair ratio shares one ambient-noise window. Three rounds
+    * running, the committed JSON published single-shot deep outliers
+    * (r15 w1/v5, r16 v5 5.38x, r17 w1 5.04x) that PERF_NOTES then
+    * adjudicated down with exactly this method (2.7x) — the adjudication
+    * now IS the measurement, and the artifact reports the per-rep spread
+    * so a noisy window is visible in the JSON itself. Returns every rep's
+    * time per (query, point label); callers take medians and per-rep
+    * pair ratios.
+    */
+  private def measureInterleaved(spark: SparkSession, points: Seq[(String, String)],
+      names: Seq[String], reps: Int = 3): Map[(String, String), Vector[Double]] = {
+    val times = scala.collection.mutable.Map.empty[(String, String), Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      points.foreach { case (_, d) => // one untimed warm-up per point
+        try fn(spark, d).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[scale] warmup $name failed: $e") }
+        isolate(spark)
+      }
+      (1 to reps).foreach { r =>
+        points.foreach { case (lbl, d) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, d).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[scale] $name@$lbl failed: $e")
+              failures.getOrElseUpdate(s"$d $name", e.toString); false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          isolate(spark)
+          if (ok) times((name, lbl)) = times((name, lbl)) :+ dt
+          System.err.println(f"[scale-il] rep $r/$reps $lbl $name: $dt%.2f s")
+        }
+      }
+    }
+    times.toMap
+  }
+
+  private def medianOf(xs: Vector[Double]): Double =
+    if (xs.isEmpty) Double.NaN else xs.sorted.apply(xs.length / 2)
+
+  /** Per-rep pair ratios numer/denom (rep i over rep i — the shared-window
+    * pairing) and their median, per query.
+    */
+  private def pairRatios(t: Map[(String, String), Vector[Double]],
+      names: Seq[String], denomLbl: String, numerLbl: String)
+      : Seq[(String, Vector[Double])] =
+    names.map { q =>
+      val d = t.getOrElse((q, denomLbl), Vector.empty)
+      val n = t.getOrElse((q, numerLbl), Vector.empty)
+      q -> d.zip(n).map { case (a, b) => b / a }
+    }
 
   /** Layout leg (round 13): the z-order skipping claim measured at the
     * first scale point — the 10x lineitem written twice (z-ordered on
@@ -603,40 +662,49 @@ object BenchScale {
       System.err.println(f"[scale] dd15 from-scratch (1x, single-shot): $dt%.2f s")
       if (ok) "%.3f".formatLocal(java.util.Locale.ROOT, dt) else "null"
     }
-    // skew leg: same queries, same volume (first scale point), zipf keys
+    // skew leg (INTERLEAVED since round 18): same queries, same volume
+    // (first scale point), uniform and zipf keys measured rep-by-rep in
+    // one shared noise window — the single-shot skew number that printed
+    // 2.48x while the certified value was 2.15x (r17) is retired
     val skewBase = dirs(1)
     val skewDir = s"/tmp/graft_scale_skew${skewBase._1}x"
     buildSkewCorpus(spark, skewBase._2, skewDir)
-    val skewUniform = measure(spark, skewBase._2, skewQueries)
-    val skewZipf = measure(spark, skewDir, skewQueries)
+    val skewIl = measureInterleaved(spark,
+      Seq("uniform" -> skewBase._2, "zipf" -> skewDir), skewQueries)
     // layout leg: z-order skipping measured on the first scale point
     val layoutJson = layoutLeg(spark, skewBase._2)
     // content-skew leg: the dedup family on zipf-headed text (same volume)
     val skewTextDir = s"/tmp/graft_scale_skewtext${skewBase._1}x"
     buildTextSkewCorpus(spark, skewBase._2, skewTextDir)
-    val skewTextUniform = measure(spark, skewBase._2, skewTextQueries)
-    val skewTextZipf = measure(spark, skewTextDir, skewTextQueries)
-    // deep leg: one more decade for the top-5 LLM ops (see llmDeep);
-    // SPARK_GRAFT_DEEP_POINT=0 disables
+    val skewTextIl = measureInterleaved(spark,
+      Seq("uniform" -> skewBase._2, "zipf" -> skewTextDir), skewTextQueries)
+    // deep leg (INTERLEAVED since round 18): one more decade for the top-5
+    // LLM ops (see llmDeep), measured AGAINST the last full point in the
+    // same window — the r15-r17 cycle of single-shot deep outliers needing
+    // PERF_NOTES adjudication ends here. SPARK_GRAFT_DEEP_POINT=0 disables
     val deepPoint = sys.env.getOrElse("SPARK_GRAFT_DEEP_POINT", "100").trim.toInt
-    val deepOpt: Option[(Int, Seq[(String, Double)], Seq[(String, Double)])] =
+    val lastLbl = s"${points.max}x"
+    val deepOpt: Option[(Int, Map[(String, String), Vector[Double]], Seq[(String, Double)])] =
       if (deepPoint > points.max) {
         val d = s"/tmp/graft_scale_${deepPoint}x_docs"
         buildDocsCorpus(spark, srcDir, d, deepPoint)
-        // default-guarded deep composite, then the ann7 clamp-knee contrast
-        // on the same corpus (reported separately)
-        Some((deepPoint, measure(spark, d, llmDeep), measure(spark, d, contrastsDeep)))
+        // interleaved deep-vs-last pairs, then the ann7 clamp-knee contrast
+        // on the same corpus (reported separately, single-shot — a labeled
+        // knee, not an adjudication-grade ratio)
+        val il = measureInterleaved(spark,
+          Seq(lastLbl -> dirs.last._2, s"${deepPoint}x" -> d), llmDeep)
+        Some((deepPoint, il, measure(spark, d, contrastsDeep)))
       } else None
-    // headline deep leg: v5 + w1 on a FULL deep-point corpus, with the
-    // same queries re-measured at the last full point for the ratio
+    // headline deep leg: v5 + w1 on a FULL deep-point corpus, interleaved
+    // against the last full point
     // (SPARK_GRAFT_HEADLINE_DEEP=0 disables — the full build is the cost)
     val hdPoint = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_DEEP", deepPoint.toString).trim.toInt
-    val headlineDeepOpt: Option[(Int, Seq[(String, Double)], Seq[(String, Double)])] =
+    val headlineDeepOpt: Option[(Int, Map[(String, String), Vector[Double]])] =
       if (hdPoint > points.max) {
         val d = s"/tmp/graft_scale_${hdPoint}x"
         buildCorpus(spark, srcDir, d, hdPoint)
-        val atLast = measure(spark, dirs.last._2, headlineDeep)
-        Some((hdPoint, measure(spark, d, headlineDeep), atLast))
+        Some((hdPoint, measureInterleaved(spark,
+          Seq(lastLbl -> dirs.last._2, s"${hdPoint}x" -> d), headlineDeep)))
       } else None
     val llm1 = llmAt.head._2
     val llm10 = llmAt(1)._2
@@ -645,6 +713,18 @@ object BenchScale {
       a.map { case (n, v) => n -> b.toMap.apply(n) / v }
     def obj(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    def objArr(xs: Seq[(String, Vector[Double])]) =
+      xs.map { case (k, v) => s"\"$k\":[${v.map(f3).mkString(",")}]" }
+        .mkString("{", ",", "}")
+    // medians + per-rep shared-window pair ratios of an interleaved run
+    def medsAt(t: Map[(String, String), Vector[Double]], names: Seq[String], lbl: String) =
+      names.map(q => q -> medianOf(t.getOrElse((q, lbl), Vector.empty)))
+    def ilBlock(t: Map[(String, String), Vector[Double]], names: Seq[String],
+        denomLbl: String, numerLbl: String): (Seq[(String, Double)], String) = {
+      val rr = pairRatios(t, names, denomLbl, numerLbl)
+      val medR = rr.map { case (q, v) => q -> medianOf(v) }
+      (medR, s""""reps":3,"rep_ratios":${objArr(rr)},"median_ratio":${obj(medR)}""")
+    }
     val at1 = headlineAt.head._2; val at10 = headlineAt(1)._2
     val c1 = at1.map(_._2).sum; val c10 = at10.map(_._2).sum
     val l1 = llm1.map(_._2).sum; val l10 = llm10.map(_._2).sum
@@ -655,12 +735,14 @@ object BenchScale {
       }.mkString("{", ",", "}")
     val curve = curveOf(headlineAt, headlineAt.head._2.map(_._2).sum)
     val llmCurve = curveOf(llmAt, llmAt.head._2.map(_._2).sum)
-    val deepJson = deepOpt.map { case (n, xs, _) =>
-      val (lastN, lastXs) = llmAt.last
-      val lastMap = lastXs.toMap
-      val r = xs.map { case (q, v) => q -> v / lastMap(q) }
-      s""","llm_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
-        s""""queries":${obj(xs)},"ratio_vs_${lastN}x":${obj(r)}}"""
+    val deepJson = deepOpt.map { case (n, il, _) =>
+      val deepLbl = s"${n}x"
+      val deepMed = medsAt(il, llmDeep, deepLbl)
+      val baseMed = medsAt(il, llmDeep, lastLbl)
+      val (medR, ilJson) = ilBlock(il, llmDeep, lastLbl, deepLbl)
+      s""","llm_deep":{"copies":$n,"composite":${f3(deepMed.map(_._2).sum)},""" +
+        s""""queries":${obj(deepMed)},"at_$lastLbl":${obj(baseMed)},""" +
+        s"""$ilJson,"ratio_vs_$lastLbl":${obj(medR)}}"""
     }.getOrElse("")
     // contrasts block: deliberate knee measurements, never in a composite —
     // ann4's fixed-block quadratic on the curve, ann7's nlist flat-clamp at
@@ -678,13 +760,30 @@ object BenchScale {
     val contrastsJson = s""","contrasts":{"note":"labeled knee measurements (ann4 fixed-block quadratic via contrast=true; ann7 nlist flat-clamp at depth; dd15 from-scratch rebuild, single-shot at 1x — retired from the per-run Bench suite in r15) — excluded from all composites","dd15_from_scratch_1x_sec":$dd15Json,"points":$contrastsCurve$contrastsDeepJson}"""
     val infraCurve = curveOf(infraAt, infraAt.head._2.map(_._2).sum)
     val infraJson = s""","infra_points":$infraCurve,"vt":$vtJson,"vt_log_age":$logAgeJson"""
-    val headlineDeepJson = headlineDeepOpt.map { case (n, xs, atLast) =>
-      val lastMap = atLast.toMap
-      val r = xs.map { case (q, v) => q -> v / lastMap(q) }
-      s""","headline_deep":{"copies":$n,"composite":${f3(xs.map(_._2).sum)},""" +
-        s""""queries":${obj(xs)},"at_${points.max}x":${obj(atLast)},""" +
-        s""""ratio_vs_${points.max}x":${obj(r)}}"""
+    val headlineDeepJson = headlineDeepOpt.map { case (n, il) =>
+      val deepLbl = s"${n}x"
+      val deepMed = medsAt(il, headlineDeep, deepLbl)
+      val baseMed = medsAt(il, headlineDeep, lastLbl)
+      val (medR, ilJson) = ilBlock(il, headlineDeep, lastLbl, deepLbl)
+      s""","headline_deep":{"copies":$n,"composite":${f3(deepMed.map(_._2).sum)},""" +
+        s""""queries":${obj(deepMed)},"at_$lastLbl":${obj(baseMed)},""" +
+        s"""$ilJson,"ratio_vs_$lastLbl":${obj(medR)}}"""
     }.getOrElse("")
+    // skew block: medians per side, ratio = MEDIAN OF PER-REP PAIR RATIOS
+    // (each rep's uniform/zipf pair shares one noise window), with the
+    // per-rep spread published so a noisy window is visible in the artifact
+    def skewJson(copies: Int): String = {
+      val u = medsAt(skewIl, skewQueries, "uniform")
+      val z = medsAt(skewIl, skewQueries, "zipf")
+      val (medR, ilJson) = ilBlock(skewIl, skewQueries, "uniform", "zipf")
+      val tu = medsAt(skewTextIl, skewTextQueries, "uniform")
+      val tz = medsAt(skewTextIl, skewTextQueries, "zipf")
+      val (tMedR, tIlJson) = ilBlock(skewTextIl, skewTextQueries, "uniform", "zipf")
+      s""""skew":{"copies":$copies,"hot_shares":[0.5,0.2,0.1],""" +
+        s""""uniform":${obj(u)},"zipf":${obj(z)},"ratio":${obj(medR)},$ilJson,""" +
+        s""""text":{"queries":${skewTextQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""uniform":${obj(tu)},"zipf":${obj(tz)},"ratio":${obj(tMedR)},$tIlJson}},"""
+    }
     val json = s"""{"metric":"scale_composite_ratio","value":${f3(c10 / c1)},""" +
       s""""unit":"x","copies":${points.head},"points":$curve,"llm_points":$llmCurve,""" +
       s""""composite_sf1":${f3(c1)},"composite_sf10":${f3(c10)},""" +
@@ -692,12 +791,7 @@ object BenchScale {
       s""""llm_composite_sf1":${f3(l1)},"llm_composite_sf10":${f3(l10)},""" +
       s""""llm_composite_ratio":${f3(l10 / l1)},""" +
       s""""llm_sf1":${obj(llm1)},"llm_sf10":${obj(llm10)},"llm_ratio":${obj(ratios(llm1, llm10))},""" +
-      s""""skew":{"copies":${skewBase._1},"hot_shares":[0.5,0.2,0.1],""" +
-      s""""uniform":${obj(skewUniform)},"zipf":${obj(skewZipf)},""" +
-      s""""ratio":${obj(ratios(skewUniform, skewZipf))},""" +
-      s""""text":{"queries":${skewTextQueries.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""uniform":${obj(skewTextUniform)},"zipf":${obj(skewTextZipf)},""" +
-      s""""ratio":${obj(ratios(skewTextUniform, skewTextZipf))}}},""" +
+      skewJson(skewBase._1) +
       s""""layout":$layoutJson$deepJson$headlineDeepJson$contrastsJson$infraJson}"""
     println(json)
     if (failures.nonEmpty) {
