@@ -1271,7 +1271,8 @@ object Versioned {
   private def mergeOnState(spark: SparkSession, root: String, cur: Version,
       source: DataFrame, keys: Seq[String], orderCol: Option[String],
       op: String,
-      combine: Option[(DataFrame, DataFrame) => DataFrame] = None): Version = {
+      combine: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      staged: Option[String] = None): Version = {
     require(keys.nonEmpty, "mergeInto needs at least one merge key")
     // a tracked key bounds the blast radius only if the SOURCE column's
     // stats encoding matches the table contract's (a DATE source key against
@@ -1332,7 +1333,10 @@ object Versioned {
           plainEntries(files)
         } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
           cur.colMap)
-      commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
+      staged match {
+        case Some(m) => commitOnStaged(root, Some(cur), op, entries, affected, Some(ddl), m)
+        case None => commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
+      }
     }
   }
 
@@ -1641,24 +1645,89 @@ object Versioned {
     sealing(marker) {
       validateConstraints(df.sparkSession, root,
         cur.map(_.constraints).getOrElse(Nil), files, Some(ddl), cmap)
-      for (s <- Some(ddl); c <- cur; t <- c.schema)
-        require(t == s, s"schema drift on staged append: table at $root is `$t`, " +
-          s"commit is `$s`")
-      val state = Version(n, "txn-append", cur.map(_.n).getOrElse(0),
-        cur.map(_.files).getOrElse(Nil) ++ files.map(_._1),
-        cur.map(_.stats).getOrElse(Map.empty),
-        cur.map(_.statsCols).getOrElse(Nil), cur.map(_.txns).getOrElse(Set.empty),
-        Some(ddl),
-        cur.map(_.sizes).getOrElse(Map.empty) ++ files.toMap,
-        commitTs(cur), cur.map(_.constraints).getOrElse(Nil), cmap,
-        pendingTxn = Some(txnMarkerBase))
-      promoteState(root, state,
-        renderDelta("txn-append", state.parent, state.statsCols,
-          plainEntries(files), Nil,
-          schema = if (cur.isEmpty) Some(ddl) else None,
-          ts = state.ts, txnMarker = Some(txnMarkerBase)),
-        full = false)
+      commitOnStaged(root, cur, "txn-append", plainEntries(files), Nil,
+        Some(ddl), txnMarkerBase)
     }
+  }
+
+  /** The staged twin of [[commitOn]]: same guards (schema drift,
+    * removed-files-exist), but ALWAYS a delta manifest — even at checkpoint
+    * numbers — carrying the txn marker. The returned Version reflects the
+    * post-commit state OPTIMISTICALLY (as if the txn commits); readers
+    * re-reading the log see the passthrough until the marker resolves.
+    */
+  private def commitOnStaged(root: String, cur: Option[Version], op: String,
+      added: Seq[FileEntry], removed: Seq[String],
+      schemaDDL: Option[String], txnMarkerBase: String): Version = {
+    for (s <- schemaDDL; c <- cur; t <- c.schema)
+      require(t == s, s"schema drift on staged commit: table at $root is `$t`, " +
+        s"commit is `$s` — staged writes must match the contract")
+    val curFiles = cur.map(_.files.toSet).getOrElse(Set.empty)
+    removed.foreach(f => require(curFiles.contains(f),
+      s"staged commit removes $f, which the current version does not list"))
+    val n = cur.map(_.n + 1).getOrElse(1)
+    val removedSet = removed.toSet
+    val cols = cur.map(_.statsCols).getOrElse(Nil)
+    val state = Version(n, op, cur.map(_.n).getOrElse(0),
+      cur.map(_.files).getOrElse(Nil).filterNot(removedSet) ++ added.map(_.path),
+      (cur.map(_.stats).getOrElse(Map.empty) -- removedSet) ++
+        added.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges },
+      cols, cur.map(_.txns).getOrElse(Set.empty),
+      schemaDDL.orElse(cur.flatMap(_.schema)),
+      (cur.map(_.sizes).getOrElse(Map.empty) -- removedSet) ++
+        added.collect { case e if e.size >= 0 => e.path -> e.size },
+      commitTs(cur), cur.map(_.constraints).getOrElse(Nil),
+      cur.map(_.colMap).getOrElse(Map.empty),
+      pendingTxn = Some(txnMarkerBase))
+    promoteState(root, state,
+      renderDelta(op, state.parent, cols, added, removed,
+        schema = if (cur.isEmpty) schemaDDL else None,
+        ts = state.ts, txnMarker = Some(txnMarkerBase)),
+      full = false)
+  }
+
+  /** Staged copy-on-write MERGE — [[mergeInto]]'s full machinery (per-key
+    * range-set blast radius, stats recompute, constraint validation) inside
+    * a multi-table transaction: the rewrite lands and the delta commits,
+    * but affected files stay delisted-PENDING until the marker resolves —
+    * readers serve the pre-merge state, an abort makes the rewrite an
+    * orphan, and the publish flips the merge visible together with every
+    * other table staged under the same marker (the cross-table MERGE
+    * consistency case: fact and dimension restated atomically).
+    */
+  def mergeIntoStaged(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], txnMarkerBase: String,
+      orderCol: Option[String] = None): Version = {
+    require(txnResolution(txnMarkerBase) == TxnState.Pending,
+      s"transaction $txnMarkerBase is not open")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
+    mergeOnState(spark, root, cur, source, keys, orderCol, "txn-merge",
+      staged = Some(txnMarkerBase))
+  }
+
+  /** Staged copy-on-write DELETE — [[deleteWhere]] inside a transaction,
+    * same resolution semantics as [[mergeIntoStaged]].
+    */
+  def deleteWhereStaged(spark: SparkSession, root: String, predicate: Column,
+      txnMarkerBase: String): Version = {
+    require(txnResolution(txnMarkerBase) == TxnState.Pending,
+      s"transaction $txnMarkerBase is not open")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
+    val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
+    if (affected.isEmpty) return cur // provably nothing to delete: no stage needed
+    val survivors = readFiles(spark, root, cur, affected)
+      .filter(!coalesce(predicate, lit(false)))
+    val n = cur.n + 1
+    val (files, marker) = writeData(physicalize(survivors, cur.colMap), root, n, Map.empty)
+    val entries =
+      if (cur.statsCols.isEmpty) plainEntries(files)
+      else statsEntries(spark, root, files, cur.statsCols, cur.colMap)
+    sealing(marker)(commitOnStaged(root, Some(cur), "txn-delete", entries, affected,
+      Some(normalizedDDL(survivors)), txnMarkerBase))
   }
 
   /** Phase 2: publish — one atomic rename makes every staged version of

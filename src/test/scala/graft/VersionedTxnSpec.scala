@@ -141,6 +141,47 @@ class VersionedTxnSpec extends SparkSuite {
       "aborted staged files never stream")
   }
 
+  test("staged COW merge + delete: invisible while pending, atomic on publish, abortable, blast-radius bounded") {
+    import spark.implicits._
+    val base = tmpDir()
+    val (a, b) = (base + "/a", base + "/b")
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 1.0)).toDF("k", "price").repartitionByRange(4, col("k")),
+      a, "k")
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").repartitionByRange(4, col("k")),
+      b, "k")
+    val preA = Versioned.currentVersion(a).get
+    // txn: restate a fact window on A and delete the matching window on B
+    val txn = Versioned.beginTransaction(base + "/_txns")
+    val stagedA = Versioned.mergeIntoStaged(spark, a,
+      Seq((5L, 500.0), (6L, 600.0)).toDF("k", "price"), Seq("k"), txn)
+    Versioned.deleteWhereStaged(spark, b, col("k") <= 10L, txn)
+    // blast radius holds even staged: only key-overlapping files delist
+    assert((preA.files.toSet -- stagedA.files.toSet).size < preA.files.size)
+    // pending: both tables serve the PRE-txn state (the merge's rewrites
+    // and the delete's survivors are invisible)
+    assert(Versioned.read(spark, a).filter(col("k") === 5L)
+      .select("price").as[Double].head() === 5.0)
+    assert(Versioned.read(spark, b).count() === 100)
+    Versioned.commitTransaction(txn)
+    // committed: merge and delete land TOGETHER
+    assert(Versioned.read(spark, a).filter(col("k") === 5L)
+      .select("price").as[Double].head() === 500.0)
+    assert(Versioned.read(spark, a).count() === 100)
+    assert(Versioned.read(spark, b).count() === 90)
+    // pre-txn versions time-travel intact
+    assert(Versioned.read(spark, a, Some(1)).filter(col("k") === 5L)
+      .select("price").as[Double].head() === 5.0)
+    // an ABORTED staged delete leaves the table untouched forever
+    val txn2 = Versioned.beginTransaction(base + "/_txns")
+    Versioned.deleteWhereStaged(spark, b, col("k") > 50L, txn2)
+    Versioned.abortTransaction(txn2)
+    assert(Versioned.read(spark, b).count() === 90)
+    Versioned.append(Seq((200L, "x")).toDF("k", "v"), b) // writes land after resolution
+    assert(Versioned.read(spark, b).count() === 91)
+  }
+
   test("a constraint violation fails the STAGE, the caller aborts, nothing ever lands") {
     import spark.implicits._
     val base = tmpDir()
