@@ -1172,6 +1172,55 @@ object Versioned {
       cur.statsCols, Some(normalizedDDL(survivors))))
   }
 
+  /** VT25: copy-on-write row-level UPDATE through the log — the third DML
+    * verb (Delta ships UPDATE beside DELETE/MERGE; `deleteWhere` and
+    * `mergeInto` covered the other two). SQL UPDATE semantics: rows where
+    * `predicate` is TRUE get each SET column replaced by its expression
+    * (evaluated against the pre-update row — a swap `SET a=b, b=a` works);
+    * FALSE or NULL predicate rows carry unchanged. SET expressions are
+    * CAST to the column's contract type (a drifting type would otherwise
+    * refuse the commit as schema drift — the cast is Delta's rule too).
+    * Blast radius is [[deleteWhere]]'s: only files whose manifest stats
+    * overlap the predicate's range sets are read and rewritten; untouched
+    * files carry by path identity; stats recompute and constraints
+    * validate on the rewritten files (an update INTO violation refuses);
+    * old versions time-travel the pre-update rows.
+    */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], maxRetries: Int = 0): Version =
+    cowRetry(maxRetries)(updateWhereOnce(spark, root, predicate, set))
+
+  private def updateWhereOnce(spark: SparkSession, root: String,
+      predicate: Column, set: Map[String, Column]): Version = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
+    if (affected.isEmpty) return cur // provably nothing to update
+    val base = readFiles(spark, root, cur, affected)
+    set.keys.foreach(k => require(base.columns.contains(k),
+      s"updateWhere: SET column `$k` is not in the table (${base.columns.mkString(", ")})"))
+    val hit = coalesce(predicate, lit(false)) // NULL predicate = row not updated
+    val updated = base.select(base.columns.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hit, v.cast(base.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    val n = cur.n + 1
+    val ddl = normalizedDDL(updated)
+    val (files, marker) = writeData(physicalize(updated, cur.colMap), root, n, Map.empty)
+    sealing(marker) {
+      val entries =
+        if (cur.statsCols.isEmpty) {
+          validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
+          plainEntries(files)
+        } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
+          cur.colMap)
+      commitOn(root, Some(cur), "update", entries, affected, cur.statsCols, Some(ddl))
+    }
+  }
+
   /** VT12: copy-on-write MERGE through the log — the reference's signature
     * staged upsert (`snowflake_bq_sync_daily Time Details/main.py:197-206`:
     * MERGE ON keys, matched UPDATE all, not-matched INSERT all; latest-wins
@@ -1482,7 +1531,8 @@ object Versioned {
     * over manifests (vocabulary of file names, never data), then unlink —
     * no rewrite of surviving files.
     */
-  def vacuum(root: String, keepLast: Int): (Seq[String], Seq[String]) = {
+  def vacuum(root: String, keepLast: Int,
+      dryRun: Boolean = false): (Seq[String], Seq[String]) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(root)
     require(all.nonEmpty, s"no committed versions at $root")
@@ -1491,7 +1541,10 @@ object Versioned {
     // from this table's history must never delete the ORIGIN's data
     val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live)
       .filterNot(f => Paths.get(f).isAbsolute).distinct
-    expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
+    // dryRun (Delta's `VACUUM … DRY RUN`): report what WOULD be deleted,
+    // unlink nothing — the sanity check an operator runs before a
+    // retention change actually destroys data
+    if (!dryRun) expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
     (expired.sorted, live.toSeq.sorted)
   }
 
@@ -1771,7 +1824,8 @@ object Versioned {
     * contract as [[vacuum]].
     */
   def vacuumOlderThan(root: String, olderThanMs: Long,
-      nowMs: Long = System.currentTimeMillis()): (Seq[String], Seq[String]) = {
+      nowMs: Long = System.currentTimeMillis(),
+      dryRun: Boolean = false): (Seq[String], Seq[String]) = {
     require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
     val all = versions(root)
     require(all.nonEmpty, s"no committed versions at $root")
@@ -1782,7 +1836,7 @@ object Versioned {
     val expired = all.filterNot(retained).flatMap(_.files).filterNot(live)
       .filterNot(f => Paths.get(f).isAbsolute) // inherited (clone) — not ours to delete
       .distinct
-    expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
+    if (!dryRun) expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
     (expired.sorted, live.toSeq.sorted)
   }
 

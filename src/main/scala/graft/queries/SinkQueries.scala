@@ -906,6 +906,78 @@ object SinkQueries extends QueryModule {
         .withColumn("pre_commit_excluded", lit(if (excluded) 1 else 0))
     }),
 
+    // VT25: copy-on-write UPDATE through the log — the third DML verb
+    // (Delta's UPDATE beside vt12b's DELETE and vt12's MERGE): a windowed
+    // SET rewrites only key-overlapping files (flag column hash-fails on a
+    // full-table rewrite), non-matching rows carry bit-identical, and v1
+    // time-travels the pre-update values.
+    "vt25_update" -> ((s, dir) => {
+      val root = tmp("graft_vt25") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val pre = V.currentVersion(root).get
+      val post = V.updateWhere(s, root, col("o_orderkey").between(1000L, 3000L),
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderstatus" -> lit("U")))
+      val bounded = (pre.files.toSet -- post.files.toSet).size < pre.files.size
+      def shape(v: Int, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(v).as("version"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      shape(1, V.read(s, root, Some(1)))
+        .unionAll(shape(2, V.read(s, root)))
+        .withColumn("cow_bounded", lit(if (bounded) 1 else 0))
+    }),
+
+    // VT23b: staged COW DML inside a multi-table transaction — a fact
+    // restatement (mergeIntoStaged on A) and the matching window delete
+    // (deleteWhereStaged on B) publish ATOMICALLY with one marker rename;
+    // a second staged-DML txn aborts and must leave no trace. The
+    // pre-publish flag proves readers saw the pre-txn state of BOTH
+    // tables while the DML was staged.
+    "vt23b_txn_staged_dml" -> ((s, dir) => {
+      val base = tmp("graft_vt23b")
+      val (ta, tb) = (base + "/a", base + "/b")
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      val window = col("o_orderkey").between(1000L, 3000L)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), ta, "o_orderkey")
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), tb, "o_orderkey")
+      val sumA = V.read(s, ta).agg(sum(col("o_orderkey"))).head.getLong(0)
+      val cntB = V.read(s, tb).count()
+      val txn = V.beginTransaction(base + "/_txns")
+      V.mergeIntoStaged(s, ta,
+        o.filter(col("o_orderstatus") === "F" && window)
+          .select(col("o_orderkey"),
+            (col("o_orderkey") * 2).cast("double").as("o_totalprice")),
+        Seq("o_orderkey"), txn)
+      V.deleteWhereStaged(s, tb, window, txn)
+      val excluded = // staged DML invisible on BOTH tables pre-publish
+        V.read(s, ta).agg(sum(col("o_orderkey"))).head.getLong(0) == sumA &&
+          V.read(s, tb).count() == cntB
+      V.commitTransaction(txn)
+      val txn2 = V.beginTransaction(base + "/_txns")
+      V.deleteWhereStaged(s, ta, col("o_orderkey") >= 0L, txn2)
+      V.mergeIntoStaged(s, tb,
+        o.filter(col("o_orderstatus") === "O" && window)
+          .select(col("o_orderkey"), lit(-1.0).as("o_totalprice")),
+        Seq("o_orderkey"), txn2)
+      V.abortTransaction(txn2)
+      V.read(s, ta).select(lit("a").as("side"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(V.read(s, tb)
+          .select(lit("b").as("side"), col("o_orderkey"), col("o_totalprice")))
+        .withColumn("pre_commit_excluded", lit(if (excluded) 1 else 0))
+    }),
+
     // VT24: metadata-only column RENAME via column mapping — the contract
     // carries the new LOGICAL name while data files keep their physical
     // one (zero files touched; Delta's column-mapping design). The head
@@ -1203,6 +1275,33 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt25: v1 = the pre-update F snapshot; head = the window doubled and
+    // re-statused, everything else bit-identical
+    "vt25_update" ->
+      """SELECT 1 AS version, o_orderkey, o_totalprice, o_orderstatus,
+        |  1 AS cow_bounded FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 2, o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN o_totalprice * 2 ELSE o_totalprice END,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN 'U' ELSE o_orderstatus END,
+        |  1
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    // vt23b: a = F with the window restated to key*2 (committed staged
+    // merge; the aborted full-delete must be absent), b = O minus the
+    // window (committed staged delete; the aborted merge must be absent)
+    "vt23b_txn_staged_dml" ->
+      """SELECT 'a' AS side, o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+        |       THEN CAST(o_orderkey * 2 AS DOUBLE) ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  1 AS pre_commit_excluded
+        |FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT 'b', o_orderkey, o_totalprice, 1
+        |FROM orders WHERE o_orderstatus = 'O'
+        |  AND NOT (o_orderkey BETWEEN 1000 AND 3000)""".stripMargin,
     // vt23: table a = F ∪ P (committed txn), table b = O ∪ P; the aborted
     // txn's O-into-a / F-into-b rows must be absent, and the flag = 1
     // records that staged state was invisible before the publish

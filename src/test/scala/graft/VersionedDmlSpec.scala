@@ -470,6 +470,74 @@ class VersionedDmlSpec extends SparkSuite {
       .isEmpty)
   }
 
+  test("vt25 updateWhere: COW update — blast radius bounded, SQL semantics, constraints enforced, time travel intact") {
+    import spark.implicits._
+    val r = tmpDir() + "/t"
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 1.0, "open")).toDF("k", "price", "status")
+        .repartitionByRange(4, col("k")), r, "k")
+    Versioned.addConstraint(spark, r, "price_pos", "price > 0")
+    val pre = Versioned.currentVersion(r).get
+    // windowed update: only key-overlapping files rewrite
+    val post = Versioned.updateWhere(spark, r, col("k").between(1L, 20L),
+      Map("price" -> (col("price") * 10), "status" -> lit("adjusted")))
+    assert(post.op === "update")
+    assert((pre.files.toSet -- post.files.toSet).size < pre.files.size,
+      "COW must not rewrite the whole table")
+    val m = Versioned.read(spark, r).as[(Long, Double, String)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m(5L) === ((50.0, "adjusted")) && m(50L) === ((50.0, "open")))
+    assert(m.size === 100)
+    // SET expressions evaluate against the PRE-update row: a swap works
+    val r2 = tmpDir() + "/swap"
+    Versioned.append(Seq((1L, 10.0, 20.0)).toDF("k", "a", "b"), r2)
+    Versioned.updateWhere(spark, r2, lit(true),
+      Map("a" -> col("b"), "b" -> col("a")))
+    assert(Versioned.read(spark, r2).as[(Long, Double, Double)].head() === ((1L, 20.0, 10.0)))
+    // NULL predicate rows carry unchanged (SQL UPDATE)
+    val r3 = tmpDir() + "/nul"
+    Versioned.append(Seq((Some(1L), 1.0), (Option.empty[Long], 2.0)).toDF("k", "p"), r3)
+    Versioned.updateWhere(spark, r3, col("k") > 0L, Map("p" -> lit(9.0)))
+    assert(Versioned.read(spark, r3).select("p").as[Double].collect().toSet === Set(9.0, 2.0))
+    // an update INTO a constraint violation refuses, nothing lands
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, r, col("k") === 5L, Map("price" -> lit(-1.0)))
+    }
+    assert(e.getMessage.contains("price_pos"))
+    assert(Versioned.read(spark, r).filter(col("price") < 0).count() === 0)
+    // unknown SET column refuses; time travel reads pre-update rows
+    intercept[IllegalArgumentException] {
+      Versioned.updateWhere(spark, r, lit(true), Map("nope" -> lit(1)))
+    }
+    assert(Versioned.read(spark, r, Some(1)).filter(col("k") === 5L)
+      .select("price").as[Double].head() === 5.0)
+    // no-match predicate: metadata no-op
+    assert(Versioned.updateWhere(spark, r, col("k") > 10000L,
+      Map("price" -> lit(0.0))).n === Versioned.currentVersion(r).get.n)
+  }
+
+  test("vacuum dryRun reports the would-delete set without unlinking") {
+    import spark.implicits._
+    val r = tmpDir() + "/t"
+    Versioned.append(Seq((1L, "a")).toDF("k", "v"), r)
+    Thread.sleep(15)
+    Versioned.overwrite(Seq((2L, "b")).toDF("k", "v"), r)
+    val (would, _) = Versioned.vacuum(r, keepLast = 1, dryRun = true)
+    assert(would.nonEmpty)
+    assert(would.forall(f => Files.exists(Paths.get(r).resolve(f))),
+      "dry run must delete nothing")
+    assert(Versioned.read(spark, r, Some(1)).count() === 1, "v1 still readable")
+    val ts = Versioned.versions(r).map(_.ts)
+    val now = ts(1) + 1000
+    val (would2, _) = Versioned.vacuumOlderThan(r, olderThanMs = now - ts(1),
+      nowMs = now, dryRun = true)
+    assert(would2 === would && would2.forall(f => Files.exists(Paths.get(r).resolve(f))))
+    // the real vacuum then deletes exactly the dry run's report
+    val (deleted, _) = Versioned.vacuum(r, keepLast = 1)
+    assert(deleted === would)
+    assert(would.forall(f => !Files.exists(Paths.get(r).resolve(f))))
+  }
+
   test("gcOrphans never deletes files referenced only by ARCHIVED manifests") {
     import graft.merge.Versioned.FileEntry
     val root = freshRoot()
