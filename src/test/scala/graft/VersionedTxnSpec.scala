@@ -21,12 +21,27 @@ class VersionedTxnSpec extends SparkSuite {
     // PRE-txn state of every table — no partial visibility
     assert(Versioned.read(spark, a).select("k").as[Long].collect().toSet === Set(1L))
     assert(Versioned.read(spark, b).select("k").as[Long].collect().toSet === Set(10L))
-    // ...and normal writers refuse rather than build on unresolved state
+    // ...and normal writers refuse rather than build on unresolved state —
+    // every write path, the schema/maintenance ops included (a FULL
+    // manifest landing on top of an unresolved stage would silently drop
+    // the txn's files when it commits)
     val e = intercept[IllegalStateException] {
       Versioned.append(Seq((99L, "x")).toDF("k", "v"), a)
     }
     assert(e.getMessage.contains("in-flight multi-table transaction"))
     intercept[IllegalStateException] { Versioned.rollback(b, 1) }
+    intercept[IllegalStateException] { Versioned.evolve(a, "note STRING") }
+    intercept[IllegalStateException] { Versioned.evolveRename(a, "v", "w") }
+    intercept[IllegalStateException] { Versioned.compact(spark, a, 1) }
+    intercept[IllegalStateException] {
+      Versioned.overwrite(Seq((1L, "x")).toDF("k", "v"), a)
+    }
+    intercept[IllegalStateException] {
+      Versioned.updateWhere(spark, a, lit(true), Map("v" -> lit("y")))
+    }
+    intercept[IllegalStateException] {
+      Versioned.appendStaged(Seq((98L, "y")).toDF("k", "v"), a, txn)
+    } // one staged version per table per txn
     // phase 2: ONE atomic rename publishes both
     Versioned.commitTransaction(txn)
     assert(Versioned.read(spark, a).select("k").as[Long].collect().toSet === Set(1L, 2L))
