@@ -105,9 +105,13 @@ object Versioned {
     * (zero filesystem calls on the read path, the Delta/Iceberg design)
     * and the streaming source can plan partitions without stat-ing files.
     * fmt≤2 manifests (no size field) parse as before; mixed logs are fine
-    * because parsing is per-manifest.
+    * because parsing is per-manifest. fmt=4 (round 18) adds OPTIONAL
+    * per-file BLOOM lines (`bloom=<col>:<base64 bits>:<path>`) and the
+    * `bloom=` header listing tracked bloom columns — point-lookup file
+    * skipping (vt26); file lines are unchanged, so fmt=3 logs parse as
+    * before.
     */
-  private[graft] val ManifestFormat: Int = 3
+  private[graft] val ManifestFormat: Int = 4
 
   /** Manifest files read since JVM start — spec instrumentation proving the
     * checkpoint bound (a 1000-commit log's planning cost must not be 1000
@@ -150,14 +154,43 @@ object Versioned {
       ts: Long = -1L,
       constraints: Seq[(String, String)] = Nil,
       colMap: Map[String, String] = Map.empty,
-      pendingTxn: Option[String] = None)
+      pendingTxn: Option[String] = None,
+      bloomCols: Seq[String] = Nil,
+      blooms: Map[(String, String), Vector[Long]] = Map.empty)
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
     * -1 = unknown, callers fall back to a filesystem stat).
     */
   private[graft] final case class FileEntry(path: String, ranges: Seq[(Long, Long)],
-      size: Long = -1L)
+      size: Long = -1L,
+      blooms: Seq[(String, Vector[Long])] = Nil)
+
+  /** vt26 bloom geometry: 1024 bits (16 longs, ~172 base64 chars per file
+    * per column in the manifest) × 3 xxhash64 seeds. At 10k distinct values
+    * per file the false-positive rate is ~1 (useless), at ~200 it's ~10% —
+    * the point-lookup regime this targets (id-ish columns on files of a
+    * few hundred to a few thousand rows each, or low-cardinality-per-file
+    * clustered layouts). A bloom can only SKIP (absent bit = value provably
+    * not in the file); the residual filter always decides rows.
+    */
+  private[graft] val BloomBits: Int = 1024
+  private[graft] val BloomWords: Int = BloomBits / 64
+  private[graft] val BloomHashes: Int = 3
+
+  private def bloomB64(bits: Vector[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(8 * bits.length)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private def bloomFromB64(s: String): Vector[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(s))
+    Vector.fill(bb.remaining() / 8)(bb.getLong)
+  }
+
+  private def bloomHasBit(bits: Vector[Long], pos: Long): Boolean =
+    (bits((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0L
 
   /** A manifest as written on disk (delta or full), before folding. `ts` is
     * the commit's wall-clock epoch millis (header `ts=`, -1 on pre-vt19
@@ -170,7 +203,9 @@ object Versioned {
       txns: Set[Long], schema: Option[String], ts: Long = -1L,
       constraints: Seq[(String, String)] = Nil,
       colMap: Map[String, String] = Map.empty,
-      txnMarker: Option[String] = None)
+      txnMarker: Option[String] = None,
+      bloomCols: Seq[String] = Nil,
+      blooms: Map[(String, String), Vector[Long]] = Map.empty)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -259,9 +294,17 @@ object Versioned {
     // manifests are always DELTAS so an aborted one folds as a no-op.
     val txnMarker = body.find(_.startsWith("txnmarker="))
       .map(_.stripPrefix("txnmarker="))
+    // per-file bloom bits (vt26): `bloom=<col>:<base64>:<path>` — the path
+    // LAST because base64/identifiers never contain ':' while paths could
+    val blooms: Map[(String, String), Vector[Long]] =
+      body.filter(_.startsWith("bloom=")).map { l =>
+        val parts = l.stripPrefix("bloom=").split(":", 3)
+        require(parts.length == 3, s"malformed bloom line in $p: $l")
+        (parts(2), parts(0)) -> bloomFromB64(parts(1))
+      }.toMap
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
       l.startsWith("constraint=") || l.startsWith("colmap=") ||
-      l.startsWith("txnmarker="))
+      l.startsWith("txnmarker=") || l.startsWith("bloom="))
     val full = header.get("full").contains("1")
     require(txnMarker.isEmpty || !full,
       s"manifest $p is FULL but carries a txnmarker — staged txn manifests must be " +
@@ -271,10 +314,12 @@ object Versioned {
     // (no `ts=`) read as -1 (unknown), which timestamp travel treats as
     // "older than any queried instant"
     val ts = header.get("ts").map(_.toLong).getOrElse(-1L)
+    val bloomCols = header.get("bloom").map(_.split(',').toSeq).getOrElse(Nil)
     if (full)
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap)
+        fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap,
+        bloomCols = bloomCols, blooms = blooms)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -286,13 +331,15 @@ object Versioned {
           s"manifest $p mixes prefixed and unprefixed file lines — corrupt or unsupported")
         Raw(n, header("op"), header("parent").toInt, full = true,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
-          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap)
+          unprefixed.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap,
+          bloomCols = bloomCols, blooms = blooms)
       } else
         Raw(n, header("op"), header("parent").toInt, full = false,
           header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
-          txns, schema, ts, constraints, colMap, txnMarker)
+          txns, schema, ts, constraints, colMap, txnMarker,
+          bloomCols = bloomCols, blooms = blooms)
     }
   }
 
@@ -341,7 +388,8 @@ object Versioned {
         raw.entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
         raw.statsCols, raw.txns ++ opTxn, raw.schema,
         raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
-        raw.ts, raw.constraints, raw.colMap)
+        raw.ts, raw.constraints, raw.colMap,
+        bloomCols = raw.bloomCols, blooms = raw.blooms)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -357,7 +405,9 @@ object Versioned {
           raw.entries.collect { case e if e.size >= 0 => e.path -> e.size },
         raw.ts, // each version's OWN commit time, never inherited
         base.constraints ++ raw.constraints, // deltas only ever ADD constraints
-        base.colMap) // deltas never change the mapping (renames commit FULL)
+        base.colMap, // deltas never change the mapping (renames commit FULL)
+        bloomCols = if (raw.bloomCols.nonEmpty) raw.bloomCols else base.bloomCols,
+        blooms = base.blooms.filterNot { case ((f, _), _) => removed(f) } ++ raw.blooms)
     }
   }
 
@@ -503,10 +553,13 @@ object Versioned {
   private def renderFull(v: Version): String = {
     val head = s"op=${v.op} parent=${v.parent} fmt=$ManifestFormat full=1" +
       (if (v.ts >= 0) s" ts=${v.ts}" else "") +
-      (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "")
+      (if (v.statsCols.nonEmpty) s" stats=${v.statsCols.mkString(",")}" else "") +
+      (if (v.bloomCols.nonEmpty) s" bloom=${v.bloomCols.mkString(",")}" else "")
     (head +: (v.schema.map(s => s"schema=$s").toSeq ++
       v.constraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
       v.colMap.toSeq.sorted.map { case (l, p) => s"colmap=$l:$p" } ++
+      v.blooms.toSeq.sortBy(_._1).map { case ((f, c), bits) =>
+        s"bloom=$c:${bloomB64(bits)}:$f" } ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       val sz = v.sizes.getOrElse(f, -1L)
       (Seq(f, sz.toString) ++
@@ -519,16 +572,21 @@ object Versioned {
       added: Seq[FileEntry], removed: Seq[String],
       schema: Option[String] = None, ts: Long = -1L,
       addedConstraints: Seq[(String, String)] = Nil,
-      txnMarker: Option[String] = None): String = {
+      txnMarker: Option[String] = None,
+      bloomCols: Seq[String] = Nil): String = {
     val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
       (if (ts >= 0) s" ts=$ts" else "") +
-      (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "")
+      (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "") +
+      (if (bloomCols.nonEmpty) s" bloom=${bloomCols.mkString(",")}" else "")
     // a schema line on a DELTA overrides the inherited contract going
     // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook;
-    // constraint lines on a delta are the commit's ADDED constraints
+    // constraint lines on a delta are the commit's ADDED constraints;
+    // bloom lines are the ADDED files' bloom bits
     (head +: (schema.map(s => s"schema=$s").toSeq ++
       txnMarker.map(m => s"txnmarker=$m").toSeq ++
       addedConstraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
+      added.flatMap(e => e.blooms.map { case (c, bits) =>
+        s"bloom=$c:${bloomB64(bits)}:${e.path}" }) ++
       removed.map("-" + _) ++ added.map { e =>
       "+" + (Seq(e.path, e.size.toString) ++
         e.ranges.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
@@ -551,10 +609,12 @@ object Versioned {
 
   private def commitOn(root: String, cur: Option[Version], op: String,
       added: Seq[FileEntry], removed: Seq[String], statsCols: Seq[String],
-      schemaDDL: Option[String]): Version = {
+      schemaDDL: Option[String], bloomCols: Seq[String] = Nil): Version = {
     requireNoPendingTxn(cur, root)
     require(statsCols.isEmpty || cur.forall(c => c.statsCols.isEmpty || c.statsCols == statsCols),
       s"table tracks stats on ${cur.map(_.statsCols)}, not $statsCols")
+    require(bloomCols.isEmpty || cur.forall(c => c.bloomCols.isEmpty || c.bloomCols == bloomCols),
+      s"table tracks blooms on ${cur.map(_.bloomCols)}, not $bloomCols")
     // schema guard: a multi-file parquet read takes ONE footer's schema, so
     // appending a different column set would silently drop columns at read
     // time — refuse here instead; schema EVOLUTION is overwrite()'s job
@@ -572,6 +632,7 @@ object Versioned {
     }
     val removedSet = removed.toSet
     val cols = if (statsCols.nonEmpty) statsCols else cur.map(_.statsCols).getOrElse(Nil)
+    val bCols = if (bloomCols.nonEmpty) bloomCols else cur.map(_.bloomCols).getOrElse(Nil)
     val state = Version(n, op, cur.map(_.n).getOrElse(0),
       cur.map(_.files).getOrElse(Nil).filterNot(removedSet) ++ added.map(_.path),
       (cur.map(_.stats).getOrElse(Map.empty) -- removedSet) ++
@@ -584,12 +645,17 @@ object Versioned {
       // the mapping rides every commit: a checkpoint-numbered delta renders
       // FULL, and a full manifest dropping the colmap would silently break
       // every read of renamed columns
-      cur.map(_.colMap).getOrElse(Map.empty))
+      cur.map(_.colMap).getOrElse(Map.empty),
+      bloomCols = bCols,
+      blooms = cur.map(_.blooms).getOrElse(Map.empty)
+        .filterNot { case ((f, _), _) => removedSet(f) } ++
+        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }))
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
       promoteState(root, state,
-        renderDelta(op, state.parent, cols, added, removed, ts = state.ts), full = false)
+        renderDelta(op, state.parent, cols, added, removed, ts = state.ts,
+          bloomCols = bCols), full = false)
   }
 
   /** The wall-time a commit records (vt19): now, clamped MONOTONIC against
@@ -699,19 +765,25 @@ object Versioned {
     * composing with [[graft.ops.ZOrder]] layouts).
     */
   def appendWithStats(df: DataFrame, root: String, statsCols: Seq[String],
-      options: Map[String, String] = Map.empty): Version = {
+      options: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Version = {
     require(statsCols.nonEmpty, "appendWithStats needs at least one stats column")
     statsCols.foreach(c => statsLongExpr(c, df.schema(c).dataType)) // fail BEFORE writing
+    bloomCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"bloom column `$c` is not in the frame"))
     val cur = currentVersion(root)
     val n = cur.map(_.n + 1).getOrElse(1)
     val cmap = cur.map(_.colMap).getOrElse(Map.empty)
+    val bCols = if (bloomCols.nonEmpty) bloomCols else cur.map(_.bloomCols).getOrElse(Nil)
     val ddl = normalizedDDL(df)
     val (files, marker) = writeData(physicalize(df, cmap), root, n, options)
     sealing(marker) {
-      // constraint check fused into the stats pass: one landed-files scan
+      // constraint check — and vt26 bloom build — fused into the stats
+      // pass: one landed-files scan per commit
       commitOn(root, cur, "append",
         statsEntriesValidating(df.sparkSession, root, files, statsCols,
-          cur.map(_.constraints).getOrElse(Nil), cmap), Nil, statsCols, Some(ddl))
+          cur.map(_.constraints).getOrElse(Nil), cmap, bCols), Nil, statsCols, Some(ddl),
+        bloomCols = bCols)
     }
   }
 
@@ -805,8 +877,9 @@ object Versioned {
     */
   private def statsEntries(spark: SparkSession, root: String, files: Seq[(String, Long)],
       statsCols: Seq[String],
-      colMap: Map[String, String] = Map.empty): Seq[FileEntry] =
-    statsEntriesValidating(spark, root, files, statsCols, Nil, colMap)
+      colMap: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] =
+    statsEntriesValidating(spark, root, files, statsCols, Nil, colMap, bloomCols)
 
   /** [[statsEntries]] with the vt20 constraint check FUSED into the same
     * commit-sized scan: the per-file groupBy that measures (min, max)
@@ -821,12 +894,14 @@ object Versioned {
   private def statsEntriesValidating(spark: SparkSession, root: String,
       files: Seq[(String, Long)], statsCols: Seq[String],
       constraints: Seq[(String, String)],
-      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+      colMap: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     if (files.isEmpty) return Nil // empty commit: nothing to measure, nothing to skip
     val rootP = Paths.get(root)
-    val rows = statsValidationFrame(spark, root, files, statsCols, constraints, colMap)
-      .collect().toSeq
+    val rows = statsValidationFrame(spark, root, files, statsCols, constraints, colMap,
+      bloomCols).collect().toSeq
     val nStat = 2 * statsCols.length
+    val nCon = constraints.length
     if (constraints.nonEmpty) {
       val bad = constraints.zipWithIndex.collect {
         case ((nm, sql), i) if rows.map(_.getLong(1 + nStat + i)).sum > 0 =>
@@ -836,13 +911,26 @@ object Versioned {
         s"commit to $root violates CHECK constraint(s) — refused, no metadata written: " +
           bad.mkString("; "))
     }
+    def relOf(r: org.apache.spark.sql.Row): String =
+      rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
     val byFile = rows.map { r =>
-      val rel = rootP.relativize(Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-      if ((1 to nStat).exists(r.isNullAt)) rel -> Seq.empty[(Long, Long)]
-      else rel -> (0 until statsCols.length).map(i =>
+      if ((1 to nStat).exists(r.isNullAt)) relOf(r) -> Seq.empty[(Long, Long)]
+      else relOf(r) -> (0 until statsCols.length).map(i =>
         (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
     }.toMap
-    files.map { case (f, sz) => FileEntry(f, byFile.getOrElse(f, Nil), sz) }
+    // per-file bloom bits ride the SAME pass: word w of bloom col b sits at
+    // column 1 + nStat + nCon + b*BloomWords + w
+    val bloomsByFile: Map[String, Seq[(String, Vector[Long])]] =
+      if (bloomCols.isEmpty) Map.empty
+      else rows.map { r =>
+        relOf(r) -> bloomCols.zipWithIndex.map { case (c, bi) =>
+          c -> Vector.tabulate(BloomWords)(w =>
+            r.getLong(1 + nStat + nCon + bi * BloomWords + w))
+        }
+      }.toMap
+    files.map { case (f, sz) =>
+      FileEntry(f, byFile.getOrElse(f, Nil), sz, bloomsByFile.getOrElse(f, Nil))
+    }
   }
 
   /** The fused stats+constraint aggregate of [[statsEntriesValidating]] as
@@ -855,14 +943,23 @@ object Versioned {
   private[graft] def statsValidationFrame(spark: SparkSession, root: String,
       files: Seq[(String, Long)], statsCols: Seq[String],
       constraints: Seq[(String, String)],
-      colMap: Map[String, String] = Map.empty): DataFrame = {
+      colMap: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Nil): DataFrame = {
     val rootP = Paths.get(root)
     // landed files carry PHYSICAL names; stats columns and constraint SQL
     // are LOGICAL — alias back before analyzing (the Project folds into
     // the scan, no extra pass)
-    val df = logicalize(
+    val df0 = logicalize(
       spark.read.parquet(files.map { case (f, _) => rootP.resolve(f).toString }: _*),
       colMap)
+    // bloom positions are computed ONCE per row per col (k=3 xxhash64
+    // seeds), then the 16 word aggregates pick bits off them — pure
+    // codegen, no UDFs, same exchange as the stats/constraint aggs
+    val df = bloomCols.zipWithIndex.foldLeft(df0) { case (d, (c, bi)) =>
+      (0 until BloomHashes).foldLeft(d)((dd, sd) =>
+        dd.withColumn(s"__bp${bi}_$sd",
+          pmod(xxhash64(col(c), lit(sd)), lit(BloomBits.toLong))))
+    }
     val statAggs = statsCols.flatMap { c =>
       val e = statsLongExpr(c, df.schema(c).dataType)
       Seq(min(e).as(s"mn_$c"), max(e).as(s"mx_$c"))
@@ -870,7 +967,16 @@ object Versioned {
     val conAggs = constraints.map { case (nm, sql) =>
       count(when(!coalesce(expr(sql), lit(true)), lit(1))).as(s"viol_$nm")
     }
-    val aggs = statAggs ++ conAggs
+    val bloomAggs = bloomCols.zipWithIndex.flatMap { case (_, bi) =>
+      (0 until BloomWords).map { w =>
+        val terms = (0 until BloomHashes).map { sd =>
+          s"IF((__bp${bi}_$sd div 64) = $w, " +
+            s"shiftleft(1L, CAST(__bp${bi}_$sd % 64 AS INT)), 0L)"
+        }.mkString(" | ")
+        expr(s"bit_or($terms)").as(s"bf_${bi}_$w")
+      }
+    }
+    val aggs = statAggs ++ conAggs ++ bloomAggs
     df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -983,12 +1089,14 @@ object Versioned {
     val (files, marker) = writeData(shaped, root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
-      else statsEntries(spark, root, files, cur.statsCols)
+      else statsEntries(spark, root, files, cur.statsCols, bloomCols = cur.bloomCols)
     sealing(marker)(writeManifest(root, Version(n, "compact", cur.n, entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
       cur.statsCols, cur.txns, cur.schema,
       entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
-      commitTs(Some(cur)), cur.constraints)))
+      commitTs(Some(cur)), cur.constraints,
+      bloomCols = cur.bloomCols,
+      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap)))
   }
 
   /** Single-column convenience overload. */
@@ -1032,13 +1140,15 @@ object Versioned {
       df.select(df.columns.map(col).toIndexedSeq: _*), encoded, dimStats, bits, nFiles)
     val n = cur.n + 1
     val (files, marker) = writeData(shaped, root, n, options)
-    val entries = statsEntries(spark, root, files, zCols)
+    val entries = statsEntries(spark, root, files, zCols, bloomCols = cur.bloomCols)
     sealing(marker)(writeManifest(root, Version(n, "compact-zorder", cur.n,
       entries.map(_.path),
       entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
       zCols, cur.txns, cur.schema,
       entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
-      commitTs(Some(cur)), cur.constraints)))
+      commitTs(Some(cur)), cur.constraints,
+      bloomCols = cur.bloomCols,
+      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap)))
   }
 
   /** The files of version `v` whose recorded ranges overlap EVERY bound in
@@ -1113,6 +1223,66 @@ object Versioned {
     base.filter(predicate)
   }
 
+  /** VT26 (read half): POINT-LOOKUP file skipping via per-file BLOOM bits —
+    * the pruning min/max ranges cannot do: an equality probe on a
+    * high-cardinality UNSORTED column (a doc_id lookup on an ingest-ordered
+    * table) overlaps every file's range, but each file's 1024-bit bloom
+    * (recorded by [[appendWithStats]]' `bloomCols`, built in the same
+    * commit-sized pass as the stats) proves most files cannot hold the
+    * value (the Delta bloom-index / Iceberg puffin design). The probe's k
+    * bit positions are computed with the SAME Spark `xxhash64` the write
+    * side used — via one local 1-row job, under the column's CONTRACT type
+    * (hashing a literal under a different type would probe garbage bits) —
+    * and a file is pruned only when a bit is provably absent: blooms only
+    * SKIP, never admit rows (the residual equality filter always applies;
+    * bloom-less files read conservatively). Range-stats pruning composes
+    * (intersection). Without a contract schema the bloom is not consulted
+    * (type-unverifiable probe) — conservative, never wrong.
+    */
+  def readEquals(spark: SparkSession, root: String, column: String, value: Any,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    val dt = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    // cast the probe to the CONTRACT type (the hash the write side used) —
+    // but only when needed: a Cast node over an already-matching literal
+    // would defeat the range walker's bound extraction and cost the free
+    // range-pruning intersection
+    def matchesNatively(t: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (value, t) match {
+        case (_: Long, LongType) | (_: Int, IntegerType) | (_: String, StringType) |
+             (_: Double, DoubleType) | (_: Float, FloatType) | (_: Boolean, BooleanType) |
+             (_: java.sql.Date, DateType) | (_: java.sql.Timestamp, TimestampType) => true
+        case _ => false
+      }
+    }
+    val litv = dt match {
+      case Some(t) if !matchesNatively(t) => lit(value).cast(t)
+      case _ => lit(value)
+    }
+    val pred = col(column) === litv
+    val ranged = overlappingFiles(v, validatedBounds(v, pred))
+    val candidates =
+      if (value == null || dt.isEmpty || !v.bloomCols.contains(column)) ranged
+      else {
+        val posRow = spark.range(1).select((0 until BloomHashes).map(sd =>
+          pmod(xxhash64(litv, lit(sd)), lit(BloomBits.toLong)).as(s"p$sd")): _*).head
+        val positions = (0 until BloomHashes).map(posRow.getLong)
+        ranged.filter { f =>
+          v.blooms.get((f, column)) match {
+            case Some(bits) => positions.forall(bloomHasBit(bits, _))
+            case None => true // no bloom recorded for this file: conservative
+          }
+        }
+      }
+    val base =
+      if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
+      else readFiles(spark, root, v, candidates)
+    base.filter(pred)
+  }
+
   /** VT12b: copy-on-write row-level DELETE through the log — the versioned
     * substrate's answer to [[Dml]]'s smart delete (ref `work_item_budget_vs
     * _actual_pipeline/work_item_budget_vs_actual_sync_daily/main.py:368-408`
@@ -1167,7 +1337,7 @@ object Versioned {
     val (files, marker) = writeData(physicalize(survivors, cur.colMap), root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
-      else statsEntries(spark, root, files, cur.statsCols, cur.colMap)
+      else statsEntries(spark, root, files, cur.statsCols, cur.colMap, cur.bloomCols)
     sealing(marker)(commitOn(root, Some(cur), "delete", entries, affected,
       cur.statsCols, Some(normalizedDDL(survivors))))
   }
@@ -1216,7 +1386,7 @@ object Versioned {
           validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
           plainEntries(files)
         } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
-          cur.colMap)
+          cur.colMap, cur.bloomCols)
       commitOn(root, Some(cur), "update", entries, affected, cur.statsCols, Some(ddl))
     }
   }
@@ -1381,7 +1551,7 @@ object Versioned {
           validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
           plainEntries(files)
         } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
-          cur.colMap)
+          cur.colMap, cur.bloomCols)
       staged match {
         case Some(m) => commitOnStaged(root, Some(cur), op, entries, affected, Some(ddl), m)
         case None => commitOn(root, Some(cur), op, entries, affected, cur.statsCols, Some(ddl))
@@ -1471,6 +1641,10 @@ object Versioned {
       try { df.select(expr(sql)); true }
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     }
+    // bloom tracking survives an overwrite only for columns the new schema
+    // keeps AND when a stats pass runs (blooms ride that pass)
+    val keptBlooms = cur.map(_.bloomCols).getOrElse(Nil)
+      .filter(df.schema.fieldNames.contains)
     val ddl = normalizedDDL(df)
     val (files, marker) = writeData(df, root, n, Map.empty)
     // overwrite IS the schema-evolution op: the full manifest records the
@@ -1481,14 +1655,16 @@ object Versioned {
           validateConstraints(df.sparkSession, root, keptConstraints, files, Some(ddl))
           plainEntries(files)
         } else statsEntriesValidating(df.sparkSession, root, files, keptStats,
-          keptConstraints)
+          keptConstraints, bloomCols = keptBlooms)
       writeManifest(root, Version(n, "overwrite", cur.map(_.n).getOrElse(0),
         entries.map(_.path),
         entries.collect { case e if e.ranges.nonEmpty => e.path -> e.ranges }.toMap,
         keptStats, cur.map(_.txns).getOrElse(Set.empty),
         Some(ddl),
         entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
-        commitTs(cur), keptConstraints))
+        commitTs(cur), keptConstraints,
+        bloomCols = if (keptStats.isEmpty) Nil else keptBlooms,
+        blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap))
     }
   }
 
@@ -1518,7 +1694,8 @@ object Versioned {
     writeManifest(root, Version(cur.n + 1, "rollback", to, target.files,
       target.stats, target.statsCols, cur.txns, target.schema, target.sizes,
       commitTs(Some(cur)), target.constraints,
-      target.colMap)) // the target's files ARE that mapping's generation
+      target.colMap, // the target's files ARE that mapping's generation
+      bloomCols = target.bloomCols, blooms = target.blooms))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -1596,7 +1773,9 @@ object Versioned {
         src.statsCols, Set.empty, src.schema, // fresh txn lineage — see scaladoc
         src.sizes.map { case (f, s) => abs(f) -> s },
         commitTs(None), src.constraints,
-        src.colMap)) // the borrowed bytes carry the source's physical names
+        src.colMap, // the borrowed bytes carry the source's physical names
+        bloomCols = src.bloomCols,
+        blooms = src.blooms.map { case ((f, c), b) => (abs(f), c) -> b }))
     } else {
       // DEEP clone (Delta's `CLONE` without SHALLOW — the materializing
       // form): every source file is COPIED into one clone-local commit dir
@@ -1626,7 +1805,9 @@ object Versioned {
         src.statsCols, Set.empty, src.schema,
         src.sizes.map { case (f, s) => mapping(f) -> s },
         commitTs(None), src.constraints,
-        src.colMap)) // byte-identical copies keep the physical column names
+        src.colMap, // byte-identical copies keep the physical column names
+        bloomCols = src.bloomCols,
+        blooms = src.blooms.map { case ((f, c), b) => (mapping(f), c) -> b }))
     }
   }
 
@@ -1731,11 +1912,16 @@ object Versioned {
         added.collect { case e if e.size >= 0 => e.path -> e.size },
       commitTs(cur), cur.map(_.constraints).getOrElse(Nil),
       cur.map(_.colMap).getOrElse(Map.empty),
-      pendingTxn = Some(txnMarkerBase))
+      pendingTxn = Some(txnMarkerBase),
+      bloomCols = cur.map(_.bloomCols).getOrElse(Nil),
+      blooms = cur.map(_.blooms).getOrElse(Map.empty)
+        .filterNot { case ((f, _), _) => removed.contains(f) } ++
+        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }))
     promoteState(root, state,
       renderDelta(op, state.parent, cols, added, removed,
         schema = if (cur.isEmpty) schemaDDL else None,
-        ts = state.ts, txnMarker = Some(txnMarkerBase)),
+        ts = state.ts, txnMarker = Some(txnMarkerBase),
+        bloomCols = state.bloomCols),
       full = false)
   }
 
@@ -1778,7 +1964,7 @@ object Versioned {
     val (files, marker) = writeData(physicalize(survivors, cur.colMap), root, n, Map.empty)
     val entries =
       if (cur.statsCols.isEmpty) plainEntries(files)
-      else statsEntries(spark, root, files, cur.statsCols, cur.colMap)
+      else statsEntries(spark, root, files, cur.statsCols, cur.colMap, cur.bloomCols)
     sealing(marker)(commitOnStaged(root, Some(cur), "txn-delete", entries, affected,
       Some(normalizedDDL(survivors)), txnMarkerBase))
   }
@@ -2297,7 +2483,8 @@ object Versioned {
           if (statsCols.isEmpty) {
             validateConstraints(df.sparkSession, root, cons, files, Some(ddl), cmap)
             plainEntries(files)
-          } else statsEntriesValidating(df.sparkSession, root, files, statsCols, cons, cmap)
+          } else statsEntriesValidating(df.sparkSession, root, files, statsCols, cons, cmap,
+            cur.map(_.bloomCols).getOrElse(Nil))
         commitOn(root, cur, s"stream-batch-$batchId",
           entries, Nil, statsCols, Some(ddl))
       })
@@ -2593,9 +2780,11 @@ object Versioned {
     val droppedTrackedIdx = cur.statsCols.zipWithIndex
       .filter { case (c, _) => dropCols.contains(c) }.map(_._2)
     // a dropped column's mapping entry goes with it; dropping a RENAMED
-    // column is a colmap change, and deltas never carry colmap — commit FULL
+    // column is a colmap change — and a BLOOM-tracked column's bits must
+    // go too — and deltas carry neither: commit FULL in those cases
     val dropsMapped = dropCols.exists(cur.colMap.contains)
-    if (droppedTrackedIdx.isEmpty && !dropsMapped) {
+    val dropsBloom = dropCols.exists(cur.bloomCols.contains)
+    if (droppedTrackedIdx.isEmpty && !dropsMapped && !dropsBloom) {
       // plain contract shrink: one delta line, evolve()'s shape
       val state = cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
         schema = Some(newDDL), ts = commitTs(Some(cur)))
@@ -2606,10 +2795,12 @@ object Versioned {
           renderDelta("evolve-drop", cur.n, cur.statsCols, Nil, Nil, Some(newDDL),
             ts = state.ts), full = false)
     } else if (droppedTrackedIdx.isEmpty) {
-      // mapped-column drop: metadata-only FULL manifest with the entry gone
+      // mapped/bloomed-column drop: metadata-only FULL manifest, entries gone
       writeManifest(root, cur.copy(n = cur.n + 1, op = "evolve-drop", parent = cur.n,
         schema = Some(newDDL), ts = commitTs(Some(cur)),
-        colMap = cur.colMap -- dropCols))
+        colMap = cur.colMap -- dropCols,
+        bloomCols = cur.bloomCols.filterNot(dropCols.contains),
+        blooms = cur.blooms.filterNot { case ((_, c), _) => dropCols.contains(c) }))
     } else {
       // a tracked column drops out: per-file ranges are POSITIONAL against
       // statsCols, so re-align both and commit FULL (it lists every file's
@@ -2621,7 +2812,9 @@ object Versioned {
         stats = cur.stats.map { case (f, rs) =>
           f -> keepIdx.collect { case i if i < rs.length => rs(i) }
         }.filter(_._2.nonEmpty),
-        colMap = cur.colMap -- dropCols)
+        colMap = cur.colMap -- dropCols,
+        bloomCols = cur.bloomCols.filterNot(dropCols.contains),
+        blooms = cur.blooms.filterNot { case ((_, c), _) => dropCols.contains(c) })
       writeManifest(root, state)
     }
   }
@@ -2671,7 +2864,10 @@ object Versioned {
       statsCols = cur.statsCols.map(c => if (c == from) to else c),
       constraints = cur.constraints.map { case (nm, sql) =>
         (nm, renameInSql(sql, from, to)) },
-      colMap = newMap))
+      colMap = newMap,
+      bloomCols = cur.bloomCols.map(c => if (c == from) to else c),
+      blooms = cur.blooms.map { case ((f, c), b) =>
+        (f, if (c == from) to else c) -> b }))
   }
 
   /** Rewrite identifier occurrences of `from` to `to` in one line of

@@ -906,6 +906,37 @@ object SinkQueries extends QueryModule {
         .withColumn("pre_commit_excluded", lit(if (excluded) 1 else 0))
     }),
 
+    // VT26: per-file BLOOM bits in the manifest — point-lookup file
+    // skipping on a high-cardinality column the file layout does NOT sort
+    // (rows are shuffled on price, so o_orderkey ranges span every file
+    // and min/max pruning is useless — exactly the bloom's regime). Probes
+    // for the min and max F keys must return those rows (zero false
+    // negatives); the flag records that an ABSENT key's probe planned a
+    // strict file subset — deterministic for fixed data, since the bloom
+    // bits are pure xxhash64.
+    "vt26_bloom_lookup" -> ((s, dir) => {
+      val root = tmp("graft_vt26") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // key-UNSORTED layout (shuffled on price): every file's o_orderkey
+      // [min,max] spans ~the whole domain, so the TRACKED range stats are
+      // honest but useless for a key probe — only the bloom prunes
+      V.appendWithStats(
+        f.repartitionByRange(16, col("o_totalprice")),
+        root, Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val r = f.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val total = V.currentVersion(root).get.files.length
+      val pruned = V.readEquals(s, root, "o_orderkey", hi + 1000L)
+        .inputFiles.length < total
+      V.readEquals(s, root, "o_orderkey", lo)
+        .unionAll(V.readEquals(s, root, "o_orderkey", hi))
+        .unionAll(V.readEquals(s, root, "o_orderkey", hi + 1000L)) // absent: 0 rows
+        .withColumn("absent_probe_pruned", lit(if (pruned) 1 else 0))
+    }),
+
     // VT25: copy-on-write UPDATE through the log — the third DML verb
     // (Delta's UPDATE beside vt12b's DELETE and vt12's MERGE): a windowed
     // SET rewrites only key-overlapping files (flag column hash-fails on a
@@ -1275,6 +1306,14 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt26: exactly the min- and max-key F rows (bloom pruning must never
+    // lose a row); the absent probe contributes nothing and its planned
+    // subset rides the flag
+    "vt26_bloom_lookup" ->
+      """SELECT o_orderkey, o_totalprice, 1 AS absent_probe_pruned
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey IN (
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderstatus = 'F'),
+        |  (SELECT max(o_orderkey) FROM orders WHERE o_orderstatus = 'F'))""".stripMargin,
     // vt25: v1 = the pre-update F snapshot; head = the window doubled and
     // re-statused, everything else bit-identical
     "vt25_update" ->
