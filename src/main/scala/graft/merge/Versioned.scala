@@ -109,9 +109,15 @@ object Versioned {
     * per-file BLOOM lines (`bloom=<col>:<base64 bits>:<path>`) and the
     * `bloom=` header listing tracked bloom columns — point-lookup file
     * skipping (vt26); file lines are unchanged, so fmt=3 logs parse as
-    * before.
+    * before. fmt=5 (round 18, vt27) adds OPTIONAL DELETION-VECTOR lines
+    * (`dv=<count>|<sidecar path>|<file path>`, '|'-separated because
+    * paths never contain '|' while they could contain ':'): the file at
+    * `<file path>` stays listed but `<count>` of its row positions —
+    * recorded in the parquet sidecar at `<sidecar path>` — are deleted.
+    * On a DELTA a dv line ATTACHES to an already-listed file; a FULL
+    * manifest lists every live attachment. Older formats parse unchanged.
     */
-  private[graft] val ManifestFormat: Int = 4
+  private[graft] val ManifestFormat: Int = 5
 
   /** Manifest files read since JVM start — spec instrumentation proving the
     * checkpoint bound (a 1000-commit log's planning cost must not be 1000
@@ -156,7 +162,14 @@ object Versioned {
       colMap: Map[String, String] = Map.empty,
       pendingTxn: Option[String] = None,
       bloomCols: Seq[String] = Nil,
-      blooms: Map[(String, String), Vector[Long]] = Map.empty)
+      blooms: Map[(String, String), Vector[Long]] = Map.empty,
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty) {
+    /** Every sidecar/data path a retention op must treat as referenced by
+      * this version: the listed files plus their deletion-vector sidecars.
+      */
+    private[graft] def referencedPaths: Seq[String] =
+      files ++ dvs.valuesIterator.flatten.map(_._1)
+  }
 
   /** One file line of a manifest: root-relative path + per-statsCol ranges
     * (empty = no skipping stats, read conservatively) + byte size (fmt=3;
@@ -205,7 +218,8 @@ object Versioned {
       colMap: Map[String, String] = Map.empty,
       txnMarker: Option[String] = None,
       bloomCols: Seq[String] = Nil,
-      blooms: Map[(String, String), Vector[Long]] = Map.empty)
+      blooms: Map[(String, String), Vector[Long]] = Map.empty,
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -302,9 +316,21 @@ object Versioned {
         require(parts.length == 3, s"malformed bloom line in $p: $l")
         (parts(2), parts(0)) -> bloomFromB64(parts(1))
       }.toMap
+    // deletion vectors (vt27): `dv=<count>|<sidecar>|<file>` — '|'-split
+    // because BOTH operands are paths (the bloom ':' trick covers one path
+    // at most). Line order is attachment order; a file's sidecars fold in
+    // the order its deletes committed.
+    val dvs: Map[String, Seq[(String, Long)]] =
+      body.filter(_.startsWith("dv=")).foldLeft(
+        Map.empty[String, Seq[(String, Long)]]) { (m, l) =>
+        val parts = l.stripPrefix("dv=").split('|')
+        require(parts.length == 3, s"malformed dv line in $p: $l")
+        val att = (parts(1), parts(0).toLong)
+        m + (parts(2) -> (m.getOrElse(parts(2), Nil) :+ att))
+      }
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
       l.startsWith("constraint=") || l.startsWith("colmap=") ||
-      l.startsWith("txnmarker=") || l.startsWith("bloom="))
+      l.startsWith("txnmarker=") || l.startsWith("bloom=") || l.startsWith("dv="))
     val full = header.get("full").contains("1")
     require(txnMarker.isEmpty || !full,
       s"manifest $p is FULL but carries a txnmarker — staged txn manifests must be " +
@@ -319,7 +345,7 @@ object Versioned {
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
         fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap,
-        bloomCols = bloomCols, blooms = blooms)
+        bloomCols = bloomCols, blooms = blooms, dvs = dvs)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -339,9 +365,19 @@ object Versioned {
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
           txns, schema, ts, constraints, colMap, txnMarker,
-          bloomCols = bloomCols, blooms = blooms)
+          bloomCols = bloomCols, blooms = blooms, dvs = dvs)
     }
   }
+
+  /** Fold delta dv ATTACHMENTS over the base's map: a removed file's
+    * vectors go with it; an attached file accumulates (a second DV delete
+    * on the same file appends its sidecar — read-side union of positions).
+    */
+  private def foldDvs(base: Map[String, Seq[(String, Long)]], removed: Set[String],
+      attach: Map[String, Seq[(String, Long)]]): Map[String, Seq[(String, Long)]] =
+    attach.foldLeft(base.filterNot { case (f, _) => removed(f) }) {
+      case (m, (f, att)) => m + (f -> (m.getOrElse(f, Nil) ++ att))
+    }
 
   /** Fold one manifest over the predecessor's state. A FULL manifest is its
     * own state (checkpoint semantics — `prev` may be None, which is how a
@@ -389,7 +425,7 @@ object Versioned {
         raw.statsCols, raw.txns ++ opTxn, raw.schema,
         raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
         raw.ts, raw.constraints, raw.colMap,
-        bloomCols = raw.bloomCols, blooms = raw.blooms)
+        bloomCols = raw.bloomCols, blooms = raw.blooms, dvs = raw.dvs)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -407,7 +443,8 @@ object Versioned {
         base.constraints ++ raw.constraints, // deltas only ever ADD constraints
         base.colMap, // deltas never change the mapping (renames commit FULL)
         bloomCols = if (raw.bloomCols.nonEmpty) raw.bloomCols else base.bloomCols,
-        blooms = base.blooms.filterNot { case ((f, _), _) => removed(f) } ++ raw.blooms)
+        blooms = base.blooms.filterNot { case ((f, _), _) => removed(f) } ++ raw.blooms,
+        dvs = foldDvs(base.dvs, removed, raw.dvs))
     }
   }
 
@@ -536,9 +573,17 @@ object Versioned {
     val (added, removedCount) =
       if (n <= 1) (cur.files, 0)
       else {
-        val prev = stateAt(root, n - 1).files
+        val prev = stateAt(root, n - 1)
         val curSet = cur.files.toSet
-        (cur.files.filterNot(prev.toSet), prev.count(f => !curSet.contains(f)))
+        // a file whose DV attachment set changed (vt27) is a CHANGE too:
+        // its bytes are listed unchanged but rows already streamed from it
+        // are now deleted — count it beside the delisted files so the
+        // stream's fail-on-changes guard fires on merge-on-read deletes
+        // exactly as it does on copy-on-write ones
+        val dvChanged = cur.files.count(f => prev.files.contains(f) &&
+          cur.dvs.getOrElse(f, Nil) != prev.dvs.getOrElse(f, Nil))
+        (cur.files.filterNot(prev.files.toSet),
+          prev.files.count(f => !curSet.contains(f)) + dvChanged)
       }
     (added.map(f => (f, cur.sizes.getOrElse(f, -1L))), removedCount,
       cur.pendingTxn.isDefined)
@@ -560,6 +605,8 @@ object Versioned {
       v.colMap.toSeq.sorted.map { case (l, p) => s"colmap=$l:$p" } ++
       v.blooms.toSeq.sortBy(_._1).map { case ((f, c), bits) =>
         s"bloom=$c:${bloomB64(bits)}:$f" } ++
+      v.dvs.toSeq.sortBy(_._1).flatMap { case (f, atts) =>
+        atts.map { case (sc, cnt) => s"dv=$cnt|$sc|$f" } } ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       val sz = v.sizes.getOrElse(f, -1L)
       (Seq(f, sz.toString) ++
@@ -573,7 +620,8 @@ object Versioned {
       schema: Option[String] = None, ts: Long = -1L,
       addedConstraints: Seq[(String, String)] = Nil,
       txnMarker: Option[String] = None,
-      bloomCols: Seq[String] = Nil): String = {
+      bloomCols: Seq[String] = Nil,
+      dvAttach: Map[String, Seq[(String, Long)]] = Map.empty): String = {
     val head = s"op=$op parent=$parent fmt=$ManifestFormat" +
       (if (ts >= 0) s" ts=$ts" else "") +
       (if (statsCols.nonEmpty) s" stats=${statsCols.mkString(",")}" else "") +
@@ -581,12 +629,15 @@ object Versioned {
     // a schema line on a DELTA overrides the inherited contract going
     // forward (fold's raw.schema.orElse(base.schema)) — evolve()'s hook;
     // constraint lines on a delta are the commit's ADDED constraints;
-    // bloom lines are the ADDED files' bloom bits
+    // bloom lines are the ADDED files' bloom bits; dv lines are this
+    // commit's ATTACHED deletion vectors (fold appends them per file)
     (head +: (schema.map(s => s"schema=$s").toSeq ++
       txnMarker.map(m => s"txnmarker=$m").toSeq ++
       addedConstraints.map { case (nm, sql) => s"constraint=$nm:$sql" } ++
       added.flatMap(e => e.blooms.map { case (c, bits) =>
         s"bloom=$c:${bloomB64(bits)}:${e.path}" }) ++
+      dvAttach.toSeq.sortBy(_._1).flatMap { case (f, atts) =>
+        atts.map { case (sc, cnt) => s"dv=$cnt|$sc|$f" } } ++
       removed.map("-" + _) ++ added.map { e =>
       "+" + (Seq(e.path, e.size.toString) ++
         e.ranges.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
@@ -609,7 +660,10 @@ object Versioned {
 
   private def commitOn(root: String, cur: Option[Version], op: String,
       added: Seq[FileEntry], removed: Seq[String], statsCols: Seq[String],
-      schemaDDL: Option[String], bloomCols: Seq[String] = Nil): Version = {
+      schemaDDL: Option[String], bloomCols: Seq[String] = Nil,
+      dvAttach: Map[String, Seq[(String, Long)]] = Map.empty): Version = {
+    dvAttach.keys.foreach(f => require(cur.exists(_.files.contains(f)),
+      s"dv attach targets $f, which the current version does not list"))
     requireNoPendingTxn(cur, root)
     require(statsCols.isEmpty || cur.forall(c => c.statsCols.isEmpty || c.statsCols == statsCols),
       s"table tracks stats on ${cur.map(_.statsCols)}, not $statsCols")
@@ -649,13 +703,14 @@ object Versioned {
       bloomCols = bCols,
       blooms = cur.map(_.blooms).getOrElse(Map.empty)
         .filterNot { case ((f, _), _) => removedSet(f) } ++
-        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }))
+        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }),
+      dvs = foldDvs(cur.map(_.dvs).getOrElse(Map.empty), removedSet, dvAttach))
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
       promoteState(root, state,
         renderDelta(op, state.parent, cols, added, removed, ts = state.ts,
-          bloomCols = bCols), full = false)
+          bloomCols = bCols, dvAttach = dvAttach), full = false)
   }
 
   /** The wall-time a commit records (vt19): now, clamped MONOTONIC against
@@ -1391,6 +1446,174 @@ object Versioned {
     }
   }
 
+  /** VT27: MERGE-ON-READ row-level DELETE — [[deleteWhere]]'s semantics at
+    * O(deleted rows) write cost instead of O(affected files): victim
+    * positions land in one parquet sidecar and one delta manifest ATTACHES
+    * it to the affected files; no data file is read-rewritten. The blast
+    * radius is still stats-bounded (only range-overlapping files are even
+    * scanned for victims), already-deleted positions are never re-recorded
+    * (the victim scan runs with existing vectors applied), a no-match
+    * predicate commits nothing, and old versions time-travel with their
+    * own (smaller) vector sets. Reads of DV-carrying files pay one
+    * broadcast anti-join; [[purgeDeletes]] folds accumulated vectors back
+    * into clean files when the read tax outgrows the write saving. The
+    * predicate must be DETERMINISTIC (it is evaluated in one pass here,
+    * but a nondeterministic predicate would make the recorded positions
+    * unauditable against any later re-evaluation).
+    */
+  def deleteWhereDV(spark: SparkSession, root: String, predicate: Column,
+      maxRetries: Int = 0): Version =
+    cowRetry(maxRetries)(deleteWhereDVOnce(spark, root, predicate))
+
+  /** True iff `c` ANALYZES deterministic against `v`'s schema contract —
+    * the unresolved tree alone cannot answer this (an unresolved `rand()`
+    * reports deterministic), so resolve it over an empty contract-typed
+    * frame first. A pre-contract log cannot analyze and passes the guard
+    * (the legacy-permissive stance every other contract check takes).
+    */
+  private def analyzesDeterministic(spark: SparkSession, v: Version, c: Column): Boolean =
+    v.schema.forall { ddl =>
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .select(c.as("__p")).queryExecution.analyzed.expressions
+        .forall(_.deterministic)
+    }
+
+  private def deleteWhereDVOnce(spark: SparkSession, root: String,
+      predicate: Column): Version = {
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
+    require(analyzesDeterministic(spark, cur, predicate),
+      "deleteWhereDV needs a deterministic predicate — recorded positions must be " +
+        "reproducible; use deleteWhere (copy-on-write) for nondeterministic deletes")
+    val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
+    if (affected.isEmpty) return cur // provably nothing to delete
+    val hit = coalesce(predicate, lit(false)) // NULL predicate keeps the row
+    val positions = scanAlivePos(spark, root, cur, affected).filter(hit)
+      .select(col(DvKeyCol).as("file"), col(DvPosCol).as("pos"))
+    commitDvAttach(spark, root, cur, "delete-dv", positions, affected,
+      addedFiles = Nil, addedDDL = None)
+  }
+
+  /** VT27 (update half): MERGE-ON-READ UPDATE — [[updateWhere]]'s SQL
+    * semantics as one commit that APPENDS the updated copies and DV-deletes
+    * the originals' positions: write cost O(matched rows), not O(affected
+    * files). The updated rows validate against the CHECK constraints and
+    * land with skipping stats like any append; the same determinism rule
+    * as [[deleteWhereDV]] applies (predicate AND set expressions — the
+    * matched set is scanned twice: once for positions, once for the
+    * rewritten rows, and the two passes must agree).
+    */
+  def updateWhereDV(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], maxRetries: Int = 0): Version =
+    cowRetry(maxRetries)(updateWhereDVOnce(spark, root, predicate, set))
+
+  private def updateWhereDVOnce(spark: SparkSession, root: String,
+      predicate: Column, set: Map[String, Column]): Version = {
+    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    val cur = currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root"))
+    requireNoPendingTxn(Some(cur), root)
+    require(analyzesDeterministic(spark, cur, predicate) &&
+        set.valuesIterator.forall(analyzesDeterministic(spark, cur, _)),
+      "updateWhereDV needs deterministic predicate and SET expressions — the matched " +
+        "set is scanned twice (positions + rewrites) and the passes must agree; use " +
+        "updateWhere (copy-on-write, one pass) for nondeterministic updates")
+    val affected = overlappingFiles(cur, validatedBounds(cur, predicate))
+    if (affected.isEmpty) return cur
+    val hit = coalesce(predicate, lit(false))
+    val matched = scanAlivePos(spark, root, cur, affected).filter(hit)
+    val dataCols = matched.columns.filterNot(c => c == DvKeyCol || c == DvPosCol)
+    set.keys.foreach(k => require(dataCols.contains(k),
+      s"updateWhereDV: SET column `$k` is not in the table (${dataCols.mkString(", ")})"))
+    val updated = matched.select(dataCols.map { c =>
+      set.get(c) match {
+        case Some(v) => v.cast(matched.schema(c).dataType).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    val positions = matched.select(col(DvKeyCol).as("file"), col(DvPosCol).as("pos"))
+    val n = cur.n + 1
+    val ddl = normalizedDDL(updated)
+    val (files, marker) = writeData(physicalize(updated, cur.colMap), root, n, Map.empty)
+    sealing(marker) {
+      val entries =
+        if (cur.statsCols.isEmpty) {
+          validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
+          plainEntries(files)
+        } else statsEntriesValidating(spark, root, files, cur.statsCols, cur.constraints,
+          cur.colMap, cur.bloomCols)
+      commitDvAttach(spark, root, cur, "update-dv", positions, affected,
+        addedFiles = entries, addedDDL = Some(ddl))
+    }
+  }
+
+  /** Land `positions` (file key, row position) as one sidecar and commit
+    * it attached to the affected files — the shared tail of the two
+    * merge-on-read verbs. Zero victims is a metadata no-op (the empty
+    * sidecar is removed, nothing commits — unless the commit also carries
+    * appended files, in which case it must land regardless: an update
+    * whose every victim was already re-deleted cannot drop its rewrites).
+    * Victim counts per file ride the manifest (`dv=<count>|…`) so history
+    * and compaction policy can see delete pressure without opening a
+    * sidecar.
+    */
+  private def commitDvAttach(spark: SparkSession, root: String, cur: Version,
+      op: String, positions: DataFrame, affected: Seq[String],
+      addedFiles: Seq[FileEntry], addedDDL: Option[String]): Version = {
+    val n = cur.n + 1
+    // one sidecar file per commit: victim sets are blast-radius-sized by
+    // design (wide deletes belong to the copy-on-write form), so a single
+    // coalesced write is the right shape — and one manifest line per file
+    val (scFiles, marker) = writeData(positions.coalesce(1), root, n, Map.empty)
+    val counts: Map[String, Long] =
+      spark.read.parquet(scFiles.map(f => Paths.get(root).resolve(f._1).toString): _*)
+        .groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty && addedFiles.isEmpty) {
+      // no victims, nothing appended: remove the empty sidecar, no commit
+      scFiles.foreach { case (f, _) => Files.deleteIfExists(Paths.get(root).resolve(f)) }
+      Files.deleteIfExists(marker)
+      return cur
+    }
+    val keyToFile = affected.map(f => dvKeyOf(f) -> f).toMap
+    val sidecar = scFiles.head._1
+    val attach: Map[String, Seq[(String, Long)]] = counts.map { case (k, c) =>
+      keyToFile.getOrElse(k, throw new IllegalStateException(
+        s"dv sidecar records positions for unscanned file key $k")) -> Seq((sidecar, c))
+    }
+    sealing(marker)(commitOn(root, Some(cur), op, addedFiles, Nil,
+      cur.statsCols, addedDDL, dvAttach = attach))
+  }
+
+  /** VT27 (maintenance half): fold accumulated deletion vectors back into
+    * clean files — Delta's `REORG TABLE … APPLY (PURGE)`. Only files that
+    * CARRY vectors are read (with the vectors applied) and rewritten;
+    * clean files are untouched at any table size. After the commit the
+    * head serves identical rows with zero anti-joins on the purged files;
+    * expired sidecars age out through [[vacuum]]/[[gcOrphans]] like any
+    * de-referenced file.
+    */
+  def purgeDeletes(spark: SparkSession, root: String, maxRetries: Int = 0): Version =
+    cowRetry(maxRetries) {
+      val cur = currentVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $root"))
+      requireNoPendingTxn(Some(cur), root)
+      val dvd = cur.files.filter(f => cur.dvs.get(f).exists(_.nonEmpty))
+      if (dvd.isEmpty) cur // nothing to purge
+      else {
+        val alive = readFiles(spark, root, cur, dvd)
+        val n = cur.n + 1
+        val (files, marker) = writeData(physicalize(alive, cur.colMap), root, n, Map.empty)
+        val entries =
+          if (cur.statsCols.isEmpty) plainEntries(files)
+          else statsEntries(spark, root, files, cur.statsCols, cur.colMap, cur.bloomCols)
+        sealing(marker)(commitOn(root, Some(cur), "purge-dv", entries, dvd,
+          cur.statsCols, Some(normalizedDDL(alive))))
+      }
+    }
+
   /** VT12: copy-on-write MERGE through the log — the reference's signature
     * staged upsert (`snowflake_bq_sync_daily Time Details/main.py:197-206`:
     * MERGE ON keys, matched UPDATE all, not-matched INSERT all; latest-wins
@@ -1682,7 +1905,8 @@ object Versioned {
     // otherwise land later and elsewhere (Delta's RESTORE refuses past the
     // vacuum horizon for the same reason). One metadata stat per file,
     // only on this rare op — never on the commit path.
-    val missing = target.files.filterNot(f => Files.exists(Paths.get(root).resolve(f)))
+    val missing = target.referencedPaths.filterNot(f =>
+      Files.exists(Paths.get(root).resolve(f)))
     require(missing.isEmpty,
       s"cannot roll back to version $to: ${missing.size} of its data files were vacuumed " +
         s"(first: ${missing.headOption.getOrElse("")})")
@@ -1695,7 +1919,8 @@ object Versioned {
       target.stats, target.statsCols, cur.txns, target.schema, target.sizes,
       commitTs(Some(cur)), target.constraints,
       target.colMap, // the target's files ARE that mapping's generation
-      bloomCols = target.bloomCols, blooms = target.blooms))
+      bloomCols = target.bloomCols, blooms = target.blooms,
+      dvs = target.dvs)) // the target's deletes ARE part of its state
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -1713,10 +1938,13 @@ object Versioned {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = versions(root)
     require(all.nonEmpty, s"no committed versions at $root")
-    val live = all.takeRight(keepLast).flatMap(_.files).toSet
+    // a version's liveness set includes its DV sidecars (vt27): a retained
+    // version whose files carry deletion vectors needs those sidecars to
+    // read correctly, so they expire only with the versions that name them
+    val live = all.takeRight(keepLast).flatMap(_.referencedPaths).toSet
     // absolute paths are INHERITED (shallow clone, vt21) — expiring them
     // from this table's history must never delete the ORIGIN's data
-    val expired = all.dropRight(keepLast).flatMap(_.files).filterNot(live)
+    val expired = all.dropRight(keepLast).flatMap(_.referencedPaths).filterNot(live)
       .filterNot(f => Paths.get(f).isAbsolute).distinct
     // dryRun (Delta's `VACUUM … DRY RUN`): report what WOULD be deleted,
     // unlink nothing — the sanity check an operator runs before a
@@ -1775,7 +2003,11 @@ object Versioned {
         commitTs(None), src.constraints,
         src.colMap, // the borrowed bytes carry the source's physical names
         bloomCols = src.bloomCols,
-        blooms = src.blooms.map { case ((f, c), b) => (abs(f), c) -> b }))
+        blooms = src.blooms.map { case ((f, c), b) => (abs(f), c) -> b },
+        // DV sidecars are borrowed exactly like data files: absolute
+        // (inherited) paths, protected from the clone's own retention ops
+        dvs = src.dvs.map { case (f, atts) =>
+          abs(f) -> atts.map { case (sc, cnt) => (abs(sc), cnt) } }))
     } else {
       // DEEP clone (Delta's `CLONE` without SHALLOW — the materializing
       // form): every source file is COPIED into one clone-local commit dir
@@ -1789,16 +2021,25 @@ object Versioned {
       // so recorded ranges stay exact. Cost is an honest O(table bytes)
       // copy — driver-side here (an admin op, one stream per file); a
       // cluster filesystem would use its own distributed copy.
-      val dataDir = Paths.get(dstRoot, "data", s"c1-${java.util.UUID.randomUUID()}")
-      Files.createDirectories(dataDir)
-      // an index prefix keeps copies collision-free: files from different
-      // source commit dirs legally share part-file names
-      val mapping: Map[String, String] = src.files.zipWithIndex.map { case (f, i) =>
+      // copies PRESERVE each file's `<commitDir>/<name>` tail: commit dirs
+      // are uuid-named so the preserved layout is collision-free (files
+      // from different commits never share a dir), a regular table's rel
+      // paths copy onto themselves, an inherited absolute path (deep-
+      // cloning a shallow clone) lands under its origin's dir name — and
+      // DV sidecar positions keyed by that tail (vt27) stay valid against
+      // the byte-identical copies without rewriting a sidecar
+      def copyPreserving(f: String): String = {
         val from = srcP.resolve(f)
-        val name = f"f$i%05d-${from.getFileName}"
-        Files.copy(from, dataDir.resolve(name))
-        f -> s"data/${dataDir.getFileName}/$name"
-      }.toMap
+        val rel = s"data/${from.getParent.getFileName}/${from.getFileName}"
+        val to = Paths.get(dstRoot).resolve(rel)
+        Files.createDirectories(to.getParent)
+        Files.copy(from, to)
+        rel
+      }
+      val mapping: Map[String, String] = src.files.map(f => f -> copyPreserving(f)).toMap
+      // several files legally share one sidecar — copy each once
+      val dvMapping: Map[String, String] = src.dvs.valuesIterator.flatten.map(_._1)
+        .toSeq.distinct.map(sc => sc -> copyPreserving(sc)).toMap
       writeManifest(dstRoot, Version(1, "clone-deep", 0,
         src.files.map(mapping),
         src.stats.map { case (f, r) => mapping(f) -> r },
@@ -1807,7 +2048,9 @@ object Versioned {
         commitTs(None), src.constraints,
         src.colMap, // byte-identical copies keep the physical column names
         bloomCols = src.bloomCols,
-        blooms = src.blooms.map { case ((f, c), b) => (mapping(f), c) -> b }))
+        blooms = src.blooms.map { case ((f, c), b) => (mapping(f), c) -> b },
+        dvs = src.dvs.map { case (f, atts) =>
+          mapping(f) -> atts.map { case (sc, cnt) => (dvMapping(sc), cnt) } }))
     }
   }
 
@@ -1916,7 +2159,8 @@ object Versioned {
       bloomCols = cur.map(_.bloomCols).getOrElse(Nil),
       blooms = cur.map(_.blooms).getOrElse(Map.empty)
         .filterNot { case ((f, _), _) => removed.contains(f) } ++
-        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }))
+        added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }),
+      dvs = cur.map(_.dvs).getOrElse(Map.empty).filterNot { case (f, _) => removedSet(f) })
     promoteState(root, state,
       renderDelta(op, state.parent, cols, added, removed,
         schema = if (cur.isEmpty) schemaDDL else None,
@@ -2018,8 +2262,8 @@ object Versioned {
     val cutoff = nowMs - olderThanMs
     val head = all.last.n
     def retained(v: Version): Boolean = v.n == head || v.ts < 0 || v.ts >= cutoff
-    val live = all.filter(retained).flatMap(_.files).toSet
-    val expired = all.filterNot(retained).flatMap(_.files).filterNot(live)
+    val live = all.filter(retained).flatMap(_.referencedPaths).toSet
+    val expired = all.filterNot(retained).flatMap(_.referencedPaths).filterNot(live)
       .filterNot(f => Paths.get(f).isAbsolute) // inherited (clone) — not ours to delete
       .distinct
     if (!dryRun) expired.foreach(f => Files.deleteIfExists(Paths.get(root).resolve(f)))
@@ -2313,7 +2557,9 @@ object Versioned {
       if (!Files.isDirectory(archiveDir)) Set.empty
       else listClosing(Files.list(archiveDir))(_.flatMap { p =>
         p.getFileName.toString match {
-          case ManifestName(n) => parseManifest(n.toInt, p).entries.map(_.path)
+          case ManifestName(n) =>
+            val raw = parseManifest(n.toInt, p)
+            raw.entries.map(_.path) ++ raw.dvs.valuesIterator.flatten.map(_._1)
           case _ => Nil
         }
       }.toSeq).toSet
@@ -2328,7 +2574,8 @@ object Versioned {
         case _ => Nil
       }
     }.toSet
-    val referenced = versions(root).flatMap(_.files).toSet ++ archivedRefs ++ pendingRefs
+    val referenced =
+      versions(root).flatMap(_.referencedPaths).toSet ++ archivedRefs ++ pendingRefs
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val rootP = Paths.get(root)
@@ -2374,18 +2621,26 @@ object Versioned {
     * files) however large the table — VersionedSpec pins the scan set.
     */
   def changes(spark: SparkSession, root: String, from: Int, to: Int): DataFrame = {
+    val vFrom = stateAt(root, from)
     val vTo = stateAt(root, to)
-    val (fa, fb) = (stateAt(root, from).files.toSet, vTo.files.toSet)
+    val (fa, fb) = (vFrom.files.toSet, vTo.files.toSet)
     val schemaSrc = read(spark, root, Some(to)) // lazy; schema only
+    // a file listed on BOTH sides whose deletion-vector set differs (vt27)
+    // changed rows without changing bytes: read it on both sides — each
+    // under its own version's vectors — and let the multiset difference
+    // surface the DV-deleted rows as deletes (or, across a rollback that
+    // shrank the vectors, as re-inserts). Still O(changed files).
+    val dvChanged = (fa & fb).filter(f =>
+      vFrom.dvs.getOrElse(f, Nil) != vTo.dvs.getOrElse(f, Nil))
     // both sides read under the TO version's contract (the Delta-CDF
     // stance): across an evolve() the from-side files project the added
     // column as NULL, exactly as version `to` itself reads them — and a
     // PURE evolve shares every file, so its change set is empty
-    def rd(files: Set[String]): DataFrame =
+    def rd(files: Set[String], dvState: Version): DataFrame =
       if (files.isEmpty) schemaSrc.limit(0)
-      else readFiles(spark, root, vTo, files.toSeq.sorted)
-    val onlyFrom = rd(fa -- fb)
-    val onlyTo = rd(fb -- fa)
+      else readFiles(spark, root, vTo.copy(dvs = dvState.dvs), files.toSeq.sorted)
+    val onlyFrom = rd((fa -- fb) ++ dvChanged, vFrom)
+    val onlyTo = rd((fb -- fa) ++ dvChanged, vTo)
     onlyTo.exceptAll(onlyFrom).withColumn("change_type", lit("insert"))
       .unionByName(
         onlyFrom.exceptAll(onlyTo).withColumn("change_type", lit("delete")))
@@ -2634,6 +2889,25 @@ object Versioned {
     */
   private def readFiles(spark: SparkSession, root: String, v: Version,
       files: Seq[String]): DataFrame = {
+    val dvd = files.filter(f => v.dvs.get(f).exists(_.nonEmpty))
+    if (dvd.isEmpty) plainScan(spark, root, v, files)
+    else {
+      // vt27 merge-on-read: files with deletion vectors anti-join their
+      // recorded positions; clean files keep the plain whole-stage-codegen
+      // scan (zero per-row overhead where no delete ever landed)
+      val dvdSet = dvd.toSet
+      val alive = scanAlivePos(spark, root, v, dvd).drop(DvKeyCol, DvPosCol)
+      val clean = files.filterNot(dvdSet)
+      if (clean.isEmpty) alive
+      else plainScan(spark, root, v, clean).unionByName(alive)
+    }
+  }
+
+  /** The DV-less scan of `files` under `v`'s contract — [[readFiles]]
+    * before vt27, factored so the merge-on-read path composes with it.
+    */
+  private def plainScan(spark: SparkSession, root: String, v: Version,
+      files: Seq[String]): DataFrame = {
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
     v.schema match {
       case Some(ddl) =>
@@ -2651,6 +2925,84 @@ object Versioned {
             .select(st.fields.map(f =>
               col(physicalName(v.colMap, f.name)).as(f.name)).toIndexedSeq: _*)
       case None => spark.read.parquet(paths: _*)
+    }
+  }
+
+  // ---- vt27 DELETION VECTORS (merge-on-read row-level delete): the
+  // published Delta/Iceberg-v2 design — a delete records the POSITIONS of
+  // its victims in a small parquet sidecar and attaches it to the file in
+  // the manifest (`dv=` lines); the file's bytes never move. A read of a
+  // DV-carrying file scans with parquet's native `_metadata.row_index`,
+  // anti-joins the recorded positions (sidecars are tiny, AQE broadcasts
+  // them), and serves survivors. At 100 TB this is the difference between
+  // writing O(deleted rows) and rewriting O(affected files): deleting 100
+  // rows from a 1 GB file costs a KB-sized sidecar, not a gigabyte — the
+  // copy-on-write forms ([[deleteWhere]]/[[updateWhere]]) stay the right
+  // tool for WIDE deletes, and [[purgeDeletes]] (Delta's `REORG … APPLY
+  // (PURGE)`) folds accumulated vectors back into clean files.
+
+  private[graft] val DvKeyCol = "__dv_key"
+  private[graft] val DvPosCol = "__dv_pos"
+
+  /** The sidecar join key of a data file: its `<commitDir>/<fileName>`
+    * tail. Commit dirs are uuid-named, so the tail is unique per table —
+    * and stable under table relocation, shallow-clone absolute paths, and
+    * [[cloneTable]]'s tail-preserving deep copies (an absolute-path scan's
+    * `_metadata.file_path` still ends with the same two segments).
+    */
+  private[graft] def dvKeyOf(f: String): String = {
+    val p = Paths.get(f)
+    s"${p.getParent.getFileName}/${p.getFileName}"
+  }
+
+  /** Scan `files` under `v`'s contract with two extra columns — the
+    * [[dvKeyOf]] join key and the row's parquet position — and `v`'s
+    * recorded deletion vectors ALREADY APPLIED (a deleted position is not
+    * served, and not re-recordable). This is both halves of merge-on-read:
+    * [[readFiles]] drops the two columns to serve rows; [[deleteWhereDV]]/
+    * [[updateWhereDV]] keep them to record new victim positions.
+    */
+  private def scanAlivePos(spark: SparkSession, root: String, v: Version,
+      files: Seq[String]): DataFrame = {
+    val paths = files.map(f => Paths.get(root).resolve(f).toString)
+    val keyExpr = regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+    val posExpr = col("_metadata.row_index")
+    val withMeta = v.schema match {
+      case Some(ddl) =>
+        val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        spark.read.schema(physicalStruct(st, v.colMap)).parquet(paths: _*)
+          .select((st.fields.map(f =>
+            col(physicalName(v.colMap, f.name)).as(f.name)).toSeq :+
+            keyExpr.as(DvKeyCol) :+ posExpr.as(DvPosCol)).toIndexedSeq: _*)
+      case None =>
+        spark.read.parquet(paths: _*)
+          .select(col("*"), keyExpr.as(DvKeyCol), posExpr.as(DvPosCol))
+    }
+    antiJoinDv(spark, root, v, files, withMeta)
+  }
+
+  /** Anti-join `scanned` (a frame carrying [[DvKeyCol]]/[[DvPosCol]])
+    * against the deletion vectors `v` records for `files`. The sidecars
+    * are blast-radius-sized parquet, so AQE broadcasts the join; filters on
+    * data columns still push below a left-anti join (Catalyst's
+    * PushPredicateThroughJoin), so pruning selectivity is unaffected.
+    */
+  private def antiJoinDv(spark: SparkSession, root: String, v: Version,
+      files: Seq[String], scanned: DataFrame): DataFrame = {
+    val sidecars = files.flatMap(f => v.dvs.getOrElse(f, Nil).map(_._1)).distinct
+    if (sidecars.isEmpty) scanned
+    else {
+      val dvPaths = sidecars.map(p => Paths.get(root).resolve(p).toString)
+      val keys = files.map(dvKeyOf)
+      // restrict to the scanned files' keys: a shared sidecar may carry
+      // positions for files outside this scan (harmless to the anti-join,
+      // but the filter keeps the broadcast exactly blast-radius-sized)
+      val dv = spark.read.parquet(dvPaths: _*)
+        .where(col("file").isInCollection(keys))
+        .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+      scanned.join(dv,
+        scanned(DvKeyCol) === col("__dvf") && scanned(DvPosCol) === col("__dvp"),
+        "left_anti")
     }
   }
 
@@ -2957,21 +3309,41 @@ object Versioned {
     if (v.files.isEmpty) return emptyVersion(spark, root, v)
     val schema = v.schema.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(read(spark, root, Some(v.n)).schema)
-    if (v.colMap.isEmpty)
-      org.apache.spark.sql.graft.ManifestFileIndex.relation(
-        spark, root, v.files, v.stats, v.statsCols, schema, v.sizes)
+    // vt24: the relation itself runs in the PHYSICAL namespace (files and
+    // recorded statsCols alike — ranges are positional, unaffected by the
+    // rename) with a logical projection on top; Catalyst pushes predicate
+    // and column pruning through the aliases, so manifest-stats skipping
+    // on a renamed column is as selective as before the rename
+    def rel(files: Seq[String], withPos: Boolean): DataFrame = {
+      val raw =
+        if (v.colMap.isEmpty)
+          org.apache.spark.sql.graft.ManifestFileIndex.relation(
+            spark, root, files, v.stats, v.statsCols, schema, v.sizes)
+        else
+          org.apache.spark.sql.graft.ManifestFileIndex.relation(
+            spark, root, files, v.stats,
+            v.statsCols.map(physicalName(v.colMap, _)),
+            physicalStruct(schema, v.colMap), v.sizes)
+      lazy val logicalCols = schema.fields.map(f =>
+        col(physicalName(v.colMap, f.name)).as(f.name)).toSeq
+      if (withPos)
+        // vt27: a file with deletion vectors scans WITH (key, position)
+        // so the recorded victims anti-join away — `_metadata` rides any
+        // file-source relation, custom index included
+        raw.select((logicalCols :+
+          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1).as(DvKeyCol) :+
+          col("_metadata.row_index").as(DvPosCol)).toIndexedSeq: _*)
+      else if (v.colMap.isEmpty) raw
+      else raw.select(logicalCols.toIndexedSeq: _*)
+    }
+    val dvd = v.files.filter(f => v.dvs.get(f).exists(_.nonEmpty))
+    if (dvd.isEmpty) rel(v.files, withPos = false)
     else {
-      // vt24: the relation itself runs in the PHYSICAL namespace (files and
-      // recorded statsCols alike — ranges are positional, unaffected by the
-      // rename) with a logical projection on top; Catalyst pushes predicate
-      // and column pruning through the aliases, so manifest-stats skipping
-      // on a renamed column is as selective as before the rename
-      val phys = physicalStruct(schema, v.colMap)
-      org.apache.spark.sql.graft.ManifestFileIndex.relation(
-          spark, root, v.files, v.stats,
-          v.statsCols.map(physicalName(v.colMap, _)), phys, v.sizes)
-        .select(schema.fields.map(f =>
-          col(physicalName(v.colMap, f.name)).as(f.name)).toIndexedSeq: _*)
+      val alive = antiJoinDv(spark, root, v, dvd, rel(dvd, withPos = true))
+        .drop(DvKeyCol, DvPosCol)
+      val clean = v.files.filterNot(dvd.toSet)
+      if (clean.isEmpty) alive
+      else rel(clean, withPos = false).unionByName(alive)
     }
   }
 }

@@ -914,6 +914,44 @@ object SinkQueries extends QueryModule {
     // negatives); the flag records that an ABSENT key's probe planned a
     // strict file subset — deterministic for fixed data, since the bloom
     // bits are pure xxhash64.
+    // VT27: DELETION VECTORS — merge-on-read DELETE and UPDATE (the
+    // Delta/Iceberg-v2 positional-delete design): victim positions land in
+    // a parquet sidecar attached via the manifest, data files never move
+    // (`mor_zero_copy` hash-fails if a delete rewrote or delisted a file).
+    // Three phases prove the full lifecycle: the MOR head serves
+    // survivors + updated rows through the anti-join, purgeDeletes folds
+    // the vectors into clean files with identical rows, and v1
+    // time-travels the pre-delete snapshot intact.
+    "vt27_deletion_vectors" -> ((s, dir) => {
+      val root = tmp("graft_vt27") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      val v1 = V.currentVersion(root).get
+      // merge-on-read DELETE: a key window vanishes, zero data files moved
+      val v2 = V.deleteWhereDV(s, root, col("o_orderkey").between(1000L, 3000L))
+      // merge-on-read UPDATE: a second window re-priced; originals DV'd out
+      val v3 = V.updateWhereDV(s, root, col("o_orderkey").between(4000L, 6000L),
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderstatus" -> lit("U")))
+      val zeroCopy = v2.files == v1.files && v3.dvs.nonEmpty &&
+        v1.files.forall(v3.files.contains)
+      def shape(tag: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(tag).as("phase"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      // plan the MOR head NOW (the purge below commits a new version, but
+      // this frame's file list is already resolved and files are immutable)
+      val morHead = shape("mor", V.read(s, root))
+      V.purgeDeletes(s, root)
+      shape("v1", V.read(s, root, Some(1)))
+        .unionAll(morHead)
+        .unionAll(shape("purged", V.read(s, root)))
+        .withColumn("mor_zero_copy", lit(if (zeroCopy) 1 else 0))
+    }),
+
     "vt26_bloom_lookup" -> ((s, dir) => {
       val root = tmp("graft_vt26") + "/t"
       val V = graft.merge.Versioned
@@ -1306,6 +1344,22 @@ object SinkQueries extends QueryModule {
         |UNION ALL
         |SELECT 'clone', o_orderkey, CAST(-1 AS DOUBLE)
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // vt27: v1 = the full F snapshot; mor = F minus the deleted window,
+    // the update window re-priced/re-statused (served through the
+    // deletion-vector anti-join); purged = the same rows from clean files
+    "vt27_deletion_vectors" ->
+      """SELECT 'v1' AS phase, o_orderkey, o_totalprice, o_orderstatus,
+        |  1 AS mor_zero_copy FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT p, o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 4000 AND 6000
+        |       THEN o_totalprice * 2 ELSE o_totalprice END,
+        |  CASE WHEN o_orderkey BETWEEN 4000 AND 6000
+        |       THEN 'U' ELSE o_orderstatus END,
+        |  1
+        |FROM orders CROSS JOIN (VALUES ('mor'), ('purged')) AS t(p)
+        |WHERE o_orderstatus = 'F'
+        |  AND NOT (o_orderkey BETWEEN 1000 AND 3000)""".stripMargin,
     // vt26: exactly the min- and max-key F rows (bloom pruning must never
     // lose a row); the absent probe contributes nothing and its planned
     // subset rides the flag

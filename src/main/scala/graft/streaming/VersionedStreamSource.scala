@@ -303,7 +303,8 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
       if (removed > 0 && !ignoreChanges)
         throw new IllegalStateException(
           s"graft-versioned stream at $root: version $n removed $removed file(s) " +
-            "(copy-on-write merge/delete/compact/zorder). Streaming past a change " +
+            "(copy-on-write merge/delete/compact/zorder, or a deletion-vector " +
+            "attach — rows deleted in place). Streaming past a change " +
             "commit would duplicate rewritten rows downstream and silently drop " +
             "deletes. Set .option(\"ignoreChanges\", \"true\") to re-stream rewrites " +
             "as appends (downstream must dedup by key), or restart the stream from " +
