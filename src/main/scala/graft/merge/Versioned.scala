@@ -782,6 +782,16 @@ object Versioned {
     v
   }
 
+  /** Remove a directory tree — the cleanup for a landed-but-not-committed
+    * write that turned out to be a provable no-op (nothing references it,
+    * so eager removal just saves [[gcOrphans]] the aging wait).
+    */
+  private def rmRfDir(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      listClosing(Files.walk(dir))(_.toSeq).sortBy(-_.getNameCount)
+        .foreach(Files.deleteIfExists(_))
+    }
+
   /** Append `df` as the next version. Carried files keep their skipping
     * stats; the new commit's files have none (use [[appendWithStats]] to
     * collect them). Metadata cost: one delta manifest (O(commit) bytes),
@@ -1537,7 +1547,7 @@ object Versioned {
     val n = cur.n + 1
     val ddl = normalizedDDL(updated)
     val (files, marker) = writeData(physicalize(updated, cur.colMap), root, n, Map.empty)
-    sealing(marker) {
+    val res = sealing(marker) {
       val entries =
         if (cur.statsCols.isEmpty) {
           validateConstraints(spark, root, cur.constraints, files, Some(ddl), cur.colMap)
@@ -1547,17 +1557,21 @@ object Versioned {
       commitDvAttach(spark, root, cur, "update-dv", positions, affected,
         addedFiles = entries, addedDDL = Some(ddl))
     }
+    // a no-victim no-op (every overlapping row already deleted): this
+    // write's rewrite set is empty by construction — remove its dir too
+    if (res.n == cur.n)
+      rmRfDir(Paths.get(marker.toString.stripSuffix(".inflight")))
+    res
   }
 
   /** Land `positions` (file key, row position) as one sidecar and commit
     * it attached to the affected files — the shared tail of the two
-    * merge-on-read verbs. Zero victims is a metadata no-op (the empty
-    * sidecar is removed, nothing commits — unless the commit also carries
-    * appended files, in which case it must land regardless: an update
-    * whose every victim was already re-deleted cannot drop its rewrites).
-    * Victim counts per file ride the manifest (`dv=<count>|…`) so history
-    * and compaction policy can see delete pressure without opening a
-    * sidecar.
+    * merge-on-read verbs. Zero victims is a metadata no-op: positions and
+    * `addedFiles` both derive from the SAME matched scan, so no victims
+    * means no rewrites either — the empty sidecar (and any empty landed
+    * rewrite file) is removed and nothing commits. Victim counts per file
+    * ride the manifest (`dv=<count>|…`) so history and compaction policy
+    * can see delete pressure without opening a sidecar.
     */
   private def commitDvAttach(spark: SparkSession, root: String, cur: Version,
       op: String, positions: DataFrame, affected: Seq[String],
@@ -1571,9 +1585,11 @@ object Versioned {
       spark.read.parquet(scFiles.map(f => Paths.get(root).resolve(f._1).toString): _*)
         .groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty && addedFiles.isEmpty) {
-      // no victims, nothing appended: remove the empty sidecar, no commit
-      scFiles.foreach { case (f, _) => Files.deleteIfExists(Paths.get(root).resolve(f)) }
+    if (counts.isEmpty) {
+      // no victims ⟹ no matched rows ⟹ any landed rewrite file is empty:
+      // remove the sidecar's commit dir wholesale (parquet + _SUCCESS),
+      // commit nothing; the caller removes its own empty rewrite dir
+      rmRfDir(Paths.get(marker.toString.stripSuffix(".inflight")))
       Files.deleteIfExists(marker)
       return cur
     }

@@ -117,6 +117,21 @@ class VersionedDvSpec extends SparkSuite {
       .select("price").as[Double].head() === 90.0)
   }
 
+  test("update-dv on already-deleted rows is a metadata no-op with no file litter") {
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.deleteWhereDV(spark, root, col("k") === 5L)
+    val v2 = Versioned.currentVersion(root).get
+    // k=5 overlaps its file's range but every victim is already deleted
+    val v3 = Versioned.updateWhereDV(spark, root, col("k") === 5L,
+      Map("tag" -> lit("ghost")))
+    assert(v3.n === v2.n, "no matched rows, no commit")
+    // no empty rewrite/sidecar parquet left behind: only v1's commit dir
+    // and v2's sidecar dir exist under data/
+    val dirs = Files.list(Paths.get(root, "data")).toArray.map(_.toString)
+    assert(dirs.count(!_.endsWith(".inflight")) === 2, s"litter: ${dirs.mkString(", ")}")
+  }
+
   test("purge-dv folds vectors into clean files: identical rows, no vectors, clean files untouched") {
     import spark.implicits._
     val root = tmpDir() + "/t"
