@@ -653,6 +653,26 @@ object SinkQueries extends QueryModule {
     // replica applies point writes. v1 = F orders; v2 = mergeInto with
     // price updates for a key window plus O-order inserts: the window keys
     // pair up, the new keys tag insert, nothing tags plain delete.
+    // VT27b: CDC ACROSS MERGE-ON-READ COMMITS — rows deleted by a deletion
+    // vector never leave their file, so a file-diff CDC would silently miss
+    // them; changes() reads dv-CHANGED files on both sides under each
+    // side's own vectors and the multiset difference surfaces exactly the
+    // victims as deletes (and an update-dv's rewrite as inserts), while
+    // untouched shared files still cancel without being read.
+    "vt27b_dv_cdc" -> ((s, dir) => {
+      val root = tmp("graft_vt27b") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.deleteWhereDV(s, root, col("o_orderkey").between(1000L, 3000L))
+      V.updateWhereDV(s, root, col("o_orderkey").between(4000L, 6000L),
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      V.changes(s, root, 1, 3)
+    }),
+
     "vt17_cdc_by_key" -> ((s, dir) => {
       val root = tmp("graft_vt17") + "/t"
       val V = graft.merge.Versioned
@@ -1437,6 +1457,17 @@ object SinkQueries extends QueryModule {
         |  AND o_totalprice > 50000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
+    // vt27b: the dv-deleted window surfaces as deletes; the update window
+    // as its pre-image deletes plus re-priced inserts — nothing else
+    "vt27b_dv_cdc" ->
+      """SELECT o_orderkey, o_totalprice, 'delete' AS change_type
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'delete'
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 4000 AND 6000
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice * 2, 'insert'
+        |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 4000 AND 6000""".stripMargin,
     "vt17_cdc_by_key" ->
       """SELECT o_orderkey, o_totalprice, 'update_pre' AS _change_type
         |FROM orders WHERE o_orderstatus = 'F' AND o_orderkey BETWEEN 1000 AND 3000
