@@ -2966,6 +2966,35 @@ object Versioned {
     * [[cloneTable]]'s tail-preserving deep copies (an absolute-path scan's
     * `_metadata.file_path` still ends with the same two segments).
     */
+  /** The files of version `v` a reader with `predicate` must scan — the
+    * range-walker + manifest-stats composition behind [[readWhere]],
+    * exposed for the DSv2 batch scan's planning-time pruning (its pushed
+    * `sources.Filter`s convert to a Column and prune through the SAME
+    * tested walker; anything unboundable reads conservatively).
+    */
+  private[graft] def candidateFiles(v: Version, predicate: Column): Seq[String] =
+    overlappingFiles(v, validatedBounds(v, predicate))
+
+  /** Per-file DELETED POSITIONS of version `v`, for `files` (keys are
+    * [[dvKeyOf]] tails) — the DSv2 batch reader's driver-side planning
+    * input: each partition ships its file's victim set so executors drop
+    * positions with a sorted-merge instead of a join. Blast-radius-sized
+    * by construction (sidecars hold O(deleted rows)).
+    */
+  private[graft] def deletedPositions(spark: SparkSession, root: String, v: Version,
+      files: Seq[String]): Map[String, Array[Long]] = {
+    val dvd = files.filter(f => v.dvs.get(f).exists(_.nonEmpty))
+    if (dvd.isEmpty) return Map.empty
+    val sidecars = dvd.flatMap(f => v.dvs(f).map(_._1)).distinct
+      .map(p => Paths.get(root).resolve(p).toString)
+    val keys = dvd.map(dvKeyOf).toSet
+    spark.read.parquet(sidecars: _*)
+      .where(col("file").isInCollection(keys))
+      .select(col("file"), col("pos")).collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted.distinct }
+  }
+
   private[graft] def dvKeyOf(f: String): String = {
     val p = Paths.get(f)
     s"${p.getParent.getFileName}/${p.getFileName}"

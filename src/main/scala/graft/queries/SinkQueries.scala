@@ -653,6 +653,38 @@ object SinkQueries extends QueryModule {
     // replica applies point writes. v1 = F orders; v2 = mergeInto with
     // price updates for a key window plus O-order inserts: the window keys
     // pair up, the new keys tag insert, nothing tags plain delete.
+    // VT28: the versioned table as a DSv2 BATCH source —
+    // `spark.read.format("graft-versioned")` with Delta's reader options:
+    // the head read serves the DV-deleted snapshot (victims dropped
+    // executor-side, no joins), `versionAsOf` time-travels the pre-delete
+    // snapshot, and a pushed window filter prunes files at PLANNING time
+    // through the manifest stats (the flag hash-fails if the scan stops
+    // planning a strict subset).
+    "vt28_dsv2_batch_read" -> ((s, dir) => {
+      val root = tmp("graft_vt28") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.deleteWhereDV(s, root, col("o_orderkey").between(1000L, 3000L))
+      val fmt = classOf[graft.streaming.VersionedStreamSource].getName
+      val head = s.read.format(fmt).option("path", root).load()
+      val v1 = s.read.format(fmt).option("path", root)
+        .option("versionAsOf", "1").load()
+      val total = V.currentVersion(root).get.files.length
+      val planned = head.filter(col("o_orderkey") <= 500L)
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.length
+        }.sum
+      head.select(lit(2).as("version"), col("o_orderkey"), col("o_totalprice"))
+        .unionAll(v1.select(lit(1).as("version"), col("o_orderkey"),
+          col("o_totalprice")))
+        .withColumn("filter_pruned", lit(if (planned < total) 1 else 0))
+    }),
+
     // VT27b: CDC ACROSS MERGE-ON-READ COMMITS — rows deleted by a deletion
     // vector never leave their file, so a file-diff CDC would silently miss
     // them; changes() reads dv-CHANGED files on both sides under each
@@ -1457,6 +1489,15 @@ object SinkQueries extends QueryModule {
         |  AND o_totalprice > 50000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
+    // vt28: head (v2) = F minus the dv-deleted window; versionAsOf 1 = the
+    // full F snapshot; the pruning flag rides every row
+    "vt28_dsv2_batch_read" ->
+      """SELECT 2 AS version, o_orderkey, o_totalprice, 1 AS filter_pruned
+        |FROM orders WHERE o_orderstatus = 'F'
+        |  AND NOT (o_orderkey BETWEEN 1000 AND 3000)
+        |UNION ALL
+        |SELECT 1, o_orderkey, o_totalprice, 1
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     // vt27b: the dv-deleted window surfaces as deletes; the update window
     // as its pre-image deletes plus re-priced inserts — nothing else
     "vt27b_dv_cdc" ->

@@ -6,8 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -143,9 +145,17 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
     // query start, like the schema pin; a mid-stream rename changes neither
     // the files nor their physical names, so the pin stays valid.
     val colMap = Versioned.currentVersion(root).map(_.colMap).getOrElse(Map.empty)
+    // BATCH time travel (Delta's reader options): versionAsOf pins a
+    // version, timestampAsOf resolves through the vt19 probe ("greatest
+    // version at or before the instant" — the batch stance, stricter than
+    // the stream's lenient startingTimestamp). Resolved HERE so a bad
+    // option fails at load(), not mid-scan.
+    val asOf: Option[Int] = Option(opts.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(opts.get("timestampAsOf")).map(t =>
+        Versioned.versionAtTimestamp(root, t.trim.toLong)))
     new VersionedStreamTable(root, schema, startVer, maxVers,
       Option(opts.get("ignoreChanges")).exists(_.trim.equalsIgnoreCase("true")),
-      maxBytes, maxFiles, colMap)
+      maxBytes, maxFiles, colMap, asOf)
   }
 }
 
@@ -154,21 +164,112 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
     ignoreChanges: Boolean,
     maxBytesPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    colMap: Map[String, String] = Map.empty) extends Table with SupportsRead {
+    colMap: Map[String, String] = Map.empty,
+    asOf: Option[Int] = None) extends Table with SupportsRead {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedMicroBatchStream(root, tableSchema, startingVersion,
-            maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
-            maxFilesPerTrigger, colMap)
-      }
+    new VersionedScanBuilder(root, tableSchema, startingVersion,
+      maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
+      maxFilesPerTrigger, colMap, asOf)
+}
+
+/** One ScanBuilder for both read shapes. BATCH (vt28): the scan's file set
+  * is the pinned version's manifest list, PRUNED at planning time by the
+  * pushed filters — `sources.Filter`s convert back to a `Column` and run
+  * through the same range walker every explicit read uses
+  * ([[Versioned.candidateFiles]]), so a `WHERE k BETWEEN …` over
+  * `spark.read.format("graft-versioned")` skips files exactly like
+  * `readWhere`. Every filter is RETURNED as a residual (pruning only skips
+  * files, Spark still decides rows), and column pruning narrows the
+  * parquet reader's required schema. Deletion vectors (vt27) apply
+  * executor-side: each partition ships its file's victim positions and the
+  * reader drops them with a sorted merge — zero joins, zero shuffles.
+  */
+private[streaming] class VersionedScanBuilder(root: String, tableSchema: StructType,
+    startingVersion: Int, maxVersionsPerTrigger: Int, ignoreChanges: Boolean,
+    maxBytesPerTrigger: Option[Long], maxFilesPerTrigger: Option[Int],
+    colMap: Map[String, String], asOf: Option[Int])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // all residual: stats pruning skips files, never decides rows
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve CONTRACT field order (parquet reads by name, but the
+    // physical-name positional story stays aligned with the contract)
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  /** The pushed filters as one conjunctive Column, for the range walker.
+    * Unconvertible filters become `lit(true)` — inside an AND they
+    * contribute no bound, inside an OR they make that column unbounded;
+    * both are the walker's conservative stance (more files, same rows).
+    */
+  private def filterColumn: Option[org.apache.spark.sql.Column] = {
+    def conv(f: sources.Filter): org.apache.spark.sql.Column = f match {
+      case sources.EqualTo(a, v) => col(a) === lit(v)
+      case sources.GreaterThan(a, v) => col(a) > lit(v)
+      case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case sources.LessThan(a, v) => col(a) < lit(v)
+      case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+      case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+      case sources.And(l, r) => conv(l) && conv(r)
+      case sources.Or(l, r) => conv(l) || conv(r)
+      case _ => lit(true)
     }
+    if (pushed.isEmpty) None
+    else Some(pushed.map(conv).reduce(_ && _))
+  }
+
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = required
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new VersionedMicroBatchStream(root, required, startingVersion,
+        maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
+        maxFilesPerTrigger, colMap)
+    override def toBatch: Batch = new VersionedBatch(root, required, colMap,
+      asOf, filterColumn)
+  }
+}
+
+/** The DSv2 BATCH read: one snapshot (asOf or the head AT PLAN TIME),
+  * planning-time manifest-stats pruning, one partition per planned file,
+  * DV victims dropped in the reader.
+  */
+private[streaming] class VersionedBatch(root: String, schema: StructType,
+    colMap: Map[String, String], asOf: Option[Int],
+    predicate: Option[org.apache.spark.sql.Column]) extends Batch {
+
+  // resolved ONCE: the scan is a snapshot, immune to commits racing the job
+  private lazy val state = asOf.map(Versioned.versionState(root, _))
+    .getOrElse(Versioned.currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val rootP = Paths.get(root)
+    val candidates = predicate.map(Versioned.candidateFiles(state, _))
+      .getOrElse(state.files)
+    val deleted = Versioned.deletedPositions(spark, root, state, candidates)
+    candidates.map { rel =>
+      val p = rootP.resolve(rel)
+      VersionedFilePartition(p.toString,
+        state.sizes.get(rel).filter(_ >= 0).getOrElse(Files.size(p)),
+        deleted.getOrElse(Versioned.dvKeyOf(rel), Array.empty)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    VersionedMicroBatchStream.readerFactory(SparkSession.active, schema, colMap)
 }
 
 /** An offset in the version log: "everything up to and including version
@@ -319,15 +420,22 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    // files carry PHYSICAL names (vt24); a rename is name-only so the
-    // physicalized struct is positionally identical to the logical one —
-    // InternalRows read here serve the logical readSchema() unchanged
+  override def createReaderFactory(): PartitionReaderFactory =
+    VersionedMicroBatchStream.readerFactory(SparkSession.active, schema, colMap)
+}
+
+private[streaming] object VersionedMicroBatchStream {
+  /** The shared reader factory of the stream and batch paths. Files carry
+    * PHYSICAL names (vt24); a rename is name-only so the physicalized
+    * struct is positionally identical to the logical one — InternalRows
+    * read here serve the logical readSchema() unchanged. Spark's own
+    * parquet reader, built once on the driver and shipped to executors —
+    * the closure ParquetFileFormat returns is exactly what FileScanRDD
+    * ships for the batch path.
+    */
+  def readerFactory(spark: SparkSession, schema: StructType,
+      colMap: Map[String, String]): PartitionReaderFactory = {
     val fileSchema = Versioned.physicalStruct(schema, colMap)
-    // Spark's own parquet reader, built once on the driver and shipped to
-    // executors — the closure ParquetFileFormat returns is exactly what
-    // FileScanRDD ships for the batch path
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = fileSchema,
@@ -343,7 +451,13 @@ private[streaming] class VersionedMicroBatchStream(root: String, schema: StructT
   }
 }
 
-private[streaming] case class VersionedFilePartition(path: String, length: Long)
+/** `deleted` (vt27) is the file's deletion-vector victim positions, sorted
+  * ascending — empty for clean files and on every streaming partition (a
+  * DV attach is a CHANGE commit the stream refuses by default; under
+  * ignoreChanges the stream's contract is re-streamed/stale rows anyway).
+  */
+private[streaming] case class VersionedFilePartition(path: String, length: Long,
+    deleted: Array[Long] = Array.empty)
     extends InputPartition
 
 private[streaming] class VersionedReaderFactory(
@@ -356,10 +470,35 @@ private[streaming] class VersionedReaderFactory(
       0L, vp.length, Array.empty[String], 0L, vp.length)
     // the parquet reader returns ColumnarBatch objects masked as
     // InternalRow when vectorization kicks in — unwrap either shape
-    val it: Iterator[InternalRow] = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+    val base: Iterator[InternalRow] = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
+    // no filters were pushed into parquet, so rows arrive in FILE ORDER and
+    // the running index IS the parquet row position — victims drop with a
+    // two-pointer merge against the sorted vector, O(1) per row, no hashing
+    val it: Iterator[InternalRow] =
+      if (vp.deleted.isEmpty) base
+      else new Iterator[InternalRow] {
+        private var pos = -1L
+        private var di = 0
+        private var nxt: InternalRow = _
+        private var ready = false
+        private def advance(): Unit =
+          while (!ready && base.hasNext) {
+            val r = base.next(); pos += 1
+            while (di < vp.deleted.length && vp.deleted(di) < pos) di += 1
+            if (di >= vp.deleted.length || vp.deleted(di) != pos) {
+              nxt = r; ready = true
+            }
+          }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException
+          ready = false; nxt
+        }
+      }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

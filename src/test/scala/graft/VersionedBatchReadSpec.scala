@@ -1,0 +1,130 @@
+package graft
+
+import graft.merge.Versioned
+import org.apache.spark.sql.functions._
+
+/** VT28: the versioned table as a DSv2 BATCH source —
+  * `spark.read.format("graft-versioned")` with Delta's reader options
+  * (versionAsOf / timestampAsOf), planning-time manifest-stats pruning of
+  * pushed filters, column pruning into the parquet reader, and
+  * deletion-vector victims dropped executor-side (sorted-merge, no joins).
+  */
+class VersionedBatchReadSpec extends SparkSuite {
+
+  private val fmt = classOf[graft.streaming.VersionedStreamSource].getName
+
+  private def mk(root: String): Unit = {
+    import spark.implicits._
+    Versioned.appendWithStats(
+      (1L to 100L).map(k => (k, k * 10.0, s"r$k")).toDF("k", "price", "tag")
+        .repartitionByRange(4, col("k")), root, "k")
+  }
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.length
+    }.sum
+
+  test("batch load serves the head snapshot; rows equal the explicit read") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    val df = spark.read.format(fmt).option("path", root).load()
+    assert(df.schema.fieldNames.toSeq === Seq("k", "price", "tag"))
+    assert(df.select("k").as[Long].collect().sorted === (1L to 100L).toArray)
+  }
+
+  test("versionAsOf / timestampAsOf pin a snapshot") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    val ts1 = Versioned.currentVersion(root).get.ts
+    Versioned.append(Seq((101L, 1.0, "x")).toDF("k", "price", "tag"), root)
+    assert(spark.read.format(fmt).option("path", root).load().count() === 101L)
+    assert(spark.read.format(fmt).option("path", root)
+      .option("versionAsOf", "1").load().count() === 100L)
+    assert(spark.read.format(fmt).option("path", root)
+      .option("timestampAsOf", ts1.toString).load().count() === 100L)
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", root)
+        .option("timestampAsOf", (ts1 - 1000000).toString).load()
+    }
+  }
+
+  test("pushed filters prune files at planning time; every filter still decides rows") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    val df = spark.read.format(fmt).option("path", root).load()
+    val q = df.filter(col("k").between(5L, 8L))
+    assert(q.select("k").as[Long].collect().sorted === (5L to 8L).toArray)
+    assert(scanPartitions(q) === 1, "one of 4 range-clustered files planned")
+    // an OR of two windows plans both end files, not the middle
+    val q2 = df.filter(col("k") <= 5L || col("k") >= 95L)
+    assert(q2.count() === 11L)
+    assert(scanPartitions(q2) === 2)
+    // unpushable predicates read conservatively, never wrongly
+    val q3 = df.filter(col("tag") === "r42")
+    assert(q3.count() === 1L)
+  }
+
+  test("column pruning narrows the scan schema") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    val df = spark.read.format(fmt).option("path", root).load().select("k")
+    assert(df.as[Long].collect().sorted === (1L to 100L).toArray)
+    val scanCols = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }.flatten
+    assert(scanCols === Seq("k"), s"scan must read only k, got $scanCols")
+  }
+
+  test("deletion vectors apply executor-side: victims dropped, survivors intact") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.deleteWhereDV(spark, root, col("k") % 10 === 0L)
+    Versioned.updateWhereDV(spark, root, col("k") === 7L, Map("tag" -> lit("U")))
+    val df = spark.read.format(fmt).option("path", root).load()
+    assert(df.select("k").as[Long].collect().sorted
+      === (1L to 100L).filterNot(_ % 10 == 0).toArray)
+    assert(df.filter(col("k") === 7L).select("tag").as[String].head() === "U")
+    // time travel BEFORE the deletes serves the full snapshot
+    assert(spark.read.format(fmt).option("path", root)
+      .option("versionAsOf", "1").load().count() === 100L)
+  }
+
+  test("batch read composes with column mapping (post-rename files read logically)") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.evolveRename(root, "price", "amount")
+    Versioned.append(Seq((101L, 42.0, "new")).toDF("k", "amount", "tag"), root)
+    val df = spark.read.format(fmt).option("path", root).load()
+    assert(df.schema.fieldNames.contains("amount"))
+    assert(df.filter(col("k") === 101L).select("amount").as[Double].head() === 42.0)
+    assert(df.filter(col("k") === 1L).select("amount").as[Double].head() === 10.0)
+  }
+
+  test("snapshot semantics: each action reads one manifest-consistent version; versionAsOf pins across actions") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    // an un-pinned frame re-resolves the HEAD per action (Delta's DataFrame
+    // behavior too — cross-action pinning is versionAsOf's job)
+    val head = spark.read.format(fmt).option("path", root).load()
+    assert(head.count() === 100L)
+    Versioned.append(Seq((999L, 0.0, "late")).toDF("k", "price", "tag"), root)
+    assert(head.count() === 101L)
+    // a versionAsOf frame never moves, however many commits land after it
+    val pinned = spark.read.format(fmt).option("path", root)
+      .option("versionAsOf", "1").load()
+    assert(pinned.count() === 100L)
+    Versioned.append(Seq((1000L, 0.0, "later")).toDF("k", "price", "tag"), root)
+    assert(pinned.count() === 100L)
+    assert(pinned.filter(col("k") >= 999L).count() === 0L)
+  }
+}
