@@ -531,17 +531,65 @@ object BenchScale {
       .select(col("o_orderkey"), lit("Y").as("o_orderstatus")).localCheckpoint(true)
     val (merge2Sec, affected2, total2) = medPristineMerge(dmlRoot2, src2)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase2))
+    // DELETION-VECTOR leg (round 18, vt27): the same narrow delete (every
+    // 16th key of the top 1/16 window — ~0.4% of the table's rows) run
+    // MERGE-ON-READ vs COPY-ON-WRITE on the same pristine 16-file table.
+    // The scale claim is in the BYTES, which are deterministic: COW
+    // rewrites the affected files (O(affected files) bytes, grows with the
+    // corpus), the DV writes one victim-sized sidecar (O(deleted rows)
+    // bytes). The read tax the vectors buy is priced beside it: a full
+    // read of the DV'd head vs the pristine head.
+    val dmlBase3 = java.nio.file.Files.createTempDirectory(s"graft_vtdv_${copies}x").toString
+    val dvRoot = s"$dmlBase3/t"
+    Versioned.appendWithStats(o2.repartitionByRange(16, col("o_orderkey")),
+      dvRoot, Seq("o_orderkey"))
+    val delPred = col("o_orderkey") >= wlo && pmod(col("o_orderkey"), lit(16)) === 0
+    def sizeOf(rel: String): Long =
+      java.nio.file.Files.size(java.nio.file.Paths.get(dvRoot).resolve(rel))
+    def medPristineDelete(f: => Versioned.Version,
+        bytesOf: Versioned.Version => Long): (Double, Long) = {
+      var b = 0L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val post = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        b = bytesOf(post)
+        Versioned.rollback(dvRoot, 1)
+        sec
+      }
+      once() // untimed warm-up
+      val secs = (1 to 3).map(_ => once()).sorted
+      (secs(1), b)
+    }
+    val v1Files = Versioned.currentVersion(dvRoot).get.files.toSet
+    val (cowDelSec, cowDelBytes) = medPristineDelete(
+      Versioned.deleteWhere(spark, dvRoot, delPred),
+      post => post.files.filterNot(v1Files).map(sizeOf).sum)
+    val (dvDelSec, dvDelBytes) = medPristineDelete(
+      Versioned.deleteWhereDV(spark, dvRoot, delPred),
+      post => post.dvs.valuesIterator.flatten.map(_._1).toSeq.distinct.map(sizeOf).sum)
+    // read tax: serve the head with vectors applied vs the pristine head
+    Versioned.deleteWhereDV(spark, dvRoot, delPred)
+    val dvReadSec = med { noop(Versioned.read(spark, dvRoot)) }
+    Versioned.rollback(dvRoot, 1)
+    val cleanReadSec = med { noop(Versioned.read(spark, dvRoot)) }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dmlBase3))
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     System.err.println(f"[scale] vt leg ${copies}x: plan $planSec%.3f cdc $cdcSec%.3f " +
       f"pruned $prunedSec%.3f read $readSec%.3f merge $mergeSec%.3f " +
       f"(rewrote $affected of $total files, every rep pristine) " +
-      f"splitmerge $merge2Sec%.3f (rewrote $affected2 of $total2 files, every rep pristine)")
+      f"splitmerge $merge2Sec%.3f (rewrote $affected2 of $total2 files, every rep pristine) " +
+      f"dvdel $dvDelSec%.3f/$dvDelBytes%d B vs cowdel $cowDelSec%.3f/$cowDelBytes%d B " +
+      f"(dv read $dvReadSec%.3f vs clean $cleanReadSec%.3f)")
     s"""{"commits":12,"files":${cur.files.length},"plan_sec":${f3(planSec)},""" +
       s""""cdc_last_append_sec":${f3(cdcSec)},"pruned_read_sec":${f3(prunedSec)},""" +
       s""""full_read_sec":${f3(readSec)},"merge_window_sec":${f3(mergeSec)},""" +
       s""""merge_affected_files":$affected,"merge_total_files":$total,""" +
       s""""merge_split_window_sec":${f3(merge2Sec)},""" +
-      s""""merge_split_affected_files":$affected2,"merge_split_total_files":$total2}"""
+      s""""merge_split_affected_files":$affected2,"merge_split_total_files":$total2,""" +
+      s""""dv_delete_sec":${f3(dvDelSec)},"dv_delete_bytes":$dvDelBytes,""" +
+      s""""cow_delete_sec":${f3(cowDelSec)},"cow_delete_bytes":$cowDelBytes,""" +
+      s""""dv_read_sec":${f3(dvReadSec)},"clean_read_sec":${f3(cleanReadSec)}}"""
   }
 
   /** Log-AGE leg (round 15, VERDICT r14 item 4): the [[vtLeg]] block holds
