@@ -4,7 +4,8 @@ import graft.merge.Versioned
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -165,11 +166,50 @@ private[streaming] class VersionedStreamTable(root: String, tableSchema: StructT
     maxBytesPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     colMap: Map[String, String] = Map.empty,
-    asOf: Option[Int] = None) extends Table with SupportsRead {
+    asOf: Option[Int] = None) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      // BATCH_WRITE admits the write plan; V1_BATCH_WRITE routes it to the
+      // V1 fallback exec (the strategy dispatches on the Write being a
+      // V1Write only when the table declares the fallback capability)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** VT28 (write half): `df.write.format("graft-versioned").mode(…)
+    * .save()` onto an EXISTING versioned table — a V1Write fallback that
+    * hands the driver the DataFrame and routes it through the log's own
+    * verbs, so every guard rides along for free: schema-contract check,
+    * CHECK/NOT NULL constraints, pending-txn refusal, the manifest CAS.
+    * `append` keeps the table's skipping stats and bloom maintenance
+    * (stats-tracked tables route through appendWithStats — a DSv2 append
+    * must not silently degrade later pruned reads); `overwrite` is the
+    * log's overwrite (full manifest; Spark's by-name resolution holds the
+    * write to the TABLE's contract — schema-EVOLVING overwrites stay with
+    * the `Versioned.overwrite` API). Table CREATION stays with the
+    * API/first-append (a fresh root has no contract to resolve the write
+    * against — getTable's inferSchema fails there with its own message).
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ov: Boolean) => {
+            if (overwrite || ov) Versioned.overwrite(data, root)
+            else Versioned.currentVersion(root) match {
+              case Some(cur) if cur.statsCols.nonEmpty =>
+                Versioned.appendWithStats(data, root, cur.statsCols,
+                  bloomCols = cur.bloomCols)
+              case _ => Versioned.append(data, root)
+            }
+            ()
+          }
+      }
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(root, tableSchema, startingVersion,
       maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,

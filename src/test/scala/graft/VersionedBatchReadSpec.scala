@@ -109,6 +109,39 @@ class VersionedBatchReadSpec extends SparkSuite {
     assert(df.filter(col("k") === 1L).select("amount").as[Double].head() === 10.0)
   }
 
+  test("DSv2 write: append keeps stats/bloom maintenance and every log guard; overwrite evolves") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.addConstraint(spark, root, "price_pos", "price > 0")
+    // mode("append") routes through appendWithStats: the new file gets
+    // skipping stats, so later pruned reads stay selective
+    Seq((101L, 1010.0, "w")).toDF("k", "price", "tag")
+      .write.format(fmt).mode("append").save(root)
+    val v = Versioned.currentVersion(root).get
+    assert(v.files.forall(f => v.stats.contains(f)),
+      "a DSv2 append must not leave a stats-less file on a stats-tracked table")
+    assert(Versioned.read(spark, root).count() === 101L)
+    // the log's guards ride along: a constraint violation refuses the write
+    intercept[Exception] {
+      Seq((102L, -5.0, "bad")).toDF("k", "price", "tag")
+        .write.format(fmt).mode("append").save(root)
+    }
+    assert(Versioned.read(spark, root).count() === 101L)
+    // schema drift refuses too (append must match the contract)
+    intercept[Exception] {
+      Seq((103L, "oops")).toDF("k", "tag")
+        .write.format(fmt).mode("append").save(root)
+    }
+    // overwrite replaces the state through the log (contract held by
+    // Spark's by-name resolution) — old versions intact
+    Seq((1L, 9.0, "ow")).toDF("k", "price", "tag")
+      .write.format(fmt).mode("overwrite").save(root)
+    assert(Versioned.read(spark, root).count() === 1L)
+    // v1 = mk, v2 = addConstraint (metadata-only), v3 = the DSv2 append
+    assert(Versioned.read(spark, root, asOf = Some(3)).count() === 101L)
+  }
+
   test("snapshot semantics: each action reads one manifest-consistent version; versionAsOf pins across actions") {
     import spark.implicits._
     val root = tmpDir() + "/t"
