@@ -1489,11 +1489,24 @@ object Versioned {
         .forall(_.deterministic)
     }
 
+  /** The merge-on-read verbs claim two working column names for the
+    * position scan; refuse up front on a table that carries either (the
+    * guarded failure beats an ambiguous-reference AnalysisException from
+    * deep inside the anti-join — same stance as mergeClauses' guard).
+    */
+  private def requireNoReservedDvCols(cur: Version, root: String): Unit =
+    cur.schema.map(org.apache.spark.sql.types.StructType.fromDDL).foreach { st =>
+      Seq(DvKeyCol, DvPosCol).foreach(c => require(!st.fieldNames.contains(c),
+        s"table at $root has a column named `$c`, which the deletion-vector scan " +
+          "reserves — rename it (evolveRename) before using merge-on-read DML"))
+    }
+
   private def deleteWhereDVOnce(spark: SparkSession, root: String,
       predicate: Column): Version = {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     requireNoPendingTxn(Some(cur), root)
+    requireNoReservedDvCols(cur, root)
     require(analyzesDeterministic(spark, cur, predicate),
       "deleteWhereDV needs a deterministic predicate — recorded positions must be " +
         "reproducible; use deleteWhere (copy-on-write) for nondeterministic deletes")
@@ -1525,6 +1538,7 @@ object Versioned {
     val cur = currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root"))
     requireNoPendingTxn(Some(cur), root)
+    requireNoReservedDvCols(cur, root)
     require(analyzesDeterministic(spark, cur, predicate) &&
         set.valuesIterator.forall(analyzesDeterministic(spark, cur, _)),
       "updateWhereDV needs deterministic predicate and SET expressions — the matched " +

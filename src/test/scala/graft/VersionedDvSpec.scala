@@ -93,6 +93,16 @@ class VersionedDvSpec extends SparkSuite {
     assert(e.getMessage.contains("deterministic"))
   }
 
+  test("a table carrying the reserved working-column names refuses merge-on-read DML up front") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    Versioned.append(Seq((1L, "x")).toDF("k", "__dv_key"), root)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.deleteWhereDV(spark, root, col("k") === 1L)
+    }
+    assert(e.getMessage.contains("__dv_key") && e.getMessage.contains("evolveRename"))
+  }
+
   test("update-dv: SQL UPDATE semantics at O(matched) write cost; constraints validate the rewrites") {
     import spark.implicits._
     val root = tmpDir() + "/t"
