@@ -685,6 +685,33 @@ object SinkQueries extends QueryModule {
         .withColumn("filter_pruned", lit(if (planned < total) 1 else 0))
     }),
 
+    // VT29: the TableCatalog SQL surface — the versioned table addressed
+    // by ROOT PATH in plain SQL: INSERT INTO routes the guarded append
+    // (constraints/contract/CAS), SELECT serves the head with deletion
+    // vectors applied, and VERSION AS OF time-travels — no DataFrame API
+    // in the query path at all.
+    "vt29_sql_catalog" -> ((s, dir) => {
+      val root = tmp("graft_vt29") + "/t"
+      val V = graft.merge.Versioned
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.functions.GraftCatalog].getName)
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(
+        o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")), root, "o_orderkey")
+      V.deleteWhereDV(s, root, col("o_orderkey").between(1000L, 3000L))
+      o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("vt29_src")
+      s.sql(s"INSERT INTO graft.`$root` SELECT * FROM vt29_src")
+      s.sql(
+        s"""SELECT 3 AS version, o_orderkey, o_totalprice FROM graft.`$root`
+           |UNION ALL
+           |SELECT 1, o_orderkey, o_totalprice FROM graft.`$root` VERSION AS OF 1
+           |""".stripMargin)
+    }),
+
     // VT27b: CDC ACROSS MERGE-ON-READ COMMITS — rows deleted by a deletion
     // vector never leave their file, so a file-diff CDC would silently miss
     // them; changes() reads dv-CHANGED files on both sides under each
@@ -1489,6 +1516,17 @@ object SinkQueries extends QueryModule {
         |  AND o_totalprice > 50000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
+    // vt29: head (v3) = F minus the dv-deleted window plus the SQL-inserted
+    // P rows; VERSION AS OF 1 = the full F snapshot
+    "vt29_sql_catalog" ->
+      """SELECT 3 AS version, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F'
+        |  AND NOT (o_orderkey BETWEEN 1000 AND 3000)
+        |UNION ALL
+        |SELECT 3, o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT 1, o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'""".stripMargin,
     // vt28: head (v2) = F minus the dv-deleted window; versionAsOf 1 = the
     // full F snapshot; the pruning flag rides every row
     "vt28_dsv2_batch_read" ->

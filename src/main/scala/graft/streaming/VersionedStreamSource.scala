@@ -160,7 +160,7 @@ class VersionedStreamSource extends TableProvider with DataSourceRegister {
   }
 }
 
-private[streaming] class VersionedStreamTable(root: String, tableSchema: StructType,
+private[graft] class VersionedStreamTable(root: String, tableSchema: StructType,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     ignoreChanges: Boolean,
     maxBytesPerTrigger: Option[Long] = None,
