@@ -1304,6 +1304,25 @@ object Versioned {
     * (intersection). Without a contract schema the bloom is not consulted
     * (type-unverifiable probe) — conservative, never wrong.
     */
+  /** Keep only the files of `candidates` whose recorded bloom could hold
+    * `litv` (already cast to the CONTRACT type — the bits the write side
+    * hashed). One local 1-row job computes the probe's k positions with the
+    * same Spark xxhash64; bloom-less files stay (conservative). Shared by
+    * [[readEquals]] and the DSv2 batch scan's pushed-EqualTo pruning.
+    */
+  private[graft] def bloomPrune(spark: SparkSession, v: Version, column: String,
+      litv: Column, candidates: Seq[String]): Seq[String] = {
+    val posRow = spark.range(1).select((0 until BloomHashes).map(sd =>
+      pmod(xxhash64(litv, lit(sd)), lit(BloomBits.toLong)).as(s"p$sd")): _*).head
+    val positions = (0 until BloomHashes).map(posRow.getLong)
+    candidates.filter { f =>
+      v.blooms.get((f, column)) match {
+        case Some(bits) => positions.forall(bloomHasBit(bits, _))
+        case None => true // no bloom recorded for this file: conservative
+      }
+    }
+  }
+
   def readEquals(spark: SparkSession, root: String, column: String, value: Any,
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
@@ -1331,17 +1350,7 @@ object Versioned {
     val ranged = overlappingFiles(v, validatedBounds(v, pred))
     val candidates =
       if (value == null || dt.isEmpty || !v.bloomCols.contains(column)) ranged
-      else {
-        val posRow = spark.range(1).select((0 until BloomHashes).map(sd =>
-          pmod(xxhash64(litv, lit(sd)), lit(BloomBits.toLong)).as(s"p$sd")): _*).head
-        val positions = (0 until BloomHashes).map(posRow.getLong)
-        ranged.filter { f =>
-          v.blooms.get((f, column)) match {
-            case Some(bits) => positions.forall(bloomHasBit(bits, _))
-            case None => true // no bloom recorded for this file: conservative
-          }
-        }
-      }
+      else bloomPrune(spark, v, column, litv, ranged)
     val base =
       if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
       else readFiles(spark, root, v, candidates)
@@ -3362,6 +3371,33 @@ object Versioned {
     * the version's recorded contract (vt11), falling back to footer
     * inference for pre-contract logs.
     */
+  /** VT30: DESCRIBE DETAIL — the one-row operational summary every table
+    * format ships (Delta's `DESCRIBE DETAIL`): current version, file/byte
+    * counts, delete pressure (files carrying deletion vectors + recorded
+    * victim rows — the compaction-policy signal), and the metadata
+    * contracts in force. Pure manifest metadata: zero data files touched,
+    * driver-built, O(head state) at any table size.
+    */
+  def detail(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    val row = org.apache.spark.sql.Row(
+      "graft-versioned", v.n, v.op, v.files.length,
+      v.sizes.valuesIterator.filter(_ >= 0).sum,
+      v.dvs.count(_._2.nonEmpty),
+      v.dvs.valuesIterator.flatten.map(_._2).sum,
+      v.statsCols.mkString(","), v.bloomCols.mkString(","),
+      v.constraints.size, v.colMap.size, v.txns.size,
+      if (v.ts >= 0) v.ts else null)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](java.util.List.of(row)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "format STRING, version INT, last_op STRING, num_files INT, " +
+          "size_bytes BIGINT, num_dv_files INT, dv_deleted_rows BIGINT, " +
+          "stats_cols STRING, bloom_cols STRING, num_constraints INT, " +
+          "num_renamed_cols INT, num_stream_batches INT, commit_ts BIGINT"))
+  }
+
   def table(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))

@@ -277,7 +277,11 @@ private[streaming] class VersionedScanBuilder(root: String, tableSchema: StructT
         maxVersionsPerTrigger, ignoreChanges, maxBytesPerTrigger,
         maxFilesPerTrigger, colMap)
     override def toBatch: Batch = new VersionedBatch(root, required, colMap,
-      asOf, filterColumn)
+      asOf, filterColumn,
+      // top-level array elements are CONJUNCTS (Spark splits And before
+      // translation), so a bare EqualTo here may bloom-prune globally; an
+      // EqualTo nested inside an Or must not — and is not collected
+      pushed.collect { case sources.EqualTo(a, v) if v != null => (a, v) }.toSeq)
   }
 }
 
@@ -287,7 +291,8 @@ private[streaming] class VersionedScanBuilder(root: String, tableSchema: StructT
   */
 private[streaming] class VersionedBatch(root: String, schema: StructType,
     colMap: Map[String, String], asOf: Option[Int],
-    predicate: Option[org.apache.spark.sql.Column]) extends Batch {
+    predicate: Option[org.apache.spark.sql.Column],
+    equalities: Seq[(String, Any)] = Nil) extends Batch {
 
   // resolved ONCE: the scan is a snapshot, immune to commits racing the job
   private lazy val state = asOf.map(Versioned.versionState(root, _))
@@ -297,8 +302,19 @@ private[streaming] class VersionedBatch(root: String, schema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val rootP = Paths.get(root)
-    val candidates = predicate.map(Versioned.candidateFiles(state, _))
+    val ranged = predicate.map(Versioned.candidateFiles(state, _))
       .getOrElse(state.files)
+    // vt26 composes: a pushed conjunctive EqualTo on a bloom-tracked column
+    // prunes files whose bits provably lack the probe (cast to the CONTRACT
+    // type — the bits the write side hashed); bloom-less files stay
+    val contract = state.schema.map(StructType.fromDDL)
+    val candidates = equalities.foldLeft(ranged) { case (files, (c, value)) =>
+      contract.flatMap(_.fields.find(_.name == c)) match {
+        case Some(f) if state.bloomCols.contains(c) =>
+          Versioned.bloomPrune(spark, state, c, lit(value).cast(f.dataType), files)
+        case _ => files
+      }
+    }
     val deleted = Versioned.deletedPositions(spark, root, state, candidates)
     candidates.map { rel =>
       val p = rootP.resolve(rel)

@@ -69,6 +69,28 @@ class VersionedBatchReadSpec extends SparkSuite {
     assert(q3.count() === 1L)
   }
 
+  test("pushed EqualTo on a bloom-tracked column prunes at planning time (vt26 composes)") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    // key-unsorted layout: range stats overlap every file, only blooms prune
+    Versioned.appendWithStats(
+      (1L to 2000L).map(k => (k, k % 7)).toDF("k", "grp")
+        .repartitionByRange(8, col("grp")), root,
+      Seq("k"), bloomCols = Seq("k"))
+    val df = spark.read.format(fmt).option("path", root).load()
+    val total = Versioned.currentVersion(root).get.files.length
+    // an ABSENT key: the bloom proves most files cannot hold it
+    val q = df.filter(col("k") === 999999L)
+    assert(q.count() === 0L)
+    assert(scanPartitions(q) < total,
+      s"bloom must prune the absent-key probe (${scanPartitions(q)}/$total)")
+    // a PRESENT key still found (blooms only skip, never admit)
+    assert(df.filter(col("k") === 1234L).count() === 1L)
+    // an EqualTo inside an OR must NOT bloom-prune globally
+    val qOr = df.filter(col("k") === 999999L || col("grp") === 3L)
+    assert(qOr.count() === (1L to 2000L).count(_ % 7 == 3))
+  }
+
   test("column pruning narrows the scan schema") {
     import spark.implicits._
     val root = tmpDir() + "/t"

@@ -307,6 +307,23 @@ class VersionedDvSpec extends SparkSuite {
       .as[Long].head() === 5L)
   }
 
+  test("detail() surfaces delete pressure: dv file/row counts rise with deletes, clear on purge") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    def d = Versioned.detail(spark, root).head()
+    assert(d.getAs[String]("format") === "graft-versioned")
+    assert(d.getAs[Int]("num_files") === 4 && d.getAs[Long]("dv_deleted_rows") === 0L)
+    assert(d.getAs[String]("stats_cols") === "k")
+    Versioned.deleteWhereDV(spark, root, col("k") % 10 === 0L)
+    assert(d.getAs[Long]("dv_deleted_rows") === 10L && d.getAs[Int]("num_dv_files") > 0)
+    Versioned.purgeDeletes(spark, root)
+    assert(d.getAs[Long]("dv_deleted_rows") === 0L && d.getAs[Int]("num_dv_files") === 0)
+    // time travel: the pressure as it stood at the dv version
+    assert(Versioned.detail(spark, root, asOf = Some(2)).head()
+      .getAs[Long]("dv_deleted_rows") === 10L)
+  }
+
   test("merge-on-read and copy-on-write compose: COW merge rewrites a dv'd file and drops its vectors") {
     import spark.implicits._
     val root = tmpDir() + "/t"
