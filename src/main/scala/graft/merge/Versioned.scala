@@ -3398,6 +3398,32 @@ object Versioned {
           "num_renamed_cols INT, num_stream_batches INT, commit_ts BIGINT"))
   }
 
+  /** VT30 (files half): the per-file metadata table (Iceberg's `files`,
+    * Delta's add-file view): path, byte size, per-tracked-column (min,max)
+    * ranges, bloom coverage, and deletion-vector pressure — what an
+    * operator inspects to decide compaction/z-order/purge targets. Pure
+    * manifest metadata, driver-built, O(head files).
+    */
+  def filesDetail(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $root")))
+    val rows = v.files.map { f =>
+      val ranges = v.stats.getOrElse(f, Nil)
+      org.apache.spark.sql.Row(f,
+        v.sizes.get(f).filter(_ >= 0).map(Long.box).orNull,
+        v.statsCols.zip(ranges).map { case (c, (mn, mx)) => s"$c:[$mn,$mx]" }
+          .mkString(" "),
+        v.bloomCols.count(c => v.blooms.contains((f, c))),
+        v.dvs.get(f).map(_.size).getOrElse(0),
+        v.dvs.get(f).map(_.map(_._2).sum).map(Long.box).getOrElse(Long.box(0L)))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "file STRING, size_bytes BIGINT, stats STRING, num_blooms INT, " +
+          "num_dvs INT, dv_deleted_rows BIGINT"))
+  }
+
   def table(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))

@@ -322,6 +322,14 @@ class VersionedDvSpec extends SparkSuite {
     // time travel: the pressure as it stood at the dv version
     assert(Versioned.detail(spark, root, asOf = Some(2)).head()
       .getAs[Long]("dv_deleted_rows") === 10L)
+    // the per-file view agrees: at v2 every file carries one vector of
+    // its own victims (k % 10 hits every quartile), with ranges recorded
+    val pf = Versioned.filesDetail(spark, root, asOf = Some(2)).collect()
+    assert(pf.length === 4)
+    assert(pf.map(_.getAs[Long]("dv_deleted_rows")).sum === 10L)
+    assert(pf.forall(_.getAs[String]("stats").startsWith("k:[")))
+    assert(Versioned.filesDetail(spark, root).collect()
+      .forall(_.getAs[Int]("num_dvs") === 0), "post-purge files are clean")
   }
 
   test("merge-on-read and copy-on-write compose: COW merge rewrites a dv'd file and drops its vectors") {
