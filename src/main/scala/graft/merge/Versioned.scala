@@ -116,8 +116,13 @@ object Versioned {
     * recorded in the parquet sidecar at `<sidecar path>` — are deleted.
     * On a DELTA a dv line ATTACHES to an already-listed file; a FULL
     * manifest lists every live attachment. Older formats parse unchanged.
+    * fmt=6 (round 18, vt31) adds OPTIONAL per-file NULL-COUNT lines
+    * (`nulls=<rowCount>,<nullCount per stats col…>|<path>`, written by the
+    * same fused stats pass): IS NULL prunes files with zero nulls in the
+    * column, IS NOT NULL prunes files that are entirely NULL there — the
+    * Delta nullCount design. Files without a line read conservatively.
     */
-  private[graft] val ManifestFormat: Int = 5
+  private[graft] val ManifestFormat: Int = 6
 
   /** Manifest files read since JVM start — spec instrumentation proving the
     * checkpoint bound (a 1000-commit log's planning cost must not be 1000
@@ -163,7 +168,8 @@ object Versioned {
       pendingTxn: Option[String] = None,
       bloomCols: Seq[String] = Nil,
       blooms: Map[(String, String), Vector[Long]] = Map.empty,
-      dvs: Map[String, Seq[(String, Long)]] = Map.empty) {
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty,
+      nulls: Map[String, (Long, Seq[Long])] = Map.empty) {
     /** Every sidecar/data path a retention op must treat as referenced by
       * this version: the listed files plus their deletion-vector sidecars.
       */
@@ -177,7 +183,9 @@ object Versioned {
     */
   private[graft] final case class FileEntry(path: String, ranges: Seq[(Long, Long)],
       size: Long = -1L,
-      blooms: Seq[(String, Vector[Long])] = Nil)
+      blooms: Seq[(String, Vector[Long])] = Nil,
+      rowCount: Long = -1L,
+      nullCounts: Seq[Long] = Nil)
 
   /** vt26 bloom geometry: 1024 bits (16 longs, ~172 base64 chars per file
     * per column in the manifest) × 3 xxhash64 seeds. At 10k distinct values
@@ -219,7 +227,8 @@ object Versioned {
       txnMarker: Option[String] = None,
       bloomCols: Seq[String] = Nil,
       blooms: Map[(String, String), Vector[Long]] = Map.empty,
-      dvs: Map[String, Seq[(String, Long)]] = Map.empty)
+      dvs: Map[String, Seq[(String, Long)]] = Map.empty,
+      nulls: Map[String, (Long, Seq[Long])] = Map.empty)
 
   /** The schema identity the log tracks: DDL with nullability erased —
     * Spark normalizes parquet read-back to nullable, so a compaction or
@@ -328,9 +337,18 @@ object Versioned {
         val att = (parts(1), parts(0).toLong)
         m + (parts(2) -> (m.getOrElse(parts(2), Nil) :+ att))
       }
+    // null-count stats (vt31): `nulls=<rowCount>,<perStatsColNulls…>|<path>`
+    val nulls: Map[String, (Long, Seq[Long])] =
+      body.filter(_.startsWith("nulls=")).map { l =>
+        val parts = l.stripPrefix("nulls=").split('|')
+        require(parts.length == 2, s"malformed nulls line in $p: $l")
+        val counts = parts(0).split(',').map(_.toLong)
+        parts(1) -> (counts.head, counts.tail.toSeq)
+      }.toMap
     val fileLines = body.filterNot(l => l.startsWith("txn=") || l.startsWith("schema=") ||
       l.startsWith("constraint=") || l.startsWith("colmap=") ||
-      l.startsWith("txnmarker=") || l.startsWith("bloom=") || l.startsWith("dv="))
+      l.startsWith("txnmarker=") || l.startsWith("bloom=") || l.startsWith("dv=") ||
+      l.startsWith("nulls="))
     val full = header.get("full").contains("1")
     require(txnMarker.isEmpty || !full,
       s"manifest $p is FULL but carries a txnmarker — staged txn manifests must be " +
@@ -345,7 +363,7 @@ object Versioned {
       Raw(n, header("op"), header("parent").toInt, full = true,
         header.get("stats").map(_.split(',').toSeq).getOrElse(Nil),
         fileLines.map(parseEntry(_, fmt)), Nil, txns, schema, ts, constraints, colMap,
-        bloomCols = bloomCols, blooms = blooms, dvs = dvs)
+        bloomCols = bloomCols, blooms = blooms, dvs = dvs, nulls = nulls)
     else {
       val (prefixed, unprefixed) =
         fileLines.partition(l => l.startsWith("+") || l.startsWith("-"))
@@ -365,7 +383,7 @@ object Versioned {
           prefixed.filter(_.startsWith("+")).map(l => parseEntry(l.drop(1), fmt)),
           prefixed.filter(_.startsWith("-")).map(_.drop(1)),
           txns, schema, ts, constraints, colMap, txnMarker,
-          bloomCols = bloomCols, blooms = blooms, dvs = dvs)
+          bloomCols = bloomCols, blooms = blooms, dvs = dvs, nulls = nulls)
     }
   }
 
@@ -425,7 +443,8 @@ object Versioned {
         raw.statsCols, raw.txns ++ opTxn, raw.schema,
         raw.entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
         raw.ts, raw.constraints, raw.colMap,
-        bloomCols = raw.bloomCols, blooms = raw.blooms, dvs = raw.dvs)
+        bloomCols = raw.bloomCols, blooms = raw.blooms, dvs = raw.dvs,
+        nulls = raw.nulls)
     else {
       val base = prev.getOrElse(throw new IllegalStateException(
         s"delta manifest v${raw.n} has no reconstructable base (missing checkpoint)"))
@@ -444,7 +463,8 @@ object Versioned {
         base.colMap, // deltas never change the mapping (renames commit FULL)
         bloomCols = if (raw.bloomCols.nonEmpty) raw.bloomCols else base.bloomCols,
         blooms = base.blooms.filterNot { case ((f, _), _) => removed(f) } ++ raw.blooms,
-        dvs = foldDvs(base.dvs, removed, raw.dvs))
+        dvs = foldDvs(base.dvs, removed, raw.dvs),
+        nulls = (base.nulls -- removed) ++ raw.nulls)
     }
   }
 
@@ -607,6 +627,8 @@ object Versioned {
         s"bloom=$c:${bloomB64(bits)}:$f" } ++
       v.dvs.toSeq.sortBy(_._1).flatMap { case (f, atts) =>
         atts.map { case (sc, cnt) => s"dv=$cnt|$sc|$f" } } ++
+      v.nulls.toSeq.sortBy(_._1).map { case (f, (rc, ncs)) =>
+        s"nulls=${(rc +: ncs).mkString(",")}|$f" } ++
       v.txns.toSeq.sorted.map(t => s"txn=$t") ++ v.files.map { f =>
       val sz = v.sizes.getOrElse(f, -1L)
       (Seq(f, sz.toString) ++
@@ -638,6 +660,8 @@ object Versioned {
         s"bloom=$c:${bloomB64(bits)}:${e.path}" }) ++
       dvAttach.toSeq.sortBy(_._1).flatMap { case (f, atts) =>
         atts.map { case (sc, cnt) => s"dv=$cnt|$sc|$f" } } ++
+      added.collect { case e if e.rowCount >= 0 =>
+        s"nulls=${(e.rowCount +: e.nullCounts).mkString(",")}|${e.path}" } ++
       removed.map("-" + _) ++ added.map { e =>
       "+" + (Seq(e.path, e.size.toString) ++
         e.ranges.flatMap { case (mn, mx) => Seq(mn.toString, mx.toString) }).mkString("|")
@@ -704,7 +728,10 @@ object Versioned {
       blooms = cur.map(_.blooms).getOrElse(Map.empty)
         .filterNot { case ((f, _), _) => removedSet(f) } ++
         added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }),
-      dvs = foldDvs(cur.map(_.dvs).getOrElse(Map.empty), removedSet, dvAttach))
+      dvs = foldDvs(cur.map(_.dvs).getOrElse(Map.empty), removedSet, dvAttach),
+      nulls = (cur.map(_.nulls).getOrElse(Map.empty) -- removedSet) ++
+        added.collect { case e if e.rowCount >= 0 =>
+          e.path -> (e.rowCount, e.nullCounts) })
     if (n == 1 || n % CheckpointInterval == 0)
       promoteState(root, state, renderFull(state), full = true)
     else
@@ -993,8 +1020,17 @@ object Versioned {
             r.getLong(1 + nStat + nCon + bi * BloomWords + w))
         }
       }.toMap
+    // null-count block sits LAST: rc, then one null count per stats col
+    val nBase = 1 + nStat + nCon + bloomCols.length * BloomWords
+    val nullsByFile: Map[String, (Long, Seq[Long])] = rows.map { r =>
+      relOf(r) -> (r.getLong(nBase),
+        (0 until statsCols.length).map(i => r.getLong(nBase + 1 + i)))
+    }.toMap
     files.map { case (f, sz) =>
-      FileEntry(f, byFile.getOrElse(f, Nil), sz, bloomsByFile.getOrElse(f, Nil))
+      val nl = nullsByFile.get(f)
+      FileEntry(f, byFile.getOrElse(f, Nil), sz, bloomsByFile.getOrElse(f, Nil),
+        rowCount = nl.map(_._1).getOrElse(-1L),
+        nullCounts = nl.map(_._2).getOrElse(Nil))
     }
   }
 
@@ -1041,7 +1077,12 @@ object Versioned {
         expr(s"bit_or($terms)").as(s"bf_${bi}_$w")
       }
     }
-    val aggs = statAggs ++ conAggs ++ bloomAggs
+    // vt31 null-count stats ride the SAME pass, appended LAST so every
+    // earlier consumer's positional indexing is untouched: row count +
+    // per-stats-col null count (count never returns NULL)
+    val nullAggs = count(lit(1)).as("__rc") +:
+      statsCols.map(c => count(when(col(c).isNull, lit(1))).as(s"__nc_$c"))
+    val aggs = statAggs ++ conAggs ++ bloomAggs ++ nullAggs
     df.groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -1161,7 +1202,9 @@ object Versioned {
       entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
       commitTs(Some(cur)), cur.constraints,
       bloomCols = cur.bloomCols,
-      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap)))
+      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap,
+      nulls = entries.collect { case e if e.rowCount >= 0 =>
+        e.path -> (e.rowCount, e.nullCounts) }.toMap)))
   }
 
   /** Single-column convenience overload. */
@@ -1213,7 +1256,9 @@ object Versioned {
       entries.collect { case e if e.size >= 0 => e.path -> e.size }.toMap,
       commitTs(Some(cur)), cur.constraints,
       bloomCols = cur.bloomCols,
-      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap)))
+      blooms = entries.flatMap(e => e.blooms.map { case (c, b) => (e.path, c) -> b }).toMap,
+      nulls = entries.collect { case e if e.rowCount >= 0 =>
+        e.path -> (e.rowCount, e.nullCounts) }.toMap)))
   }
 
   /** The files of version `v` whose recorded ranges overlap EVERY bound in
@@ -1959,7 +2004,8 @@ object Versioned {
       commitTs(Some(cur)), target.constraints,
       target.colMap, // the target's files ARE that mapping's generation
       bloomCols = target.bloomCols, blooms = target.blooms,
-      dvs = target.dvs)) // the target's deletes ARE part of its state
+      dvs = target.dvs, // the target's deletes ARE part of its state
+      nulls = target.nulls))
   }
 
   /** Retention (VT3): delete data files referenced ONLY by versions older
@@ -2046,7 +2092,8 @@ object Versioned {
         // DV sidecars are borrowed exactly like data files: absolute
         // (inherited) paths, protected from the clone's own retention ops
         dvs = src.dvs.map { case (f, atts) =>
-          abs(f) -> atts.map { case (sc, cnt) => (abs(sc), cnt) } }))
+          abs(f) -> atts.map { case (sc, cnt) => (abs(sc), cnt) } },
+        nulls = src.nulls.map { case (f, v) => abs(f) -> v }))
     } else {
       // DEEP clone (Delta's `CLONE` without SHALLOW — the materializing
       // form): every source file is COPIED into one clone-local commit dir
@@ -2089,7 +2136,8 @@ object Versioned {
         bloomCols = src.bloomCols,
         blooms = src.blooms.map { case ((f, c), b) => (mapping(f), c) -> b },
         dvs = src.dvs.map { case (f, atts) =>
-          mapping(f) -> atts.map { case (sc, cnt) => (dvMapping(sc), cnt) } }))
+          mapping(f) -> atts.map { case (sc, cnt) => (dvMapping(sc), cnt) } },
+        nulls = src.nulls.map { case (f, v) => mapping(f) -> v }))
     }
   }
 
@@ -2199,7 +2247,10 @@ object Versioned {
       blooms = cur.map(_.blooms).getOrElse(Map.empty)
         .filterNot { case ((f, _), _) => removed.contains(f) } ++
         added.flatMap(e => e.blooms.map { case (c, bits) => (e.path, c) -> bits }),
-      dvs = cur.map(_.dvs).getOrElse(Map.empty).filterNot { case (f, _) => removedSet(f) })
+      dvs = cur.map(_.dvs).getOrElse(Map.empty).filterNot { case (f, _) => removedSet(f) },
+      nulls = (cur.map(_.nulls).getOrElse(Map.empty) -- removedSet) ++
+        added.collect { case e if e.rowCount >= 0 =>
+          e.path -> (e.rowCount, e.nullCounts) })
     promoteState(root, state,
       renderDelta(op, state.parent, cols, added, removed,
         schema = if (cur.isEmpty) schemaDDL else None,
@@ -3234,7 +3285,11 @@ object Versioned {
         }.filter(_._2.nonEmpty),
         colMap = cur.colMap -- dropCols,
         bloomCols = cur.bloomCols.filterNot(dropCols.contains),
-        blooms = cur.blooms.filterNot { case ((_, c), _) => dropCols.contains(c) })
+        blooms = cur.blooms.filterNot { case ((_, c), _) => dropCols.contains(c) },
+        // per-file null counts are positional against statsCols too
+        nulls = cur.nulls.map { case (f, (rc, ncs)) =>
+          f -> (rc, keepIdx.collect { case i if i < ncs.length => ncs(i) }.toSeq)
+        })
       writeManifest(root, state)
     }
   }
@@ -3415,13 +3470,18 @@ object Versioned {
           .mkString(" "),
         v.bloomCols.count(c => v.blooms.contains((f, c))),
         v.dvs.get(f).map(_.size).getOrElse(0),
-        v.dvs.get(f).map(_.map(_._2).sum).map(Long.box).getOrElse(Long.box(0L)))
+        v.dvs.get(f).map(_.map(_._2).sum).map(Long.box).getOrElse(Long.box(0L)),
+        v.nulls.get(f).map(n => Long.box(n._1)).orNull,
+        v.nulls.get(f).map { case (_, ncs) =>
+          v.statsCols.zip(ncs).map { case (c, n) => s"$c:$n" }.mkString(" ")
+        }.orNull)
     }
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava),
       org.apache.spark.sql.types.StructType.fromDDL(
         "file STRING, size_bytes BIGINT, stats STRING, num_blooms INT, " +
-          "num_dvs INT, dv_deleted_rows BIGINT"))
+          "num_dvs INT, dv_deleted_rows BIGINT, row_count BIGINT, " +
+          "null_counts STRING"))
   }
 
   def table(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {

@@ -712,6 +712,45 @@ object SinkQueries extends QueryModule {
            |""".stripMargin)
     }),
 
+    // VT31: NULL-COUNT file skipping — fmt=6 manifests record per-file
+    // (rowCount, nullCount per stats col) in the same fused commit pass;
+    // IS NULL prunes files with provably no nulls, IS NOT NULL prunes
+    // entirely-null files (Spark auto-generates IsNotNull for strict
+    // filters, so sparse tables skip dead files on ordinary predicates).
+    // Three clustered generations land orders with o_orderkey nulled for
+    // O rows in one commit and intact in the others; both probes carry
+    // planning-subset flags that hash-fail if the pruning degrades.
+    "vt31_null_skipping" -> ((s, dir) => {
+      val root = tmp("graft_vt31") + "/t"
+      val V = graft.merge.Versioned
+      val o = Tables.orders(s, dir)
+      V.appendWithStats(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .coalesce(1), root, "o_orderkey")
+      V.appendWithStats(o.filter(col("o_orderstatus") === "O")
+        .select(lit(null).cast("long").as("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")).coalesce(1), root, "o_orderkey")
+      V.appendWithStats(o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .coalesce(1), root, "o_orderkey")
+      val fmt = classOf[graft.streaming.VersionedStreamSource].getName
+      val t = s.read.format(fmt).option("path", root).load()
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.partitions.length
+        }.sum
+      val total = V.currentVersion(root).get.files.length
+      val isNull = t.filter(col("o_orderkey").isNull)
+      val notNull = t.filter(col("o_orderkey").isNotNull)
+      val flags = planned(isNull) < total && planned(notNull) < total
+      isNull.select(lit("null").as("probe"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .unionAll(notNull.select(lit("notnull").as("probe"), col("o_totalprice"),
+          col("o_orderstatus")))
+        .withColumn("planned_subset", lit(if (flags) 1 else 0))
+    }),
+
     // VT27b: CDC ACROSS MERGE-ON-READ COMMITS — rows deleted by a deletion
     // vector never leave their file, so a file-diff CDC would silently miss
     // them; changes() reads dv-CHANGED files on both sides under each
@@ -1516,6 +1555,14 @@ object SinkQueries extends QueryModule {
         |  AND o_totalprice > 50000""".stripMargin,
     // vt17: window keys present in BOTH versions pair as update_pre (old
     // price) + update_post (key*2); O-window keys are pure inserts
+    // vt31: the null probe = exactly the O rows (their key was nulled),
+    // the not-null probe = F ∪ P; both flags = 1
+    "vt31_null_skipping" ->
+      """SELECT 'null' AS probe, o_totalprice, o_orderstatus, 1 AS planned_subset
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT 'notnull', o_totalprice, o_orderstatus, 1
+        |FROM orders WHERE o_orderstatus IN ('F', 'P')""".stripMargin,
     // vt29: head (v3) = F minus the dv-deleted window plus the SQL-inserted
     // P rows; VERSION AS OF 1 = the full F snapshot
     "vt29_sql_catalog" ->

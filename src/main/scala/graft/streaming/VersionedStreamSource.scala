@@ -281,7 +281,14 @@ private[streaming] class VersionedScanBuilder(root: String, tableSchema: StructT
       // top-level array elements are CONJUNCTS (Spark splits And before
       // translation), so a bare EqualTo here may bloom-prune globally; an
       // EqualTo nested inside an Or must not — and is not collected
-      pushed.collect { case sources.EqualTo(a, v) if v != null => (a, v) }.toSeq)
+      pushed.collect { case sources.EqualTo(a, v) if v != null => (a, v) }.toSeq,
+      // same conjunct rule for the vt31 null-count prunes — note Spark
+      // AUTO-GENERATES IsNotNull for every strictly-filtered column, so
+      // entirely-null files skip on ordinary predicates for free
+      pushed.collect {
+        case sources.IsNull(a) => (a, true)
+        case sources.IsNotNull(a) => (a, false)
+      }.toSeq)
   }
 }
 
@@ -292,7 +299,8 @@ private[streaming] class VersionedScanBuilder(root: String, tableSchema: StructT
 private[streaming] class VersionedBatch(root: String, schema: StructType,
     colMap: Map[String, String], asOf: Option[Int],
     predicate: Option[org.apache.spark.sql.Column],
-    equalities: Seq[(String, Any)] = Nil) extends Batch {
+    equalities: Seq[(String, Any)] = Nil,
+    nullTests: Seq[(String, Boolean)] = Nil) extends Batch {
 
   // resolved ONCE: the scan is a snapshot, immune to commits racing the job
   private lazy val state = asOf.map(Versioned.versionState(root, _))
@@ -308,11 +316,25 @@ private[streaming] class VersionedBatch(root: String, schema: StructType,
     // prunes files whose bits provably lack the probe (cast to the CONTRACT
     // type — the bits the write side hashed); bloom-less files stay
     val contract = state.schema.map(StructType.fromDDL)
-    val candidates = equalities.foldLeft(ranged) { case (files, (c, value)) =>
+    val bloomed = equalities.foldLeft(ranged) { case (files, (c, value)) =>
       contract.flatMap(_.fields.find(_.name == c)) match {
         case Some(f) if state.bloomCols.contains(c) =>
           Versioned.bloomPrune(spark, state, c, lit(value).cast(f.dataType), files)
         case _ => files
+      }
+    }
+    // vt31 null-count pruning: IS NULL skips files with zero nulls in the
+    // column, IS NOT NULL skips files that are ENTIRELY null there (DVs
+    // only shrink a file's rows, so "no nulls"/"all null" stay valid
+    // skip-proofs under any vector). Files without counts read
+    // conservatively; skipping never decides rows — the residual does.
+    val candidates = nullTests.foldLeft(bloomed) { case (files, (c, isNull)) =>
+      val idx = state.statsCols.indexOf(c)
+      if (idx < 0) files
+      else files.filterNot { f =>
+        state.nulls.get(f).exists { case (rc, ncs) =>
+          ncs.lift(idx).exists(nc => if (isNull) nc == 0L else nc == rc)
+        }
       }
     }
     val deleted = Versioned.deletedPositions(spark, root, state, candidates)

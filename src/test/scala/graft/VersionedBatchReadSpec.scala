@@ -91,6 +91,32 @@ class VersionedBatchReadSpec extends SparkSuite {
     assert(qOr.count() === (1L to 2000L).count(_ % 7 == 3))
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL at planning time (vt31)") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    // 3 files: k-dense, k-sparse (half null), k-empty (all null)
+    val dense = (1L to 50L).map(k => (Some(k), "d"))
+    val sparse = (51L to 100L).map(k => (if (k % 2 == 0) Some(k) else None, "s"))
+    val empty = (1L to 50L).map(_ => (None: Option[Long], "e"))
+    Seq(dense, sparse, empty).foreach { part =>
+      Versioned.appendWithStats(part.toDF("k", "src").coalesce(1), root, "k")
+    }
+    val df = spark.read.format(fmt).option("path", root).load()
+    // IS NULL: the dense file provably has none — 2 of 3 planned
+    val qNull = df.filter(col("k").isNull)
+    assert(qNull.count() === 25L + 50L)
+    assert(scanPartitions(qNull) === 2, s"got ${scanPartitions(qNull)}")
+    // IS NOT NULL: the all-null file provably has none — 2 of 3 planned
+    val qNotNull = df.filter(col("k").isNotNull)
+    assert(qNotNull.count() === 50L + 25L)
+    assert(scanPartitions(qNotNull) === 2)
+    // an ordinary strict filter auto-generates IsNotNull: the all-null
+    // file skips even though its RANGE stats are absent (conservative)
+    val qRange = df.filter(col("k") > 0L)
+    assert(qRange.count() === 75L)
+    assert(scanPartitions(qRange) === 2)
+  }
+
   test("column pruning narrows the scan schema") {
     import spark.implicits._
     val root = tmpDir() + "/t"
