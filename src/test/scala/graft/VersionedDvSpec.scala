@@ -307,6 +307,20 @@ class VersionedDvSpec extends SparkSuite {
       .as[Long].head() === 5L)
   }
 
+  test("DV read plan quality: broadcast anti-join, data filter pushed below it into the scan") {
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.deleteWhereDV(spark, root, col("k") % 10 === 0L)
+    val q = Versioned.readWhere(spark, root, col("k") > 90L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"sidecars must broadcast, not shuffle:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("GreaterThan(k,90)"),
+      "the data predicate must reach the parquet scan BELOW the anti-join")
+  }
+
   test("detail() surfaces delete pressure: dv file/row counts rise with deletes, clear on purge") {
     import spark.implicits._
     val root = tmpDir() + "/t"
