@@ -165,6 +165,31 @@ object ColumnBridge {
     walk(predicate.node)
   }
 
+  /** The top-level CONJUNCT null tests of a predicate: (column, isNull).
+    * Only AND-reachable isnull/isnotnull nodes count — a null test inside
+    * an OR (or under NOT) constrains nothing globally and is ignored
+    * (conservative). Feeds the vt31 null-count file skipping.
+    */
+  def nullTests(predicate: Column): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.internal.{ColumnNode,
+      UnresolvedAttribute => NAttr, UnresolvedFunction => NFn}
+    def nameOf(n: ColumnNode): Option[String] = n match {
+      case a: NAttr => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def walk(e: ColumnNode): Seq[(String, Boolean)] = e match {
+      case f: NFn => (f.functionName.toLowerCase(java.util.Locale.ROOT),
+          f.arguments) match {
+        case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+        case ("isnull", Seq(a)) => nameOf(a).map((_, true)).toSeq
+        case ("isnotnull", Seq(a)) => nameOf(a).map((_, false)).toSeq
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    walk(predicate.node)
+  }
+
   /** Per-column [lo, hi] ENVELOPE bounds implied by a predicate Column —
     * the single-range view of [[predicateRanges]] (columns whose envelope
     * is the full long domain are dropped as unconstrained; a proven

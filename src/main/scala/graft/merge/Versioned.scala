@@ -1326,7 +1326,9 @@ object Versioned {
       asOf: Option[Int] = None): DataFrame = {
     val v = asOf.map(stateAt(root, _)).getOrElse(currentVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no committed versions at $root")))
-    val candidates = overlappingFiles(v, validatedBounds(v, predicate))
+    val candidates = nullPrune(v,
+      org.apache.spark.sql.graft.ColumnBridge.nullTests(predicate),
+      overlappingFiles(v, validatedBounds(v, predicate)))
     val base =
       if (candidates.isEmpty) read(spark, root, Some(v.n)).limit(0)
       else readFiles(spark, root, v, candidates)
@@ -1392,7 +1394,9 @@ object Versioned {
       case _ => lit(value)
     }
     val pred = col(column) === litv
-    val ranged = overlappingFiles(v, validatedBounds(v, pred))
+    // an equality probe implies NOT NULL: entirely-null files prune (vt31)
+    val ranged = nullPrune(v, Seq((column, false)),
+      overlappingFiles(v, validatedBounds(v, pred)))
     val candidates =
       if (value == null || dt.isEmpty || !v.bloomCols.contains(column)) ranged
       else bloomPrune(spark, v, column, litv, ranged)
@@ -3048,6 +3052,26 @@ object Versioned {
     */
   private[graft] def candidateFiles(v: Version, predicate: Column): Seq[String] =
     overlappingFiles(v, validatedBounds(v, predicate))
+
+  /** vt31 null-count pruning over `files`: IS NULL skips files with
+    * provably zero nulls in the column, IS NOT NULL skips files that are
+    * ENTIRELY null there. Valid under deletion vectors (a vector only
+    * shrinks a file's rows, so both proofs survive); files without
+    * recorded counts — and columns outside the stats set — read
+    * conservatively. Shared by [[readWhere]]/[[readEquals]] and the DSv2
+    * batch scan.
+    */
+  private[graft] def nullPrune(v: Version, tests: Seq[(String, Boolean)],
+      files: Seq[String]): Seq[String] =
+    tests.foldLeft(files) { case (fs, (c, isNull)) =>
+      val idx = v.statsCols.indexOf(c)
+      if (idx < 0) fs
+      else fs.filterNot { f =>
+        v.nulls.get(f).exists { case (rc, ncs) =>
+          ncs.lift(idx).exists(nc => if (isNull) nc == 0L else nc == rc)
+        }
+      }
+    }
 
   /** Per-file DELETED POSITIONS of version `v`, for `files` (keys are
     * [[dvKeyOf]] tails) — the DSv2 batch reader's driver-side planning

@@ -323,20 +323,8 @@ private[streaming] class VersionedBatch(root: String, schema: StructType,
         case _ => files
       }
     }
-    // vt31 null-count pruning: IS NULL skips files with zero nulls in the
-    // column, IS NOT NULL skips files that are ENTIRELY null there (DVs
-    // only shrink a file's rows, so "no nulls"/"all null" stay valid
-    // skip-proofs under any vector). Files without counts read
-    // conservatively; skipping never decides rows — the residual does.
-    val candidates = nullTests.foldLeft(bloomed) { case (files, (c, isNull)) =>
-      val idx = state.statsCols.indexOf(c)
-      if (idx < 0) files
-      else files.filterNot { f =>
-        state.nulls.get(f).exists { case (rc, ncs) =>
-          ncs.lift(idx).exists(nc => if (isNull) nc == 0L else nc == rc)
-        }
-      }
-    }
+    // vt31 null-count pruning — the shared helper readWhere uses
+    val candidates = Versioned.nullPrune(state, nullTests, bloomed)
     val deleted = Versioned.deletedPositions(spark, root, state, candidates)
     candidates.map { rel =>
       val p = rootP.resolve(rel)

@@ -115,6 +115,15 @@ class VersionedBatchReadSpec extends SparkSuite {
     val qRange = df.filter(col("k") > 0L)
     assert(qRange.count() === 75L)
     assert(scanPartitions(qRange) === 2)
+    // the Column-level path prunes identically (ColumnBridge.nullTests)
+    val hand = Versioned.readWhere(spark, root, col("k").isNull)
+    assert(hand.count() === 75L)
+    assert(hand.inputFiles.length === 2, s"got ${hand.inputFiles.length}")
+    assert(Versioned.readWhere(spark, root,
+      col("k").isNotNull && col("k") > 0L).inputFiles.length === 2)
+    // a null test inside an OR must NOT prune globally
+    assert(Versioned.readWhere(spark, root,
+      col("k").isNull || col("k") === 1L).count() === 76L)
   }
 
   test("column pruning narrows the scan schema") {
