@@ -3108,7 +3108,7 @@ object Versioned {
   private def scanAlivePos(spark: SparkSession, root: String, v: Version,
       files: Seq[String]): DataFrame = {
     val paths = files.map(f => Paths.get(root).resolve(f).toString)
-    val keyExpr = regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1)
+    val keyExpr = substring_index(col("_metadata.file_path"), "/", -2)
     val posExpr = col("_metadata.row_index")
     val withMeta = v.schema match {
       case Some(ddl) =>
@@ -3536,7 +3536,7 @@ object Versioned {
         // so the recorded victims anti-join away — `_metadata` rides any
         // file-source relation, custom index included
         raw.select((logicalCols :+
-          regexp_extract(col("_metadata.file_path"), "([^/]+/[^/]+)$", 1).as(DvKeyCol) :+
+          substring_index(col("_metadata.file_path"), "/", -2).as(DvKeyCol) :+
           col("_metadata.row_index").as(DvPosCol)).toIndexedSeq: _*)
       else if (v.colMap.isEmpty) raw
       else raw.select(logicalCols.toIndexedSeq: _*)
