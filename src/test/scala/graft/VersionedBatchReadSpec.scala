@@ -154,6 +154,22 @@ class VersionedBatchReadSpec extends SparkSuite {
       .option("versionAsOf", "1").load().count() === 100L)
   }
 
+  test("an empty head (full-table delete) serves a typed empty frame, not an error") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root)
+    Versioned.deleteWhere(spark, root, lit(true))
+    val df = spark.read.format(fmt).option("path", root).load()
+    assert(df.schema.fieldNames.toSeq === Seq("k", "price", "tag"))
+    assert(df.count() === 0L)
+    // SQL over the catalog agrees
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.functions.GraftCatalog].getName)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`").as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 1")
+      .as[Long].head() === 100L)
+  }
+
   test("batch read composes with column mapping (post-rename files read logically)") {
     import spark.implicits._
     val root = tmpDir() + "/t"
