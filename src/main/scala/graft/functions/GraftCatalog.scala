@@ -65,8 +65,12 @@ class GraftCatalog extends TableCatalog {
     tableFor(rootOf(ident), None)
 
   /** SQL `VERSION AS OF <v>` — Spark hands the version as a string. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableFor(rootOf(ident), Some(version.trim.toInt))
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val n = version.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"graft VERSION AS OF takes a version NUMBER, got `$version` — " +
+        "for an instant use TIMESTAMP AS OF"))
+    tableFor(rootOf(ident), Some(n))
+  }
 
   /** SQL `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch;
     * the log records millis (vt19).
