@@ -1683,12 +1683,33 @@ object Versioned {
     * expired sidecars age out through [[vacuum]]/[[gcOrphans]] like any
     * de-referenced file.
     */
-  def purgeDeletes(spark: SparkSession, root: String, maxRetries: Int = 0): Version =
+  /** `minDeletedRatio` makes the purge SELECTIVE: only files whose
+    * recorded victim share (dv victim count / fmt-6 row count) is at
+    * least the threshold rewrite — the operator lever for folding ONLY
+    * heavily-deleted files while lightly-touched ones keep paying the
+    * (small) anti-join instead of a full rewrite. A file without a
+    * recorded row count always purges at any threshold (its ratio is
+    * unknowable — the conservative direction HERE is to fold, since
+    * keeping it risks unbounded accumulating vectors). Default 0.0 = purge
+    * everything that carries a vector (Delta's REORG … APPLY (PURGE)).
+    */
+  def purgeDeletes(spark: SparkSession, root: String, maxRetries: Int = 0,
+      minDeletedRatio: Double = 0.0): Version =
     cowRetry(maxRetries) {
+      require(minDeletedRatio >= 0.0 && minDeletedRatio <= 1.0,
+        s"minDeletedRatio must be in [0, 1], got $minDeletedRatio")
       val cur = currentVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no committed versions at $root"))
       requireNoPendingTxn(Some(cur), root)
-      val dvd = cur.files.filter(f => cur.dvs.get(f).exists(_.nonEmpty))
+      val dvd = cur.files.filter { f =>
+        cur.dvs.get(f).exists(_.nonEmpty) && {
+          val victims = cur.dvs(f).map(_._2).sum
+          cur.nulls.get(f) match {
+            case Some((rc, _)) if rc > 0 => victims.toDouble / rc >= minDeletedRatio
+            case _ => true // no recorded row count: fold (see scaladoc)
+          }
+        }
+      }
       if (dvd.isEmpty) cur // nothing to purge
       else {
         val alive = readFiles(spark, root, cur, dvd)

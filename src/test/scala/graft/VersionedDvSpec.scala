@@ -159,6 +159,27 @@ class VersionedDvSpec extends SparkSuite {
     assert(Versioned.purgeDeletes(spark, root).n === v3.n)
   }
 
+  test("selective purge: only files above the victim-ratio threshold rewrite") {
+    import spark.implicits._
+    val root = tmpDir() + "/t"
+    mk(root) // 4 range-clustered files of 25 rows each
+    // heavy pressure on the first quartile (10/25 deleted), light on the
+    // last (1/25)
+    Versioned.deleteWhereDV(spark, root, col("k") <= 10L)
+    Versioned.deleteWhereDV(spark, root, col("k") === 100L)
+    val pre = Versioned.currentVersion(root).get
+    assert(pre.dvs.keySet.size === 2)
+    val v = Versioned.purgeDeletes(spark, root, minDeletedRatio = 0.2)
+    // the heavy file folded; the light one keeps its (cheap) vector
+    assert(v.dvs.keySet.size === 1, s"light file keeps its vector: ${v.dvs.keySet}")
+    assert(v.dvs.valuesIterator.flatten.map(_._2).sum === 1L)
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().sorted
+      === (11L to 99L).toArray)
+    // threshold 0 folds the rest (the default REORG semantics)
+    assert(Versioned.purgeDeletes(spark, root).dvs.isEmpty)
+    assert(Versioned.read(spark, root).count() === 89L)
+  }
+
   test("skipping reads stay correct over dv'd files: readWhere / readEquals apply the vectors") {
     import spark.implicits._
     val root = tmpDir() + "/t"
