@@ -1644,18 +1644,34 @@ object Versioned {
     * rewrite file) is removed and nothing commits. Victim counts per file
     * ride the manifest (`dv=<count>|…`) so history and compaction policy
     * can see delete pressure without opening a sidecar.
+    *
+    * Sidecar format (round 19): ONE row per file — `(file, cnt, bits)`
+    * with the sorted victim positions RLE+varint-compressed into `bits`
+    * ([[graft.functions.RlePositions]], ~1-2 bytes/victim sparse, ~4
+    * bytes/run dense, vs 8 bytes/victim as raw long rows). The
+    * aggregation and encoding run INSIDE the commit job (a native
+    * expression over `sort_array(collect_list)`), so no victim position
+    * ever reaches the driver. Pre-round-19 sidecars — one `(file, pos)`
+    * row per victim — read through the same [[sidecarPositions]] fallback.
     */
   private def commitDvAttach(spark: SparkSession, root: String, cur: Version,
       op: String, positions: DataFrame, affected: Seq[String],
       addedFiles: Seq[FileEntry], addedDDL: Option[String]): Version = {
     val n = cur.n + 1
+    import org.apache.spark.sql.graft.ColumnBridge
+    val packed = positions.groupBy(col("file")).agg(
+      count(lit(1)).as("cnt"),
+      ColumnBridge.column(graft.functions.RleEncodePositions(
+        ColumnBridge.expression(sort_array(collect_list(col("pos")))))).as("bits"))
     // one sidecar file per commit: victim sets are blast-radius-sized by
     // design (wide deletes belong to the copy-on-write form), so a single
     // coalesced write is the right shape — and one manifest line per file
-    val (scFiles, marker) = writeData(positions.coalesce(1), root, n, Map.empty)
+    val (scFiles, marker) = writeData(packed.coalesce(1), root, n, Map.empty)
+    // counts ride one (file, cnt) row per file now — the read-back is
+    // O(affected files), never O(victims)
     val counts: Map[String, Long] =
       spark.read.parquet(scFiles.map(f => Paths.get(root).resolve(f._1).toString): _*)
-        .groupBy("file").count().collect()
+        .select(col("file"), col("cnt")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (counts.isEmpty) {
       // no victims ⟹ no matched rows ⟹ any landed rewrite file is empty:
@@ -3094,24 +3110,40 @@ object Versioned {
       }
     }
 
-  /** Per-file DELETED POSITIONS of version `v`, for `files` (keys are
-    * [[dvKeyOf]] tails) — the DSv2 batch reader's driver-side planning
-    * input: each partition ships its file's victim set so executors drop
-    * positions with a sorted-merge instead of a join. Blast-radius-sized
-    * by construction (sidecars hold O(deleted rows)).
+  /** Sidecar loads performed since JVM start (each = one sidecar parquet
+    * opened and its positions materialized, EXECUTOR-side on the DSv2
+    * path) — spec instrumentation proving the driver never materializes
+    * victim positions during planning: a plan-only operation must leave
+    * this counter untouched, execution moves it. Shared-JVM local mode
+    * makes the executor increments visible to specs.
     */
-  private[graft] def deletedPositions(spark: SparkSession, root: String, v: Version,
-      files: Seq[String]): Map[String, Array[Long]] = {
-    val dvd = files.filter(f => v.dvs.get(f).exists(_.nonEmpty))
-    if (dvd.isEmpty) return Map.empty
-    val sidecars = dvd.flatMap(f => v.dvs(f).map(_._1)).distinct
-      .map(p => Paths.get(root).resolve(p).toString)
-    val keys = dvd.map(dvKeyOf).toSet
-    spark.read.parquet(sidecars: _*)
-      .where(col("file").isInCollection(keys))
-      .select(col("file"), col("pos")).collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted.distinct }
+  private[graft] val dvSidecarLoads = new AtomicLong(0L)
+
+  /** The merged read schema every sidecar generation satisfies: fmt-19
+    * sidecars carry `(file, cnt, bits)` (positions RLE-compressed into one
+    * row per file), pre-round-19 sidecars carry `(file, pos)` rows. An
+    * explicit merged schema makes parquet serve the absent columns as
+    * NULL, so one scan — and one NULL test — handles both generations.
+    */
+  private[graft] val SidecarSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "file STRING, pos BIGINT, cnt BIGINT, bits BINARY")
+
+  /** Sidecar rows as `(file key, pos)` whatever the sidecar generation —
+    * compressed blobs decode behind an `explode` (executor-side, a native
+    * expression), legacy rows pass through. Feeds the library read's
+    * broadcast anti-join; the DSv2 partition reader decodes its own file's
+    * blob directly instead ([[graft.streaming.VersionedReaderFactory]]).
+    */
+  private[graft] def sidecarPositions(spark: SparkSession, root: String,
+      sidecars: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val paths = sidecars.map(p => Paths.get(root).resolve(p).toString)
+    spark.read.schema(SidecarSchema).parquet(paths: _*)
+      .select(col("file"),
+        explode(when(col("bits").isNotNull, ColumnBridge.column(
+          graft.functions.RleDecodePositions(ColumnBridge.expression(col("bits")))))
+          .otherwise(array(col("pos")))).as("pos"))
   }
 
   private[graft] def dvKeyOf(f: String): String = {
@@ -3156,12 +3188,11 @@ object Versioned {
     val sidecars = files.flatMap(f => v.dvs.getOrElse(f, Nil).map(_._1)).distinct
     if (sidecars.isEmpty) scanned
     else {
-      val dvPaths = sidecars.map(p => Paths.get(root).resolve(p).toString)
       val keys = files.map(dvKeyOf)
       // restrict to the scanned files' keys: a shared sidecar may carry
       // positions for files outside this scan (harmless to the anti-join,
       // but the filter keeps the broadcast exactly blast-radius-sized)
-      val dv = spark.read.parquet(dvPaths: _*)
+      val dv = sidecarPositions(spark, root, sidecars)
         .where(col("file").isInCollection(keys))
         .select(col("file").as("__dvf"), col("pos").as("__dvp"))
       scanned.join(dv,

@@ -167,6 +167,14 @@ private[graft] class VersionedStreamTable(root: String, tableSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     colMap: Map[String, String] = Map.empty,
     asOf: Option[Int] = None) extends Table with SupportsRead with SupportsWrite {
+  /** The table's root path — the SQL DML rewrite rules address the log by
+    * it (vt32: `DELETE FROM`/`UPDATE`/`MERGE INTO graft.`/path``).
+    */
+  private[graft] def rootPath: String = root
+  /** True when this table was loaded `VERSION/TIMESTAMP AS OF` — DML on a
+    * pinned old snapshot must refuse (only the head is writable).
+    */
+  private[graft] def pinnedAsOf: Option[Int] = asOf
   override def name(): String = s"graft-versioned:$root"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -325,12 +333,19 @@ private[streaming] class VersionedBatch(root: String, schema: StructType,
     }
     // vt31 null-count pruning — the shared helper readWhere uses
     val candidates = Versioned.nullPrune(state, nullTests, bloomed)
-    val deleted = Versioned.deletedPositions(spark, root, state, candidates)
+    // vt27/vt32: deletion vectors plan as pure MANIFEST METADATA — each
+    // partition carries its file's sidecar PATHS and the partition reader
+    // loads+merges its own positions executor-side. The driver never opens
+    // a sidecar, never materializes a victim position, and the planning
+    // payload is O(sidecar paths) however many deletes accumulated
+    // (Delta's compressed-DV-read-executor-side stance).
     candidates.map { rel =>
       val p = rootP.resolve(rel)
       VersionedFilePartition(p.toString,
         state.sizes.get(rel).filter(_ >= 0).getOrElse(Files.size(p)),
-        deleted.getOrElse(Versioned.dvKeyOf(rel), Array.empty)): InputPartition
+        Versioned.dvKeyOf(rel),
+        state.dvs.getOrElse(rel, Nil).map(sc => rootP.resolve(sc._1).toString).toArray
+      ): InputPartition
     }.toArray
   }
 
@@ -502,49 +517,94 @@ private[streaming] object VersionedMicroBatchStream {
   def readerFactory(spark: SparkSession, schema: StructType,
       colMap: Map[String, String]): PartitionReaderFactory = {
     val fileSchema = Versioned.physicalStruct(schema, colMap)
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark,
-      dataSchema = fileSchema,
-      partitionSchema = new StructType(),
-      requiredSchema = fileSchema,
-      filters = Seq.empty,
-      // rows, not ColumnarBatches: PartitionReader[InternalRow] is the
-      // row-level contract (the batch-masked-as-row hack would leak here)
-      options = Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      hadoopConf = spark.sparkContext.hadoopConfiguration)
-    new VersionedReaderFactory(readFunc)
+    def reader(s: StructType): PartitionedFile => Iterator[InternalRow] =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark,
+        dataSchema = s,
+        partitionSchema = new StructType(),
+        requiredSchema = s,
+        filters = Seq.empty,
+        // rows, not ColumnarBatches: PartitionReader[InternalRow] is the
+        // row-level contract (the batch-masked-as-row hack would leak here)
+        options = Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        // a FRESH conf per reader: the builder SETS its requested-schema
+        // keys on the conf it's given, and local mode's broadcast serves
+        // the live object — two readers sharing one conf would poison
+        // each other's schemas
+        hadoopConf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration))
+    // the sidecar reader is the SAME parquet machinery over the merged
+    // sidecar schema (legacy (file,pos) rows and compressed (file,cnt,bits)
+    // rows both satisfy it — absent columns read NULL), shipped alongside
+    // the data reader so DV application is entirely executor-side
+    new VersionedReaderFactory(reader(fileSchema), reader(Versioned.SidecarSchema))
   }
 }
 
-/** `deleted` (vt27) is the file's deletion-vector victim positions, sorted
-  * ascending — empty for clean files and on every streaming partition (a
-  * DV attach is a CHANGE commit the stream refuses by default; under
+/** `dvSidecars` (vt27/vt32) are the ABSOLUTE paths of the deletion-vector
+  * sidecars attached to this file, `dvKey` its [[Versioned.dvKeyOf]] join
+  * key — pure metadata, O(attachments) bytes however many rows are
+  * deleted. The reader loads and merges its own file's positions
+  * executor-side; empty for clean files and on every streaming partition
+  * (a DV attach is a CHANGE commit the stream refuses by default; under
   * ignoreChanges the stream's contract is re-streamed/stale rows anyway).
   */
 private[streaming] case class VersionedFilePartition(path: String, length: Long,
-    deleted: Array[Long] = Array.empty)
+    dvKey: String = "", dvSidecars: Array[String] = Array.empty)
     extends InputPartition
 
 private[streaming] class VersionedReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    sidecarReadFunc: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val vp = partition.asInstanceOf[VersionedFilePartition]
-    val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(vp.path),
-      0L, vp.length, Array.empty[String], 0L, vp.length)
-    // the parquet reader returns ColumnarBatch objects masked as
-    // InternalRow when vectorization kicks in — unwrap either shape
-    val base: Iterator[InternalRow] = readFunc(pf).asInstanceOf[Iterator[Any]].flatMap {
+  /** Unwrap the parquet reader's output: ColumnarBatch objects masked as
+    * InternalRow when vectorization kicks in — either shape to rows.
+    */
+  private def rows(f: PartitionedFile => Iterator[InternalRow],
+      path: String, length: Long): Iterator[InternalRow] = {
+    val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path),
+      0L, length, Array.empty[String], 0L, length)
+    f(pf).asInstanceOf[Iterator[Any]].flatMap {
       case b: ColumnarBatch => b.rowIterator().asScala
       case r: InternalRow => Iterator.single(r)
     }
+  }
+
+  /** This file's victim positions, loaded + merged from its sidecars HERE
+    * (executor-side): compressed sidecars decode their one matching row's
+    * blob; legacy sidecars collect their matching (file, pos) rows. Rows
+    * for OTHER files sharing the sidecar are skipped by key. Sorted
+    * distinct ascending for the two-pointer merge.
+    */
+  private def victimPositions(vp: VersionedFilePartition): Array[Long] = {
+    val key = org.apache.spark.unsafe.types.UTF8String.fromString(vp.dvKey)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    vp.dvSidecars.foreach { sc =>
+      Versioned.dvSidecarLoads.incrementAndGet()
+      // SidecarSchema order: file(0), pos(1), cnt(2), bits(3)
+      rows(sidecarReadFunc, sc, Files.size(Paths.get(sc))).foreach { r =>
+        if (!r.isNullAt(0) && r.getUTF8String(0) == key) {
+          if (!r.isNullAt(3))
+            acc ++= graft.functions.RlePositions.decodeLongs(r.getBinary(3))
+          else if (!r.isNullAt(1)) acc += r.getLong(1)
+        }
+      }
+    }
+    acc.toArray.sorted.distinct
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val vp = partition.asInstanceOf[VersionedFilePartition]
+    val base: Iterator[InternalRow] = rows(readFunc, vp.path, vp.length)
+    val deleted: Array[Long] =
+      if (vp.dvSidecars.isEmpty) Array.emptyLongArray else victimPositions(vp)
     // no filters were pushed into parquet, so rows arrive in FILE ORDER and
     // the running index IS the parquet row position — victims drop with a
     // two-pointer merge against the sorted vector, O(1) per row, no hashing
     val it: Iterator[InternalRow] =
-      if (vp.deleted.isEmpty) base
+      if (deleted.isEmpty) base
       else new Iterator[InternalRow] {
         private var pos = -1L
         private var di = 0
@@ -553,8 +613,8 @@ private[streaming] class VersionedReaderFactory(
         private def advance(): Unit =
           while (!ready && base.hasNext) {
             val r = base.next(); pos += 1
-            while (di < vp.deleted.length && vp.deleted(di) < pos) di += 1
-            if (di >= vp.deleted.length || vp.deleted(di) != pos) {
+            while (di < deleted.length && deleted(di) < pos) di += 1
+            if (di >= deleted.length || deleted(di) != pos) {
               nxt = r; ready = true
             }
           }

@@ -11,7 +11,42 @@ object DvProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    // ---- DSv2 planning cost vs accumulated victim count (round 19):
+    // partitions carry sidecar PATHS, so planning must stay FLAT as the
+    // victim count grows 100x — the driver never materializes a position.
+    {
+      def planSec(root: String): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          val df = spark.read
+            .format(classOf[graft.streaming.VersionedStreamSource].getName)
+            .option("path", root).load()
+          val n = df.queryExecution.toRdd.partitions.length
+          require(n > 0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        once(); (1 to 5).map(_ => once()).sorted.apply(2)
+      }
+      def mk(victims: Long): String = {
+        val root = java.nio.file.Files.createTempDirectory("dvplan").toString + "/t"
+        graft.merge.Versioned.appendWithStats(
+          spark.range(1, 1000001).select(col("id").as("k"), (col("id") * 2).as("v"))
+            .repartitionByRange(16, col("k")), root, "k")
+        graft.merge.Versioned.deleteWhereDV(spark, root, col("k") <= victims)
+        root
+      }
+      val small = planSec(mk(1000L))
+      val large = planSec(mk(100000L))
+      println(f"[dvprof] plan_1k_victims ${small}%.4f s  plan_100k_victims ${large}%.4f s  " +
+        f"ratio ${large / small}%.2f (flat = executor-side DV application)")
+    }
+
     val dir = "/tmp/graft_scale_30x"
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
+      println(s"[dvprof] $dir absent; skipping read-tax section")
+      spark.stop(); return
+    }
     val o = spark.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"))
     val root = java.nio.file.Files.createTempDirectory("dvprof").toString + "/t"
