@@ -52,7 +52,11 @@ object Ann {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    // spread the probe side: with the query side broadcast, the whole
+    // cosine compute runs at the corpus scan's partitioning — one task on
+    // a single-row-group parquet file (stats-gated; no-op at real scale)
+    val c = graft.ops.Scan.spreadIfStarved(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -107,8 +111,14 @@ object Ann {
     */
   def lshTopK(emb: DataFrame, k: Int, planes: Int = 8, probes: Int = 0,
       portableHash: Boolean = false): DataFrame = {
-    val withBucket = emb.select(col("vec_id"), col("embedding"),
-      planeProjections(col("embedding"), planes, portableHash).as("projs"))
+    // spread before the projections: the per-plane hashing is the row's
+    // dominant CPU (portable mode pays planes x dims md5 calls) and the
+    // bucket join's small side broadcasts, so without the spread the whole
+    // thing runs at the scan's single-row-group partitioning
+    val withBucket = graft.ops.Scan.spreadIfStarved(
+      emb.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding"),
+        planeProjections(col("embedding"), planes, portableHash).as("projs"))
       .withColumn("bucket", bucketOf(col("projs"), planes))
     // plane indices ordered by |projection| ascending (struct sort: margin
     // first, index tiebreak), turned into single-bit flip masks
@@ -137,8 +147,11 @@ object Ann {
     * cluster label): exact search within the probe block only.
     */
   def ivfTopK(emb: DataFrame, blockCol: String, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      col(blockCol).as("block"))
+    // spread the query side — the block join's other side broadcasts and
+    // the cosine stage otherwise inherits a 1-task scan (stats-gated)
+    val a = graft.ops.Scan.spreadIfStarved(
+      emb.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col(blockCol).as("block")))
     val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       col(blockCol).as("block"))
     val scored = a.join(b, Seq("block"))

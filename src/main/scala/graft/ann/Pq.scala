@@ -571,8 +571,15 @@ object Pq {
     // query_id mod fanout, neighbors are replicated once per salt, the join
     // keys on (block, salt) — fanout× parallelism, every (q, n) pair formed
     // exactly once, result set unchanged.
-    val q = emb.select(col("vec_id").as("query_id"), col(blockCol).as("block"),
-      quantize(col("embedding")).as("__qe"))
+    // The salt only buys parallelism if the pair-forming stage has tasks to
+    // spread over: when AQE broadcasts the (tiny, fanout-replicated)
+    // neighbor side, the join inherits the QUERY side's partitioning — a
+    // single-row-group parquet scan = ONE task computing every block's
+    // d2 matrix serially (r19 profile: 7.5 s of the row's 9 s in that one
+    // task, 31 cores idle). spreadIfStarved widens exactly that case and
+    // is a no-op at real scale, where the scan splits on its own.
+    val q = spreadIfStarved(emb.select(col("vec_id").as("query_id"),
+      col(blockCol).as("block"), quantize(col("embedding")).as("__qe")))
       .withColumn("__salt", pmod(col("query_id"), lit(fanout.toLong)))
     val n = emb.select(col("vec_id").as("neighbor_id"), col(blockCol).as("block"),
       quantize(col("embedding")).as("__ne"))

@@ -117,7 +117,10 @@ object Sq {
           .withColumn("block", col("block").cast("string"))
       }
     }
-    val codes = encode(emb, idCol, embCol, blockCol)
+    // spread before encode: the affine coding + integer code-space L2 all
+    // run at the scan's partitioning once the block join's small side
+    // broadcasts (stats-gated; no-op at real scale)
+    val codes = encode(graft.ops.Scan.spreadIfStarved(emb), idCol, embCol, blockCol)
     val a = codes.select(col("vec_id").as("query_id"), col("block"), col("code").as("qc"))
     val b = codes.select(col("vec_id").as("neighbor_id"), col("block"), col("code").as("cc"))
     val scored = a.join(b, Seq("block"))

@@ -539,9 +539,14 @@ object Dedup {
       .join(bandedB.select(col("doc").as("id_base"), col("band"), col("band_hash"), col("sub")),
         Seq("band", "band_hash", "sub"))
       .select(col("id_inc"), col("id_base")).distinct()
-    // verify on full signatures (merge hints: see minhashLsh — a broadcast
-    // subtree would recompute the signature stage per join)
-    val si = sigI.select(col("doc").as("id_inc"), col("sig").as("sig_i")).hint("merge")
+    // verify on full signatures. The INCREMENT side is batch-bounded at any
+    // scale and its signature frame is pinned (the broadcast build reads
+    // cached blocks, never recomputes the signature stage) — broadcasting
+    // it removes one exchange+sort of the candidate pairs per serve (r19).
+    // The BASE side stays merge-hinted: it is index-sized, and on the
+    // from-index path unpinned — a broadcast subtree there would both blow
+    // the build cap at scale and re-read the index per join.
+    val si = sigI.select(col("doc").as("id_inc"), col("sig").as("sig_i")).hint("broadcast")
     val sb = sigB.select(col("doc").as("id_base"), col("sig").as("sig_b")).hint("merge")
     val verified = pairs.join(si, Seq("id_inc")).join(sb, Seq("id_base"))
       .select(col("id_inc"), col("id_base"),
@@ -577,15 +582,33 @@ object Dedup {
     * note.
     */
   def incrementalDupGroups(groups: DataFrame, newPairs: DataFrame): DataFrame = {
-    val verts = newPairs.select(col("id_a").as("doc_id"))
-      .unionByName(newPairs.select(col("id_b").as("doc_id"))).distinct()
+    // Materialize the batch's edge list ONCE before the fan-out. It feeds
+    // the vertex set, dupGroups' edge union AND (through verts → touched)
+    // the build sides of the semi/anti joins below — each of which AQE
+    // broadcast-builds in a SEPARATE job that would re-execute the whole
+    // LSH candidate+verify pipeline behind `newPairs` (r19 profile of the
+    // dd15b serve: the banding/verify subtree ran 13×, one per broadcast
+    // build; ~160 stages of pure fixed latency, 17 s wall → 6.5 s with the
+    // fold materialized once — a lazy block-level pin was tried and left
+    // 1.7 s of concurrent-recompute races + cache serialization on the
+    // table). The frame is batch-edge-sized at any scale — exactly what
+    // the eager checkpoint of `batch` upstream already assumes. PlanSpec's
+    // artifact-only serve audit reads the edge legs' plan BEFORE this
+    // truncation point plus the returned plan after it (the checkpoint
+    // hides upstream scans from the final plan, not from the audit).
+    val np = newPairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val verts = np.select(col("id_a").as("doc_id"))
+      .unionByName(np.select(col("id_b").as("doc_id"))).distinct()
+    // touched has two broadcast-build consumers (members' semi, the final
+    // anti); checkpointing it costs one tiny job and stops both from
+    // re-running the groups⋈verts semi — it is group-id-sized (bounded by
+    // the batch's blast radius, never the corpus).
     val touched = groups.join(verts, Seq("doc_id"), "left_semi")
-      .select(col("group_id")).distinct()
+      .select(col("group_id")).distinct().localCheckpoint(true)
     val members = groups.join(touched, Seq("group_id"), "left_semi")
     val starEdges = members.filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id").as("id_a"), col("group_id").as("id_b"))
-    val sub = dupGroups(
-      newPairs.select(col("id_a"), col("id_b")).unionByName(starEdges))
+    val sub = dupGroups(np.unionByName(starEdges))
     groups.join(touched, Seq("group_id"), "left_anti")
       .select(col("doc_id"), col("group_id"))
       .unionByName(sub)
@@ -604,13 +627,18 @@ object Dedup {
       // explode, no 64-column vote aggregate, no shuffle. Bit-identity with
       // the explode/agg formulation asserted in DedupAnnSpec.
       import org.apache.spark.sql.graft.ColumnBridge
-      return df.select(col(idCol).as("doc"),
+      return spreadIfStarved(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("doc"),
         ColumnBridge.column(graft.functions.SimHashSignature(
           ColumnBridge.expression(TextOps.tokens(lower(col(textCol)))))).as("sig"))
     }
     val bits = 60
     val hashCol = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-    val exploded = df
+    // spread before the tokenize+hash explode (minhashSignatures' policy:
+    // the per-row hashing is the dominant CPU and must not run at a
+    // single-row-group scan's one-task partitioning; stats-gated no-op at
+    // real scale)
+    val exploded = spreadIfStarved(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc"), explode(TextOps.tokens(lower(col(textCol)))).as("tok"))
       .select(col("doc"), hashCol.as("h"))
     val votes = (0 until bits).map(j =>
@@ -666,7 +694,13 @@ object Dedup {
     // when the candidate id set is small, i.e. a map-side filter.
     val wanted = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
-    val grams = docs.join(wanted, Seq(idCol), "left_semi")
+    // spread the text side before the (compute-dense) shingle projection:
+    // with `wanted` broadcast, the semi join inherits the docs scan's
+    // partitioning — over a single-row-group parquet file the whole
+    // tokenize+shingle pass runs as one task (stats-gated; no-op at real
+    // scale)
+    val grams = graft.ops.Scan.spreadIfStarved(docs.select(col(idCol), col(textCol)))
+      .join(wanted, Seq(idCol), "left_semi")
       .select(col(idCol).as("doc"),
         array_distinct(shingles(col(textCol), k)).as("grams"))
     pairs
@@ -693,16 +727,36 @@ object Dedup {
     * Returns (doc_id, group_id) with group_id = smallest reachable doc id.
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Symmetrize with ONE explode pass, not a self-union: the union form
+    // referenced the `pairs` subtree twice, and the candidate+verify
+    // pipeline behind it executed once per branch (r19 tx20b profile: the
+    // banding/verify stages ran 2× per leg under this checkpoint's job —
+    // ReusedExchange does not fire across differently-projected union
+    // arms). Same rows, same distinct, half the pair-pipeline executions.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
+      // Checkpoint PARTITIONED BY src (LogicalRDD preserves the physical
+      // partitioning): every round's edges⋈labels join clusters on src, so
+      // the static edge set — the loop's biggest frame at scale — shuffles
+      // once here instead of once per round.
+      .repartition(col("src"))
       .localCheckpoint(true)
     // LAZY checkpoint: the Σlabel convergence probe below is the action that
     // materializes it, so each round costs ONE job, not two (an eager
     // checkpoint + separate probe doubled the per-round fixed latency that
     // dominates this iterative operator — the data itself is tiny per round).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // Seed labels with the FIRST neighbor-propagation round closed-form:
+    // labels₀(v) = min(v, min of v's neighbors) is one groupBy over the
+    // symmetric edge set — no join, no separate vertex-distinct pass — and
+    // equals exactly what the old identity seed's first loop round
+    // computed (sans doubling). Shallow graphs (near-dup cliques) now
+    // converge one full round earlier; the fixpoint is unchanged.
+    var labels = edges.groupBy(col("dst").as("id"))
+      .agg(min(col("src")).as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("label"))
       .localCheckpoint(false)
     // labels only ever decrease, so Σlabel is a strictly decreasing potential
     // until the fixpoint — an unchanged sum IS convergence, probed with one
@@ -797,7 +851,12 @@ object Dedup {
       // never reaches an exchange
       transform(windows, w => xxhash64(w))
     } else windows
-    val shingled = docs
+    // spread before the tokenize+window explode — it is the pipeline's
+    // dominant CPU, it runs at the scan's partitioning (one task over a
+    // single-row-group file), and it has two consumers (the dup groupBy
+    // and the position-mark join) so a serial run costs double
+    val shingled = graft.ops.Scan.spreadIfStarved(
+        docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), posexplode(keyed).as(Seq("pos", "shingle")))
     val dup = shingled.groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("__nd"))

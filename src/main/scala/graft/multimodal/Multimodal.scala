@@ -57,7 +57,12 @@ object Multimodal {
     */
   def imageTable(spark: SparkSession, docs: DataFrame): Dataset[ImageRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // The synthesis + every chained decode stage runs at THIS projection's
+    // partitioning (opaque typed maps fuse into one stage); a single-row-
+    // group parquet scan would serialize all of it onto 1-2 tasks (r19
+    // profile of mm6: the whole codec stage on 2 cores). Stats-gated: a
+    // no-op at real scale.
+    graft.ops.Scan.spreadIfStarved(docs.select(col("doc_id"))).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val w = 8 + (id % 16).toInt
         val h = 8 + (id % 12).toInt
@@ -292,7 +297,8 @@ object Multimodal {
 
   def audioTable(spark: SparkSession, docs: DataFrame): Dataset[AudioRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // spread before the opaque synthesis+decode chain — see imageTable
+    graft.ops.Scan.spreadIfStarved(docs.select(col("doc_id"))).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val bytes = wavBytes(id)
         AudioRecord(id, bytes, bytes.length.toLong)
@@ -373,7 +379,8 @@ object Multimodal {
 
   def videoTable(spark: SparkSession, docs: DataFrame): Dataset[VideoRecord] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // spread before the opaque synthesis+decode chain — see imageTable
+    graft.ops.Scan.spreadIfStarved(docs.select(col("doc_id"))).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val bytes = videoBytes(id)
         VideoRecord(id, bytes, bytes.length.toLong)

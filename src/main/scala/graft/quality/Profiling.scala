@@ -30,15 +30,30 @@ object Profiling {
     require(cols.nonEmpty, "profile needs at least one column")
     val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     cols.foreach(c => require(dtypes.contains(c), s"no such column: $c"))
-    val aggs = cols.flatMap { c =>
+    // The plain (hash-friendly buffers aside — see below) and the
+    // exact-distinct aggregates are computed in SEPARATE passes and
+    // cross-joined (1 row × 1 row). Fused, the multi-column COUNT(DISTINCT)
+    // expands every row (cols+1)-way AND drags the string-typed min/max
+    // buffers with it — string agg buffers are immutable, so the whole
+    // expanded partial stage falls back to SORT-based aggregation (r19
+    // sampled profile of dq7: UnsafeExternalRowSorter + SortAggregateExec
+    // dominating ~70 s of CPU at sf0.1). Split, the expanded pass carries
+    // only long count buffers (pure codegen hash aggregation) and the
+    // string buffers ride the unexpanded single-group pass.
+    val plainAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_nn"),
-        countDistinct(col(c)).as(s"${c}_nd"),
         approx_count_distinct(col(c)).as(s"${c}_ad"),
         min(col(c)).cast("string").as(s"${c}_mn"),
         max(col(c)).cast("string").as(s"${c}_mx"))
     }
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    df.agg(allAggs.head, allAggs.tail: _*)
+    val distinctAggs = cols.map(c => countDistinct(col(c)).as(s"${c}_nd"))
+    // The stats-gated spread parallelizes the expansion over a
+    // single-row-group parquet scan (1 task, unsplittable — the whole
+    // expansion ran serially before it); a no-op at real scale, where the
+    // scan splits on its own.
+    val spread = graft.ops.Scan.spreadIfStarved(df)
+    spread.agg(plainAggs.head, plainAggs.tail: _*)
+      .crossJoin(spread.agg(distinctAggs.head, distinctAggs.tail: _*))
       .select(col("n_rows"), explode(array(cols.map { c =>
         struct(lit(c).as("col_name"), lit(dtypes(c)).as("dtype"),
           (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),

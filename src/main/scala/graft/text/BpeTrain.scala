@@ -49,7 +49,14 @@ object BpeTrain {
     var state = words
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("s"), col("cnt"))
       .persist()
-    state.count() // materialize once; each iteration builds on a persisted frame
+    // No eager materialization: each iteration's argmax job below is the
+    // first consumer of the freshly-persisted state and fills its cache as
+    // a side effect — an explicit count() per iteration doubled the job
+    // count of the whole training loop (r19; the loop is fixed-latency
+    // bound, the vocabulary frame itself is small). The PREVIOUS state is
+    // unpersisted only after the argmax has materialized its successor, so
+    // no lineage ever recomputes past one hop.
+    var prev: DataFrame = null
     val learned = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var i = 0
     var exhausted = false
@@ -65,6 +72,9 @@ object BpeTrain {
         .filter(col("total") >= 2) // a pair seen once compresses nothing
         .orderBy(col("total").desc, col("p1"), col("p2"))
         .limit(1).collect()
+      // the argmax job just materialized `state`'s cache — the state BEHIND
+      // it can no longer be recomputed-from and is safe to release
+      if (prev != null) { prev.unpersist(); prev = null }
       top.headOption match {
         case None => exhausted = true
         case Some(Row(p1: String, p2: String, total: Long)) =>
@@ -73,13 +83,13 @@ object BpeTrain {
             .select(replace(col("s"), lit(s"<$p1><$p2>"), lit(s"<${p1 + p2}>")).as("s"),
               col("cnt"))
             .persist()
-          next.count()
-          state.unpersist()
+          prev = state
           state = next
           i += 1
         case Some(other) => throw new IllegalStateException(s"unexpected row $other")
       }
     }
+    if (prev != null) prev.unpersist()
     state.unpersist()
     learned.toSeq.toDF("iter", "merge_left", "merge_right", "pair_count")
   }

@@ -130,6 +130,13 @@ object TextOps {
     * the property the oracle harness hashes. Per-row, no shuffle.
     */
   def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
+    // The per-row metrics below are compute-dense (tokenize + several
+    // regex passes per document); over a single-row-group parquet scan
+    // (1 task, unsplittable) the whole corpus is scored serially (r19
+    // profile of tx20b: a 2.0 s single-task stage). The stats-gated
+    // spread parallelizes the projection and is a no-op at real scale or
+    // on streaming inputs (whose stats read as unbounded).
+    val src = if (df.isStreaming) df else graft.ops.Scan.spreadIfStarved(df)
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = greatest(size(toks), lit(1)).cast("double")
@@ -143,7 +150,7 @@ object TextOps {
     // explicit whitespace class (not \s) for RE2/Java parity — see tokens()
     val bulletLines = size(filter(lines, l => l.rlike("^[ \\t\\n\\f\\r]*[-*•]"))).cast("long")
     val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.[ \\t\\n\\f\\r]*$"))).cast("long")
-    df.withColumn("n_words", size(toks).cast("long"))
+    src.withColumn("n_words", size(toks).cast("long"))
       .withColumn("mean_word_len", charSum / nWords)
       .withColumn("symbol_ratio", (hashCount + ellipsisCount).cast("double") / nWords)
       .withColumn("alpha_word_ratio", alphaWords.cast("double") / nWords)

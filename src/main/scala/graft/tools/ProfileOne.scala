@@ -33,17 +33,26 @@ object ProfileOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val m = si.taskMetrics
-        println(f"[stage] ${si.stageId}%3d ${si.numTasks}%4d tasks " +
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield (c - s) / 1e3)
+          .getOrElse(-1.0)
+        println(f"[stage] ${si.stageId}%3d ${si.numTasks}%4d tasks wall=$wall%6.2fs " +
           f"exec=${m.executorRunTime / 1e3}%8.1fs cpu=${m.executorCpuTime / 1e9}%8.1fs " +
           f"gc=${m.jvmGCTime / 1e3}%6.1fs " +
           f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
           f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
           f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +
           f"spill=${m.memoryBytesSpilled / 1e6}%8.1fMB  ${si.name.take(60)}")
+      }
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStart.put(js.jobId, js.time)
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = Option(jobStart.remove(je.jobId)).getOrElse(je.time)
+        println(f"[job] ${je.jobId}%4d wall=${(je.time - t0) / 1e3}%6.2fs")
       }
     })
     // SPARK_GRAFT_SAMPLE=1: sample executor-thread stacks every 20 ms (local

@@ -517,7 +517,12 @@ class VersionedSpec extends SparkSuite {
     // age gate: a fresh file may belong to an in-flight commit — untouched
     assert(Versioned.gcOrphans(root, olderThanMs = 60000).isEmpty)
     assert(Files.exists(orphanDir.resolve("part-orphan.parquet")))
-    // past the gate: reclaimed, and every referenced file survives
+    // past the gate: reclaimed, and every referenced file survives.
+    // Backdate the orphan explicitly — "olderThanMs = 0" with a file
+    // created in the same millisecond is a coin flip on mtime granularity
+    // (flaked once under a loaded suite run).
+    Files.setLastModifiedTime(orphanDir.resolve("part-orphan.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
     val got = Versioned.gcOrphans(root, olderThanMs = 0)
     assert(got === Seq("data/c9-lostwriter/part-orphan.parquet"))
     assert(!Files.exists(orphanDir.resolve("part-orphan.parquet")))
