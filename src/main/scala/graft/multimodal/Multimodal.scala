@@ -297,8 +297,13 @@ object Multimodal {
 
   def audioTable(spark: SparkSession, docs: DataFrame): Dataset[AudioRecord] = {
     import spark.implicits._
-    // spread before the opaque synthesis+decode chain — see imageTable
-    graft.ops.Scan.spreadIfStarved(docs.select(col("doc_id"))).as[Long].mapPartitions { ids =>
+    // NO spread here, unlike imageTable/videoTable: WAV synthesis+decode is
+    // light (~0.3 s serial for the whole bench corpus), and the r19 bench
+    // measured the added exchange + task scheduling costing MORE than the
+    // serial decode it relieves (mm2 0.49 -> 1.36 s, mm7 1.29 -> 2.90 s;
+    // both recovered on revert). Image decode and video demux are heavy
+    // enough to pay for the spread; audio is not.
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val bytes = wavBytes(id)
         AudioRecord(id, bytes, bytes.length.toLong)

@@ -681,11 +681,17 @@ object LlmQueries extends QueryModule {
     "dd4_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
+      // spread the pair list to the session's shuffle-partition target: the
+      // per-pair gram-intersect compute downstream inherits THIS frame's
+      // partitioning once the gram side broadcasts, and the id self-join
+      // runs at the (single-row-group, 1-task) scan's otherwise — r19
+      // profile: the whole verify CPU (2.3 s) in the final stage's one task
       val pairs = keyed.select(col("doc_id").as("id_a"), col("lang"), col("source"))
         .join(keyed.select(col("doc_id").as("id_b"), col("lang"), col("source")),
           Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("id_a"), col("id_b"))
       Dedup.ngramJaccard(pairs, docs, "doc_id", "text", k = 3)
     }),
 
