@@ -60,6 +60,19 @@ object Bench {
     // so the composite is never read as a cold-start number.
     val headline = Seq("v_latest_snapshot", "v_corrected", "v4_work_item_tracking",
       "v5_individual_budget", "v5_fallback_budget", "st1_incremental_merge")
+    // SCALING PROBES (r20): the six headline composites are broadcast-build/
+    // fixed-latency bound at bench SF, so the driver's low-core/high-core
+    // ratio over them reads ≈1 every round and cannot distinguish "serial
+    // code" from "overhead-dominated toy SF" (r19 PERF flagged
+    // suspect_cpus_ignored on exactly this). These two rows are the suite's
+    // most compute-dense map stages (PQ distance loops, frame-codec
+    // decode) — their wall-clock DOES track cores — so they ride the final
+    // summary line (plus a "cpus" field) to make scaling legible to the
+    // driver. Measured median-of-3 like the headliners (a scaling ratio
+    // from two single shots would just re-measure host noise); their
+    // numbers were always in the full per-query line — this ADDS entries
+    // to the summary, removes nothing, and changes no methodology else.
+    val scalingProbe = Seq("ann2b_lsh_portable", "mm6_video_frame_dedup")
     // Retired from the per-run suite (round 15): dd15's from-scratch rebuild
     // contrast is proven, labeled, and was ~6% of every run's wall — it still
     // gets a CORRECTNESS row via Verify (which runs every registered query)
@@ -97,7 +110,7 @@ object Bench {
     // disclosed with the warm/median policy above).
     (Seq("a1_groupby_rollup", "j3_inner_universe", "w2_latest_row_number",
       "dd13_lsh_index_append", "dd15b_groups_served",
-      "st15_stream_neardup_ingest") ++ headline)
+      "st15_stream_neardup_ingest") ++ scalingProbe ++ headline)
       .filter(w => filter.forall(_.exists(w.startsWith))).foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         val maxPasses = if (headline.contains(w)) 6 else 1
@@ -205,7 +218,7 @@ object Bench {
       // identical plan — PERF_NOTES.md). The median absorbs the spike
       // without cherry-picking the best case; non-headline queries stay
       // single-shot (their totals aren't compared against the baseline).
-      val reps = if (headline.contains(name)) 3 else 1
+      val reps = if (headline.contains(name) || scalingProbe.contains(name)) 3 else 1
       // Errors are tracked PER REP: one transient crash in a median-of-3 run
       // must not discard the two valid measurements (that silently shrank a
       // published total by the whole query once). A query with >=1 good rep
@@ -279,11 +292,15 @@ object Bench {
     val errs = failed.map { case (k, e) => s"\"" + k + "\":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // numeric when the env var is (the driver contract), quoted otherwise —
+    // a malformed SPARK_GRAFT_CPUS must not produce unparseable JSON
+    val cpusJson = scala.util.Try(cpus.trim.toInt.toString)
+      .getOrElse("\"" + cpus.replace("\"", "") + "\"")
     val calMedian = calibration.sorted.apply(calibration.length / 2)
     val ckMedian = ckCalibration.sorted.apply(ckCalibration.length / 2)
     val cal = s"""{"median":${f3(calMedian)},"runs":[${calibration.map(f3).mkString(",")}],""" +
       s""""checkpoint_median":${f3(ckMedian)},"checkpoint_runs":[${ckCalibration.map(f3).mkString(",")}]}"""
-    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"contrasts":$contrastsJson,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpusJson,"queries":$qs,"contrasts":$contrastsJson,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}"""
     // The driver captures only the stdout TAIL, front-truncating whatever came
     // earlier: a single 120-query JSON line arrived unparseable three rounds
     // running. So the full per-query line goes FIRST (plus a disk copy in
@@ -295,9 +312,9 @@ object Bench {
     if (filter.isEmpty)
       try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), full)
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    val hq = ok.filter { case (k, _) => headline.contains(k) }
+    val hq = ok.filter { case (k, _) => headline.contains(k) || scalingProbe.contains(k) }
       .map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$hq,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpusJson,"queries":$hq,"errors":$errs,"calibration":$cal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

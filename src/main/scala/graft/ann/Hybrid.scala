@@ -36,9 +36,17 @@ object Hybrid {
   def rrfFuse(legs: Seq[(String, DataFrame)], k: Int, rrfK: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse needs at least one leg")
     require(legs.map(_._1).distinct.size == legs.size, "leg names must be unique")
+    // Each leg has TWO consumers (the spine union and its own rank join),
+    // whose differing projections canonicalize differently — without a
+    // materialization point the whole retrieval pipeline behind a leg
+    // (a BM25 corpus scan, an ANN search) executes once per consumer
+    // (r20 profile of ann12: both legs' source stages ran twice). The legs
+    // are top-k'd per query BY CONTRACT — queries×k rows at any corpus
+    // size — so a block-level pin is bounded; PinnedCaches.release is the
+    // caller's deterministic release handle.
     val prepared = legs.map { case (name, df) =>
-      name -> df.select(col("query_id"), col("id"),
-        col("rank").cast("int").as(s"${name}_rank"))
+      name -> graft.ops.PinnedCaches.pin(df.select(col("query_id"), col("id"),
+        col("rank").cast("int").as(s"${name}_rank")))
     }
     // Spine = every (query, id) any leg ranked; then one left join per leg.
     // The score sums coalesced terms in the caller's leg order, so the

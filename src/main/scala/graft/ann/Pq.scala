@@ -487,10 +487,16 @@ object Pq {
     * [[exactL2TopK]]): a tweak cannot desynchronize one ground-truth leg
     * from the others or from the oracles.
     */
-  private def quantizedD2: Column =
-    aggregate(
-      zip_with(col("__qe"), col("__ne"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+  private def quantizedD2: Column = {
+    // native fused loop (graft.functions.QuantizedL2), not HOFs: zip_with/
+    // aggregate lambdas evaluate interpreted per element and allocate the
+    // zipped intermediate PER CANDIDATE PAIR — the exact legs' dominant CPU
+    // (r20 sampled profile of ann6d: the HOF interpreter frames over the
+    // cross join). Bit-identical integer arithmetic, same NULL semantics.
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.QuantizedL2(
+      ColumnBridge.expression(col("__qe")), ColumnBridge.expression(col("__ne"))))
+  }
 
   private def rankByD2(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))

@@ -242,9 +242,21 @@ object Dedup {
     val sb = sigs.select(col("doc").as("id_b"), col("sig").as("sig_b")).hint("merge")
     pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, lit(1))),
-          v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
+        (sigMatches(col("sig_a"), col("sig_b")).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** The verify kernel: positions at which two signatures agree, as ONE
+    * fused codegen loop per candidate pair ([[graft.functions.SigMatchCount]]
+    * — the HOF chain it replaces evaluated two interpreted lambdas and
+    * allocated two intermediates per pair; bit-identical count, see the
+    * expression's scaladoc).
+    */
+  private def sigMatches(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.functions.SigMatchCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Incremental MinHash+LSH dedup: match a NEW batch of documents against
@@ -360,8 +372,12 @@ object Dedup {
   /** [[incrementalLsh]] served from a persisted signature index
     * ([[writeLshIndex]]): identical output to the from-text path for the
     * same base corpus (the signatures ARE the base's contribution), but
-    * the plan's base side reads `bands`+1 narrow columns of parquet and
-    * never scans base text. `numHashes`/`portableHash` are validated
+    * the plan's base side is ONE map-side pass over the narrow (doc, sig)
+    * parquet — semi-join-pruned to the batch's own band buckets before
+    * anything shuffles (see [[incrementalVerified]]) — and never scans
+    * base text. `inc` must be batch-bounded (its signatures and bucket
+    * keys broadcast — the incrementalVerified precondition).
+    * `numHashes`/`portableHash` are validated
     * against the index's persisted meta row — a mismatch would otherwise
     * produce WRONG results silently (short slices band-hash empty arrays
     * into one shared bucket; the verify re-attach reads absent positions
@@ -486,8 +502,28 @@ object Dedup {
   }
 
   /** The shared candidate+verify core of the incremental paths: banding,
-    * bucket-map prune, bounded-replication skew guard, signature verify —
-    * yielding (verified pairs, increment signature frame).
+    * batch-scoped bucket prune, bounded-replication skew guard, signature
+    * verify — yielding (verified pairs, increment signature frame).
+    *
+    * SERVE COST IS O(batch), NOT O(index) (r20): only buckets the BATCH's
+    * own band hashes touch can produce candidates, so the index's banded
+    * rows are semi-joined against the batch's (band, band_hash) set —
+    * broadcast, i.e. a map-side filter on the index scan — BEFORE the
+    * bucket-size count window. Every shuffle downstream of the scan
+    * (window, bucket map, pair join, verify) then carries matched-bucket
+    * rows (bounded by batch size × collision rate), never the index. The
+    * banded rows also CARRY their signature through the prune: the verify
+    * reads `sig_b` off the surviving candidate rows in place, which
+    * removes both the second corpus-sized scan of the signature table and
+    * the sort-merge shuffle that re-attach paid per serve. The per-serve
+    * residual on the base side is exactly one map-side pass over the
+    * signature index (scan + band hashes + broadcast-semi probe).
+    *
+    * PRECONDITION (also the broadcast-safety bound): `inc` is a
+    * batch-bounded frame — its signature frame and its distinct bucket-key
+    * set are both broadcast. A corpus-sized "increment" belongs on
+    * [[minhashLsh]], not here; nothing in the API enforces the bound, so
+    * it is a documented contract of every incremental entry point.
     */
   private def incrementalVerified(baseSigs: DataFrame, inc: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
@@ -495,26 +531,24 @@ object Dedup {
       persistBase: Boolean, incSigs: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val rows = numHashes / bands
     val bandHashFn = if (portableHash) "md5" else "xxhash64"
+    // banding KEEPS the signature column (see the scaladoc: post-prune the
+    // surviving rows are batch-bounded, so carrying ~8·numHashes bytes per
+    // row is candidate-sized, never index-sized, beyond the map-side scan)
     def banded(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc"),
+      sigs.select(col("doc"), col("sig"),
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
           s"$bandHashFn(concat_ws(',', slice(sig, b * $rows + 1, $rows))))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    // persist the signature frames: each has two consumers (banding and
-    // the verify re-attach), and the round-11 100x profile measured the
-    // base signature stage running TWICE per query (~650 s CPU each at
-    // 500k docs — the dominant cost, duplicated) because ReusedExchange
-    // does not fire across the window/banding and merge-join consumers.
-    // Block-level persistence makes computed-once a guarantee instead of
-    // an optimizer outcome; the frames are signature-sized (see
-    // minhashLsh's note, incl. the PinnedCaches release handle).
-    // persistBase = false on the from-index path: there the base side is
-    // a narrow parquet read (re-reading beats pinning one cache entry per
-    // served batch — see incrementalLshFromIndex).
-    val sigB0 = baseSigs.repartition(col("doc"))
+    // persist the base signatures only on the from-text path, where the
+    // frame is a computed signature stage (round-11 100x profile: the
+    // signature stage is the dominant cost and must not recompute per
+    // consumer). On the from-index path the base side is a narrow parquet
+    // read — re-reading beats pinning one cache entry per served batch —
+    // and since r20 it is consumed map-side only, so the doc-layout
+    // repartition the old merge-join re-attach needed is gone with it.
     val sigB =
-      if (persistBase) graft.ops.PinnedCaches.pin(sigB0)
-      else sigB0
+      if (persistBase) graft.ops.PinnedCaches.pin(baseSigs.repartition(col("doc")))
+      else baseSigs
     // incSigs: a caller composing several legs over one batch (dd15b/st15)
     // passes its pinnedSignatures frame so the batch is minhashed ONCE
     // across the serve, the within-batch LSH, and the index fold
@@ -523,35 +557,54 @@ object Dedup {
     val docHash =
       if (portableHash) conv(substring(md5(col("doc").cast("string")), 1, 15), 16, 10).cast("long")
       else xxhash64(col("doc"))
-    // base side: bucket sizes once, rows into ⌈n/maxBucket⌉ sub-buckets
-    val bandedB = banded(sigB)
+    val bandedI0 = banded(sigI)
+    // the batch's bucket-key universe — batch-bounded (≤ batch rows × bands
+    // distinct hashes), broadcast as the semi-join build below. Reading it
+    // re-executes only a map-side explode over the PINNED batch signatures.
+    val batchBuckets = bandedI0.select(col("band"), col("band_hash")).distinct()
+    // base side: prune to batch-touched buckets FIRST (map-side broadcast
+    // semi — the count window must not shuffle the full index per serve),
+    // then bucket sizes and ⌈n/maxBucket⌉ sub-bucket split over the pruned
+    // rows. Pruning is exact: the semi keys on the whole bucket key, so a
+    // surviving bucket keeps every index member (its count is unchanged)
+    // and a pruned bucket had no batch row to pair with. Pinned because it
+    // has two consumers (the bucket map's broadcast build and the pair
+    // join) that would otherwise each re-run the scan+prune+window; the
+    // broadcast build materializes first, so the pair join reads blocks.
+    val bandedB = graft.ops.PinnedCaches.pin(banded(sigB)
+      .join(batchBuckets.hint("broadcast"), Seq("band", "band_hash"), "left_semi")
       .withColumn("__nsub",
         greatest(ceil(count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("band_hash"))) / lit(maxBucket)).cast("long"), lit(1L)))
-      .withColumn("sub", pmod(docHash, col("__nsub")))
-    // bucket → nsub map (distinct buckets only — index-sized, not corpus-sized)
+      .withColumn("sub", pmod(docHash, col("__nsub"))))
+    // bucket → nsub map (distinct surviving buckets only — batch-bounded)
     val bucketMap = bandedB.select(col("band"), col("band_hash"), col("__nsub")).distinct()
     // inc side: inner join prunes bucket-misses, explode replicates to subs
-    val bandedI = banded(sigI).join(bucketMap, Seq("band", "band_hash"))
+    val bandedI = bandedI0.join(bucketMap, Seq("band", "band_hash"))
       .select(col("doc"), col("band"), col("band_hash"),
         explode(sequence(lit(0L), col("__nsub") - 1)).as("sub"))
+    // candidate pairs, deduped across colliding bands WITH the base
+    // signature in tow (sig_b is functionally dependent on id_base, so the
+    // distinct's row set is exactly the old (id_inc, id_base) distinct)
+    // shuffle_hash, not sort-merge: both sides are batch-bounded post-prune,
+    // so a per-partition hash build is safe at any scale and skips the two
+    // per-serve sorts SMJ would pay (AQE upgrades it to broadcast when the
+    // runtime sizes allow — either way, no sort)
     val pairs = bandedI.select(col("doc").as("id_inc"), col("band"), col("band_hash"), col("sub"))
-      .join(bandedB.select(col("doc").as("id_base"), col("band"), col("band_hash"), col("sub")),
+      .join(bandedB.select(col("doc").as("id_base"), col("sig").as("sig_b"),
+          col("band"), col("band_hash"), col("sub")).hint("shuffle_hash"),
         Seq("band", "band_hash", "sub"))
-      .select(col("id_inc"), col("id_base")).distinct()
+      .select(col("id_inc"), col("id_base"), col("sig_b")).distinct()
     // verify on full signatures. The INCREMENT side is batch-bounded at any
     // scale and its signature frame is pinned (the broadcast build reads
-    // cached blocks, never recomputes the signature stage) — broadcasting
-    // it removes one exchange+sort of the candidate pairs per serve (r19).
-    // The BASE side stays merge-hinted: it is index-sized, and on the
-    // from-index path unpinned — a broadcast subtree there would both blow
-    // the build cap at scale and re-read the index per join.
+    // cached blocks, never recomputes the signature stage); the base
+    // signatures ride the candidate rows (see above), so no corpus-sized
+    // frame joins here at all.
     val si = sigI.select(col("doc").as("id_inc"), col("sig").as("sig_i")).hint("broadcast")
-    val sb = sigB.select(col("doc").as("id_base"), col("sig").as("sig_b")).hint("merge")
-    val verified = pairs.join(si, Seq("id_inc")).join(sb, Seq("id_base"))
+    val verified = pairs.join(si, Seq("id_inc"))
       .select(col("id_inc"), col("id_base"),
-        (size(filter(zip_with(col("sig_i"), col("sig_b"), (x, y) => when(x === y, lit(1))),
-          v => v.isNotNull)).cast("double") / numHashes).as("est_jaccard"))
+        (sigMatches(col("sig_i"), col("sig_b")).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
     (verified, sigI)
   }
@@ -580,6 +633,14 @@ object Dedup {
     * (id_a, id_b) — typically [[incrementalLshPairs]] (batch→base) UNION
     * a within-batch [[minhashLsh]] (batch×batch), per st15's contract
     * note.
+    *
+    * EAGER AT CALL TIME: the batch's edge list and the touched-group set
+    * are materialized by eager localCheckpoints when this method is
+    * CALLED (r19 — each would otherwise re-execute the whole LSH
+    * candidate+verify pipeline once per broadcast build, 13× in the dd15b
+    * profile). Callers that only want a plan (explain, conditional
+    * wiring) pay the edge pipeline's execution here; both frames are
+    * batch-bounded at any scale.
     */
   def incrementalDupGroups(groups: DataFrame, newPairs: DataFrame): DataFrame = {
     // Materialize the batch's edge list ONCE before the fan-out. It feeds

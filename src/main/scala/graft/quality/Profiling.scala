@@ -25,6 +25,15 @@ object Profiling {
     * approx_within_tol, min_str, max_str). `n_distinct` is exact;
     * `approx_within_tol` gates the HLL++ estimate against it (10% or ±4,
     * whichever is larger — >3σ at the default rsd).
+    *
+    * `df` MUST be deterministic: the plain and exact-distinct aggregates
+    * run as two independent passes over its lineage (see the split note
+    * below), so a non-deterministic input could yield an internally
+    * inconsistent row (n_rows from one evaluation, n_distinct from
+    * another). Pinning the input would cost a table-sized cache per
+    * profile call at 100 TB for a check that is otherwise two streams —
+    * the determinism requirement is the cheaper contract, and every graft
+    * profile source (parquet tables, derived projections) meets it.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -198,13 +198,18 @@ object LlmQueries extends QueryModule {
           lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
         .write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
-      graft.streaming.Streaming
-        .dedupStream(s.readStream.schema(schema).parquet(s"$base/src"))
-        .select(col("fingerprint"))
-        .writeStream.format("parquet").option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // input-sized state partitions (see st11's note): the dedup state is
+      // fingerprint rows, not the corpus — 32 stores of it is fsync overhead
+      graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+          graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+        graft.streaming.Streaming
+          .dedupStream(s.readStream.schema(schema).parquet(s"$base/src"))
+          .select(col("fingerprint"))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     }),
 
@@ -268,17 +273,24 @@ object LlmQueries extends QueryModule {
         .select(col("ts").cast("timestamp").as("ts"), col("event_type"), col("value"))
         .write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
-      s.readStream.schema(schema).parquet(s"$base/src")
-        .withWatermark("ts", "2 days")
-        .groupBy(window(col("ts"), "1 day"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          graft.ops.Exact.sum2(col("value")).as("sum_value"))
-        .select(col("window.start").cast("timestamp_ntz").as("win_start"),
-          col("event_type"), col("cnt"), col("sum_value"))
-        .writeStream.format("parquet").option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // state partitions sized from the INPUT, not the session constant
+      // (r20): 32 state stores for kilobytes of window state is pure
+      // checkpoint-fsync overhead; the rule grows with the corpus and
+      // saturates at the session parallelism (Streaming.adaptiveStatePartitions)
+      graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+          graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+        s.readStream.schema(schema).parquet(s"$base/src")
+          .withWatermark("ts", "2 days")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            graft.ops.Exact.sum2(col("value")).as("sum_value"))
+          .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+            col("event_type"), col("cnt"), col("sum_value"))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     }),
 
@@ -305,17 +317,23 @@ object LlmQueries extends QueryModule {
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "1 day")
-      purchases.join(clicks,
-          col("user_id") === col("click_user") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("purchase_id"), col("click_id"), col("user_id"),
-          (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
-            .as("secs_after_click"))
-        .writeStream.format("parquet").option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // input-sized state partitions (see st11's note): the join keeps BOTH
+      // sides' horizons in per-partition state stores — 32 of them for this
+      // input is fsync overhead, not parallelism
+      graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+          graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+        purchases.join(clicks,
+            col("user_id") === col("click_user") &&
+              col("purchase_ts") >= col("click_ts") &&
+              col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("purchase_id"), col("click_id"), col("user_id"),
+            (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+              .as("secs_after_click"))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     }),
 
@@ -340,16 +358,21 @@ object LlmQueries extends QueryModule {
       val events = s.readStream.schema(schema).parquet(s"$base/src")
         .as[graft.streaming.Streaming.TrackerEvent]
       // update-mode operator → parquet via foreachBatch (FileSink is
-      // append-only); each micro-batch appends its refreshed tracker rows
-      graft.streaming.Streaming.trackerState(events)
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", s"$base/ckpt")
-        .foreachBatch {
-          (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
-            b.write.mode("append").parquet(s"$base/out")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // append-only); each micro-batch appends its refreshed tracker rows.
+      // Input-sized state partitions (see st11's note): tracker state is 5
+      // sync rows — 32 stores of it is pure checkpoint overhead.
+      graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+          graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+        graft.streaming.Streaming.trackerState(events)
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
+              b.write.mode("append").parquet(s"$base/out")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     }),
 
@@ -377,19 +400,23 @@ object LlmQueries extends QueryModule {
         .select(col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
         .write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
-      s.readStream.schema(schema).parquet(s"$base/src")
-        .withWatermark("ts", "1 day")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"),
-          graft.ops.Exact.sum2(col("value")).as("sum_value"))
-        .select(col("user_id"),
-          col("session_window.start").cast("timestamp_ntz").as("session_start"),
-          col("session_window.end").cast("timestamp_ntz").as("session_end"),
-          col("n_events"), col("sum_value"))
-        .writeStream.format("parquet").option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+      // input-sized state partitions (see st11's note)
+      graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+          graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+        s.readStream.schema(schema).parquet(s"$base/src")
+          .withWatermark("ts", "1 day")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.ops.Exact.sum2(col("value")).as("sum_value"))
+          .select(col("user_id"),
+            col("session_window.start").cast("timestamp_ntz").as("session_start"),
+            col("session_window.end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .writeStream.format("parquet").option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+      }
       s.read.parquet(s"$base/out")
     }),
 
@@ -405,18 +432,24 @@ object LlmQueries extends QueryModule {
       val pivot = lit("2024-01-16").cast("date")
       ev.filter(col("d") < pivot).drop("d").write.parquet(s"$base/src")
       val schema = s.read.parquet(s"$base/src").schema
+      // input-sized state partitions (see st11/st13's note); sized from the
+      // FIRST half — the partition count binds into the shared checkpoint at
+      // creation and both drains reuse it, exactly as a restarted job would
       def drainPass(): Unit =
-        graft.streaming.Streaming.trackerState(
-            s.readStream.schema(schema).parquet(s"$base/src")
-              .as[graft.streaming.Streaming.TrackerEvent])
-          .writeStream.outputMode("update")
-          .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch {
-            (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
-              b.write.mode("append").parquet(s"$base/out")
-          }
-          .trigger(Trigger.AvailableNow())
-          .start().awaitTermination()
+        graft.streaming.Streaming.withAdaptiveStatePartitions(s,
+            graft.streaming.Streaming.dirBytes(s, s"$base/src")) {
+          graft.streaming.Streaming.trackerState(
+              s.readStream.schema(schema).parquet(s"$base/src")
+                .as[graft.streaming.Streaming.TrackerEvent])
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", s"$base/ckpt")
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.TrackerRow], _: Long) =>
+                b.write.mode("append").parquet(s"$base/out")
+            }
+            .trigger(Trigger.AvailableNow())
+            .start().awaitTermination()
+        }
       drainPass()
       ev.filter(col("d") >= pivot).drop("d").write.mode("append").parquet(s"$base/src")
       drainPass()

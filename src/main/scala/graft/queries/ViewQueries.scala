@@ -28,6 +28,13 @@ object ViewQueries extends QueryModule {
     "v4_work_item_tracking" -> ((s, dir) =>
       ViewDag.v4View(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // NOTE (r20): materializing the shared 7-column fact projection once
+    // (eager localCheckpoint, stats-gated) was tried for the
+    // broadcast-build-recompute shape here and REVERTED: same-window A/B
+    // read 8.6-9.1 s with the checkpoint vs 6.2-7.0 s without — the serial
+    // materialization job costs more than the (page-cached, pruned)
+    // per-build parquet rescans it saves, the same verdict as r19's
+    // spreadFact attempt. The DAG stays scan-per-aggregation by choice.
     "v5_individual_budget" -> ((s, dir) =>
       ViewDag.v5View(Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir), Tables.supplier(s, dir))),
@@ -171,13 +178,27 @@ object ViewQueries extends QueryModule {
         .dropDuplicates("WORK_ITEM_ID", "REPORTING_DATE")
       val corrected = graft.views.DomainViews.corrected(
         graft.sources.FixtureGen.budgetVsActual(s), details).localCheckpoint(true)
+      // the same PRUNING BARRIER as ref_pipeline_monitoring's v4 (r20): a
+      // full-width v5 checkpoint materializes every derived column the
+      // checks never read. Projecting to the 8 columns summary() consumes
+      // FIRST lets Catalyst prune the unused column compute (windows, the
+      // status ladder, the points model) out of the checkpointed DAG —
+      // same flagged counts, narrower materialization, smaller upstream.
+      // `corrected` stays full-width: it feeds BOTH its own dup check and
+      // v5's construction.
       val v5 = graft.views.DomainViews.v5(te, details, corrected,
         graft.sources.FixtureGen.productivityRepeats(s),
         graft.sources.FixtureGen.clientGroupDimension(s),
         graft.sources.FixtureGen.clientDimension(s),
         graft.sources.FixtureGen.tenantTeamDimension(s),
         graft.sources.FixtureGen.tenantTeamMemberDimension(s),
-        graft.sources.FixtureGen.userDimension(s)).localCheckpoint(true)
+        graft.sources.FixtureGen.userDimension(s))
+        .select(col("WORK_ITEM_ID"), col("budget_user_id"), col("budget_user_name"),
+          col("WORK_TITLE"), col("work_item_total_budgeted_minutes"),
+          col("individual_budgeted_minutes"),
+          col("work_item_total_hours_logged_summary"),
+          col("individual_hours_logged_actual"))
+        .localCheckpoint(true)
       graft.quality.ViewVerification.summary(details, corrected, v5)
     })
   )

@@ -27,6 +27,50 @@ import org.apache.spark.sql.Row
   */
 object Streaming {
 
+  /** Scale-adaptive state-partition count for a stateful stream whose input
+    * size is known when the query starts: ⌈inputBytes / advisory⌉ clamped to
+    * [1, session parallelism]. Stateful operators take their state-store
+    * partition count from `spark.sql.shuffle.partitions` at FIRST checkpoint
+    * creation and AQE cannot coalesce them — at bench SF a session-parallelism
+    * constant (32) means 32 state-store directories × per-batch delta files ×
+    * fsyncs for kilobytes of state, pure checkpoint-I/O overhead (the st*
+    * rows' dominant cost, priced by Bench's checkpoint probe). The rule is
+    * input-derived, NOT a local tune: it grows linearly with the corpus
+    * (advisory = `spark.sql.adaptive.advisoryPartitionSizeInBytes`, default
+    * 64 MB) until it hits the session's own parallelism ceiling — at real
+    * scale it returns exactly the session setting and changes nothing.
+    * State hash-partitioning only places rows; row counts and values are
+    * partition-count-invariant, so results are identical by construction.
+    */
+  def adaptiveStatePartitions(spark: SparkSession, inputBytes: Long): Int = {
+    val ceilingN = spark.sessionState.conf.numShufflePartitions
+    val advisory = math.max(1L, spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    math.max(1L, math.min(ceilingN.toLong,
+      (inputBytes + advisory - 1) / advisory)).toInt
+  }
+
+  /** Total bytes under a path (the stream's source dir) — the input-size
+    * probe [[adaptiveStatePartitions]] feeds on. */
+  def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Run `f` (typically: start + drain one stream) with
+    * `spark.sql.shuffle.partitions` set to [[adaptiveStatePartitions]] of
+    * the given input size, restoring the session value afterwards. The
+    * override binds into the stream's checkpoint at creation; batch queries
+    * planned AFTER the restore are untouched.
+    */
+  def withAdaptiveStatePartitions[T](spark: SparkSession, inputBytes: Long)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, adaptiveStatePartitions(spark, inputBytes).toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** ST6: watermarked tumbling daily aggregation of an event stream
     * (`anomaly_detection_agent.py:46-61` analog; batch twin =
     * DmlQueries.st6). */

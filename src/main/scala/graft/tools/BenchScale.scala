@@ -93,7 +93,12 @@ object BenchScale {
     // iterates on a vocabulary-sized frame — the curve should flatten
     // toward the one-scan cost as copies grow (vocab is shared text,
     // so it BARELY grows with key-shifted copies)
-    "x10_heavy_hitters", "sp7_leakage_safe_split", "tx22_bpe_train")
+    "x10_heavy_hitters", "sp7_leakage_safe_split", "tx22_bpe_train",
+    // r20 (VERDICT r19 #3): the round's three biggest optimization claims
+    // ride the curve so they are scale-MEASURED, not reasoned — dd15b's
+    // O(batch) artifact-served group fold, ann6's shared-exact-leg recall,
+    // dq7's split-aggregation profile drift
+    "dd15b_groups_served", "ann6_recall", "dq7_schema_drift")
 
   /** Labeled CONTRAST rows (round 14): deliberate knee measurements that a
     * user's default path never hits — ann4's fixed-block quadratic exists
@@ -679,16 +684,27 @@ object BenchScale {
       val d = s"/tmp/graft_scale_${n}x"
       buildCorpus(spark, srcDir, d, n); (n, d)
     }
-    val headlineAt: Seq[(Int, Seq[(String, Double)])] =
-      dirs.map { case (n, d) => (n, measure(spark, d, headline)) }
-    val llmAt: Seq[(Int, Seq[(String, Double)])] =
-      dirs.map { case (n, d) => (n, measure(spark, d, llm)) }
+    // Curve legs are INTERLEAVED since r20 (VERDICT r19 #3 — the deep/skew
+    // adjudication method applied to the 1x/10x/30x points themselves):
+    // each rep measures the same query at EVERY point back-to-back, so a
+    // point-pair ratio shares one ambient-noise window; medians per point
+    // feed the same JSON fields as before.
+    val curvePoints: Seq[(String, String)] = dirs.map { case (n, d) => (s"${n}x", d) }
+    def curveMeds(il: Map[(String, String), Vector[Double]], names: Seq[String])
+        : Seq[(Int, Seq[(String, Double)])] =
+      dirs.map { case (n, _) => (n, medsAt(il, names, s"${n}x")) }
+    def medsAt(t: Map[(String, String), Vector[Double]], names: Seq[String], lbl: String) =
+      names.map(q => q -> medianOf(t.getOrElse((q, lbl), Vector.empty)))
+    val headlineIl = measureInterleaved(spark, curvePoints, headline)
+    val headlineAt: Seq[(Int, Seq[(String, Double)])] = curveMeds(headlineIl, headline)
+    val llmIl = measureInterleaved(spark, curvePoints, llm)
+    val llmAt: Seq[(Int, Seq[(String, Double)])] = curveMeds(llmIl, llm)
     // labeled contrasts: same points, own block — never in a composite
     val contrastsAt: Seq[(Int, Seq[(String, Double)])] =
-      dirs.map { case (n, d) => (n, measure(spark, d, contrastQueries)) }
+      curveMeds(measureInterleaved(spark, curvePoints, contrastQueries), contrastQueries)
     // infra leg: x13 fold economics on the curve + the versioned-log metrics
     val infraAt: Seq[(Int, Seq[(String, Double)])] =
-      dirs.map { case (n, d) => (n, measure(spark, d, infraQueries)) }
+      curveMeds(measureInterleaved(spark, curvePoints, infraQueries), infraQueries)
     val vtJson = dirs.map { case (n, d) => s""""${n}":${vtLeg(spark, n, d)}""" }
       .mkString("{", ",", "}")
     val logAgeJson = logAgeLeg()
@@ -764,9 +780,8 @@ object BenchScale {
     def objArr(xs: Seq[(String, Vector[Double])]) =
       xs.map { case (k, v) => s"\"$k\":[${v.map(f3).mkString(",")}]" }
         .mkString("{", ",", "}")
-    // medians + per-rep shared-window pair ratios of an interleaved run
-    def medsAt(t: Map[(String, String), Vector[Double]], names: Seq[String], lbl: String) =
-      names.map(q => q -> medianOf(t.getOrElse((q, lbl), Vector.empty)))
+    // per-rep shared-window pair ratios of an interleaved run (medsAt is
+    // defined up at the curve legs, shared)
     def ilBlock(t: Map[(String, String), Vector[Double]], names: Seq[String],
         denomLbl: String, numerLbl: String): (Seq[(String, Double)], String) = {
       val rr = pairRatios(t, names, denomLbl, numerLbl)

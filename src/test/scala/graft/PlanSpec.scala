@@ -210,6 +210,52 @@ class PlanSpec extends SparkSuite {
       s"base text re-scanned at serve time:\n${scans.mkString("\n")}")
   }
 
+  test("dd11b serve: index bands are batch-pruned BELOW the bucket window; no sort-merge join") {
+    // The O(batch)-serve pin (r20): the bucket-size count window must sit
+    // ABOVE a broadcast left-semi prune of the index's banded rows against
+    // the batch's (band, band_hash) set — i.e. the only index-sized work
+    // per serve is the map-side scan+prune, never the window's shuffle.
+    // And the signature re-attach rides the candidate rows, so no
+    // sort-merge join (the old corpus-sized re-attach) may remain anywhere.
+    val df = graft.queries.LlmQueries.defs("dd11b_index_served")(spark, dir)
+    import org.apache.spark.sql.execution.SparkPlan
+    // the pruned band frame is pinned (PinnedCaches), so the window lives
+    // inside an InMemoryRelation — traverse cached plans like the
+    // artifact-only audits do
+    def subTrees(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        subTrees(im.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        subTrees(a.executedPlan)
+      case other => Seq(other)
+    }.flatten
+    val nodes = subTrees(df.queryExecution.sparkPlan)
+    def pruneBelow(p: SparkPlan): Boolean = p.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.windowExpression.mkString.contains("count") => w
+    }
+    assert(windows.nonEmpty,
+      s"no bucket-size count window found in the serve plan (incl. cached subplans)")
+    assert(windows.forall(w => pruneBelow(w.child)),
+      "a bucket-size window runs over UNPRUNED index bands (O(index) shuffle per serve)")
+    // the corpus-sized verify re-attach must stay gone: no sort-merge join
+    // anywhere in the serve may consume a parquet file scan (the only file
+    // scans in this plan are the index's; the one remaining SMJ is the
+    // batch-sized best-match left join over checkpointed/cached frames)
+    val smjOverFiles = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.nonEmpty => j
+    }
+    assert(smjOverFiles.isEmpty,
+      "a sort-merge join consumes the index parquet — a corpus-sized re-attach is back")
+  }
+
   test("dd15b groups-served: the plan reads both artifacts, never base text or base pairs") {
     def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>

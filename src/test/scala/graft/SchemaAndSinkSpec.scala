@@ -12,19 +12,42 @@ import org.apache.spark.sql.types._
 class SchemaAndSinkSpec extends SparkSuite {
   import spark.implicits._
 
-  /** The multimodal map-side pin, r19 form: media PAYLOADS exist only from
-    * the synthesis `MapPartitions` upward, and nothing up there may
-    * shuffle. Below it, the id projection is allowed one spread exchange
-    * (Scan.spreadIfStarved — 8 bytes/row, pre-payload; added r19 so the
-    * codec stages parallelize over single-row-group scans). The plan
-    * prints root-first, so "above the synthesis" = the text before the
-    * LAST MapPartitions occurrence.
+  /** The multimodal map-side pin, r20 form (tree-anchored): media PAYLOADS
+    * exist only from the synthesis `MapPartitions` node upward, and nothing
+    * up there may shuffle — asserted on the plan TREE (no Exchange has a
+    * MapPartitions descendant), so a future typed map added below the
+    * synthesis cannot silently move a textual cut point (the r19 helper
+    * cut at lastIndexOf("MapPartitions")). Below the payload, the id
+    * projection is allowed exactly one KIND of exchange: the spread's
+    * keyless ROUND-ROBIN repartition (Scan.spreadIfStarved — 8 bytes/row,
+    * pre-payload; added r19 so the codec stages parallelize over
+    * single-row-group scans). A keyed shuffle anywhere in these plans is a
+    * regression the old relaxation could hide.
     */
-  private def assertNoExchangeAbovePayload(plan: String): Unit = {
-    val cut = plan.lastIndexOf("MapPartitions")
-    val above = if (cut >= 0) plan.substring(0, cut) else plan
-    assert(!above.contains("Exchange"),
-      s"payload-carrying operator above an Exchange:\n$plan")
+  private def assertNoExchangeAbovePayload(plan0: org.apache.spark.sql.execution.SparkPlan): Unit = {
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = unwrap(plan0)
+    def isSynthesis(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.nodeName.contains("MapPartitions")
+    // the anchor must exist, or the pin is vacuously green
+    assert(plan.collectFirst { case m if isSynthesis(m) => m }.nonEmpty,
+      s"no payload-synthesis MapPartitions node found — pin matched nothing:\n$plan")
+    val above = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange
+        if e.collectFirst { case m if isSynthesis(m) => m }.nonEmpty => e
+    }
+    assert(above.isEmpty,
+      s"payload-carrying synthesis sits below an Exchange:\n$plan")
+    val keyed = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if !e.outputPartitioning
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] => e
+    }
+    assert(keyed.isEmpty,
+      s"keyed shuffle in a map-side multimodal plan (only the round-robin spread is allowed):\n$plan")
   }
 
   test("Snowflake type names map per the reference table, parametrized types truncate") {
@@ -157,7 +180,7 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(dec.filter(col("duration_ms") =!=
       floor(col("n_samples") * 1000 / col("sample_rate"))).count() == 0)
     // decode is map-side above the payload: no Exchange once bytes exist
-    assertNoExchangeAbovePayload(dec.queryExecution.executedPlan.toString)
+    assertNoExchangeAbovePayload(dec.queryExecution.executedPlan)
   }
 
   test("mm7 audio fingerprint: copies collide, distinct envelopes don't, hand-computed fp matches") {
@@ -190,7 +213,7 @@ class SchemaAndSinkSpec extends SparkSuite {
     // exchange that has nothing to do with the operator)
     assertNoExchangeAbovePayload(Multimodal.audioFingerprint(spark,
         Multimodal.audioTable(spark, sf("documents"))).toDF()
-      .queryExecution.executedPlan.toString)
+      .queryExecution.executedPlan)
     // a WAV that isn't 16-bit mono must refuse loudly, not fingerprint
     // garbage (the sample loop reads getShort per mono sample)
     locally {
@@ -242,7 +265,7 @@ class SchemaAndSinkSpec extends SparkSuite {
         .filter(!array_contains(col("idxs"), 0) || !array_contains(col("idxs"), 4))
         .count() == 0)
     // fan-out is map-side above the payload: no Exchange once bytes exist
-    assertNoExchangeAbovePayload(frames.queryExecution.executedPlan.toString)
+    assertNoExchangeAbovePayload(frames.queryExecution.executedPlan)
     // corrupted magic is rejected, not silently mis-parsed
     import spark.implicits._
     val bad = Seq(Multimodal.VideoRecord(1L, "NOPE".getBytes("US-ASCII") ++
@@ -277,8 +300,8 @@ class SchemaAndSinkSpec extends SparkSuite {
     val reDecoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(one.thumb))
     assert(reDecoded.getWidth == one.thumb_width && reDecoded.getHeight == one.thumb_height)
     // decode + resize are map-side above the payload in both plans
-    assertNoExchangeAbovePayload(dec.queryExecution.executedPlan.toString)
-    assertNoExchangeAbovePayload(th.queryExecution.executedPlan.toString)
+    assertNoExchangeAbovePayload(dec.queryExecution.executedPlan)
+    assertNoExchangeAbovePayload(th.queryExecution.executedPlan)
   }
 
   test("mm5 aHash: byte-identical images collide, distinct images separate, map-side") {
@@ -301,7 +324,7 @@ class SchemaAndSinkSpec extends SparkSuite {
     assert(distinctHashes > n / 2, s"$distinctHashes distinct hashes of $n images")
     // hashing is map-side above the payload: no Exchange once bytes exist
     assertNoExchangeAbovePayload(Multimodal.imageAHash(spark, imgs).queryExecution
-      .executedPlan.toString)
+      .executedPlan)
     hashed.unpersist()
   }
 

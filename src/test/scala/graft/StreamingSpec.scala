@@ -293,4 +293,32 @@ class StreamingSpec extends SparkSuite {
     assert(window.count() > 0 && window.count() < ev.count())
     assert(ev.schema("ts").dataType.typeName == "timestamp_ntz")
   }
+
+  test("adaptive state partitions: input-derived, monotone, clamped to session parallelism") {
+    import graft.streaming.Streaming
+    val ceiling = spark.sessionState.conf.numShufflePartitions
+    val advisory = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    // tiny input → 1 partition (never 0); the rule is the whole point at
+    // bench SF, where a 32-store state checkpoint serves kilobytes
+    assert(Streaming.adaptiveStatePartitions(spark, 1L) == 1)
+    assert(Streaming.adaptiveStatePartitions(spark, advisory) == 1)
+    assert(Streaming.adaptiveStatePartitions(spark, advisory + 1) == 2)
+    // grows linearly with the corpus — the scale-adaptive (not local-tune)
+    // property: a 10x input gets 10x the partitions until the ceiling
+    val at1x = Streaming.adaptiveStatePartitions(spark, 2 * advisory)
+    val at10x = Streaming.adaptiveStatePartitions(spark, 20 * advisory)
+    assert(at10x == math.min(ceiling, 10 * at1x))
+    // at real scale the rule returns exactly the session setting
+    assert(Streaming.adaptiveStatePartitions(spark, Long.MaxValue / 4) == ceiling)
+    // the scoped override restores the session value even on failure
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    intercept[RuntimeException] {
+      Streaming.withAdaptiveStatePartitions(spark, 1L) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == "1")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
